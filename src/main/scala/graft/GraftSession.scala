@@ -1,0 +1,29 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import graft.operators.ParallelReports
+
+/** One place for the engine's session defaults, shared by the driver mains
+  * and the test suites.
+  *
+  *  - shuffle partitions sized to the core count, not Spark's default 200
+  *    (local mode; on a cluster this is a deploy-time knob + AQE coalescing)
+  *  - AQE on: runtime shuffle-partition coalescing + skew-join splitting
+  *  - FAIR scheduler + the reference-equivalent pool allocation file, so
+  *    [[graft.operators.ParallelReports]] pool pinning is live (SURVEY §2 S11)
+  *  - nanosAsLong: the testdata `events.ts` column is parquet
+  *    TIMESTAMP(NANOS), which Spark 4 only reads as a long; event-time ops
+  *    convert explicitly (see [[graft.operators]] users)
+  */
+object GraftSession {
+  def builder(master: String, shufflePartitions: Int): SparkSession.Builder = {
+    val b = SparkSession.builder()
+      .master(master)
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ParallelReports.fairConfig.foldLeft(b) { case (bb, (k, v)) => bb.config(k, v) }
+  }
+}

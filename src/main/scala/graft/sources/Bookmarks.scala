@@ -1,0 +1,98 @@
+package graft.sources
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.util.Properties
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Job-bookmark state: the "Incrementality" half of the reference.
+  *
+  * Re-expresses AWS Glue job bookmarks (reference `glue_rds_to_redshift.py:28-40`,
+  * options `jobBookmarkKeys`/`jobBookmarkKeysSortOrder: asc`): each named scan
+  * remembers the max value of an ascending key column per successful run and
+  * the next run reads only rows strictly beyond it. Keys may be gapped/
+  * non-sequential (`medium/tbl_registers_nonsequence.jpeg`) — semantics are
+  * "strictly greater than last committed max", never "next contiguous id".
+  * Rows arriving later with a key below the bookmark are dropped by design
+  * (documented Glue semantics; see SURVEY.md §2.1).
+  *
+  * Unlike the reference (which never calls `Job.commit`, SURVEY.md §8 D6),
+  * commit here is explicit and caller-driven: commit only after every sink
+  * fed by the scan has succeeded. The store is a single properties file
+  * written atomically (temp file + rename) so a crashed run never leaves a
+  * half-written bookmark; at cluster scale this file lives on shared storage
+  * and is written once per job run from the driver — it is O(#tables) tiny
+  * state, never data-sized.
+  */
+final class BookmarkStore(stateDir: String) {
+  private val file: Path = Paths.get(stateDir, "bookmarks.properties")
+
+  private def load(): Properties = {
+    val p = new Properties()
+    if (Files.exists(file)) {
+      val in = Files.newInputStream(file)
+      try p.load(in) finally in.close()
+    }
+    p
+  }
+
+  private def slot(table: String, ctx: String) = s"$table::$ctx"
+
+  /** Last committed max key for a (table, transformation_ctx) slot. */
+  def get(table: String, ctx: String): Option[Long] =
+    Option(load().getProperty(slot(table, ctx))).map(_.toLong)
+
+  /** Persist a new max key. Atomic write; call only after sinks succeed. */
+  def commit(table: String, ctx: String, maxKey: Long): Unit = {
+    val p = load()
+    p.setProperty(slot(table, ctx), maxKey.toString)
+    Files.createDirectories(file.getParent)
+    val tmp = Files.createTempFile(file.getParent, "bookmarks", ".tmp")
+    val out = Files.newOutputStream(tmp)
+    try p.store(out, "graft bookmark state") finally out.close()
+    Files.move(tmp, file, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  def clear(): Unit = Files.deleteIfExists(file)
+}
+
+/** Incremental scan = plain scan + bookmark predicate (SURVEY.md §2 S1).
+  *
+  * The predicate `key > lastMax` is issued declaratively so Catalyst pushes
+  * it into the source: parquet row-group stat skipping / JDBC WHERE — which
+  * is the whole point at 100 TB (only the delta's row groups are read; an
+  * ascending key correlates with file order, so pruning is near-perfect).
+  * No custom Rule needed — the novelty is the state store, not the rewrite.
+  */
+final class IncrementalReader(spark: SparkSession, sfDir: String, store: BookmarkStore) {
+
+  /** Read `table` restricted to rows beyond the bookmark for `ctx`. */
+  def read(table: String, keyCol: String, ctx: String): DataFrame = {
+    val df = graft.Tables.load(spark, sfDir, table)
+    store.get(table, ctx) match {
+      case Some(last) => df.filter(col(keyCol) > lit(last))
+      case None => df // first run reads everything
+    }
+  }
+
+  /** Max key actually present in a (filtered) frame — the value to commit.
+    * Columnar max over the delta only; at scale this folds to parquet
+    * footer stats after pushdown.
+    */
+  def maxKey(df: DataFrame, keyCol: String): Option[Long] =
+    df.agg(max(col(keyCol)).cast("long")).collect()(0) match {
+      case r if r.isNullAt(0) => None
+      case r => Some(r.getLong(0))
+    }
+
+  /** One full incremental run: read delta, feed it to `sink`, commit the
+    * new bookmark only if the sink succeeded (reference defect D4/D6 fixed).
+    */
+  def runIncremental(table: String, keyCol: String, ctx: String)
+                    (sink: DataFrame => Unit): Unit = {
+    val delta = read(table, keyCol, ctx)
+    sink(delta)
+    maxKey(delta, keyCol).foreach(store.commit(table, ctx, _))
+  }
+}
