@@ -1,0 +1,87 @@
+package graft
+
+import graft.functions.GraftFunctions
+import graft.functions.PolyHash
+
+/** DuckDB SQL fragments that replay the engine's hash/similarity
+  * arithmetic exactly, for the driver's oracle compare.
+  *
+  * Every fragment mirrors a [[graft.functions.GraftFunctions]] /
+  * [[graft.operators.Similarity]] primitive operation-for-operation:
+  * integer arithmetic is identical by construction, and floating-point
+  * reductions are strict left-folds seeded at 0.0 on both sides, so the
+  * doubles are bit-identical, not merely close. Constants (MinHash
+  * coefficients, hyperplane signs) are generated from the SAME Scala
+  * functions the Spark expressions use — there is one source of truth.
+  */
+object Oracles {
+  val P: Long = PolyHash.P
+
+  /** graft.functions.PolyHash over the characters of `e`. */
+  def polyHash(e: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"list_transform(string_split($e, ''), c -> CAST(ord(c) AS BIGINT))), " +
+      s"(h, c) -> (h*31 + c) % $P)"
+
+  /** Whitespace tokens, empties dropped (GraftFunctions.tokens). */
+  def tokens(e: String): String =
+    s"list_filter(string_split_regex($e, '\\s+'), t -> t != '')"
+
+  /** Distinct hashed character n-gram shingles (GraftFunctions.shingleHashes). */
+  def shingleHashes(e: String, n: Int): String =
+    s"list_distinct(list_transform(" +
+      s"list_transform(range(1, length($e) - ${n - 2}), i -> substr($e, i, $n)), " +
+      s"g -> ${polyHash("g")}))"
+
+  /** MinHash signature list over a hashed-shingle list column `gs`
+    * (GraftFunctions.minhashSignature, identical (a,b) coefficients).
+    */
+  def minhashSignature(gs: String, k: Int): String =
+    GraftFunctions.minhashCoefficients(k).map { case (a, b) =>
+      s"list_min(list_transform($gs, h -> (h*$a + $b) % $P))"
+    }.mkString("[", ", ", "]")
+
+  /** Band key `bi` of a MinHash signature list column (Dedup.minhashBands). */
+  def bandKey(sig: String, bi: Int, rows: Int): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"list_slice($sig, ${bi * rows + 1}, ${bi * rows + rows})), " +
+      s"(acc, v) -> (acc*31 + v) % $P)"
+
+  /** SimHash of a token-hash list column (GraftFunctions.simhash). */
+  def simhash(th: String, bits: Int): String =
+    (0 until bits).map { b =>
+      val vote = s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        s"list_transform($th, h -> ((h >> $b) & 1) * 2 - 1)), (a, x) -> a + x)"
+      s"(CASE WHEN $vote > 0 THEN CAST(${1L << b} AS BIGINT) ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
+  /** Strict-left-fold dot product of two DOUBLE[] columns
+    * (GraftFunctions.dotProduct: fold seeded at 0.0).
+    */
+  def dot(a: String, b: String, dim: Int): String =
+    s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+      s"list_transform(range(0, $dim), i -> $a[i+1] * $b[i+1])), (x, y) -> x + y)"
+
+  def l2(a: String, dim: Int): String = s"sqrt(${dot(a, a, dim)})"
+
+  /** Cosine with the same zero-norm guard as GraftFunctions.cosineSimilarity. */
+  def cosine(a: String, b: String, dim: Int): String =
+    s"(CASE WHEN ${l2(a, dim)} * ${l2(b, dim)} = 0 THEN 0.0 " +
+      s"ELSE ${dot(a, b, dim)} / (${l2(a, dim)} * ${l2(b, dim)}) END)"
+
+  /** Hyperplane-sign bucket bits list (Similarity.bucketKey's projections):
+    * element j+1 is 1 iff projection onto ±1-sign plane j is >= 0. The sign
+    * is the identical LCG-parity formula inlined as SQL integer arithmetic.
+    */
+  def hyperplaneBits(v: String, planes: Int, dim: Int): String =
+    s"list_transform(range(0, $planes), j -> CASE WHEN " +
+      s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(0, $dim), d -> " +
+      s"$v[d+1] * (CASE WHEN ((1103515245 * CAST(j*$dim + d AS BIGINT) + 12345) % 2147483648) % 2 = 0 " +
+      s"THEN 1.0 ELSE -1.0 END))), (a, x) -> a + x) >= 0 THEN 1 ELSE 0 END)"
+
+  /** Bucket key of hash table `tblExpr` from a bits list column. */
+  def bucketFromBits(bits: String, tblExpr: String, bitsPerTable: Int): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"list_transform(range(0, $bitsPerTable), b -> " +
+      s"CAST($bits[$tblExpr*$bitsPerTable + b + 1] AS BIGINT) << b)), (a, x) -> a + x)"
+}

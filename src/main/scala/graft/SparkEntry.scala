@@ -2,7 +2,8 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{ParallelReports, StarPipeline}
+import graft.functions.GraftFunctions
+import graft.operators.{Dedup, ParallelReports, Similarity, StarPipeline, TextAnalysis}
 import graft.sources.{BookmarkStore, IncrementalReader}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -85,6 +86,73 @@ object SparkEntry {
       reader.read("events", "event_id", "incr_scan")
         .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
         .orderBy(col("event_id"))
+    }),
+
+    // ===== Training-data pipeline extensions (SURVEY.md §7.2 step 5) =====
+
+    // Exact dedup: corpus unioned with a re-ingested copy (the reference's
+    // duplicate-reload failure mode, medium/..._messed.jpeg) — one hash
+    // aggregation keeps min doc_id per distinct text.
+    "dedup_exact" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val corpus = docs.union(docs.withColumn("doc_id", col("doc_id") + lit(1000000L)))
+      Dedup.exact(corpus).orderBy(col("keep_id"))
+    }),
+
+    // Near-dup by 3-gram Jaccard >= 0.6 via shingle-key join (no cross join).
+    "dedup_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(
+        Tables.documents(s, dir).filter(col("doc_id") % 10 === 0), 3, 0.6)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // MinHash(16) banded into 4 LSH buckets -> candidates -> exact Jaccard.
+    "dedup_minhash_lsh" -> ((s, dir) =>
+      Dedup.minhashLshPairs(
+        Tables.documents(s, dir).filter(col("doc_id") % 10 === 0),
+        n = 3, k = 16, bands = 4, threshold = 0.6)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // 16-bit SimHash, hamming <= 3 via the chunk-key candidate trick.
+    "dedup_simhash" -> ((s, dir) =>
+      Dedup.simhashPairs(
+        Tables.documents(s, dir).filter(col("doc_id") % 10 === 0),
+        bits = 16, maxHamming = 3)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // Embedding near-dup pairs, exact cosine >= 0.3 (brute pair join; the
+    // LSH-bucketed scale path is sim_ann_topk / Similarity.hyperplaneCandidates).
+    "dedup_embedding" -> ((s, dir) =>
+      Dedup.embeddingPairs(Tables.embeddings(s, dir), 0.3)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // Exact cosine top-5 for 8 query vectors: broadcast queries, one corpus
+    // scan, window top-k.
+    "sim_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 8), 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // ANN top-5 via 4x8-bit random-hyperplane LSH, exact re-rank of
+    // candidates only.
+    "sim_ann_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.hyperplaneTopK(emb, emb.filter(col("vec_id") < 8), 5,
+        tables = 4, bits = 8)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // Language-ID + quality scoring + token counting + fingerprint in one
+    // map-only pass over the corpus.
+    "text_stats" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val (_, bpe) = TextAnalysis.tokenCounts(col("text"))
+      TextAnalysis.qualityFeatures(docs, col("text"))
+        .withColumn("lang_pred", TextAnalysis.langId(col("text")))
+        .withColumn("bpe_tokens", bpe)
+        .withColumn("fingerprint", GraftFunctions.poly_hash(col("text")))
+        .drop("text")
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -144,6 +212,138 @@ object SparkEntry {
       """SELECT event_id, user_id, event_type, value
         |FROM events
         |WHERE event_id > (SELECT CAST(floor(max(event_id) / 2) AS BIGINT) FROM events)
-        |ORDER BY event_id""".stripMargin
+        |ORDER BY event_id""".stripMargin,
+
+    "dedup_exact" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents)
+        |SELECT min(doc_id) AS keep_id, count(*) AS n_dupes
+        |FROM corpus GROUP BY text ORDER BY keep_id""".stripMargin,
+
+    "dedup_ngram_jaccard" -> {
+      val inter = "len(list_intersect(a.gs, b.gs))"
+      s"""WITH sh AS (
+         |  SELECT doc_id, ${Oracles.shingleHashes("text", 3)} AS gs
+         |  FROM documents WHERE doc_id % 10 = 0)
+         |SELECT * FROM (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    round(CAST($inter AS DOUBLE) / (len(a.gs) + len(b.gs) - $inter), 6) AS jaccard
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+         |WHERE jaccard >= 0.6 ORDER BY id_a, id_b""".stripMargin
+    },
+
+    "dedup_minhash_lsh" -> {
+      val bkeys = (0 until 4).map(bi => Oracles.bandKey("sig", bi, 4)).mkString("[", ", ", "]")
+      s"""WITH sh AS (
+         |  SELECT doc_id, ${Oracles.shingleHashes("text", 3)} AS gs
+         |  FROM documents WHERE doc_id % 10 = 0),
+         |sigs AS (SELECT doc_id, ${Oracles.minhashSignature("gs", 16)} AS sig FROM sh),
+         |bnd AS (
+         |  SELECT doc_id, t.band AS band, $bkeys[t.band + 1] AS band_key
+         |  FROM sigs CROSS JOIN (SELECT unnest(range(0, 4)) AS band) t),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+         |  FROM bnd x JOIN bnd y
+         |    ON x.band = y.band AND x.band_key = y.band_key AND x.doc_id < y.doc_id)
+         |SELECT * FROM (
+         |  SELECT c.id_a, c.id_b,
+         |    round(CAST(len(list_intersect(ga.gs, gb.gs)) AS DOUBLE)
+         |      / len(list_distinct(ga.gs || gb.gs)), 6) AS jaccard
+         |  FROM cand c
+         |  JOIN sh ga ON c.id_a = ga.doc_id
+         |  JOIN sh gb ON c.id_b = gb.doc_id)
+         |WHERE jaccard >= 0.6 ORDER BY id_a, id_b""".stripMargin
+    },
+
+    "dedup_simhash" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, list_transform(${Oracles.tokens("text")}, w -> ${Oracles.polyHash("w")}) AS th
+         |  FROM documents WHERE doc_id % 10 = 0),
+         |shs AS (SELECT doc_id, ${Oracles.simhash("th", 16)} AS sh FROM toks),
+         |keyed AS (
+         |  SELECT doc_id, sh, t.chunk AS chunk, (sh >> (t.chunk * 4)) & 15 AS chunk_key
+         |  FROM shs CROSS JOIN (SELECT unnest(range(0, 4)) AS chunk) t)
+         |SELECT * FROM (
+         |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,
+         |    CAST(bit_count(xor(x.sh, y.sh)) AS INTEGER) AS hamming
+         |  FROM keyed x JOIN keyed y
+         |    ON x.chunk = y.chunk AND x.chunk_key = y.chunk_key AND x.doc_id < y.doc_id)
+         |WHERE hamming <= 3 ORDER BY id_a, id_b""".stripMargin,
+
+    "dedup_embedding" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+         |SELECT * FROM (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |    round(${Oracles.cosine("a.v", "b.v", 64)}, 6) AS cosine
+         |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+         |WHERE cosine >= 0.3 ORDER BY id_a, id_b""".stripMargin,
+
+    "sim_topk" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |q AS (SELECT * FROM e WHERE vec_id < 8)
+         |SELECT * FROM (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    round(${Oracles.cosine("q.v", "c.v", 64)}, 6) AS cosine,
+         |    row_number() OVER (PARTITION BY q.vec_id
+         |      ORDER BY round(${Oracles.cosine("q.v", "c.v", 64)}, 6) DESC, c.vec_id) AS rank
+         |  FROM e c JOIN q ON q.vec_id != c.vec_id)
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "sim_ann_topk" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |bk AS (SELECT vec_id, v, ${Oracles.hyperplaneBits("v", 32, 64)} AS bits FROM e),
+         |keyed AS (
+         |  SELECT vec_id, v, t.tbl AS tbl, ${Oracles.bucketFromBits("bits", "t.tbl", 8)} AS bucket
+         |  FROM bk CROSS JOIN (SELECT unnest(range(0, 4)) AS tbl) t),
+         |cand AS (
+         |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    q.v AS qv, c.v AS cv
+         |  FROM keyed c JOIN keyed q
+         |    ON c.tbl = q.tbl AND c.bucket = q.bucket
+         |    AND q.vec_id < 8 AND q.vec_id != c.vec_id)
+         |SELECT * FROM (
+         |  SELECT query_id, neighbor_id,
+         |    round(${Oracles.cosine("qv", "cv", 64)}, 6) AS cosine,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY round(${Oracles.cosine("qv", "cv", 64)}, 6) DESC, neighbor_id) AS rank
+         |  FROM cand)
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "text_stats" -> {
+      val markers = graft.operators.TextAnalysis.langMarkers
+      def inList(words: Seq[String]) = words.map(w => s"'$w'").mkString("[", ", ", "]")
+      val counts = markers.map { case (lang, ms) =>
+        s"len(list_filter(ltoks, x -> list_contains(${inList(ms)}, x))) AS c_$lang"
+      }.mkString(",\n    ")
+      val best = s"greatest(${markers.map("c_" + _._1).mkString(", ")})"
+      val langCase = markers.map { case (lang, _) =>
+        s"WHEN c_$lang = $best THEN '$lang'"
+      }.mkString(" ")
+      s"""WITH t AS (
+         |  SELECT doc_id, text,
+         |    ${Oracles.tokens("text")} AS toks,
+         |    ${Oracles.tokens("lower(text)")} AS ltoks,
+         |    length(text) AS nc
+         |  FROM documents),
+         |f AS (
+         |  SELECT doc_id,
+         |    len(toks) AS n_tokens, nc AS n_chars_measured,
+         |    nc - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS punct,
+         |    len(list_filter(ltoks, x -> list_contains(${inList(markers.flatMap(_._2))}, x))) AS stop,
+         |    $counts,
+         |    len(list_filter(string_split_regex(text, '[^A-Za-z0-9]+'), x -> x != '')) AS bpe_tokens,
+         |    ${Oracles.polyHash("text")} AS fingerprint
+         |  FROM t)
+         |SELECT doc_id, n_tokens, n_chars_measured,
+         |  round(CASE WHEN n_tokens > 0 THEN CAST(n_chars_measured - (n_tokens - 1) AS DOUBLE) / n_tokens ELSE 0.0 END, 4) AS avg_token_len,
+         |  round(CASE WHEN n_chars_measured > 0 THEN CAST(punct AS DOUBLE) / n_chars_measured ELSE 0.0 END, 4) AS punct_ratio,
+         |  round(CASE WHEN n_tokens > 0 THEN CAST(stop AS DOUBLE) / n_tokens ELSE 0.0 END, 4) AS stopword_ratio,
+         |  round(least(1.0, CASE WHEN n_tokens > 0 THEN 0.5 + CAST(stop AS DOUBLE) / n_tokens - CAST(punct AS DOUBLE) / greatest(n_chars_measured, 1) ELSE 0.0 END), 4) AS quality_score,
+         |  CASE WHEN $best <= 0 THEN 'und' $langCase ELSE 'und' END AS lang_pred,
+         |  bpe_tokens, fingerprint
+         |FROM f ORDER BY doc_id""".stripMargin
+    }
   )
 }

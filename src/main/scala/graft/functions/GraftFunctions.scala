@@ -1,0 +1,131 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Deterministic polynomial string hash over UTF-16 code units:
+  * `h = fold(0)((h, c) => (h * 31 + c) mod (2^31 - 1))`.
+  *
+  * This is the engine's portable hash primitive for document
+  * fingerprinting, shingle/MinHash and SimHash token hashing. Chosen over
+  * Spark's murmur3 `hash()` because it is trivially re-expressible in any
+  * ANSI-ish SQL engine (a `list_reduce` over `ord(substr(...))` in DuckDB),
+  * which keeps every hash-based operator oracle-checkable. Native Catalyst
+  * expression with codegen so it stays inside WholeStageCodegen on the
+  * 100 TB hot path (no Scala-UDF serialization boundary).
+  */
+case class PolyHash(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any =
+    PolyHash.hash(input.asInstanceOf[UTF8String].toString)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.PolyHash.hash($c.toString())")
+  override protected def withNewChildInternal(newChild: Expression): PolyHash =
+    copy(newChild)
+  override def prettyName: String = "poly_hash"
+}
+
+object PolyHash {
+  /** 2^31 - 1 (Mersenne prime): keeps every intermediate < 2^36 so the
+    * identical arithmetic is overflow-safe in 64-bit SQL engines too.
+    */
+  val P: Long = 2147483647L
+
+  def hash(s: String): Long = {
+    var h = 0L
+    var i = 0
+    while (i < s.length) { h = (h * 31 + s.charAt(i)) % P; i += 1 }
+    h
+  }
+}
+
+/** Column-level API for the engine's text/hash/similarity primitives.
+  * Everything here composes from codegen-friendly builtins + [[PolyHash]];
+  * no Scala UDFs on any hot path.
+  */
+object GraftFunctions {
+
+  /** [[PolyHash]] as a Column function; input cast to string. */
+  def poly_hash(c: Column): Column =
+    Bridge.column(PolyHash(Bridge.expression(c.cast(StringType))))
+
+  /** Whitespace tokens, empties dropped (mirrors DuckDB
+    * `list_filter(string_split_regex(s, '\s+'), t -> t != '')`).
+    */
+  def tokens(c: Column): Column =
+    filter(split(c, "\\s+"), t => t =!= lit(""))
+
+  /** Distinct character n-gram shingles of `n` code units. Guarded so a
+    * too-short string yields an empty set (Spark `sequence(1, 0)` would
+    * descend, not return empty).
+    */
+  def shingles(c: Column, n: Int): Column = {
+    val len = length(c)
+    array_distinct(
+      when(len >= n,
+        transform(sequence(lit(1), len - (n - 1)), i => c.substr(i, lit(n))))
+      .otherwise(array().cast("array<string>")))
+  }
+
+  /** Distinct hashed character shingles — the MinHash/Jaccard input set. */
+  def shingleHashes(c: Column, n: Int): Column =
+    array_distinct(transform(shingles(c, n), g => poly_hash(g)))
+
+  /** MinHash signature of a hashed-shingle set under `k` universal hash
+    * functions `h_i(x) = (a_i * x + b_i) mod P`. Deterministic seeds so the
+    * oracle can replay the exact arithmetic.
+    */
+  def minhashSignature(hashes: Column, k: Int): Column = {
+    val funcs = minhashCoefficients(k)
+    array(funcs.map { case (a, b) =>
+      array_min(transform(hashes, h => (h * a + b) % PolyHash.P))
+    }: _*)
+  }
+
+  /** Deterministic (a_i, b_i) pairs for [[minhashSignature]], derived from
+    * a fixed LCG so both engines can enumerate them. a_i in [1, P),
+    * b_i in [0, P).
+    */
+  def minhashCoefficients(k: Int): Seq[(Long, Long)] = {
+    var state = 42L
+    def next(): Long = { state = (state * 1103515245L + 12345L) % PolyHash.P; state }
+    (0 until k).map(_ => (math.abs(next()) % (PolyHash.P - 1) + 1, math.abs(next())))
+  }
+
+  /** SimHash of a token-hash array using the low `bits` bits of each hash:
+    * bit b of the result is 1 iff sum over tokens of (2*((h>>b)&1) - 1) > 0.
+    */
+  def simhash(tokenHashes: Column, bits: Int): Column = {
+    val perBit = (0 until bits).map { b =>
+      val vote = aggregate(tokenHashes, lit(0L),
+        (acc, h) => acc + (shiftright(h, b).bitwiseAND(lit(1L)) * 2 - 1))
+      when(vote > 0, lit(1L << b)).otherwise(lit(0L))
+    }
+    perBit.reduce(_ + _).cast(LongType)
+  }
+
+  /** Hamming distance between two simhash values (popcount of xor). */
+  def hammingDistance(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b)).cast(IntegerType)
+
+  /** Dot product of two float-array columns in double precision. */
+  def dotProduct(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
+      lit(0.0), (acc, v) => acc + v)
+
+  def l2Norm(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v.cast(DoubleType) * v.cast(DoubleType)))
+
+  /** Cosine similarity of two float-array columns (NaN-free: 0 when either
+    * norm is 0).
+    */
+  def cosineSimilarity(a: Column, b: Column): Column = {
+    val denom = l2Norm(a) * l2Norm(b)
+    when(denom === 0.0, lit(0.0)).otherwise(dotProduct(a, b) / denom)
+  }
+}

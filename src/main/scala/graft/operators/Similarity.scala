@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions._
+
+/** Similarity search over an embedding column (`Array[Float]`).
+  *
+  * Two paths, same semantics:
+  *  - [[bruteForceTopK]]: exact cosine top-k; the query set is broadcast
+  *    (it is always small relative to the corpus) so the corpus is scanned
+  *    exactly once with a codegen'd dot product and reduced per-query by a
+  *    window top-k. At 100 TB this is the "exact but one full scan" path.
+  *  - [[hyperplaneTopK]]: random-hyperplane LSH buckets as the scale path —
+  *    signatures are map-only, candidates come from one shuffle on
+  *    (table, bucket), and exact cosine re-ranks only candidates.
+  *    Hyperplanes are derived from a fixed LCG so results are deterministic
+  *    and oracle-replayable.
+  */
+object Similarity {
+
+  val Dim = 64
+
+  /** Deterministic ±1 hyperplane component for plane j, dimension d
+    * (Achlioptas-style sign random projection; LCG parity). Signs — not
+    * arbitrary doubles — keep every bucket computation exactly replayable
+    * in integer-deriving SQL (the DuckDB oracle), since multiplying a
+    * double by ±1.0 is exact.
+    */
+  def hyperplaneSign(j: Int, d: Int): Double = {
+    val x = (1103515245L * (j * Dim + d) + 12345L) % 2147483648L
+    if (x % 2 == 0) 1.0 else -1.0
+  }
+
+  /** Sign-bit bucket key of `emb` under `bits` hyperplanes starting at
+    * plane offset `first`. The projection is a strict left-fold sum seeded
+    * at 0.0 so both engines produce bit-identical doubles.
+    */
+  def bucketKey(emb: Column, first: Int, bits: Int): Column =
+    (0 until bits).map { b =>
+      val proj = (0 until Dim).foldLeft(lit(0.0)) { (acc, d) =>
+        acc + element_at(emb, d + 1).cast("double") * lit(hyperplaneSign(first + b, d))
+      }
+      when(proj >= 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Exact cosine top-k: for each query vector, the k nearest corpus
+    * vectors (self excluded), ties broken by vec_id. `queries` must be
+    * small — it is broadcast.
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val joined = corpus.as("c")
+      .join(broadcast(queries.as("q")), col("q.vec_id") =!= col("c.vec_id"))
+      .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("neighbor_id"),
+        round(cosineSimilarity(col("q.embedding"), col("c.embedding")), 6).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    joined.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** LSH candidate pairs for near-dup detection: vectors sharing a bucket
+    * in any of `tables` hash tables of `bits` hyperplane bits.
+    */
+  def hyperplaneCandidates(emb: DataFrame, tables: Int = 8, bits: Int = 8): DataFrame = {
+    val keyed = emb.select(col("vec_id"), col("embedding"),
+      posexplode(array((0 until tables).map(t =>
+        bucketKey(col("embedding"), t * bits, bits)): _*)))
+      .withColumnRenamed("pos", "tbl").withColumnRenamed("col", "bucket")
+    keyed.as("x").join(keyed.as("y"),
+        col("x.tbl") === col("y.tbl") && col("x.bucket") === col("y.bucket") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"),
+        col("x.embedding").as("ea"), col("y.embedding").as("eb"))
+      .distinct()
+  }
+
+  /** ANN top-k via LSH: candidates = corpus vectors sharing any table
+    * bucket with the query; exact cosine re-rank of candidates only.
+    * Returns at most k neighbors per query (fewer if buckets were sparse —
+    * the recall/cost dial is (tables, bits)).
+    */
+  def hyperplaneTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                     tables: Int = 8, bits: Int = 8): DataFrame = {
+    def keyed(df: DataFrame, idName: String) = df.select(
+      col("vec_id").as(idName), col("embedding").as(s"${idName}_emb"),
+      posexplode(array((0 until tables).map(t =>
+        bucketKey(col("embedding"), t * bits, bits)): _*)))
+      .withColumnRenamed("pos", "tbl").withColumnRenamed("col", "bucket")
+    val cand = keyed(corpus, "neighbor_id")
+      .join(broadcast(keyed(queries, "query_id")), Seq("tbl", "bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        col("query_id_emb"), col("neighbor_id_emb"))
+      .distinct()
+    val scored = cand.select(col("query_id"), col("neighbor_id"),
+      round(cosineSimilarity(col("query_id_emb"), col("neighbor_id_emb")), 6).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+}

@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions._
+
+/** Text-analysis operators for a training-data pipeline, over the
+  * `documents` table. Pure column expressions (whole-stage codegen, no
+  * UDFs, no shuffle except the caller's own aggregations) — at 100 TB each
+  * of these is a map-only pass over the corpus.
+  */
+object TextAnalysis {
+
+  /** Marker stopwords per language for the n-gram/stopword language-ID
+    * heuristic. Deterministic and tiny so the scoring is a handful of
+    * codegen'd array ops per row.
+    */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "a"),
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+    "es" -> Seq("el", "los", "que", "y", "es"),
+    "fr" -> Seq("le", "les", "et", "est", "une"),
+    "zh" -> Seq("de5", "shi4", "le5", "zai4", "he2"))
+
+  private def markerCount(toks: Column, markers: Seq[String]): Column =
+    size(filter(toks, t => t.isin(markers.map(lit(_)): _*)))
+
+  /** Predicted language = argmax of marker-word counts, ties broken by
+    * [[langMarkers]] order, "und" (undetermined) when no marker occurs.
+    */
+  def langId(text: Column): Column = {
+    val toks = tokens(lower(text))
+    val scored = langMarkers.map { case (lang, ms) => (lang, markerCount(toks, ms)) }
+    val best = scored.map(_._2).reduce((a, b) => greatest(a, b))
+    scored.foldLeft(when(best <= 0, lit("und")): Column) {
+      case (acc, (lang, score)) => acc.when(score === best, lit(lang))
+    }.otherwise(lit("und"))
+  }
+
+  /** Quality-scoring features: length, token stats, punctuation and
+    * stopword ratios, plus a single blended [0,1] score. Ratios rounded so
+    * the oracle can replay them.
+    */
+  def qualityFeatures(df: DataFrame, text: Column): DataFrame = {
+    val toks = tokens(text)
+    val nTokens = size(toks)
+    val nChars = length(text)
+    val punct = nChars - length(regexp_replace(text, "[.,;:!?]", ""))
+    val stop = markerCount(tokens(lower(text)), langMarkers.flatMap(_._2))
+    df.withColumn("n_tokens", nTokens)
+      .withColumn("n_chars_measured", nChars)
+      .withColumn("avg_token_len",
+        round(when(nTokens > 0, (nChars - (nTokens - 1)).cast("double") / nTokens).otherwise(0.0), 4))
+      .withColumn("punct_ratio",
+        round(when(nChars > 0, punct.cast("double") / nChars).otherwise(0.0), 4))
+      .withColumn("stopword_ratio",
+        round(when(nTokens > 0, stop.cast("double") / nTokens).otherwise(0.0), 4))
+      .withColumn("quality_score",
+        round(least(lit(1.0),
+          when(nTokens > 0, lit(0.5) + stop.cast("double") / nTokens
+            - (nChars - length(regexp_replace(text, "[.,;:!?]", ""))).cast("double") / greatest(nChars, lit(1)))
+            .otherwise(lit(0.0))), 4))
+  }
+
+  /** Token count under two tokenizers: whitespace and a BPE-ish
+    * alnum-runs-or-single-symbol regex.
+    */
+  def tokenCounts(text: Column): (Column, Column) = {
+    val ws = size(tokens(text))
+    val bpe = size(filter(split(text, "(?<=[^A-Za-z0-9])|(?=[^A-Za-z0-9])"), t => t =!= lit("") && t =!= lit(" ")))
+    (ws, bpe)
+  }
+
+  /** Document fingerprint: [[graft.functions.PolyHash]] rolling hash of the
+    * full text — the exact-dedup / change-detection key.
+    */
+  def fingerprint(text: Column): Column = poly_hash(text)
+}

@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Similarity}
+
+/** Dedup operators over a small corpus with planted exact and near dups. */
+class DedupSpec extends SparkSuite {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"),      // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy cat"),      // near dup of 1
+    (4L, "completely different content with zero overlap xyz"),
+    (5L, "qq ww ee rr tt yy uu ii oo pp")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup keeps min doc_id and counts group size") {
+    val got = Dedup.exact(docs).orderBy("keep_id")
+      .as[(Long, Long)].collect()
+    assert(got.toSeq == Seq((1L, 2L), (3L, 1L), (4L, 1L), (5L, 1L)))
+  }
+
+  test("ngram jaccard finds the exact pair at 1.0 and the near pair above 0.5") {
+    val pairs = Dedup.ngramJaccardPairs(docs, 3, 0.5)
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect()
+      .map { case (a, b, j) => (a, b) -> j }.toMap
+    assert(pairs((1L, 2L)) == 1.0)
+    assert(pairs.contains((1L, 3L)) && pairs((1L, 3L)) > 0.5 && pairs((1L, 3L)) < 1.0)
+    assert(!pairs.keys.exists { case (a, b) => a == 4L || b == 4L })
+  }
+
+  test("minhash LSH candidates contain exact dups; verified jaccard matches brute force") {
+    val lsh = Dedup.minhashLshPairs(docs, n = 3, k = 16, bands = 4, threshold = 0.5)
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect()
+      .map { case (a, b, j) => (a, b) -> j }.toMap
+    val brute = Dedup.ngramJaccardPairs(docs, 3, 0.5)
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect()
+      .map { case (a, b, j) => (a, b) -> j }.toMap
+    assert(lsh.contains((1L, 2L))) // identical docs always share every band
+    // LSH output is a subset of brute force with identical jaccard values
+    lsh.foreach { case (k, j) => assert(brute(k) == j) }
+  }
+
+  test("simhash: identical docs at hamming 0; all reported pairs within bound") {
+    val got = Dedup.simhashPairs(docs, bits = 16, maxHamming = 3)
+      .select("id_a", "id_b", "hamming").as[(Long, Long, Int)].collect()
+    val asMap = got.map { case (a, b, h) => (a, b) -> h }.toMap
+    assert(asMap((1L, 2L)) == 0)
+    assert(got.forall(_._3 <= 3))
+  }
+
+  test("embedding pairs: brute force finds planted near-dup, bucketed path is a subset") {
+    val emb = Seq(
+      (1L, Seq.fill(64)(1.0f)),
+      (2L, Seq.fill(64)(0.999f)),                       // near dup of 1
+      (3L, (0 until 64).map(i => if (i % 2 == 0) 1.0f else -1.0f)),
+      (4L, (0 until 64).map(i => i.toFloat / 64))
+    ).toDF("vec_id", "embedding")
+    val brute = Dedup.embeddingPairs(emb, 0.99)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(brute == Set((1L, 2L)))
+    val bucketed = Dedup.embeddingPairs(emb, 0.99, bucketed = true)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(bucketed.subsetOf(brute))
+    // identical-direction vectors share every bucket, so LSH must find them
+    assert(bucketed.contains((1L, 2L)))
+  }
+}

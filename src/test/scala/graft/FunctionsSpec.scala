@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import graft.functions.{GraftFunctions, PolyHash}
+import graft.functions.GraftFunctions._
+
+class FunctionsSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("PolyHash matches the reference arithmetic (cross-checked vs DuckDB)") {
+    // SELECT list_reduce(list_prepend(0, [ord(c) for c in 'hello']), (h,c)->(h*31+c)%2147483647) == 99162322
+    assert(PolyHash.hash("hello") == 99162322L)
+    assert(PolyHash.hash("") == 0L)
+  }
+
+  test("poly_hash column expression agrees with the Scala function (codegen path)") {
+    val df = Seq("hello", "", "spark graft", "a").toDF("s")
+      .select(col("s"), poly_hash(col("s")).as("h"))
+    df.collect().foreach { case Row(s: String, h: Long) =>
+      assert(h == PolyHash.hash(s), s"for '$s'")
+    }
+  }
+
+  test("shingles: too-short strings give empty set, not a descending sequence") {
+    val got = Seq("ab", "abc", "abcd").toDF("s")
+      .select(shingles(col("s"), 3).as("g")).as[Seq[String]].collect()
+    assert(got(0) == Seq.empty)
+    assert(got(1) == Seq("abc"))
+    assert(got(2) == Seq("abc", "bcd"))
+  }
+
+  test("shingleHashes are distinct") {
+    val got = Seq("aaaa").toDF("s") // shingles aaa, aaa -> one distinct
+      .select(shingleHashes(col("s"), 3).as("g")).as[Seq[Long]].collect()
+    assert(got(0).length == 1)
+  }
+
+  test("minhash signature: identical sets give identical signatures, length k") {
+    val df = Seq("the quick brown fox", "the quick brown fox", "other text entirely")
+      .toDF("s").select(minhashSignature(shingleHashes(col("s"), 3), 8).as("sig"))
+    val rows = df.as[Seq[Long]].collect()
+    assert(rows(0).length == 8)
+    assert(rows(0) == rows(1))
+    assert(rows(0) != rows(2))
+  }
+
+  test("simhash: identical token multisets collide; hamming distance is popcount") {
+    val df = Seq(("a b c a", "a b c a"), ("a b c a", "x y z w")).toDF("s1", "s2")
+      .select(
+        simhash(transform(tokens(col("s1")), t => poly_hash(t)), 16).as("h1"),
+        simhash(transform(tokens(col("s2")), t => poly_hash(t)), 16).as("h2"))
+      .select(hammingDistance(col("h1"), col("h2")).as("d")).as[Int].collect()
+    assert(df(0) == 0)
+    assert(df(1) > 0)
+  }
+
+  test("cosine similarity: identity 1, orthogonal 0, zero-norm guarded to 0") {
+    val rows = Seq(
+      (Seq(1f, 0f), Seq(1f, 0f)),
+      (Seq(1f, 0f), Seq(0f, 1f)),
+      (Seq(0f, 0f), Seq(1f, 1f)))
+      .toDF("a", "b")
+      .select(round(cosineSimilarity(col("a"), col("b")), 6).as("c")).as[Double].collect()
+    assert(rows(0) == 1.0)
+    assert(rows(1) == 0.0)
+    assert(rows(2) == 0.0)
+  }
+
+  test("dotProduct/l2Norm basic algebra") {
+    val rows = Seq((Seq(1f, 2f, 3f), Seq(4f, 5f, 6f))).toDF("a", "b")
+      .select(dotProduct(col("a"), col("b")).as("d"), l2Norm(col("a")).as("n"))
+      .as[(Double, Double)].collect()
+    assert(rows(0)._1 == 32.0)
+    assert(math.abs(rows(0)._2 - math.sqrt(14.0)) < 1e-12)
+  }
+
+  test("minhash coefficients are deterministic and in range") {
+    val c1 = GraftFunctions.minhashCoefficients(16)
+    val c2 = GraftFunctions.minhashCoefficients(16)
+    assert(c1 == c2)
+    assert(c1.forall { case (a, b) => a >= 1 && a < PolyHash.P && b >= 0 && b < PolyHash.P })
+    assert(c1.distinct.length == 16)
+  }
+}

@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Similarity
+
+class SimilaritySpec extends SparkSuite {
+  import spark.implicits._
+
+  private lazy val corpus = Tables.embeddings(spark, sf)
+  private lazy val queries = corpus.filter(col("vec_id") < 4)
+
+  test("brute-force top-k: k rows per query, self excluded, descending cosine") {
+    val got = Similarity.bruteForceTopK(corpus, queries, 5)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+      .as[(Long, Long, Double, Int)].collect()
+    val byQuery = got.groupBy(_._1)
+    assert(byQuery.keySet == Set(0L, 1L, 2L, 3L))
+    byQuery.foreach { case (q, rows) =>
+      assert(rows.length == 5)
+      assert(rows.forall(_._2 != q), "self must be excluded")
+      val sorted = rows.sortBy(_._4)
+      assert(sorted.map(_._3).sliding(2).forall(p => p(0) >= p(1)), "cosine descending by rank")
+    }
+  }
+
+  test("ANN top-k re-ranks with the same cosine as brute force (subset property)") {
+    val brute = Similarity.bruteForceTopK(corpus, queries, 1000)
+      .select("query_id", "neighbor_id", "cosine").as[(Long, Long, Double)].collect()
+      .map { case (q, n, c) => (q, n) -> c }.toMap
+    val ann = Similarity.hyperplaneTopK(corpus, queries, 5, tables = 4, bits = 8)
+      .select("query_id", "neighbor_id", "cosine").as[(Long, Long, Double)].collect()
+    assert(ann.nonEmpty)
+    ann.foreach { case (q, n, c) => assert(brute((q, n)) == c) }
+  }
+
+  test("hyperplane bucket key is deterministic and bounded by bit width") {
+    val keys = corpus.limit(50)
+      .select(Similarity.bucketKey(col("embedding"), 0, 8).as("k")).as[Long].collect()
+    assert(keys.forall(k => k >= 0 && k < 256))
+    val again = corpus.limit(50)
+      .select(Similarity.bucketKey(col("embedding"), 0, 8).as("k")).as[Long].collect()
+    assert(keys.toSeq == again.toSeq)
+  }
+
+  test("identical vectors always share every bucket table") {
+    val emb = Seq((1L, Seq.fill(64)(0.5f)), (2L, Seq.fill(64)(0.5f))).toDF("vec_id", "embedding")
+    val cand = Similarity.hyperplaneCandidates(emb, tables = 2, bits = 4)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    assert(cand.toSet == Set((1L, 2L)))
+  }
+}
