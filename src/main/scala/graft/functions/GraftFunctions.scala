@@ -122,10 +122,16 @@ object GraftFunctions {
     sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v.cast(DoubleType) * v.cast(DoubleType)))
 
   /** Cosine similarity of two float-array columns (NaN-free: 0 when either
-    * norm is 0).
+    * norm is 0). Native codegen'd expression ([[CosineSimilarity]]); the
+    * composed-HOF equivalent `dotProduct(a,b) / (l2Norm(a)*l2Norm(b))`
+    * produces identical doubles but runs interpreted.
     */
-  def cosineSimilarity(a: Column, b: Column): Column = {
-    val denom = l2Norm(a) * l2Norm(b)
-    when(denom === 0.0, lit(0.0)).otherwise(dotProduct(a, b) / denom)
-  }
+  def cosineSimilarity(a: Column, b: Column): Column =
+    Bridge.column(CosineSimilarity(Bridge.expression(a), Bridge.expression(b)))
+
+  /** All `tables` hyperplane-LSH bucket keys of a float-array embedding in
+    * one codegen'd pass (element t = bucket in hash table t).
+    */
+  def hyperplaneBucketKeys(emb: Column, tables: Int, bits: Int): Column =
+    Bridge.column(HyperplaneBuckets(Bridge.expression(emb), tables, bits))
 }

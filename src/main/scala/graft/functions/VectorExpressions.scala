@@ -1,0 +1,115 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Cosine similarity of two float-array vectors as a native codegen'd
+  * expression.
+  *
+  * Numerically identical to the composed column version
+  * (GraftFunctions.dotProduct / l2Norm): each accumulator (dot, |a|^2,
+  * |b|^2) is a strict left-fold over elements seeded at 0.0, so the DuckDB
+  * oracle's left-fold SQL replays the same doubles bit-for-bit. The payoff
+  * over the higher-order-function formulation is the hot path: HOFs are
+  * interpreted per-element with boxed lambdas; this is one fused while-loop
+  * inside whole-stage codegen — the difference between a vector pair-join
+  * being compute-bound or lambda-overhead-bound at 100 TB.
+  */
+case class CosineSimilarity(left: Expression, right: Expression)
+  extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    CosineSimilarity.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.CosineSimilarity.compute($a, $b)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSimilarity =
+    copy(left = l, right = r)
+  override def prettyName: String = "cosine_similarity"
+}
+
+object CosineSimilarity {
+  def compute(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble
+      val y = b.getFloat(i).toDouble
+      dot += x * y
+      na += x * x
+      nb += y * y
+      i += 1
+    }
+    val denom = math.sqrt(na) * math.sqrt(nb)
+    if (denom == 0.0) 0.0 else dot / denom
+  }
+}
+
+/** All `tables` random-hyperplane LSH bucket keys of a float-array vector
+  * in one pass: element t of the result is the `bits`-bit sign bucket of
+  * projections onto ±1 hyperplanes t*bits .. t*bits+bits-1
+  * (Similarity.hyperplaneSign — the LCG-parity sign family, identical
+  * formula).
+  *
+  * Replaces a composed fold of tables*bits*dim column terms whose
+  * generated code exceeded Janino's method limit (whole-stage codegen
+  * bailed out and task binaries hit ~9 MiB). Projections are strict
+  * left-folds seeded at 0.0, so the oracle SQL replays them exactly.
+  */
+case class HyperplaneBuckets(child: Expression, tables: Int, bits: Int)
+  extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    HyperplaneBuckets.compute(input.asInstanceOf[ArrayData], tables, bits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.HyperplaneBuckets.compute($c, $tables, $bits)")
+
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneBuckets =
+    copy(child = newChild)
+  override def prettyName: String = "hyperplane_buckets"
+}
+
+object HyperplaneBuckets {
+  /** Must stay in lockstep with graft.operators.Similarity.hyperplaneSign
+    * and Oracles.hyperplaneBits (plane j = table*bits + bit, dim taken as
+    * Similarity.Dim for the sign index even if vectors are longer).
+    */
+  def compute(arr: ArrayData, tables: Int, bits: Int): ArrayData = {
+    val dim = graft.operators.Similarity.Dim
+    val n = math.min(arr.numElements(), dim)
+    val out = new Array[Long](tables)
+    var t = 0
+    while (t < tables) {
+      var key = 0L
+      var b = 0
+      while (b < bits) {
+        val j = t * bits + b
+        var acc = 0.0
+        var d = 0
+        while (d < n) {
+          val s =
+            if (((1103515245L * (j * dim + d) + 12345L) % 2147483648L) % 2 == 0) 1.0
+            else -1.0
+          acc += arr.getFloat(d).toDouble * s
+          d += 1
+        }
+        if (acc >= 0) key |= 1L << b
+        b += 1
+      }
+      out(t) = key
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+}

@@ -65,8 +65,7 @@ object Similarity {
     */
   def hyperplaneCandidates(emb: DataFrame, tables: Int = 8, bits: Int = 8): DataFrame = {
     val keyed = emb.select(col("vec_id"), col("embedding"),
-      posexplode(array((0 until tables).map(t =>
-        bucketKey(col("embedding"), t * bits, bits)): _*)))
+      posexplode(hyperplaneBucketKeys(col("embedding"), tables, bits)))
       .withColumnRenamed("pos", "tbl").withColumnRenamed("col", "bucket")
     keyed.as("x").join(keyed.as("y"),
         col("x.tbl") === col("y.tbl") && col("x.bucket") === col("y.bucket") &&
@@ -85,8 +84,7 @@ object Similarity {
                      tables: Int = 8, bits: Int = 8): DataFrame = {
     def keyed(df: DataFrame, idName: String) = df.select(
       col("vec_id").as(idName), col("embedding").as(s"${idName}_emb"),
-      posexplode(array((0 until tables).map(t =>
-        bucketKey(col("embedding"), t * bits, bits)): _*)))
+      posexplode(hyperplaneBucketKeys(col("embedding"), tables, bits)))
       .withColumnRenamed("pos", "tbl").withColumnRenamed("col", "bucket")
     val cand = keyed(corpus, "neighbor_id")
       .join(broadcast(keyed(queries, "query_id")), Seq("tbl", "bucket"))

@@ -75,6 +75,18 @@ class FunctionsSpec extends SparkSuite {
     assert(math.abs(rows(0)._2 - math.sqrt(14.0)) < 1e-12)
   }
 
+  test("codegen'd cosine equals the composed HOF formulation bit-for-bit") {
+    val emb = Tables.embeddings(spark, sf).limit(200)
+    val pairs = emb.as("a").join(emb.as("b"), col("a.vec_id") < col("b.vec_id")).limit(500)
+    val hofDenom = l2Norm(col("a.embedding")) * l2Norm(col("b.embedding"))
+    val hof = when(hofDenom === 0.0, lit(0.0))
+      .otherwise(dotProduct(col("a.embedding"), col("b.embedding")) / hofDenom)
+    val mismatches = pairs
+      .select(cosineSimilarity(col("a.embedding"), col("b.embedding")).as("fast"), hof.as("ref"))
+      .filter(col("fast") =!= col("ref")).count()
+    assert(mismatches == 0)
+  }
+
   test("minhash coefficients are deterministic and in range") {
     val c1 = GraftFunctions.minhashCoefficients(16)
     val c2 = GraftFunctions.minhashCoefficients(16)

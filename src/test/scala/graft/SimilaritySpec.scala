@@ -42,6 +42,16 @@ class SimilaritySpec extends SparkSuite {
     assert(keys.toSeq == again.toSeq)
   }
 
+  test("codegen'd bucket keys equal the composed-column reference fold") {
+    val composed = corpus.limit(100).select(
+      array((0 until 4).map(t => Similarity.bucketKey(col("embedding"), t * 8, 8)): _*).as("k"))
+      .as[Seq[Long]].collect()
+    val fast = corpus.limit(100).select(
+      graft.functions.GraftFunctions.hyperplaneBucketKeys(col("embedding"), 4, 8).as("k"))
+      .as[Seq[Long]].collect()
+    assert(composed.map(_.toSeq).toSeq == fast.map(_.toSeq).toSeq)
+  }
+
   test("identical vectors always share every bucket table") {
     val emb = Seq((1L, Seq.fill(64)(0.5f)), (2L, Seq.fill(64)(0.5f))).toDF("vec_id", "embedding")
     val cand = Similarity.hyperplaneCandidates(emb, tables = 2, bits = 4)
