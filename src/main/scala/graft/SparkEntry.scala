@@ -2,9 +2,11 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
 import graft.functions.GraftFunctions
 import graft.operators.{Dedup, ParallelReports, Similarity, StarPipeline, TextAnalysis}
 import graft.sources.{BookmarkStore, IncrementalReader}
+import graft.streaming.Streaming
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -153,6 +155,28 @@ object SparkEntry {
         .withColumn("fingerprint", GraftFunctions.poly_hash(col("text")))
         .drop("text")
         .orderBy(col("doc_id"))
+    }),
+
+    // ===== Structured Streaming (bounded run via Trigger.AvailableNow) ====
+
+    // Watermarked tumbling-window aggregation; complete mode emits every
+    // window on a bounded input.
+    "stream_window_agg" -> ((s, dir) =>
+      Streaming.runToCompletion(
+        Streaming.dailyTypeCounts(Streaming.events(s, dir)), OutputMode.Complete())
+        .orderBy(col("day_start"), col("event_type"))),
+
+    // Built-in session_window aggregation (30-min gap) per user.
+    "stream_sessions" -> ((s, dir) =>
+      Streaming.runToCompletion(
+        Streaming.userSessions(Streaming.events(s, dir)), OutputMode.Complete())
+        .orderBy(col("user_id"), col("session_start"))),
+
+    // Streaming exact dedup of a doubled stream — each event exactly once.
+    "stream_dedup" -> ((s, dir) => {
+      val doubled = Streaming.events(s, dir).union(Streaming.events(s, dir))
+      Streaming.runToCompletion(Streaming.dedupEvents(doubled), OutputMode.Append())
+        .orderBy(col("event_id"))
     })
   )
 
@@ -344,6 +368,31 @@ object SparkEntry {
          |  CASE WHEN $best <= 0 THEN 'und' $langCase ELSE 'und' END AS lang_pred,
          |  bpe_tokens, fingerprint
          |FROM f ORDER BY doc_id""".stripMargin
-    }
+    },
+
+    "stream_window_agg" ->
+      """SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS day_start, event_type,
+        |  count(*) AS n_events, round(sum(value), 2) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "stream_sessions" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS tss FROM events),
+        |m AS (
+        |  SELECT user_id, event_id, tss,
+        |    CASE WHEN lag(tss) OVER (PARTITION BY user_id ORDER BY tss, event_id) IS NULL
+        |         OR tss - lag(tss) OVER (PARTITION BY user_id ORDER BY tss, event_id) >= 1800
+        |    THEN 1 ELSE 0 END AS new_s
+        |  FROM e),
+        |g AS (
+        |  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY tss, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS sid FROM m)
+        |SELECT user_id, min(tss) AS session_start, max(tss) + 1800 AS session_end,
+        |  count(*) AS n_events, min(event_id) AS first_event, max(event_id) AS last_event
+        |FROM g GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,
+
+    "stream_dedup" ->
+      """SELECT event_id, user_id, event_type, value
+        |FROM events ORDER BY event_id""".stripMargin
   )
 }

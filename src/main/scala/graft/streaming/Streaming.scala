@@ -1,0 +1,155 @@
+package graft.streaming
+
+import java.util.UUID
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming over the `events` table.
+  *
+  * The reference's "incrementality" is batch micro-runs with bookmark state
+  * (SURVEY.md §2 S1); this module is the continuous counterpart the north
+  * star asks for: file-source streams -> event-time transforms ->
+  * watermarked/stateful operators. Each operator also runs to completion on
+  * a bounded input via `Trigger.AvailableNow` + memory sink, which is how
+  * the oracle-checked `stream_*` queries execute: the streaming plan is
+  * real (StateStore-backed aggregation), the input just happens to end.
+  *
+  * Scale notes: event-time operators shuffle once on their grouping keys
+  * into the state store; watermarks bound state size (without one, a
+  * 100 TB stream accumulates unbounded session/window state). All
+  * timestamps are second-truncated via integer arithmetic (`ts DIV 1e9`)
+  * so results replay exactly in the DuckDB oracle — the raw column is
+  * parquet TIMESTAMP(NANOS) read as a nanosecond long
+  * (spark.sql.legacy.parquet.nanosAsLong, see GraftSession).
+  */
+object Streaming {
+
+  val eventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType), // nanos since epoch (nanosAsLong)
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Event stream with an `event_ts` second-truncated event-time column.
+    * File-source stream over the parquet table (schema must be declared —
+    * streaming sources don't infer).
+    */
+  def events(spark: SparkSession, sfDir: String): DataFrame =
+    spark.readStream.schema(eventsSchema)
+      // the table is a single parquet FILE: a non-glob path makes
+      // FileStreamSource force basePath to the file itself, which the file
+      // index rejects — a glob keeps basePath at the parent directory
+      .parquet(s"$sfDir/events.parque*")
+      .withColumn("event_ts", timestamp_seconds(expr("ts DIV 1000000000")))
+
+  /** Tumbling 1-day windows per event_type: count + sum(value), 1-day
+    * watermark. Complete output mode so a bounded run emits every window.
+    */
+  def dailyTypeCounts(stream: DataFrame): DataFrame = stream
+    .withWatermark("event_ts", "1 day")
+    .groupBy(window(col("event_ts"), "1 day").as("w"), col("event_type"))
+    .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("total_value"))
+    .select(unix_timestamp(col("w.start")).as("day_start"),
+      col("event_type"), col("n_events"), col("total_value"))
+
+  /** Per-user session windows with a 30-minute inactivity gap: built-in
+    * session_window event-time aggregation (integer aggregates only, so the
+    * result is order-insensitive and exactly oracle-replayable).
+    */
+  def userSessions(stream: DataFrame, gap: String = "30 minutes"): DataFrame = stream
+    .withWatermark("event_ts", "1 day")
+    .groupBy(session_window(col("event_ts"), gap).as("s"), col("user_id"))
+    .agg(count(lit(1)).as("n_events"),
+      min(col("event_id")).as("first_event"), max(col("event_id")).as("last_event"))
+    .select(col("user_id"),
+      unix_timestamp(col("s.start")).as("session_start"),
+      unix_timestamp(col("s.end")).as("session_end"),
+      col("n_events"), col("first_event"), col("last_event"))
+
+  /** Streaming exact dedup: drop duplicate event_ids across the stream
+    * (state-store keyed by event_id). Fed a doubled stream, output is each
+    * event exactly once — the streaming fix for the reference's
+    * duplicate-reload failure mode (medium/..._messed.jpeg).
+    */
+  def dedupEvents(stream: DataFrame): DataFrame = stream
+    .withWatermark("event_ts", "1 day")
+    .dropDuplicates("event_id")
+    .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+
+  /** Run a (bounded) streaming frame to completion through a memory sink
+    * and return the materialized result. AvailableNow processes all
+    * available input in (possibly many) micro-batches, then stops.
+    */
+  def runToCompletion(df: DataFrame, mode: OutputMode): DataFrame = {
+    val name = "graft_stream_" + UUID.randomUUID().toString.replace("-", "")
+    val q = df.writeStream
+      .format("memory").queryName(name)
+      .outputMode(mode)
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-ckpt").toString)
+      .start()
+    q.awaitTermination()
+    df.sparkSession.table(name)
+  }
+
+  // ----- custom state: typed sessionization via flatMapGroupsWithState ----
+
+  final case class Event(user_id: Long, event_id: Long, event_ts: java.sql.Timestamp) {
+    def tsSec: Long = event_ts.getTime / 1000
+  }
+  final case class SessionState(start: Long, lastTs: Long, n: Long,
+                                firstEvent: Long, lastEvent: Long)
+  final case class Session(user_id: Long, session_start: Long, session_end: Long,
+                           n_events: Long, first_event: Long, last_event: Long)
+
+  /** Custom stateful sessionization (the mapGroupsWithState path for
+    * semantics session_window can't express — e.g. emitting closed sessions
+    * with arbitrary derived payloads). Events within a micro-batch are
+    * sorted per key before folding so results don't depend on shuffle
+    * order; open sessions ride in GroupState between batches and close via
+    * event-time timeout at `gapSec` past the last event once the watermark
+    * passes it.
+    */
+  def sessionize(events: Dataset[Event], gapSec: Long): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("event_ts", "1 day")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, it: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(Session(user, s.start, s.lastTs + gapSec, s.n, s.firstEvent, s.lastEvent))
+          } else {
+            val sorted = it.toSeq.sortBy(e => (e.tsSec, e.event_id))
+            var closed = List.empty[Session]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              cur match {
+                case Some(s) if e.tsSec < s.lastTs + gapSec =>
+                  cur = Some(s.copy(lastTs = e.tsSec, n = s.n + 1,
+                    lastEvent = e.event_id))
+                case Some(s) =>
+                  closed ::= Session(user, s.start, s.lastTs + gapSec, s.n,
+                    s.firstEvent, s.lastEvent)
+                  cur = Some(SessionState(e.tsSec, e.tsSec, 1, e.event_id, e.event_id))
+                case None =>
+                  cur = Some(SessionState(e.tsSec, e.tsSec, 1, e.event_id, e.event_id))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp((s.lastTs + gapSec) * 1000)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+}

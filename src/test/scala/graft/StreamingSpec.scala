@@ -1,0 +1,81 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import graft.streaming.Streaming
+
+class StreamingSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("bounded streaming window agg equals the batch aggregation") {
+    val streamed = Streaming.runToCompletion(
+      Streaming.dailyTypeCounts(Streaming.events(spark, sf)), OutputMode.Complete())
+    val batch = Tables.events(spark, sf)
+      .withColumn("day_start", expr("(ts DIV 1000000000) - ((ts DIV 1000000000) % 86400)"))
+      .groupBy(col("day_start"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("total_value"))
+    assert(streamed.count() > 0)
+    assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty)
+  }
+
+  test("bounded streaming session_window equals batch gaps-and-islands") {
+    val streamed = Streaming.runToCompletion(
+      Streaming.userSessions(Streaming.events(spark, sf)), OutputMode.Complete())
+    val w = Window.partitionBy("user_id").orderBy("tss", "event_id")
+    val batch = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), expr("ts DIV 1000000000").as("tss"))
+      .withColumn("prev", lag(col("tss"), 1).over(w))
+      .withColumn("new_s", when(col("prev").isNull || col("tss") - col("prev") >= 1800, 1).otherwise(0))
+      .withColumn("sid", sum(col("new_s")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(min(col("tss")).as("session_start"), (max(col("tss")) + 1800).as("session_end"),
+        count(lit(1)).as("n_events"),
+        min(col("event_id")).as("first_event"), max(col("event_id")).as("last_event"))
+      .drop("sid")
+    assert(streamed.count() > 0)
+    assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty)
+  }
+
+  test("streaming dedup of a doubled stream emits each event exactly once") {
+    val doubled = Streaming.events(spark, sf).union(Streaming.events(spark, sf))
+    val got = Streaming.runToCompletion(Streaming.dedupEvents(doubled), OutputMode.Append())
+    val n = Tables.events(spark, sf).count()
+    assert(got.count() == n)
+    assert(got.select("event_id").distinct().count() == n)
+  }
+
+  test("typed flatMapGroupsWithState sessionization carries state across micro-batches") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[Streaming.Event]
+    val q = Streaming.sessionize(mem.toDS(), 1800)
+      .writeStream.format("memory").queryName("sess_typed")
+      .outputMode("append")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-sess-ckpt").toString)
+      .start()
+    def ev(u: Long, id: Long, sec: Long) = Streaming.Event(u, id, new Timestamp(sec * 1000))
+    try {
+      // batch 1: two events of one session, out of order
+      mem.addData(ev(1, 2, 1500), ev(1, 1, 1000))
+      q.processAllAvailable()
+      // batch 2: extends the same session (2500 < 1500 + 1800)
+      mem.addData(ev(1, 3, 2500))
+      q.processAllAvailable()
+      // batch 3: far-future event for user 1 -> starts session B, and its
+      // watermark (ts - 1 day) passes session A's timeout
+      mem.addData(ev(1, 4, 1000000))
+      q.processAllAvailable()
+      // batch 4: sentinel advances the watermark past session B's timeout
+      mem.addData(ev(99, 9, 2000000))
+      q.processAllAvailable()
+      mem.addData(ev(98, 8, 3000000))
+      q.processAllAvailable()
+      val got = spark.table("sess_typed").as[Streaming.Session].collect().toSet
+      assert(got.contains(Streaming.Session(1, 1000, 2500 + 1800, 3, 1, 3)), s"got $got")
+      assert(got.contains(Streaming.Session(1, 1000000, 1000000 + 1800, 1, 4, 4)), s"got $got")
+    } finally q.stop()
+  }
+}
