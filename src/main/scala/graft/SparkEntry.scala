@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.OutputMode
 import graft.functions.GraftFunctions
-import graft.operators.{Dedup, ParallelReports, Similarity, StarPipeline, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, ParallelReports, Similarity, StarPipeline, TextAnalysis}
 import graft.sources.{BookmarkStore, IncrementalReader}
 import graft.streaming.Streaming
 
@@ -177,7 +177,21 @@ object SparkEntry {
       val doubled = Streaming.events(s, dir).union(Streaming.events(s, dir))
       Streaming.runToCompletion(Streaming.dedupEvents(doubled), OutputMode.Append())
         .orderBy(col("event_id"))
-    })
+    }),
+
+    // ===== Multimodal columns (binary payload + typed metadata) ==========
+
+    // Batched stub decode over binary payloads via mapPartitions
+    // (deterministic fake features the oracle replays; see Multimodal).
+    "multimodal_features" -> ((s, dir) =>
+      Multimodal.decodeFeatures(Multimodal.asRecords(Multimodal.media(s, dir)))
+        .toDF().orderBy(col("doc_id"))),
+
+    // Metadata-driven frame sampling for video payloads — map-only, the
+    // binary column is pruned from the scan entirely.
+    "multimodal_frames" -> ((s, dir) =>
+      Multimodal.sampleFrames(Multimodal.media(s, dir))
+        .orderBy(col("doc_id"), col("frame_idx")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -393,6 +407,31 @@ object SparkEntry {
 
     "stream_dedup" ->
       """SELECT event_id, user_id, event_type, value
-        |FROM events ORDER BY event_id""".stripMargin
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "multimodal_features" ->
+      s"""WITH m AS (
+         |  SELECT doc_id,
+         |    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+         |    CAST(length(text) AS INT) AS byte_len,
+         |    ${Oracles.polyHash("text")} AS checksum,
+         |    1000 + (doc_id % 120) * 500 AS duration_ms
+         |  FROM documents)
+         |SELECT doc_id, media_type, byte_len, checksum,
+         |  CAST(64 + checksum % 1024 AS INT) AS width,
+         |  CAST(64 + (checksum // 1024) % 1024 AS INT) AS height,
+         |  CAST(CASE media_type WHEN 'image' THEN 1 WHEN 'audio' THEN 0
+         |       ELSE least(duration_ms // 1000, 8) END AS INT) AS n_frames
+         |FROM m ORDER BY doc_id""".stripMargin,
+
+    "multimodal_frames" ->
+      """WITH v AS (
+        |  SELECT doc_id, 1000 + (doc_id % 120) * 500 AS duration_ms,
+        |    least((1000 + (doc_id % 120) * 500) // 1000, 8) AS n_frames
+        |  FROM documents WHERE CAST(doc_id % 3 AS INT) = 2)
+        |SELECT doc_id,
+        |  unnest(generate_series(0, n_frames - 1)) AS frame_idx,
+        |  unnest(generate_series(0, n_frames - 1)) * (duration_ms // n_frames) AS frame_offset_ms
+        |FROM v ORDER BY doc_id, frame_idx""".stripMargin
   )
 }
