@@ -72,20 +72,41 @@ object GraftFunctions {
       .otherwise(array().cast("array<string>")))
   }
 
-  /** Distinct hashed character shingles — the MinHash/Jaccard input set. */
+  /** Distinct hashed character shingles — the MinHash/Jaccard input set.
+    * Codegen'd ([[ShingleHashesExpr]]); [[shingleHashesComposed]] is the
+    * equivalent composed-column formulation, kept as the spec cross-check.
+    */
   def shingleHashes(c: Column, n: Int): Column =
+    Bridge.column(ShingleHashesExpr(Bridge.expression(c.cast(StringType)), n))
+
+  def shingleHashesComposed(c: Column, n: Int): Column =
     array_distinct(transform(shingles(c, n), g => poly_hash(g)))
 
   /** MinHash signature of a hashed-shingle set under `k` universal hash
     * functions `h_i(x) = (a_i * x + b_i) mod P`. Deterministic seeds so the
-    * oracle can replay the exact arithmetic.
+    * oracle can replay the exact arithmetic. Codegen'd
+    * ([[MinHashSignatureExpr]]); composed cross-check below.
     */
-  def minhashSignature(hashes: Column, k: Int): Column = {
+  def minhashSignature(hashes: Column, k: Int): Column =
+    Bridge.column(MinHashSignatureExpr(Bridge.expression(hashes), k))
+
+  def minhashSignatureComposed(hashes: Column, k: Int): Column = {
     val funcs = minhashCoefficients(k)
     array(funcs.map { case (a, b) =>
       array_min(transform(hashes, h => (h * a + b) % PolyHash.P))
     }: _*)
   }
+
+  /** [[PolyHash]] of each whitespace token (order kept, dupes kept). */
+  def tokenHashes(c: Column): Column =
+    Bridge.column(TokenHashesExpr(Bridge.expression(c.cast(StringType))))
+
+  /** SimHash of a text column: [[TokenHashesExpr]] -> [[SimHashExpr]] in
+    * one codegen'd pipeline.
+    */
+  def simhashOf(text: Column, bits: Int): Column =
+    Bridge.column(SimHashExpr(TokenHashesExpr(
+      Bridge.expression(text.cast(StringType))), bits))
 
   /** Deterministic (a_i, b_i) pairs for [[minhashSignature]], derived from
     * a fixed LCG so both engines can enumerate them. a_i in [1, P),

@@ -1,0 +1,163 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Codegen'd text-hash primitives for the dedup operators.
+  *
+  * Each replaces a composed higher-order-function column (interpreted,
+  * boxed lambdas per element) with one tight loop, while producing
+  * element-for-element identical results — the specs pin equality against
+  * the composed formulations and the DuckDB oracles replay the same
+  * arithmetic. ASCII-exact: like the composed versions, hashing walks
+  * UTF-16 code units, which coincides with the oracle's per-character ord()
+  * on ASCII corpora.
+  */
+
+/** Distinct [[PolyHash]]-hashed character n-gram shingles, first-occurrence
+  * order (== array_distinct(transform(shingles(c, n), poly_hash))).
+  */
+case class ShingleHashesExpr(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    ShingleHashesExpr.compute(input.asInstanceOf[UTF8String].toString, n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ShingleHashesExpr.compute($c.toString(), $n)")
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashesExpr =
+    copy(child = newChild)
+  override def prettyName: String = "shingle_hashes"
+}
+
+object ShingleHashesExpr {
+  def compute(s: String, n: Int): ArrayData = {
+    val m = s.length - n
+    if (m < 0) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    var i = 0
+    while (i <= m) {
+      var h = 0L
+      var j = i
+      while (j < i + n) { h = (h * 31 + s.charAt(j)) % PolyHash.P; j += 1 }
+      seen.add(h)
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = it.next().longValue(); k += 1 }
+    new GenericArrayData(out)
+  }
+}
+
+/** [[PolyHash]] of each whitespace token, order preserved, duplicates kept
+  * (== transform(tokens(c), poly_hash)).
+  */
+case class TokenHashesExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    TokenHashesExpr.compute(input.asInstanceOf[UTF8String].toString)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TokenHashesExpr.compute($c.toString())")
+  override protected def withNewChildInternal(newChild: Expression): TokenHashesExpr =
+    copy(child = newChild)
+  override def prettyName: String = "token_hashes"
+}
+
+object TokenHashesExpr {
+  def compute(s: String): ArrayData = {
+    val toks = s.split("\\s+")
+    val out = new scala.collection.mutable.ArrayBuffer[Any](toks.length)
+    var i = 0
+    while (i < toks.length) {
+      if (toks(i).nonEmpty) out += PolyHash.hash(toks(i))
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+}
+
+/** MinHash signature of a hashed-shingle array under the deterministic
+  * universal-hash family of GraftFunctions.minhashCoefficients
+  * (== array(array_min(transform(hs, h => (h*a_i + b_i) % P)) for i < k)).
+  * Empty input yields null signature elements, like array_min of empty.
+  */
+case class MinHashSignatureExpr(child: Expression, k: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+  override def nullSafeEval(input: Any): Any =
+    MinHashSignatureExpr.compute(input.asInstanceOf[ArrayData], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.MinHashSignatureExpr.compute($c, $k)")
+  override protected def withNewChildInternal(newChild: Expression): MinHashSignatureExpr =
+    copy(child = newChild)
+  override def prettyName: String = "minhash_signature"
+}
+
+object MinHashSignatureExpr {
+  private val cache = new java.util.concurrent.ConcurrentHashMap[Int, Array[(Long, Long)]]()
+  def coeffs(k: Int): Array[(Long, Long)] =
+    cache.computeIfAbsent(k, kk => GraftFunctions.minhashCoefficients(kk).toArray)
+
+  def compute(hashes: ArrayData, k: Int): ArrayData = {
+    val cs = coeffs(k)
+    val n = hashes.numElements()
+    val out = new Array[Any](k)
+    if (n == 0) return new GenericArrayData(out) // nulls, like array_min([])
+    var i = 0
+    while (i < k) {
+      val (a, b) = cs(i)
+      var best = Long.MaxValue
+      var j = 0
+      while (j < n) {
+        val v = (hashes.getLong(j) * a + b) % PolyHash.P
+        if (v < best) best = v
+        j += 1
+      }
+      out(i) = best
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** SimHash over a token-hash array (== GraftFunctions.simhash composed
+  * column): bit b set iff sum over tokens of (2*((h>>b)&1) - 1) > 0.
+  */
+case class SimHashExpr(child: Expression, bits: Int) extends UnaryExpression {
+  require(bits >= 1 && bits <= 63)
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any =
+    SimHashExpr.compute(input.asInstanceOf[ArrayData], bits)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SimHashExpr.compute($c, $bits)")
+  override protected def withNewChildInternal(newChild: Expression): SimHashExpr =
+    copy(child = newChild)
+  override def prettyName: String = "simhash"
+}
+
+object SimHashExpr {
+  def compute(tokenHashes: ArrayData, bits: Int): Long = {
+    val n = tokenHashes.numElements()
+    val votes = new Array[Long](bits)
+    var j = 0
+    while (j < n) {
+      val h = tokenHashes.getLong(j)
+      var b = 0
+      while (b < bits) {
+        votes(b) += ((h >> b) & 1L) * 2 - 1
+        b += 1
+      }
+      j += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < bits) {
+      if (votes(b) > 0) out |= 1L << b
+      b += 1
+    }
+    out
+  }
+}

@@ -103,7 +103,7 @@ object Dedup {
     val chunks = maxHamming + 1
     val chunkBits = math.max(bits / chunks, 1)
     val hashed = docs.select(col("doc_id"),
-      simhash(transform(tokens(col("text")), t => poly_hash(t)), bits).as("sh"))
+      simhashOf(col("text"), bits).as("sh"))
     val keyed = hashed.select(col("doc_id"), col("sh"),
       posexplode(array((0 until chunks).map(ci =>
         shiftright(col("sh"), ci * chunkBits)

@@ -75,6 +75,33 @@ class FunctionsSpec extends SparkSuite {
     assert(math.abs(rows(0)._2 - math.sqrt(14.0)) < 1e-12)
   }
 
+  test("codegen'd shingle/minhash/simhash equal the composed HOF formulations") {
+    val docs = Tables.documents(spark, sf).limit(100)
+    val mismatch = docs.select(
+      shingleHashes(col("text"), 3).as("fast_sh"),
+      shingleHashesComposed(col("text"), 3).as("ref_sh"),
+      minhashSignature(shingleHashes(col("text"), 3), 16).as("fast_sig"),
+      minhashSignatureComposed(shingleHashesComposed(col("text"), 3), 16).as("ref_sig"),
+      simhashOf(col("text"), 16).as("fast_sim"),
+      simhash(transform(tokens(col("text")), t => poly_hash(t)), 16).as("ref_sim"),
+      tokenHashes(col("text")).as("fast_tok"),
+      transform(tokens(col("text")), t => poly_hash(t)).as("ref_tok"))
+      .filter(col("fast_sh") =!= col("ref_sh") || col("fast_sig") =!= col("ref_sig") ||
+        col("fast_sim") =!= col("ref_sim") || col("fast_tok") =!= col("ref_tok"))
+      .count()
+    assert(mismatch == 0)
+  }
+
+  test("codegen'd shingle/minhash edge cases: short and empty strings") {
+    val rows = Seq("", "ab", "abc").toDF("s")
+      .select(shingleHashes(col("s"), 3).as("g"),
+        minhashSignature(shingleHashes(col("s"), 3), 4).as("sig"))
+      .as[(Seq[Long], Seq[Option[Long]])].collect()
+    assert(rows(0)._1.isEmpty && rows(0)._2 == Seq(None, None, None, None))
+    assert(rows(1)._1.isEmpty)
+    assert(rows(2)._1.length == 1 && rows(2)._2.forall(_.isDefined))
+  }
+
   test("codegen'd cosine equals the composed HOF formulation bit-for-bit") {
     val emb = Tables.embeddings(spark, sf).limit(200)
     val pairs = emb.as("a").join(emb.as("b"), col("a.vec_id") < col("b.vec_id")).limit(500)
