@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.OutputMode
 import graft.functions.GraftFunctions
-import graft.operators.{Dedup, Multimodal, ParallelReports, Similarity, StarPipeline, TextAnalysis}
+import graft.operators.{AsOfJoin, Dedup, Multimodal, ParallelReports, Similarity, StarPipeline, TextAnalysis}
 import graft.sources.{BookmarkStore, IncrementalReader}
 import graft.streaming.Streaming
 
@@ -191,7 +191,87 @@ object SparkEntry {
     // binary column is pruned from the scan entirely.
     "multimodal_frames" -> ((s, dir) =>
       Multimodal.sampleFrames(Multimodal.media(s, dir))
-        .orderBy(col("doc_id"), col("frame_idx")))
+        .orderBy(col("doc_id"), col("frame_idx"))),
+
+    // ===== Relational operator breadth =====================================
+
+    // As-of join: each event gets the user's most recent signup at or
+    // before it (union-tag + running-last window; one shuffle, no range
+    // cross-join).
+    "asof_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+      val signups = ev.filter(col("event_type") === "signup")
+      AsOfJoin.asOf(ev, signups, "user_id", "ts", "ts",
+        payload = Seq("event_id", "ts"), prefix = "signup_")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("signup_event_id"),
+          // joined on full nanos; emitted at micros, the precision DuckDB
+          // reads TIMESTAMP(NANOS) parquet at
+          expr("signup_ts DIV 1000").as("signup_ts_us"))
+        .orderBy(col("event_id"))
+    }),
+
+    // Window top-k: 3 highest-revenue parts per brand (rank over rounded
+    // revenue, partkey tie-break).
+    "topk_per_group" -> ((s, dir) => {
+      val rev = Tables.lineitem(s, dir)
+        .join(broadcast(Tables.part(s, dir)), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"), col("l_partkey"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("p_brand")).orderBy(col("revenue").desc, col("l_partkey"))
+      rev.withColumn("rank", row_number().over(w)).filter(col("rank") <= 3)
+        .orderBy(col("p_brand"), col("rank"))
+    }),
+
+    // Rollup (grouping sets): revenue by (year, returnflag), per-year, and
+    // grand total in one pass.
+    "rollup_revenue" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .withColumn("ship_year", year(col("l_shipdate")))
+        .rollup(col("ship_year"), col("l_returnflag"))
+        .agg(round(sum(col("l_quantity")), 2).as("sum_qty"), count(lit(1)).as("n"))
+        .orderBy(col("ship_year"), col("l_returnflag"), col("n"))),
+
+    // Set operations: customers ordering in both 1995 and 1996 but not 1997.
+    "setop_customers" -> ((s, dir) => {
+      def custsIn(y: Int) = Tables.orders(s, dir)
+        .filter(year(col("o_orderdate")) === y).select(col("o_custkey"))
+      custsIn(1995).intersect(custsIn(1996)).except(custsIn(1997))
+        .orderBy(col("o_custkey"))
+    }),
+
+    // Semi/anti joins: per-segment counts of customers with and without
+    // orders.
+    "semi_anti_join" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+      val o = Tables.orders(s, dir)
+      val withOrders = c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n"))
+        .withColumn("kind", lit("with_orders"))
+      val withoutOrders = c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n"))
+        .withColumn("kind", lit("without_orders"))
+      withOrders.unionByName(withoutOrders).orderBy(col("kind"), col("c_mktsegment"))
+    }),
+
+    // Distinct aggregation: exact distinct users + event count per type.
+    "distinct_agg" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_users"),
+          count(lit(1)).as("n_events"),
+          round(sum(col("value")), 2).as("total_value"))
+        .orderBy(col("event_type"))),
+
+    // JSON extraction over the props column, aggregated by extracted key.
+    "json_extract" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+        .groupBy((col("k") % 10).as("k_bucket"))
+        .agg(count(lit(1)).as("n"), min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+        .orderBy(col("k_bucket")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -432,6 +512,60 @@ object SparkEntry {
         |SELECT doc_id,
         |  unnest(generate_series(0, n_frames - 1)) AS frame_idx,
         |  unnest(generate_series(0, n_frames - 1)) * (duration_ms // n_frames) AS frame_offset_ms
-        |FROM v ORDER BY doc_id, frame_idx""".stripMargin
+        |FROM v ORDER BY doc_id, frame_idx""".stripMargin,
+
+    "asof_join" ->
+      """SELECT l.event_id, l.user_id, l.event_type,
+        |  r.event_id AS signup_event_id, epoch_us(r.ts) AS signup_ts_us
+        |FROM events l
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') r
+        |  ON l.user_id = r.user_id AND l.ts >= r.ts
+        |ORDER BY l.event_id""".stripMargin,
+
+    "topk_per_group" ->
+      """SELECT * FROM (
+        |  SELECT p_brand, l_partkey,
+        |    round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+        |    row_number() OVER (PARTITION BY p_brand
+        |      ORDER BY round(sum(l_extendedprice * (1.0 - l_discount)), 2) DESC, l_partkey) AS rank
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  GROUP BY p_brand, l_partkey)
+        |WHERE rank <= 3 ORDER BY p_brand, rank""".stripMargin,
+
+    "rollup_revenue" ->
+      """SELECT CAST(year(l_shipdate) AS INT) AS ship_year, l_returnflag,
+        |  round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+        |FROM lineitem
+        |GROUP BY ROLLUP (ship_year, l_returnflag)
+        |ORDER BY ship_year, l_returnflag, n""".stripMargin,
+
+    "setop_customers" ->
+      """SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+        |INTERSECT
+        |SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+        |EXCEPT
+        |SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997
+        |ORDER BY o_custkey""".stripMargin,
+
+    "semi_anti_join" ->
+      """SELECT c_mktsegment, count(*) AS n, 'with_orders' AS kind
+        |FROM customer WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY c_mktsegment
+        |UNION ALL
+        |SELECT c_mktsegment, count(*) AS n, 'without_orders' AS kind
+        |FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY c_mktsegment
+        |ORDER BY kind, c_mktsegment""".stripMargin,
+
+    "distinct_agg" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users,
+        |  count(*) AS n_events, round(sum(value), 2) AS total_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "json_extract" ->
+      """WITH e AS (
+        |  SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k FROM events)
+        |SELECT k % 10 AS k_bucket, count(*) AS n, min(k) AS min_k, max(k) AS max_k
+        |FROM e GROUP BY 1 ORDER BY k_bucket""".stripMargin
   )
 }
