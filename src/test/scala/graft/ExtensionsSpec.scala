@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.PolyHash
+
+/** The engine's expressions registered as SQL functions via
+  * SparkSessionExtensions (extensions apply at session construction, so
+  * this suite builds its own session over the shared context).
+  */
+class ExtensionsSpec extends AnyFunSuite {
+
+  test("all engine functions are callable from plain SQL") {
+    val prevDefault = SparkSession.getDefaultSession
+    val prevActive = SparkSession.getActiveSession
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    val s = GraftSession.builder("local[4]", 4)
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    try {
+      val row = s.sql(
+        """SELECT
+          |  poly_hash('hello') AS h,
+          |  cosine_similarity(array(CAST(1 AS FLOAT), CAST(0 AS FLOAT)),
+          |                    array(CAST(1 AS FLOAT), CAST(0 AS FLOAT))) AS c,
+          |  size(shingle_hashes('abcd', 3)) AS ns,
+          |  size(token_hashes('a b  c')) AS nt,
+          |  size(minhash_signature(shingle_hashes('abcd', 3), 8)) AS nm,
+          |  simhash(token_hashes('a b c a'), 16) AS sh,
+          |  size(hyperplane_buckets(array_repeat(CAST(0.5 AS FLOAT), 64), 4, 8)) AS nb
+          |""".stripMargin).collect()(0)
+      assert(row.getLong(0) == PolyHash.hash("hello"))
+      assert(row.getDouble(1) == 1.0)
+      assert(row.getInt(2) == 2)
+      assert(row.getInt(3) == 3)
+      assert(row.getInt(4) == 8)
+      assert(row.getLong(5) >= 0)
+      assert(row.getInt(6) == 4)
+    } finally {
+      SparkSession.clearDefaultSession()
+      SparkSession.clearActiveSession()
+      prevDefault.foreach(SparkSession.setDefaultSession)
+      prevActive.foreach(SparkSession.setActiveSession)
+    }
+  }
+}

@@ -1,0 +1,83 @@
+package graft
+
+import org.scalacheck.Gen
+import org.scalacheck.Prop.forAll
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.{GraftFunctions, PolyHash}
+import graft.sources.BookmarkStore
+
+/** ScalaCheck properties for the engine's pure kernels (no Spark session —
+  * these run per-generated-case).
+  */
+class PropertySpec extends AnyFunSuite {
+
+  private def check(name: String)(p: org.scalacheck.Prop): Unit = test(name) {
+    val res = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(200), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  check("PolyHash stays in [0, P) and is deterministic") {
+    forAll { (s: String) =>
+      val h = PolyHash.hash(s)
+      h >= 0 && h < PolyHash.P && h == PolyHash.hash(s)
+    }
+  }
+
+  check("ShingleHashes: distinct, and at most len-n+1 shingles") {
+    forAll(Gen.alphaNumStr) { s =>
+      val arr = graft.functions.ShingleHashesExpr.compute(s, 3).toLongArray()
+      arr.length == arr.distinct.length &&
+        arr.length <= math.max(s.length - 2, 0)
+    }
+  }
+
+  check("MinHash signature is permutation-invariant in its input set") {
+    forAll(Gen.nonEmptyListOf(Gen.chooseNum(0L, PolyHash.P - 1))) { hs =>
+      val a = new org.apache.spark.sql.catalyst.util.GenericArrayData(hs.toArray)
+      val b = new org.apache.spark.sql.catalyst.util.GenericArrayData(hs.reverse.toArray)
+      val sa = graft.functions.MinHashSignatureExpr.compute(a, 8).toLongArray().toSeq
+      val sb = graft.functions.MinHashSignatureExpr.compute(b, 8).toLongArray().toSeq
+      sa == sb
+    }
+  }
+
+  check("adding elements can only lower each MinHash signature slot") {
+    forAll(Gen.nonEmptyListOf(Gen.chooseNum(0L, PolyHash.P - 1)),
+      Gen.nonEmptyListOf(Gen.chooseNum(0L, PolyHash.P - 1))) { (hs, extra) =>
+      def sig(xs: List[Long]) = graft.functions.MinHashSignatureExpr.compute(
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(xs.toArray), 8).toLongArray()
+      sig(hs ++ extra).zip(sig(hs)).forall { case (sup, sub) => sup <= sub }
+    }
+  }
+
+  check("bookmark store: last commit wins, slots are independent") {
+    forAll(Gen.nonEmptyListOf(Gen.chooseNum(0L, 1000000L))) { commits =>
+      val dir = java.nio.file.Files.createTempDirectory("graft-prop").toString
+      val store = new BookmarkStore(dir)
+      commits.foreach(store.commit("t", "ctx", _))
+      store.commit("t", "other", -1L)
+      val ok = store.get("t", "ctx").contains(commits.last) &&
+        store.get("t", "other").contains(-1L) &&
+        store.get("t2", "ctx").isEmpty
+      store.clear()
+      ok
+    }
+  }
+
+  check("simhash of identical multisets is equal; bits bounded") {
+    forAll(Gen.listOf(Gen.chooseNum(0L, PolyHash.P - 1))) { hs =>
+      val a = new org.apache.spark.sql.catalyst.util.GenericArrayData(hs.toArray)
+      val s = graft.functions.SimHashExpr.compute(a, 16)
+      s >= 0 && s < (1L << 16) &&
+        s == graft.functions.SimHashExpr.compute(a, 16)
+    }
+  }
+
+  check("minhash coefficients: stable prefix property") {
+    forAll(Gen.chooseNum(1, 32)) { k =>
+      GraftFunctions.minhashCoefficients(32).take(k) ==
+        GraftFunctions.minhashCoefficients(k)
+    }
+  }
+}
