@@ -36,18 +36,24 @@ object StarPipeline {
     .withColumnRenamed("l_partkey", "trn_partkey")
     .withColumnRenamed("l_suppkey", "trn_suppkey")
 
-  /** rename -> join x2 -> project: the denormalized frame (S2+S3+S4). */
-  def denormalized(spark: SparkSession, sfDir: String): DataFrame = {
-    val fact = renamed(Tables.lineitem(spark, sfDir))
+  /** rename -> join x2 -> project over an injected fact frame — lets the
+    * incremental job feed a bookmark-filtered delta (S1) through the same
+    * pipeline.
+    */
+  def denormalizedFrom(rawFact: DataFrame, supplier: DataFrame, part: DataFrame): DataFrame = {
+    val fact = renamed(rawFact)
       .withColumn("paid_amount", col("l_extendedprice"))
       .withColumn("register_date", to_date(col("l_shipdate")))
-    val supplier = Tables.supplier(spark, sfDir)
-    val part = Tables.part(spark, sfDir)
     fact
       .join(broadcast(supplier), fact("trn_suppkey") === supplier("s_suppkey"), "inner")
       .join(broadcast(part), fact("trn_partkey") === part("p_partkey"), "inner")
       .select(projected.map(col): _*)
   }
+
+  /** rename -> join x2 -> project: the denormalized frame (S2+S3+S4). */
+  def denormalized(spark: SparkSession, sfDir: String): DataFrame =
+    denormalizedFrom(Tables.lineitem(spark, sfDir),
+      Tables.supplier(spark, sfDir), Tables.part(spark, sfDir))
 
   /** Report A (reference "users report", :62 intended semantics):
     * group by supplier identity + date, SUM(paid_amount).
