@@ -271,7 +271,64 @@ object SparkEntry {
         .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
         .groupBy((col("k") % 10).as("k_bucket"))
         .agg(count(lit(1)).as("n"), min(col("k")).as("min_k"), max(col("k")).as("max_k"))
-        .orderBy(col("k_bucket")))
+        .orderBy(col("k_bucket"))),
+
+    // Salted skew join: per-user totals joined back to events with the hot
+    // key spread over 8 salt buckets — result identical to a plain join.
+    "skew_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(col("event_id"), col("user_id"), col("value"))
+      val userTotals = ev.groupBy(col("user_id"))
+        .agg(round(sum(col("value")), 2).as("user_total"))
+      graft.operators.SkewJoin.salted(ev, userTotals, "user_id",
+        buckets = 8, bigSalt = col("event_id"))
+        .select(col("event_id"), col("user_id"), col("user_total"))
+        .orderBy(col("event_id"))
+    }),
+
+    // CSV source roundtrip: events written as CSV, read back with an
+    // explicit schema, aggregated — exercises the text-format reader path.
+    "csv_roundtrip" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-csv").toString
+      Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+        .write.mode("overwrite").option("header", "true").csv(tmp)
+      s.read.option("header", "true")
+        .schema("event_id LONG, user_id LONG, event_type STRING, value DOUBLE")
+        .csv(tmp)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+        .orderBy(col("event_type"))
+    }),
+
+    // Running windows: per-customer cumulative order value + previous
+    // order's value (lag) over the order sequence.
+    "window_running" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_custkey")).orderBy(col("o_orderkey"))
+      Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .withColumn("running_total",
+          round(sum(col("o_totalprice")).over(
+            w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)), 2))
+        .withColumn("prev_price", lag(col("o_totalprice"), 1).over(w))
+        .withColumn("order_rank", row_number().over(w))
+        .select(col("o_orderkey"), col("o_custkey"),
+          round(col("o_totalprice"), 2).as("price"),
+          col("running_total"), round(col("prev_price"), 2).as("prev_price"),
+          col("order_rank"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // Exact interpolated percentiles per group (sort-based aggregate).
+    "percentile_stats" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(expr("percentile(l_quantity, 0.25)"), 2).as("p25"),
+          round(expr("percentile(l_quantity, 0.5)"), 2).as("p50"),
+          round(expr("percentile(l_quantity, 0.75)"), 2).as("p75"),
+          round(avg(col("l_quantity")), 2).as("mean_qty"))
+        .orderBy(col("l_returnflag")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -566,6 +623,33 @@ object SparkEntry {
       """WITH e AS (
         |  SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k FROM events)
         |SELECT k % 10 AS k_bucket, count(*) AS n, min(k) AS min_k, max(k) AS max_k
-        |FROM e GROUP BY 1 ORDER BY k_bucket""".stripMargin
+        |FROM e GROUP BY 1 ORDER BY k_bucket""".stripMargin,
+
+    "skew_join" ->
+      """WITH t AS (
+        |  SELECT user_id, round(sum(value), 2) AS user_total FROM events GROUP BY user_id)
+        |SELECT e.event_id, e.user_id, t.user_total
+        |FROM events e JOIN t ON e.user_id = t.user_id
+        |ORDER BY e.event_id""".stripMargin,
+
+    "csv_roundtrip" ->
+      """SELECT event_type, count(*) AS n, round(sum(value), 2) AS total
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "window_running" ->
+      """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price,
+        |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+        |    ROWS UNBOUNDED PRECEDING), 2) AS running_total,
+        |  round(lag(o_totalprice, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderkey), 2) AS prev_price,
+        |  row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS order_rank
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "percentile_stats" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_quantity, 0.25), 2) AS p25,
+        |  round(quantile_cont(l_quantity, 0.5), 2) AS p50,
+        |  round(quantile_cont(l_quantity, 0.75), 2) AS p75,
+        |  round(avg(l_quantity), 2) AS mean_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
   )
 }
