@@ -142,6 +142,15 @@ object GraftFunctions {
   def l2Norm(a: Column): Column =
     sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v.cast(DoubleType) * v.cast(DoubleType)))
 
+  /** Codegen'd dot product ([[DotProduct]]) — same fold order as the HOF
+    * version and [[CosineSimilarity]]'s internal accumulators.
+    */
+  def dot_fast(a: Column, b: Column): Column =
+    Bridge.column(DotProduct(Bridge.expression(a), Bridge.expression(b)))
+
+  /** Codegen'd L2 norm: sqrt of the codegen'd self-dot. */
+  def l2_fast(a: Column): Column = sqrt(dot_fast(a, a))
+
   /** Cosine similarity of two float-array columns (NaN-free: 0 when either
     * norm is 0). Native codegen'd expression ([[CosineSimilarity]]); the
     * composed-HOF equivalent `dotProduct(a,b) / (l2Norm(a)*l2Norm(b))`

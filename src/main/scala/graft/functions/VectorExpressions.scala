@@ -53,6 +53,41 @@ object CosineSimilarity {
   }
 }
 
+/** Strict left-fold dot product of two float-array vectors (doubles),
+  * codegen'd. Same accumulator order as [[CosineSimilarity]]'s dot, so
+  * `dot / (sqrt(dot(a,a)) * sqrt(dot(b,b)))` with precomputed norms is
+  * bit-identical to CosineSimilarity — which lets pair joins hoist the
+  * norm out of the O(n^2) loop without changing a single result bit.
+  */
+case class DotProduct(left: Expression, right: Expression)
+  extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    DotProduct.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.DotProduct.compute($a, $b)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): DotProduct =
+    copy(left = l, right = r)
+  override def prettyName: String = "dot_product"
+}
+
+object DotProduct {
+  def compute(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0
+    var i = 0
+    while (i < n) {
+      dot += a.getFloat(i).toDouble * b.getFloat(i).toDouble
+      i += 1
+    }
+    dot
+  }
+}
+
 /** All `tables` random-hyperplane LSH bucket keys of a float-array vector
   * in one pass: element t of the result is the `bits`-bit sign bucket of
   * projections onto ±1 hyperplanes t*bits .. t*bits+bits-1

@@ -124,14 +124,23 @@ object Dedup {
     * small-input oracle path.
     */
   def embeddingPairs(emb: DataFrame, threshold: Double, bucketed: Boolean = false): DataFrame = {
-    val pairs =
-      if (bucketed) Similarity.hyperplaneCandidates(emb)
-      else emb.as("a").join(emb.as("b"), col("a.vec_id") < col("b.vec_id"))
+    if (bucketed)
+      Similarity.hyperplaneCandidates(emb)
+        .select(col("id_a"), col("id_b"),
+          round(cosineSimilarity(col("ea"), col("eb")), 6).as("cosine"))
+        .filter(col("cosine") >= threshold)
+    else {
+      // brute pair join with the norm hoisted out of the O(n^2) loop:
+      // dot/(norm_a*norm_b) with per-vector norms is bit-identical to
+      // cosineSimilarity (same fold order), at a third of the flops
+      val e = emb.select(col("vec_id"), col("embedding"),
+        l2_fast(col("embedding")).as("nrm"))
+      e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
         .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
-          col("a.embedding").as("ea"), col("b.embedding").as("eb"))
-    pairs
-      .select(col("id_a"), col("id_b"),
-        round(cosineSimilarity(col("ea"), col("eb")), 6).as("cosine"))
-      .filter(col("cosine") >= threshold)
+          round(when(col("a.nrm") * col("b.nrm") === 0.0, lit(0.0))
+            .otherwise(dot_fast(col("a.embedding"), col("b.embedding"))
+              / (col("a.nrm") * col("b.nrm"))), 6).as("cosine"))
+        .filter(col("cosine") >= threshold)
+    }
   }
 }

@@ -114,6 +114,19 @@ class FunctionsSpec extends SparkSuite {
     assert(mismatches == 0)
   }
 
+  test("norm-hoisted cosine equals the fused expression bit-for-bit") {
+    val emb = Tables.embeddings(spark, sf).limit(200)
+      .select(col("vec_id"), col("embedding"), l2_fast(col("embedding")).as("nrm"))
+    val pairs = emb.as("a").join(emb.as("b"), col("a.vec_id") < col("b.vec_id")).limit(1000)
+    val hoisted = when(col("a.nrm") * col("b.nrm") === 0.0, lit(0.0))
+      .otherwise(dot_fast(col("a.embedding"), col("b.embedding"))
+        / (col("a.nrm") * col("b.nrm")))
+    val mismatches = pairs
+      .select(hoisted.as("h"), cosineSimilarity(col("a.embedding"), col("b.embedding")).as("f"))
+      .filter(col("h") =!= col("f")).count()
+    assert(mismatches == 0)
+  }
+
   test("minhash coefficients are deterministic and in range") {
     val c1 = GraftFunctions.minhashCoefficients(16)
     val c2 = GraftFunctions.minhashCoefficients(16)
