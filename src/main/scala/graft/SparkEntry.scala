@@ -328,7 +328,36 @@ object SparkEntry {
           round(expr("percentile(l_quantity, 0.5)"), 2).as("p50"),
           round(expr("percentile(l_quantity, 0.75)"), 2).as("p75"),
           round(avg(col("l_quantity")), 2).as("mean_qty"))
-        .orderBy(col("l_returnflag")))
+        .orderBy(col("l_returnflag"))),
+
+    // Pivot: per-user event counts spread across event-type columns.
+    "pivot_events" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .filter(col("user_id") < 20)
+        .groupBy(col("user_id"))
+        .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy(col("user_id"))),
+
+    // Array aggregation: sorted distinct users per event type (order fixed
+    // by sort_array so the result is deterministic).
+    "array_agg" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .filter(col("user_id") < 25)
+        .groupBy(col("event_type"))
+        .agg(sort_array(collect_set(col("user_id"))).as("users"),
+          count(lit(1)).as("n"))
+        .orderBy(col("event_type"))),
+
+    // Approximate sketches (HLL distinct + approx quantiles): rows-only
+    // check — approximation algorithms differ across engines by design.
+    "approx_sketches" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+          round(expr("approx_percentile(value, 0.5)"), 2).as("approx_median"))
+        .orderBy(col("event_type")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -650,6 +679,24 @@ object SparkEntry {
         |  round(quantile_cont(l_quantity, 0.5), 2) AS p50,
         |  round(quantile_cont(l_quantity, 0.75), 2) AS p75,
         |  round(avg(l_quantity), 2) AS mean_qty
-        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "pivot_events" ->
+      """SELECT user_id,
+        |  count(*) FILTER (WHERE event_type = 'click') AS "click",
+        |  count(*) FILTER (WHERE event_type = 'view') AS "view",
+        |  count(*) FILTER (WHERE event_type = 'purchase') AS "purchase",
+        |  count(*) FILTER (WHERE event_type = 'signup') AS "signup",
+        |  count(*) FILTER (WHERE event_type = 'error') AS "error"
+        |FROM events WHERE user_id < 20
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "array_agg" ->
+      """SELECT event_type, list_sort(list(DISTINCT user_id)) AS users, count(*) AS n
+        |FROM events WHERE user_id < 25
+        |GROUP BY event_type ORDER BY event_type""".stripMargin
+    // approx_sketches intentionally has no oracle: approximation
+    // algorithms (HLL/KLL) differ across engines; the driver records a
+    // rows-only check.
   )
 }
