@@ -357,7 +357,24 @@ object SparkEntry {
         .groupBy(col("event_type"))
         .agg(approx_count_distinct(col("user_id")).as("approx_users"),
           round(expr("approx_percentile(value, 0.5)"), 2).as("approx_median"))
-        .orderBy(col("event_type")))
+        .orderBy(col("event_type"))),
+
+    // Custom typed Aggregator: exact mergeable top-k with k-bounded
+    // partial state (never collects a group's full value set).
+    "agg_topk" -> ((s, dir) => {
+      import s.implicits._
+      Tables.events(s, dir)
+        .select(col("event_type"), col("event_id"), col("value"))
+        .as[(String, Long, Double)]
+        .groupByKey(_._1)
+        .mapValues(e => (e._2, e._3))
+        .agg(graft.functions.TopKAggregator(3).toColumn.name("topk"))
+        .flatMap { case (t, tops) =>
+          tops.zipWithIndex.map { case ((v, id), i) => (t, i + 1, id, v) }
+        }
+        .toDF("event_type", "rank", "event_id", "value")
+        .orderBy(col("event_type"), col("rank"))
+    })
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -694,9 +711,17 @@ object SparkEntry {
     "array_agg" ->
       """SELECT event_type, list_sort(list(DISTINCT user_id)) AS users, count(*) AS n
         |FROM events WHERE user_id < 25
-        |GROUP BY event_type ORDER BY event_type""".stripMargin
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     // approx_sketches intentionally has no oracle: approximation
     // algorithms (HLL/KLL) differ across engines; the driver records a
     // rows-only check.
+
+    "agg_topk" ->
+      """SELECT * FROM (
+        |  SELECT event_type,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS rank,
+        |    event_id, value
+        |  FROM events)
+        |WHERE rank <= 3 ORDER BY event_type, rank""".stripMargin
   )
 }
