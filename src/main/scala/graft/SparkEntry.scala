@@ -114,6 +114,15 @@ object SparkEntry {
         n = 3, k = 16, bands = 4, threshold = 0.6)
         .orderBy(col("id_a"), col("id_b"))),
 
+    // Near-dup connected components over the LSH pairs: cluster_id = the
+    // representative each dedup cluster keeps (min-label propagation).
+    "dedup_clusters" -> ((s, dir) =>
+      Dedup.nearDupClusters(
+        Dedup.minhashLshPairs(
+          Tables.documents(s, dir).filter(col("doc_id") % 10 === 0),
+          n = 3, k = 16, bands = 4, threshold = 0.6))
+        .orderBy(col("doc_id"))),
+
     // 16-bit SimHash, hamming <= 3 via the chunk-key candidate trick.
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(
@@ -377,6 +386,33 @@ object SparkEntry {
     })
   )
 
+  /** Shared CTE chain producing `mh_pairs` — the MinHash-LSH near-dup
+    * pairs the dedup_minhash_lsh and dedup_clusters oracles both consume.
+    */
+  private def minhashPairsCtes: String = {
+    val bkeys = (0 until 4).map(bi => Oracles.bandKey("sig", bi, 4)).mkString("[", ", ", "]")
+    s"""sh AS (
+       |  SELECT doc_id, ${Oracles.shingleHashes("text", 3)} AS gs
+       |  FROM documents WHERE doc_id % 10 = 0),
+       |sigs AS (SELECT doc_id, ${Oracles.minhashSignature("gs", 16)} AS sig FROM sh),
+       |bnd AS (
+       |  SELECT doc_id, t.band AS band, $bkeys[t.band + 1] AS band_key
+       |  FROM sigs CROSS JOIN (SELECT unnest(range(0, 4)) AS band) t),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+       |  FROM bnd x JOIN bnd y
+       |    ON x.band = y.band AND x.band_key = y.band_key AND x.doc_id < y.doc_id),
+       |mh_pairs AS (
+       |  SELECT * FROM (
+       |    SELECT c.id_a, c.id_b,
+       |      round(CAST(len(list_intersect(ga.gs, gb.gs)) AS DOUBLE)
+       |        / len(list_distinct(ga.gs || gb.gs)), 6) AS jaccard
+       |    FROM cand c
+       |    JOIN sh ga ON c.id_a = ga.doc_id
+       |    JOIN sh gb ON c.id_b = gb.doc_id)
+       |  WHERE jaccard >= 0.6)""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
@@ -455,28 +491,23 @@ object SparkEntry {
          |WHERE jaccard >= 0.6 ORDER BY id_a, id_b""".stripMargin
     },
 
-    "dedup_minhash_lsh" -> {
-      val bkeys = (0 until 4).map(bi => Oracles.bandKey("sig", bi, 4)).mkString("[", ", ", "]")
-      s"""WITH sh AS (
-         |  SELECT doc_id, ${Oracles.shingleHashes("text", 3)} AS gs
-         |  FROM documents WHERE doc_id % 10 = 0),
-         |sigs AS (SELECT doc_id, ${Oracles.minhashSignature("gs", 16)} AS sig FROM sh),
-         |bnd AS (
-         |  SELECT doc_id, t.band AS band, $bkeys[t.band + 1] AS band_key
-         |  FROM sigs CROSS JOIN (SELECT unnest(range(0, 4)) AS band) t),
-         |cand AS (
-         |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
-         |  FROM bnd x JOIN bnd y
-         |    ON x.band = y.band AND x.band_key = y.band_key AND x.doc_id < y.doc_id)
-         |SELECT * FROM (
-         |  SELECT c.id_a, c.id_b,
-         |    round(CAST(len(list_intersect(ga.gs, gb.gs)) AS DOUBLE)
-         |      / len(list_distinct(ga.gs || gb.gs)), 6) AS jaccard
-         |  FROM cand c
-         |  JOIN sh ga ON c.id_a = ga.doc_id
-         |  JOIN sh gb ON c.id_b = gb.doc_id)
-         |WHERE jaccard >= 0.6 ORDER BY id_a, id_b""".stripMargin
-    },
+    "dedup_minhash_lsh" ->
+      s"""WITH $minhashPairsCtes
+         |SELECT * FROM mh_pairs ORDER BY id_a, id_b""".stripMargin,
+
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE $minhashPairsCtes,
+         |edges AS (
+         |  SELECT id_a AS a, id_b AS b FROM mh_pairs
+         |  UNION SELECT id_b, id_a FROM mh_pairs
+         |  UNION SELECT id_a, id_a FROM mh_pairs
+         |  UNION SELECT id_b, id_b FROM mh_pairs),
+         |reach(a, b) AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+         |SELECT a AS doc_id, min(b) AS cluster_id
+         |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin,
 
     "dedup_simhash" ->
       s"""WITH toks AS (

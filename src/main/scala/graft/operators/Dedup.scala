@@ -118,6 +118,38 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Connected components over near-dup pairs: every doc that appears in
+    * a pair gets `cluster_id` = min doc_id of its component (the cluster
+    * representative a dedup pipeline keeps). Iterative min-label
+    * propagation: each round is one shuffle (join + min-agg) and the loop
+    * runs O(component diameter) rounds — near-dup components are shallow
+    * in practice, and the per-round state is one (doc, label) row per
+    * node, never the pair set.
+    */
+  def nearDupClusters(pairs: DataFrame): DataFrame = {
+    val fwd = pairs.select(col("id_a").as("a"), col("id_b").as("b"))
+    val edges = fwd
+      .union(fwd.select(col("b"), col("a")))
+      .union(fwd.select(col("a"), col("a")))
+      .union(fwd.select(col("b"), col("b")))
+      .distinct().cache()
+    var labels = edges.groupBy(col("a").as("doc_id"))
+      .agg(min(col("b")).as("cluster_id")).cache()
+    var changed = 1L
+    while (changed > 0) {
+      val prop = edges.join(labels, edges("b") === labels("doc_id"))
+        .groupBy(edges("a").as("doc_id"))
+        .agg(min(col("cluster_id")).as("cluster_id")).cache()
+      prop.count()
+      changed = prop.join(labels.withColumnRenamed("cluster_id", "prev"), "doc_id")
+        .filter(col("cluster_id") =!= col("prev")).count()
+      labels.unpersist()
+      labels = prop
+    }
+    edges.unpersist()
+    labels
+  }
+
   /** Embedding near-dup pairs: cosine similarity >= `threshold` between
     * embedding vectors. `bucketed = true` routes through the random-
     * hyperplane LSH prefilter in [[Similarity]]; false is the brute-force

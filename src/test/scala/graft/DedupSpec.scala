@@ -50,6 +50,23 @@ class DedupSpec extends SparkSuite {
     assert(got.forall(_._3 <= 3))
   }
 
+  test("near-dup clustering: chained pairs collapse into one component") {
+    import spark.implicits._
+    // components: {1,2,3} via chain 1-2, 2-3; {5,6}; 9 absent (no pairs)
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val got = Dedup.nearDupClusters(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L))
+  }
+
+  test("near-dup clustering converges on a long chain (diameter > 1 round)") {
+    import spark.implicits._
+    val chain = (1L until 10L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = Dedup.nearDupClusters(chain).as[(Long, Long)].collect()
+    assert(got.length == 10)
+    assert(got.forall(_._2 == 1L))
+  }
+
   test("embedding pairs: brute force finds planted near-dup, bucketed path is a subset") {
     val emb = Seq(
       (1L, Seq.fill(64)(1.0f)),
