@@ -188,6 +188,13 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    // Stream-stream interval join with state bounded by watermarks +
+    // the join's event-time range.
+    "stream_join" -> ((s, dir) =>
+      Streaming.runToCompletion(
+        Streaming.clickToPurchase(Streaming.events(s, dir)), OutputMode.Append())
+        .orderBy(col("click_id"), col("purchase_id"))),
+
     // ===== Multimodal columns (binary payload + typed metadata) ==========
 
     // Batched stub decode over binary payloads via mapPartitions
@@ -622,6 +629,17 @@ object SparkEntry {
     "stream_dedup" ->
       """SELECT event_id, user_id, event_type, value
         |FROM events ORDER BY event_id""".stripMargin,
+
+    "stream_join" ->
+      """SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+        |  CAST(floor(epoch(c.ts)) AS BIGINT) AS click_sec,
+        |  CAST(floor(epoch(p.ts)) AS BIGINT) AS purchase_sec
+        |FROM events c JOIN events p
+        |  ON c.user_id = p.user_id
+        |  AND c.event_type = 'click' AND p.event_type = 'purchase'
+        |  AND floor(epoch(p.ts)) >= floor(epoch(c.ts))
+        |  AND floor(epoch(p.ts)) <= floor(epoch(c.ts)) + 3600
+        |ORDER BY click_id, purchase_id""".stripMargin,
 
     "multimodal_features" ->
       s"""WITH m AS (

@@ -97,6 +97,30 @@ object Streaming {
     df.sparkSession.table(name)
   }
 
+  /** Stream-stream interval join: each click joined to the same user's
+    * purchases within the following `windowSec` seconds. Both sides carry
+    * watermarks so the join state is evicted once the event-time bound
+    * passes — the condition gives Spark the range that bounds state
+    * retention (without it, both sides' state grows forever).
+    */
+  def clickToPurchase(stream: DataFrame, windowSec: Long = 3600): DataFrame = {
+    val clicks = stream.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("event_ts").as("click_ts"))
+      .withWatermark("click_ts", "1 day")
+    val purchases = stream.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user_id"), col("event_id").as("purchase_id"),
+        col("event_ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "1 day")
+    clicks.join(purchases,
+      col("user_id") === col("p_user_id") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $windowSec SECONDS"))
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        unix_timestamp(col("click_ts")).as("click_sec"),
+        unix_timestamp(col("purchase_ts")).as("purchase_sec"))
+  }
+
   // ----- custom state: typed sessionization via flatMapGroupsWithState ----
 
   final case class Event(user_id: Long, event_id: Long, event_ts: java.sql.Timestamp) {
