@@ -128,25 +128,34 @@ object Dedup {
     */
   def nearDupClusters(pairs: DataFrame): DataFrame = {
     val fwd = pairs.select(col("id_a").as("a"), col("id_b").as("b"))
+    // localCheckpoint (not cache): iterative plans otherwise embed the
+    // whole upstream pair-generation lineage every round, and each round's
+    // plan grows on the last — analysis time, not data, becomes the cost
     val edges = fwd
       .union(fwd.select(col("b"), col("a")))
       .union(fwd.select(col("a"), col("a")))
       .union(fwd.select(col("b"), col("b")))
-      .distinct().cache()
+      .distinct().localCheckpoint()
     var labels = edges.groupBy(col("a").as("doc_id"))
-      .agg(min(col("b")).as("cluster_id")).cache()
+      .agg(min(col("b")).as("cluster_id")).localCheckpoint()
     var changed = 1L
     while (changed > 0) {
-      val prop = edges.join(labels, edges("b") === labels("doc_id"))
+      // one hop: label(x) = min over neighbors of label(neighbor)
+      val hop = edges.join(labels, edges("b") === labels("doc_id"))
         .groupBy(edges("a").as("doc_id"))
-        .agg(min(col("cluster_id")).as("cluster_id")).cache()
-      prop.count()
+        .agg(min(col("cluster_id")).as("cluster_id"))
+        .localCheckpoint()
+      // path halving: label(x) = label(label(x)) — labels are doc ids in
+      // the same graph, so the inner self-join always hits; this turns
+      // O(diameter) rounds into O(log diameter)
+      val prop = hop.as("p1")
+        .join(hop.as("p2"), col("p1.cluster_id") === col("p2.doc_id"))
+        .select(col("p1.doc_id").as("doc_id"), col("p2.cluster_id").as("cluster_id"))
+        .localCheckpoint()
       changed = prop.join(labels.withColumnRenamed("cluster_id", "prev"), "doc_id")
         .filter(col("cluster_id") =!= col("prev")).count()
-      labels.unpersist()
       labels = prop
     }
-    edges.unpersist()
     labels
   }
 
