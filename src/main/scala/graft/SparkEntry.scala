@@ -316,6 +316,20 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    // JSON-lines source roundtrip: events written as JSON, read back with
+    // an explicit schema, aggregated.
+    "json_roundtrip" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-json").toString
+      Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+        .write.mode("overwrite").json(tmp)
+      s.read.schema("event_id LONG, user_id LONG, event_type STRING, value DOUBLE")
+        .json(tmp)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+        .orderBy(col("event_type"))
+    }),
+
     // Running windows: per-customer cumulative order value + previous
     // order's value (lag) over the order sequence.
     "window_running" -> ((s, dir) => {
@@ -728,6 +742,10 @@ object SparkEntry {
         |ORDER BY e.event_id""".stripMargin,
 
     "csv_roundtrip" ->
+      """SELECT event_type, count(*) AS n, round(sum(value), 2) AS total
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "json_roundtrip" ->
       """SELECT event_type, count(*) AS n, round(sum(value), 2) AS total
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
