@@ -625,12 +625,14 @@ object SparkEntry {
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "stream_sessions" ->
+      // new session only when the gap STRICTLY exceeds the timeout:
+      // Spark's session_window merges adjacent (touching) windows
       """WITH e AS (
         |  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS tss FROM events),
         |m AS (
         |  SELECT user_id, event_id, tss,
         |    CASE WHEN lag(tss) OVER (PARTITION BY user_id ORDER BY tss, event_id) IS NULL
-        |         OR tss - lag(tss) OVER (PARTITION BY user_id ORDER BY tss, event_id) >= 1800
+        |         OR tss - lag(tss) OVER (PARTITION BY user_id ORDER BY tss, event_id) > 1800
         |    THEN 1 ELSE 0 END AS new_s
         |  FROM e),
         |g AS (

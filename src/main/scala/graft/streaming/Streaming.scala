@@ -157,7 +157,9 @@ object Streaming {
             var cur = state.getOption
             sorted.foreach { e =>
               cur match {
-                case Some(s) if e.tsSec < s.lastTs + gapSec =>
+                // <=: adjacent (gap exactly equal to the timeout) merges,
+                // matching Spark's built-in session_window semantics
+                case Some(s) if e.tsSec <= s.lastTs + gapSec =>
                   cur = Some(s.copy(lastTs = e.tsSec, n = s.n + 1,
                     lastEvent = e.event_id))
                 case Some(s) =>

@@ -28,7 +28,7 @@ class StreamingSpec extends SparkSuite {
     val batch = Tables.events(spark, sf)
       .select(col("user_id"), col("event_id"), expr("ts DIV 1000000000").as("tss"))
       .withColumn("prev", lag(col("tss"), 1).over(w))
-      .withColumn("new_s", when(col("prev").isNull || col("tss") - col("prev") >= 1800, 1).otherwise(0))
+      .withColumn("new_s", when(col("prev").isNull || col("tss") - col("prev") > 1800, 1).otherwise(0))
       .withColumn("sid", sum(col("new_s")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .groupBy(col("user_id"), col("sid"))
       .agg(min(col("tss")).as("session_start"), (max(col("tss")) + 1800).as("session_end"),
