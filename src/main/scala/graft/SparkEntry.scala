@@ -57,6 +57,9 @@ object SparkEntry {
     // cached frame, each pinned to its FAIR pool; results union'd.
     "parallel_reports" -> ((s, dir) => {
       val shared = StarPipeline.denormalized(s, dir).cache()
+      // materialize once before the fan-out: two threads racing a cold
+      // cache would each compute the full join (SURVEY.md §7.3)
+      shared.count()
       val specs = Seq(
         ParallelReports.ReportSpec("supplier", "1", df =>
           StarPipeline.supplierReport(df)
