@@ -110,6 +110,14 @@ object SparkEntry {
         Tables.documents(s, dir).filter(col("doc_id") % 10 === 0), 3, 0.6)
         .orderBy(col("id_a"), col("id_b"))),
 
+    // Skew-safe variant: candidate pairs only from shingles with document
+    // frequency <= 40 (stop-shingle pruning bounds every join key's
+    // fan-out), exact verification on candidates.
+    "dedup_ngram_pruned" -> ((s, dir) =>
+      Dedup.ngramJaccardPairsPruned(
+        Tables.documents(s, dir).filter(col("doc_id") % 10 === 0), 3, 0.6, maxDf = 40)
+        .orderBy(col("id_a"), col("id_b"))),
+
     // MinHash(16) banded into 4 LSH buckets -> candidates -> exact Jaccard.
     "dedup_minhash_lsh" -> ((s, dir) =>
       Dedup.minhashLshPairs(
@@ -514,6 +522,25 @@ object SparkEntry {
          |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
          |WHERE jaccard >= 0.6 ORDER BY id_a, id_b""".stripMargin
     },
+
+    "dedup_ngram_pruned" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id, ${Oracles.shingleHashes("text", 3)} AS gs
+         |  FROM documents WHERE doc_id % 10 = 0),
+         |g AS (SELECT doc_id, unnest(gs) AS g FROM sh),
+         |rare AS (SELECT g FROM g GROUP BY g HAVING count(*) <= 40),
+         |rg AS (SELECT doc_id, g.g FROM g JOIN rare USING (g)),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM rg a JOIN rg b ON a.g = b.g AND a.doc_id < b.doc_id)
+         |SELECT * FROM (
+         |  SELECT c.id_a, c.id_b,
+         |    round(CAST(len(list_intersect(ga.gs, gb.gs)) AS DOUBLE)
+         |      / len(list_distinct(ga.gs || gb.gs)), 6) AS jaccard
+         |  FROM cand c
+         |  JOIN sh ga ON c.id_a = ga.doc_id
+         |  JOIN sh gb ON c.id_b = gb.doc_id)
+         |WHERE jaccard >= 0.6 ORDER BY id_a, id_b""".stripMargin,
 
     "dedup_minhash_lsh" ->
       s"""WITH $minhashPairsCtes

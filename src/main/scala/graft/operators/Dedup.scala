@@ -30,9 +30,10 @@ object Dedup {
   /** Candidate near-dup pairs by n-gram Jaccard >= `threshold`, computed
     * set-theoretically: explode distinct shingle hashes, join on shingle,
     * count intersections per pair, derive the union from per-doc set sizes.
-    * Distributed join on the shingle key — never a cross join. `idFilter`
-    * optionally restricts the corpus (used to keep the DuckDB oracle
-    * tractable; at scale it is the LSH prefilter below instead).
+    * Distributed join on the shingle key — never a cross join. At scale
+    * prefer [[ngramJaccardPairsPruned]] (or the LSH prefilter): a shingle
+    * present in most documents makes this join's key skewed AND quadratic
+    * in that shingle's document frequency.
     */
   def ngramJaccardPairs(docs: DataFrame, n: Int, threshold: Double): DataFrame = {
     val grams = docs
@@ -49,6 +50,34 @@ object Dedup {
       .select(col("id_a"), col("id_b"),
         round(col("inter").cast("double") /
           (col("sa.sz") + col("sb.sz") - col("inter")), 6).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Skew-safe n-gram Jaccard: candidates come only from "rare" shingles
+    * (document frequency <= `maxDf` — the stop-shingle pruning that bounds
+    * every join key's fan-out to maxDf^2 pairs), then candidates are
+    * verified with the EXACT full-set Jaccard. Recall caveat, by design: a
+    * pair whose shared shingles are all ubiquitous is never considered —
+    * at near-dup thresholds such pairs share rare shingles too.
+    */
+  def ngramJaccardPairsPruned(docs: DataFrame, n: Int, threshold: Double,
+                              maxDf: Int): DataFrame = {
+    val sets = docs.select(col("doc_id"), shingleHashes(col("text"), n).as("gs"))
+    val grams = sets.select(col("doc_id"), explode(col("gs")).as("g"))
+    val rare = grams.groupBy(col("g")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select(col("g"))
+    val rareGrams = grams.join(rare, "g")
+    val cand = rareGrams.as("a")
+      .join(rareGrams.as("b"),
+        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    cand
+      .join(sets.as("ga"), col("id_a") === col("ga.doc_id"))
+      .join(sets.as("gb"), col("id_b") === col("gb.doc_id"))
+      .select(col("id_a"), col("id_b"),
+        round(size(array_intersect(col("ga.gs"), col("gb.gs"))).cast("double") /
+          size(array_union(col("ga.gs"), col("gb.gs"))), 6).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 

@@ -30,6 +30,20 @@ class DedupSpec extends SparkSuite {
     assert(!pairs.keys.exists { case (a, b) => a == 4L || b == 4L })
   }
 
+  test("stop-shingle pruned jaccard: subset of exact with identical values; equal when maxDf is loose") {
+    val exact = Dedup.ngramJaccardPairs(docs, 3, 0.5)
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect()
+      .map { case (a, b, j) => (a, b) -> j }.toMap
+    val pruned = Dedup.ngramJaccardPairsPruned(docs, 3, 0.5, maxDf = 2)
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect()
+      .map { case (a, b, j) => (a, b) -> j }.toMap
+    pruned.foreach { case (k, j) => assert(exact(k) == j) }
+    val loose = Dedup.ngramJaccardPairsPruned(docs, 3, 0.5, maxDf = 1000)
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect()
+      .map { case (a, b, j) => (a, b) -> j }.toMap
+    assert(loose == exact)
+  }
+
   test("minhash LSH candidates contain exact dups; verified jaccard matches brute force") {
     val lsh = Dedup.minhashLshPairs(docs, n = 3, k = 16, bands = 4, threshold = 0.5)
       .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect()
