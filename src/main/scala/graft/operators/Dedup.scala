@@ -20,10 +20,14 @@ object Dedup {
 
   /** Exact dedup via content fingerprint: keep the min doc_id per distinct
     * text, report group size. One hash aggregation; group key is the 64-bit
-    * [[PolyHash]] fingerprint + text to be hash-collision-safe.
+    * [[PolyHash]] fingerprint + text to be hash-collision-safe — the
+    * fingerprint leads the composite key so hash-table probes compare 8
+    * bytes first and touch the full text only on fingerprint collisions.
+    * Groups are identical to grouping by text alone (the fingerprint is a
+    * function of text), so SQL oracles may group by text.
     */
   def exact(docs: DataFrame): DataFrame = docs
-    .groupBy(col("text"))
+    .groupBy(poly_hash(col("text")).as("fp"), col("text"))
     .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dupes"))
     .select(col("keep_id"), col("n_dupes"))
 
@@ -189,13 +193,16 @@ object Dedup {
   }
 
   /** Embedding near-dup pairs: cosine similarity >= `threshold` between
-    * embedding vectors. `bucketed = true` routes through the random-
-    * hyperplane LSH prefilter in [[Similarity]]; false is the brute-force
-    * small-input oracle path.
+    * embedding vectors. `bucketed = true` (the scale path, and the declared
+    * query) routes through the random-hyperplane LSH prefilter in
+    * [[Similarity]] — map-only signatures, one shuffle on (table, bucket),
+    * exact cosine only on candidates; false is the brute-force all-pairs
+    * join kept solely as the small-input recall/equality check in specs.
     */
-  def embeddingPairs(emb: DataFrame, threshold: Double, bucketed: Boolean = false): DataFrame = {
+  def embeddingPairs(emb: DataFrame, threshold: Double, bucketed: Boolean = false,
+                     tables: Int = 8, bits: Int = 8): DataFrame = {
     if (bucketed)
-      Similarity.hyperplaneCandidates(emb)
+      Similarity.hyperplaneCandidates(emb, tables, bits)
         .select(col("id_a"), col("id_b"),
           round(cosineSimilarity(col("ea"), col("eb")), 6).as("cosine"))
         .filter(col("cosine") >= threshold)

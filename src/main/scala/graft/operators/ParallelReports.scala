@@ -35,16 +35,31 @@ object ParallelReports {
             (action: DataFrame => T): Seq[(String, T)] = {
     val executor = Executors.newFixedThreadPool(math.max(specs.size, 1))
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(executor)
+    val sc = spark.sparkContext
+    // one cancellable job group spans the whole fan-out: when any report
+    // fails, the siblings' in-flight Spark jobs are cancelled before run()
+    // rethrows, so they can't race the caller's cleanup (e.g. an unpersist
+    // in the caller's finally)
+    val groupId = "graft-reports-" + java.util.UUID.randomUUID()
     try {
       val futures = specs.map { spec =>
         Future {
-          val sc = spark.sparkContext
           sc.setLocalProperty("spark.scheduler.pool", spec.pool)
+          sc.setJobGroup(groupId, s"graft report ${spec.name}", interruptOnCancel = true)
           try spec.name -> action(spec.build(shared))
-          finally sc.setLocalProperty("spark.scheduler.pool", null)
+          finally {
+            sc.clearJobGroup()
+            sc.setLocalProperty("spark.scheduler.pool", null)
+          }
         }
       }
-      Await.result(Future.sequence(futures), Duration.Inf)
+      try Await.result(Future.sequence(futures), Duration.Inf)
+      catch {
+        case t: Throwable =>
+          sc.cancelJobGroup(groupId)
+          executor.shutdownNow()
+          throw t
+      }
     } finally executor.shutdown()
   }
 

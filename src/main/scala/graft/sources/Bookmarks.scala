@@ -42,8 +42,13 @@ final class BookmarkStore(stateDir: String) {
   def get(table: String, ctx: String): Option[Long] =
     Option(load().getProperty(slot(table, ctx))).map(_.toLong)
 
-  /** Persist a new max key. Atomic write; call only after sinks succeed. */
-  def commit(table: String, ctx: String, maxKey: Long): Unit = {
+  /** Persist a new max key. Atomic write; call only after sinks succeed.
+    * Serialized on this store instance: commit is a read-modify-write of
+    * the whole properties file, so two unsynchronized commits to different
+    * (table, ctx) slots would silently drop one key (the atomic rename
+    * prevents torn files, not lost updates).
+    */
+  def commit(table: String, ctx: String, maxKey: Long): Unit = synchronized {
     val p = load()
     p.setProperty(slot(table, ctx), maxKey.toString)
     Files.createDirectories(file.getParent)
