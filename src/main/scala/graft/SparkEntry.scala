@@ -88,9 +88,10 @@ object SparkEntry {
       val stateDir = java.nio.file.Files.createTempDirectory("graft-bm").toString
       val store = new BookmarkStore(stateDir)
       val reader = new IncrementalReader(s, dir, store)
-      val firstRunMax = reader.maxKey(Tables.events(s, dir), "event_id").getOrElse(0L)
+      val firstRunMax =
+        reader.maxKey(Tables.events(s, dir), Tables.bookmarkKey("events")).getOrElse(0L)
       store.commit("events", "incr_scan", firstRunMax / 2)
-      reader.read("events", "event_id", "incr_scan")
+      reader.read("events", "incr_scan")
         .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
         .orderBy(col("event_id"))
     }),
@@ -410,22 +411,19 @@ object SparkEntry {
           round(expr("approx_percentile(value, 0.5)"), 2).as("approx_median"))
         .orderBy(col("event_type"))),
 
-    // Custom typed Aggregator: exact mergeable top-k with k-bounded
-    // partial state (never collects a group's full value set).
-    "agg_topk" -> ((s, dir) => {
-      import s.implicits._
+    // Custom native aggregate: exact mergeable top-k with k-bounded heap
+    // partial state (never collects a group's full value set). The
+    // TypedImperativeAggregate path — O(log k) in-place updates, buffer
+    // serialized only at shuffle boundaries; the typed Aggregator variant
+    // survives as the spec-level equality pin (FunctionsSpec).
+    "agg_topk" -> ((s, dir) =>
       Tables.events(s, dir)
-        .select(col("event_type"), col("event_id"), col("value"))
-        .as[(String, Long, Double)]
-        .groupByKey(_._1)
-        .mapValues(e => (e._2, e._3))
-        .agg(graft.functions.TopKAggregator(3).toColumn.name("topk"))
-        .flatMap { case (t, tops) =>
-          tops.zipWithIndex.map { case ((v, id), i) => (t, i + 1, id, v) }
-        }
-        .toDF("event_type", "rank", "event_id", "value")
-        .orderBy(col("event_type"), col("rank"))
-    })
+        .groupBy(col("event_type"))
+        .agg(graft.functions.GraftFunctions.top_k(col("event_id"), col("value"), 3).as("topk"))
+        .select(col("event_type"), posexplode(col("topk")))
+        .select(col("event_type"), (col("pos") + 1).cast("int").as("rank"),
+          col("col.id").as("event_id"), col("col.value").as("value"))
+        .orderBy(col("event_type"), col("rank")))
   )
 
   /** Shared CTE chain producing `mh_pairs` — the MinHash-LSH near-dup

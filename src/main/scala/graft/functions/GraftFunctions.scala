@@ -54,6 +54,14 @@ object GraftFunctions {
   def poly_hash(c: Column): Column =
     Bridge.column(PolyHash(Bridge.expression(c.cast(StringType))))
 
+  /** [[TopKImperative]] as an aggregate Column: exact mergeable top-k
+    * (value desc, id asc) with k-bounded heap partial state.
+    */
+  def top_k(id: Column, value: Column, k: Int): Column =
+    Bridge.column(TopKImperative(
+      Bridge.expression(id.cast(LongType)),
+      Bridge.expression(value.cast(DoubleType)), k).toAggregateExpression())
+
   /** Whitespace tokens, empties dropped (mirrors DuckDB
     * `list_filter(string_split_regex(s, '\s+'), t -> t != '')`).
     */

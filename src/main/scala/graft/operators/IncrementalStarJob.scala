@@ -29,8 +29,9 @@ object IncrementalStarJob {
   def run(spark: SparkSession, sfDir: String, store: BookmarkStore,
           ctx: String = "star_job")(sink: (String, DataFrame) => Unit): RunResult = {
     val reader = new IncrementalReader(spark, sfDir, store)
-    val delta = reader.read("lineitem", "l_orderkey", ctx)
-    val newMax = reader.maxKey(delta, "l_orderkey")
+    val keyCol = Tables.bookmarkKey("lineitem")
+    val delta = reader.read("lineitem", ctx)
+    val newMax = reader.maxKey(delta, keyCol)
     val denorm = StarPipeline.denormalizedFrom(delta,
       Tables.supplier(spark, sfDir), Tables.part(spark, sfDir)).cache()
     try {

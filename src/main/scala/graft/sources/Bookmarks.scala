@@ -72,7 +72,17 @@ final class BookmarkStore(stateDir: String) {
   */
 final class IncrementalReader(spark: SparkSession, sfDir: String, store: BookmarkStore) {
 
-  /** Read `table` restricted to rows beyond the bookmark for `ctx`. */
+  /** Read `table` restricted to rows beyond the bookmark for `ctx`, with
+    * the key column resolved from the catalog ([[graft.Tables.bookmarkKey]])
+    * — the normal entry point; call sites shouldn't re-declare keys the
+    * catalog already knows.
+    */
+  def read(table: String, ctx: String): DataFrame =
+    read(table, graft.Tables.bookmarkKey(table), ctx)
+
+  /** As [[read(table:String,ctx:String)*]] with an explicit key column —
+    * for tables outside the catalog.
+    */
   def read(table: String, keyCol: String, ctx: String): DataFrame = {
     val df = graft.Tables.load(spark, sfDir, table)
     store.get(table, ctx) match {
@@ -90,6 +100,10 @@ final class IncrementalReader(spark: SparkSession, sfDir: String, store: Bookmar
       case r if r.isNullAt(0) => None
       case r => Some(r.getLong(0))
     }
+
+  /** One full incremental run with the catalog-resolved bookmark key. */
+  def runIncremental(table: String, ctx: String)(sink: DataFrame => Unit): Unit =
+    runIncremental(table, graft.Tables.bookmarkKey(table), ctx)(sink)
 
   /** One full incremental run: read delta, feed it to `sink`, commit the
     * new bookmark only if the sink succeeded (reference defect D4/D6 fixed).

@@ -1,7 +1,9 @@
 package graft.sources
 
+import java.nio.file.{Files, Paths}
 import java.sql.DriverManager
 import java.util.Properties
+import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.{DataFrame, SaveMode}
 
 /** JDBC sink with idempotent "preactions" DDL — the reference's Redshift
@@ -36,5 +38,52 @@ object JdbcSink {
       } finally conn.close()
     }
     df.write.mode(SaveMode.Append).jdbc(url, table, props)
+  }
+
+  /** The reference's actual sink shape (`glue_rds_to_redshift.py:87-91`):
+    * stage the frame to object storage, then bulk-load it into the
+    * warehouse with COPY-style SQL over the same JDBC connection that ran
+    * the preactions.
+    *
+    * Flow: (1) distributed CSV write of `df` into `stagingDir` (at 100 TB
+    * this is the only data-sized step and it is executor-parallel — the
+    * JDBC connection never carries row data); (2) on ONE driver-side
+    * connection: preactions (DDL, autocommit), then one `copySql(table,
+    * partPath)` statement per staged part file inside a single
+    * transaction — all-or-nothing load, exactly how Redshift COPY is
+    * wrapped in production. `copySql` is caller-owned because the load
+    * verb is warehouse-specific (Redshift `COPY ... FROM 's3://...'`,
+    * Derby `SYSCS_UTIL.SYSCS_IMPORT_TABLE`, DuckDB `COPY ... FROM`);
+    * the engine owns staging, ordering, and transactionality.
+    *
+    * Returns the number of part files loaded.
+    */
+  def stagedBulkLoad(df: DataFrame, url: String, table: String,
+                     stagingDir: String,
+                     copySql: (String, String) => String,
+                     preactions: Seq[String] = Nil,
+                     props: Properties = new Properties()): Int = {
+    df.write.mode(SaveMode.Overwrite).csv(stagingDir)
+    val parts = Files.list(Paths.get(stagingDir)).iterator().asScala
+      .filter { p =>
+        val n = p.getFileName.toString
+        n.startsWith("part-") && n.endsWith(".csv")
+      }
+      .map(_.toAbsolutePath.toString).toSeq.sorted
+    val conn = DriverManager.getConnection(url, props)
+    try {
+      val st = conn.createStatement()
+      try {
+        preactions.foreach(st.execute)
+        conn.setAutoCommit(false)
+        try {
+          parts.foreach(p => st.execute(copySql(table, p)))
+          conn.commit()
+        } catch {
+          case t: Throwable => conn.rollback(); throw t
+        }
+      } finally st.close()
+    } finally conn.close()
+    parts.size
   }
 }

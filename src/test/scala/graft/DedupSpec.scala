@@ -97,4 +97,21 @@ class DedupSpec extends SparkSuite {
     // identical-direction vectors share every bucket, so LSH must find them
     assert(bucketed.contains((1L, 2L)))
   }
+
+  test("bucketed embedding dedup plans no nested-loop join; brute force does") {
+    val emb = Seq(
+      (1L, Seq.fill(64)(1.0f)),
+      (2L, Seq.fill(64)(0.5f))
+    ).toDF("vec_id", "embedding")
+    // the declared-query path: candidates come from an equi-join on
+    // (table, bucket) — a hash join at any scale, never all-pairs
+    val bucketedPlan = Dedup.embeddingPairs(emb, 0.3, bucketed = true)
+      .queryExecution.executedPlan.toString
+    assert(!bucketedPlan.contains("BroadcastNestedLoopJoin"),
+      "scale path must not plan an all-pairs nested-loop join")
+    // sanity: the assertion has teeth — the brute path DOES plan one
+    val brutePlan = Dedup.embeddingPairs(emb, 0.3)
+      .queryExecution.executedPlan.toString
+    assert(brutePlan.contains("BroadcastNestedLoopJoin"))
+  }
 }

@@ -134,4 +134,74 @@ class FunctionsSpec extends SparkSuite {
     assert(c1.forall { case (a, b) => a >= 1 && a < PolyHash.P && b >= 0 && b < PolyHash.P })
     assert(c1.distinct.length == 16)
   }
+
+  test("TopKImperative equals the typed TopKAggregator bit-for-bit (incl. ties and short groups)") {
+    // deterministic pseudo-random values with planted ties; group "g3" has
+    // fewer rows than k
+    val rows = (0L until 500L).map { i =>
+      val v = ((i * 2654435761L) % 97L).toDouble / 7.0
+      (s"g${i % 3}", i, v)
+    } ++ Seq(("g3", 9001L, 1.0), ("g3", 9000L, 1.0))
+    val df = rows.toDF("event_type", "event_id", "value")
+
+    val imperative = df.groupBy($"event_type")
+      .agg(top_k($"event_id", $"value", 5).as("topk"))
+      .select($"event_type", posexplode($"topk"))
+      .select($"event_type", ($"pos" + 1).as("rank"), $"col.id".as("event_id"),
+        $"col.value".as("value"))
+      .as[(String, Long, Long, Double)].collect().sorted
+
+    val typed = df.as[(String, Long, Double)]
+      .groupByKey(_._1).mapValues(e => (e._2, e._3))
+      .agg(graft.functions.TopKAggregator(5).toColumn.name("topk"))
+      .flatMap { case (t, tops) =>
+        tops.zipWithIndex.map { case ((v, id), r) => (t, (r + 1).toLong, id, v) }
+      }.collect().sorted
+
+    assert(imperative.toSeq == typed.toSeq)
+    // ties broken by id asc: g3's two value-1.0 rows rank 9000 before 9001
+    val g3 = imperative.filter(_._1 == "g3")
+    assert(g3.map(_._3).toSeq == Seq(9000L, 9001L))
+  }
+
+  test("TopKHeap: bounded size, eviction order, serialization round-trip") {
+    val h = new graft.functions.TopKHeap(3)
+    Seq((5.0, 1L), (1.0, 2L), (3.0, 3L), (4.0, 4L), (2.0, 5L)).foreach {
+      case (v, id) => h.insert(v, id)
+    }
+    assert(h.size == 3)
+    assert(h.sorted.toSeq == Seq((5.0, 1L), (4.0, 4L), (3.0, 3L)))
+    val rt = graft.functions.TopKHeap.deserialize(3, h.serialize)
+    assert(rt.sorted.toSeq == h.sorted.toSeq)
+    // merging two heaps keeps the global top-k
+    val h2 = new graft.functions.TopKHeap(3)
+    Seq((10.0, 6L), (0.5, 7L)).foreach { case (v, id) => h2.insert(v, id) }
+    h2.drainInto(h)
+    assert(h.sorted.toSeq == Seq((10.0, 6L), (5.0, 1L), (4.0, 4L)))
+  }
+
+  test("approx sketches are within tolerance of exact answers") {
+    // approx_count_distinct default rsd = 5%; allow 3x that margin.
+    // approx_percentile with accuracy A has rank error <= 1/A — assert the
+    // approx median lands between the exact 0.45 and 0.55 quantiles.
+    val df = Tables.events(spark, sf)
+    val got = df.groupBy($"event_type")
+      .agg(
+        approx_count_distinct($"user_id").as("approx_users"),
+        countDistinct($"user_id").as("exact_users"),
+        expr("approx_percentile(value, 0.5)").as("approx_median"),
+        expr("percentile(value, 0.45)").as("lo"),
+        expr("percentile(value, 0.55)").as("hi"))
+      .collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val approx = r.getLong(1).toDouble
+      val exact = r.getLong(2).toDouble
+      assert(math.abs(approx - exact) / exact <= 0.15,
+        s"approx_count_distinct off by >15%: $approx vs $exact")
+      val med = r.getDouble(3)
+      assert(med >= r.getDouble(4) && med <= r.getDouble(5),
+        s"approx median $med outside exact [0.45, 0.55] quantile band")
+    }
+  }
 }

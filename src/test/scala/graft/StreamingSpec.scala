@@ -47,6 +47,50 @@ class StreamingSpec extends SparkSuite {
     assert(got.select("event_id").distinct().count() == n)
   }
 
+  test("stream-stream join state is bounded: watermark evicts rows past the join window") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, String, Long)]
+    val stream = mem.toDF().toDF("user_id", "event_id", "event_type", "sec")
+      .withColumn("event_ts", timestamp_seconds(col("sec")))
+    val q = Streaming.clickToPurchase(stream, windowSec = 60, disorder = "10 seconds")
+      .writeStream.format("memory").queryName("cp_state")
+      .outputMode("append")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-cp-ckpt").toString)
+      .start()
+    def stateRows: Long = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+    try {
+      // batch 1: a joinable click/purchase pair
+      mem.addData((1L, 1L, "click", 1000L), (1L, 2L, "purchase", 1030L))
+      q.processAllAvailable()
+      // batch 2: second pair far ahead — end-of-batch watermark jumps to
+      // 9990, past pair 1's click_ts + window + disorder
+      mem.addData((2L, 3L, "click", 10000L), (2L, 4L, "purchase", 10000L))
+      q.processAllAvailable()
+      // sentinel batches march the watermark forward; eviction applies a
+      // batch AFTER the watermark advances, so keep feeding until the four
+      // early rows are gone (bounded — fails the assert below if not)
+      var tries = 0
+      def removed: Long = q.recentProgress.flatMap(_.stateOperators)
+        .map(_.numRowsRemoved).sum
+      while (removed < 4 && tries < 8) {
+        // both event types: the global watermark is the MIN across the two
+        // watermark operators, and each only sees its own filtered side —
+        // click-only sentinels would pin the purchase watermark forever
+        mem.addData(
+          (100L + tries, 200L + 2 * tries, "click", 20000L + tries * 20000L),
+          (300L + tries, 201L + 2 * tries, "purchase", 20000L + tries * 20000L))
+        q.processAllAvailable()
+        tries += 1
+      }
+      assert(spark.table("cp_state").count() == 2, "both pairs joined")
+      assert(removed >= 4, s"all four early rows must be evicted, removed=$removed")
+      // only the most recent sentinel pair may still be retained: state is
+      // bounded by the join window + disorder, not by stream length
+      assert(stateRows <= 2, s"state must stay bounded, got $stateRows rows")
+    } finally q.stop()
+  }
+
   test("typed flatMapGroupsWithState sessionization carries state across micro-batches") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val mem = MemoryStream[Streaming.Event]
