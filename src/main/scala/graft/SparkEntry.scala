@@ -171,16 +171,10 @@ object SparkEntry {
 
     // Language-ID + quality scoring + token counting + fingerprint in one
     // map-only pass over the corpus.
-    "text_stats" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
-      val (_, bpe) = TextAnalysis.tokenCounts(col("text"))
-      TextAnalysis.qualityFeatures(docs, col("text"))
-        .withColumn("lang_pred", TextAnalysis.langId(col("text")))
-        .withColumn("bpe_tokens", bpe)
-        .withColumn("fingerprint", GraftFunctions.poly_hash(col("text")))
+    "text_stats" -> ((s, dir) =>
+      TextAnalysis.stats(Tables.documents(s, dir).select(col("doc_id"), col("text")))
         .drop("text")
-        .orderBy(col("doc_id"))
-    }),
+        .orderBy(col("doc_id"))),
 
     // ===== Structured Streaming (bounded run via Trigger.AvailableNow) ====
 

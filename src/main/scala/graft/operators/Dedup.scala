@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions.GraftFunctions._
 import graft.functions.PolyHash
@@ -135,19 +135,26 @@ object Dedup {
   def simhashPairs(docs: DataFrame, bits: Int = 16, maxHamming: Int = 2): DataFrame = {
     val chunks = maxHamming + 1
     val chunkBits = math.max(bits / chunks, 1)
+    def chunkOf(sh: Column, ci: Int): Column =
+      shiftright(sh, ci * chunkBits).bitwiseAND(lit((1L << chunkBits) - 1))
     val hashed = docs.select(col("doc_id"),
       simhashOf(col("text"), bits).as("sh"))
     val keyed = hashed.select(col("doc_id"), col("sh"),
-      posexplode(array((0 until chunks).map(ci =>
-        shiftright(col("sh"), ci * chunkBits)
-          .bitwiseAND(lit((1L << chunkBits) - 1))): _*)))
+      posexplode(array((0 until chunks).map(chunkOf(col("sh"), _)): _*)))
       .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "chunk_key")
+    // exactly-once emission: keep the pair only in its FIRST colliding
+    // chunk (earlier-chunk equality recomputed from the carried simhash —
+    // a couple of codegen'd bit ops), instead of a distinct that would
+    // re-shuffle every duplicate candidate
+    val earlierCollision = (0 until chunks - 1).map { ci =>
+      (col("x.chunk") > ci) && (chunkOf(col("x.sh"), ci) === chunkOf(col("y.sh"), ci))
+    }.reduceOption(_ || _).getOrElse(lit(false))
     keyed.as("x").join(keyed.as("y"),
         col("x.chunk") === col("y.chunk") && col("x.chunk_key") === col("y.chunk_key") &&
           col("x.doc_id") < col("y.doc_id"))
+      .filter(!earlierCollision)
       .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
         hammingDistance(col("x.sh"), col("y.sh")).as("hamming"))
-      .distinct()
       .filter(col("hamming") <= maxHamming)
   }
 

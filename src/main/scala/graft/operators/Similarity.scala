@@ -60,19 +60,59 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** All `tables` bucket keys of `bits` bits packed into one long —
+    * the per-row collision fingerprint the first-collision filter reads
+    * with pure bit ops (stays inside whole-stage codegen, unlike array
+    * HOFs which are CodegenFallback and allocate per row).
+    */
+  private def packedKeys(bks: Column, tables: Int, bits: Int): Column = {
+    // 64 (not 63) is safe: the top slot may spill into the sign bit, but
+    // every comparison masks after the shift, so sign extension never
+    // leaks into an equality check
+    require(tables * bits <= 64,
+      s"packed first-collision filter needs tables*bits <= 64, got $tables*$bits")
+    (0 until tables).map(i => shiftleft(element_at(bks, i + 1), i * bits))
+      .reduce(_.bitwiseOR(_))
+  }
+
+  /** True iff the pair also collides in some table BEFORE `tbl` — the
+    * dual of first-collision emission. Statically unrolled integer
+    * compares over the packed fingerprints.
+    */
+  private def earlierCollision(tbl: Column, px: Column, py: Column,
+                               tables: Int, bits: Int): Column = {
+    val mask = (1L << bits) - 1
+    (0 until tables - 1).map { i =>
+      (tbl > i) &&
+        (shiftright(px, i * bits).bitwiseAND(lit(mask)) ===
+          shiftright(py, i * bits).bitwiseAND(lit(mask)))
+    }.reduceOption(_ || _).getOrElse(lit(false))
+  }
+
   /** LSH candidate pairs for near-dup detection: vectors sharing a bucket
     * in any of `tables` hash tables of `bits` hyperplane bits.
+    *
+    * Exactly-once emission without a distinct: each row carries its
+    * packed bucket fingerprint, and a colliding pair is kept only in the
+    * FIRST table where the keys agree. A `distinct()` here would shuffle
+    * both 64-float embeddings once per duplicate collision (the r1 plan
+    * moved GBs of wide candidate rows at sf0.1); the first-collision
+    * filter is a handful of codegen'd bit compares inside the join stage —
+    * no extra exchange at any scale.
     */
   def hyperplaneCandidates(emb: DataFrame, tables: Int = 8, bits: Int = 8): DataFrame = {
-    val keyed = emb.select(col("vec_id"), col("embedding"),
-      posexplode(hyperplaneBucketKeys(col("embedding"), tables, bits)))
+    val keyed = emb
+      .select(col("vec_id"), col("embedding"),
+        hyperplaneBucketKeys(col("embedding"), tables, bits).as("bks"))
+      .select(col("vec_id"), col("embedding"),
+        packedKeys(col("bks"), tables, bits).as("pk"), posexplode(col("bks")))
       .withColumnRenamed("pos", "tbl").withColumnRenamed("col", "bucket")
     keyed.as("x").join(keyed.as("y"),
         col("x.tbl") === col("y.tbl") && col("x.bucket") === col("y.bucket") &&
           col("x.vec_id") < col("y.vec_id"))
+      .filter(!earlierCollision(col("x.tbl"), col("x.pk"), col("y.pk"), tables, bits))
       .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"),
         col("x.embedding").as("ea"), col("y.embedding").as("eb"))
-      .distinct()
   }
 
   /** ANN top-k via LSH: candidates = corpus vectors sharing any table
@@ -84,14 +124,20 @@ object Similarity {
                      tables: Int = 8, bits: Int = 8): DataFrame = {
     def keyed(df: DataFrame, idName: String) = df.select(
       col("vec_id").as(idName), col("embedding").as(s"${idName}_emb"),
-      posexplode(hyperplaneBucketKeys(col("embedding"), tables, bits)))
+      hyperplaneBucketKeys(col("embedding"), tables, bits).as("bks"))
+      .select(col(idName), col(s"${idName}_emb"),
+        packedKeys(col("bks"), tables, bits).as(s"${idName}_pk"),
+        posexplode(col("bks")))
       .withColumnRenamed("pos", "tbl").withColumnRenamed("col", "bucket")
     val cand = keyed(corpus, "neighbor_id")
       .join(broadcast(keyed(queries, "query_id")), Seq("tbl", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
+      // first-collision emission (see hyperplaneCandidates): exactly one
+      // row per (query, neighbor) without a distinct over embedding rows
+      .filter(!earlierCollision(col("tbl"),
+        col("query_id_pk"), col("neighbor_id_pk"), tables, bits))
       .select(col("query_id"), col("neighbor_id"),
         col("query_id_emb"), col("neighbor_id_emb"))
-      .distinct()
     val scored = cand.select(col("query_id"), col("neighbor_id"),
       round(cosineSimilarity(col("query_id_emb"), col("neighbor_id_emb")), 6).as("cosine"))
     val w = Window.partitionBy(col("query_id"))

@@ -75,4 +75,54 @@ object TextAnalysis {
     * full text — the exact-dedup / change-detection key.
     */
   def fingerprint(text: Column): Column = poly_hash(text)
+
+  /** All text statistics in one fused map-only pass, tokenizing ONCE.
+    *
+    * The composed formulation ([[qualityFeatures]] + [[langId]] +
+    * [[tokenCounts]]) re-splits the text inside every higher-order
+    * `filter` — HOFs are CodegenFallback, so common-subexpression reuse
+    * never kicks in and a document is re-tokenized ~8x. Here the token
+    * arrays are materialized once in a projection (CollapseProject keeps
+    * non-cheap expressions un-duplicated) and every downstream count
+    * reads the array column. Same results bit-for-bit (spec-pinned);
+    * ~linear speedup in the number of marker filters at any scale.
+    */
+  def stats(docs: DataFrame, text: Column = col("text")): DataFrame = {
+    val arr = docs
+      .withColumn("_toks", tokens(text))
+      .withColumn("_ltoks", tokens(lower(text)))
+      .withColumn("_nopunct", regexp_replace(text, "[.,;:!?]", ""))
+      .withColumn("_bpe",
+        split(text, "(?<=[^A-Za-z0-9])|(?=[^A-Za-z0-9])"))
+    val nTokens = size(col("_toks"))
+    val nChars = length(text)
+    val punct = nChars - length(col("_nopunct"))
+    val stop = markerCount(col("_ltoks"), langMarkers.flatMap(_._2))
+    val scored = langMarkers.map { case (lang, ms) =>
+      (lang, markerCount(col("_ltoks"), ms))
+    }
+    val best = scored.map(_._2).reduce((a, b) => greatest(a, b))
+    val lang = scored.foldLeft(when(best <= 0, lit("und")): Column) {
+      case (acc, (l, score)) => acc.when(score === best, lit(l))
+    }.otherwise(lit("und"))
+    arr
+      .withColumn("n_tokens", nTokens)
+      .withColumn("n_chars_measured", nChars)
+      .withColumn("avg_token_len",
+        round(when(nTokens > 0, (nChars - (nTokens - 1)).cast("double") / nTokens).otherwise(0.0), 4))
+      .withColumn("punct_ratio",
+        round(when(nChars > 0, punct.cast("double") / nChars).otherwise(0.0), 4))
+      .withColumn("stopword_ratio",
+        round(when(nTokens > 0, stop.cast("double") / nTokens).otherwise(0.0), 4))
+      .withColumn("quality_score",
+        round(least(lit(1.0),
+          when(nTokens > 0, lit(0.5) + stop.cast("double") / nTokens
+            - punct.cast("double") / greatest(nChars, lit(1)))
+            .otherwise(lit(0.0))), 4))
+      .withColumn("lang_pred", lang)
+      .withColumn("bpe_tokens",
+        size(filter(col("_bpe"), t => t =!= lit("") && t =!= lit(" "))))
+      .withColumn("fingerprint", poly_hash(text))
+      .drop("_toks", "_ltoks", "_nopunct", "_bpe")
+  }
 }

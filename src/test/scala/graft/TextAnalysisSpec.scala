@@ -48,4 +48,17 @@ class TextAnalysisSpec extends SparkSuite {
       .select(TextAnalysis.fingerprint(col("text")).as("f")).as[Long].collect()(0)
     assert(r == graft.functions.PolyHash.hash("abc"))
   }
+
+  test("fused stats equals the composed formulation bit-for-bit") {
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text")).limit(200)
+    val fused = TextAnalysis.stats(docs).drop("text").orderBy("doc_id")
+    val (_, bpe) = TextAnalysis.tokenCounts(col("text"))
+    val composed = TextAnalysis.qualityFeatures(docs, col("text"))
+      .withColumn("lang_pred", TextAnalysis.langId(col("text")))
+      .withColumn("bpe_tokens", bpe)
+      .withColumn("fingerprint", TextAnalysis.fingerprint(col("text")))
+      .drop("text").orderBy("doc_id")
+    assert(fused.columns.toSeq == composed.columns.toSeq)
+    assert(fused.except(composed).isEmpty && composed.except(fused).isEmpty)
+  }
 }
