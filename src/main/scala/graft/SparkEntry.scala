@@ -162,6 +162,14 @@ object SparkEntry {
 
     // ANN top-5 via 4x8-bit random-hyperplane LSH, exact re-rank of
     // candidates only.
+    // IVF-style ANN: deterministic seed centroids, map-only argmax-cosine
+    // cell assignment, nprobe-cell probing, exact re-rank of candidates.
+    "sim_ivf_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 8), 5, nlist = 16, nprobe = 4)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     "sim_ann_topk" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       Similarity.hyperplaneTopK(emb, emb.filter(col("vec_id") < 8), 5,
@@ -601,6 +609,32 @@ object SparkEntry {
          |    row_number() OVER (PARTITION BY q.vec_id
          |      ORDER BY round(${Oracles.cosine("q.v", "c.v", 64)}, 6) DESC, c.vec_id) AS rank
          |  FROM e c JOIN q ON q.vec_id != c.vec_id)
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "sim_ivf_topk" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |seeds AS (SELECT vec_id AS cell_id, v AS cv FROM e ORDER BY vec_id LIMIT 16),
+         |scored AS (
+         |  SELECT e.vec_id, e.v, s.cell_id, ${Oracles.cosine("e.v", "s.cv", 64)} AS cs
+         |  FROM e CROSS JOIN seeds s),
+         |assign AS (
+         |  SELECT vec_id, v, cell_id FROM (
+         |    SELECT vec_id, v, cell_id,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cell_id) AS rnk
+         |    FROM scored) WHERE rnk = 1),
+         |probes AS (
+         |  SELECT vec_id AS query_id, v AS qv, cell_id FROM (
+         |    SELECT vec_id, v, cell_id,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cell_id) AS rnk
+         |    FROM scored WHERE vec_id < 8) WHERE rnk <= 4),
+         |cand AS (
+         |  SELECT p.query_id, a.vec_id AS neighbor_id,
+         |    round(${Oracles.cosine("p.qv", "a.v", 64)}, 6) AS cosine
+         |  FROM assign a JOIN probes p ON a.cell_id = p.cell_id AND p.query_id != a.vec_id)
+         |SELECT * FROM (
+         |  SELECT query_id, neighbor_id, cosine,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+         |  FROM cand)
          |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
     "sim_ann_topk" ->

@@ -115,6 +115,52 @@ object Similarity {
         col("x.embedding").as("ea"), col("y.embedding").as("eb"))
   }
 
+  /** IVF-style ANN top-k — the inverted-file complement to the LSH path.
+    *
+    * Cells are `nlist` deterministic seed centroids (the lowest vec_ids:
+    * IVF-flat with sampled centroids and no Lloyd refinement, so cell
+    * assignment is exactly replayable in the SQL oracle — a trained
+    * k-means would average floats in engine-dependent order). Every
+    * corpus vector goes to its argmax-cosine cell in ONE map-only pass:
+    * the seeds are collected to the driver (O(nlist) metadata, like a
+    * bookmark commit — never data-sized) and inlined as literals, so the
+    * per-row argmax is a codegen'd `greatest` over native cosine kernels,
+    * no shuffle and no per-row seed join. Queries probe their `nprobe`
+    * best cells; candidates = probed cells' members via one broadcast
+    * join (queries are small); exact cosine re-ranks candidates only.
+    * Each (query, neighbor) pair arises at most once — a vector lives in
+    * exactly one cell — so no dedup step exists at any scale.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    require(nlist >= 2 && nprobe >= 1 && nprobe <= nlist)
+    val seeds: Seq[(Long, Seq[Float])] = corpus
+      .select(col("vec_id"), col("embedding"))
+      .orderBy(col("vec_id")).limit(nlist)
+      .collect().toSeq
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    // per-row scored cells: (cosine, -cell, cell) structs so lexicographic
+    // max/sort = best cosine, ties to the lowest cell id
+    def scored(emb: Column) = seeds.map { case (cid, v) =>
+      struct(cosineSimilarity(emb, typedlit(v)).as("cs"),
+        lit(-cid).as("nc"), lit(cid).as("cell"))
+    }
+    val assigned = corpus.select(col("vec_id"), col("embedding"),
+      greatest(scored(col("embedding")): _*).getField("cell").as("cell"))
+    val probes = queries.select(col("vec_id").as("query_id"),
+        col("embedding").as("qemb"),
+        explode(slice(reverse(array_sort(array(scored(col("embedding")): _*))),
+          1, nprobe)).as("p"))
+      .select(col("query_id"), col("qemb"), col("p.cell").as("cell"))
+    val cand = assigned.join(broadcast(probes), Seq("cell"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(cosineSimilarity(col("qemb"), col("embedding")), 6).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    cand.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** ANN top-k via LSH: candidates = corpus vectors sharing any table
     * bucket with the query; exact cosine re-rank of candidates only.
     * Returns at most k neighbors per query (fewer if buckets were sparse —

@@ -52,6 +52,35 @@ class SimilaritySpec extends SparkSuite {
     assert(composed.map(_.toSeq).toSeq == fast.map(_.toSeq).toSeq)
   }
 
+  test("IVF top-k: subset of brute force with identical cosines; seed queries find their own cell") {
+    val brute = Similarity.bruteForceTopK(corpus, queries, 1000)
+      .select("query_id", "neighbor_id", "cosine").as[(Long, Long, Double)].collect()
+      .map { case (q, n, c) => (q, n) -> c }.toMap
+    val ivf = Similarity.ivfTopK(corpus, queries, 5, nlist = 16, nprobe = 4)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+      .as[(Long, Long, Double, Int)].collect()
+    assert(ivf.nonEmpty)
+    // every IVF hit is a real neighbor with the exact same cosine
+    ivf.foreach { case (q, n, c, _) => assert(brute((q, n)) == c) }
+    // at most k per query, ranks contiguous from 1
+    ivf.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.length <= 5)
+      assert(rows.map(_._4).sorted.toSeq == (1 to rows.length))
+    }
+  }
+
+  test("IVF assignment is exactly one cell per vector (pairs can never duplicate)") {
+    // two identical-direction vectors must land in the same cell and find
+    // each other regardless of which cells the probe set picks
+    val emb = (0L until 12L).map(i => (i, (0 until 64).map(d => ((d + i) % 7).toFloat)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.ivfTopK(emb, emb.filter(col("vec_id") === 0), k = 3,
+      nlist = 4, nprobe = 2)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+    assert(got.length <= 3)
+    assert(got.distinct.length == got.length, "a (query, neighbor) pair must appear once")
+  }
+
   test("identical vectors always share every bucket table") {
     val emb = Seq((1L, Seq.fill(64)(0.5f)), (2L, Seq.fill(64)(0.5f))).toDF("vec_id", "embedding")
     val cand = Similarity.hyperplaneCandidates(emb, tables = 2, bits = 4)
