@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.OutputMode
 import graft.functions.GraftFunctions
-import graft.operators.{AsOfJoin, Dedup, Multimodal, ParallelReports, Similarity, StarPipeline, TextAnalysis}
+import graft.operators.{AsOfJoin, Dedup, Multimodal, ParallelReports, RangeJoin, Similarity, StarPipeline, TextAnalysis}
 import graft.sources.{BookmarkStore, IncrementalReader}
 import graft.streaming.Streaming
 
@@ -228,6 +228,23 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("frame_idx"))),
 
     // ===== Relational operator breadth =====================================
+
+    // Range join: events inside incident windows (top-50 events by value,
+    // +/- 30 min each) via fixed-width bin keys — an equi-join on the bin,
+    // never a nested-loop; exact containment post-filter; per-incident agg.
+    "range_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), expr("ts DIV 1000000000").as("sec"), col("value"))
+      val incidents = ev
+        .orderBy(col("value").desc, col("event_id"))
+        .limit(50)
+        .select(col("event_id").as("incident_id"),
+          (col("sec") - 1800).as("start_sec"), (col("sec") + 1800).as("end_sec"))
+      RangeJoin.binned(ev, "sec", incidents, "start_sec", "end_sec", 3600)
+        .groupBy(col("incident_id"))
+        .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+        .orderBy(col("incident_id"))
+    }),
 
     // As-of join: each event gets the user's most recent signup at or
     // before it (union-tag + running-last window; one shuffle, no range
@@ -754,6 +771,16 @@ object SparkEntry {
         |  unnest(generate_series(0, n_frames - 1)) AS frame_idx,
         |  unnest(generate_series(0, n_frames - 1)) * (duration_ms // n_frames) AS frame_offset_ms
         |FROM v ORDER BY doc_id, frame_idx""".stripMargin,
+
+    "range_join" ->
+      """WITH ev AS (
+        |  SELECT event_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec, value FROM events),
+        |inc AS (
+        |  SELECT event_id AS incident_id, sec - 1800 AS start_sec, sec + 1800 AS end_sec
+        |  FROM ev ORDER BY value DESC, event_id LIMIT 50)
+        |SELECT i.incident_id, count(*) AS n_events, round(sum(e.value), 2) AS sum_value
+        |FROM ev e JOIN inc i ON e.sec >= i.start_sec AND e.sec <= i.end_sec
+        |GROUP BY i.incident_id ORDER BY i.incident_id""".stripMargin,
 
     "asof_join" ->
       """SELECT l.event_id, l.user_id, l.event_type,
