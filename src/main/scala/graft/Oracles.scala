@@ -79,6 +79,13 @@ object Oracles {
       s"$v[d+1] * (CASE WHEN ((1103515245 * CAST(j*$dim + d AS BIGINT) + 12345) % 2147483648) % 2 = 0 " +
       s"THEN 1.0 ELSE -1.0 END))), (a, x) -> a + x) >= 0 THEN 1 ELSE 0 END)"
 
+  /** Sampling bucket in [0, buckets): mixed PolyHash of `e`
+    * (graft.operators.Sampling.hashBucket — identical constant and
+    * modulus, 64-bit-safe).
+    */
+  def sampleBucket(e: String, buckets: Int): String =
+    s"(((${polyHash(e)} * ${graft.operators.Sampling.MixA}) % $P) % $buckets)"
+
   /** Bucket key of hash table `tblExpr` from a bits list column. */
   def bucketFromBits(bits: String, tblExpr: String, bitsPerTable: Int): String =
     s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +

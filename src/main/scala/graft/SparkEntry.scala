@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.OutputMode
 import graft.functions.GraftFunctions
-import graft.operators.{AsOfJoin, Dedup, Multimodal, ParallelReports, RangeJoin, Similarity, StarPipeline, TextAnalysis}
+import graft.operators.{AsOfJoin, Dedup, Multimodal, ParallelReports, RangeJoin, Sampling, Similarity, StarPipeline, TextAnalysis}
 import graft.sources.{BookmarkStore, IncrementalReader}
 import graft.streaming.Streaming
 
@@ -228,6 +228,27 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("frame_idx"))),
 
     // ===== Relational operator breadth =====================================
+
+    // Deterministic train/test split: membership is a pure function of
+    // poly_hash(event_id), stable under repartitioning/re-ingestion (a
+    // seeded df.sample() is neither) — map-only, no shuffle.
+    "sample_split" -> ((s, dir) =>
+      Sampling.trainTestSplit(Tables.events(s, dir), col("event_id"), 0.8)
+        .groupBy(col("event_type"), col("split"))
+        .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("event_type"), col("split"))),
+
+    // Stratified sampling: per-class keep rates off the same portable
+    // hash (downsample dominant classes, keep rare ones whole).
+    "sample_stratified" -> ((s, dir) =>
+      Sampling.stratifiedSample(Tables.events(s, dir), col("event_id"),
+        col("event_type"),
+        Map("click" -> 0.5, "view" -> 0.1, "purchase" -> 1.0,
+          "signup" -> 1.0, "error" -> 0.25))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"))
+        .orderBy(col("event_type"))),
 
     // Range join: events inside incident windows (top-50 events by value,
     // +/- 30 min each) via fixed-width bin keys — an equi-join on the bin,
@@ -771,6 +792,27 @@ object SparkEntry {
         |  unnest(generate_series(0, n_frames - 1)) AS frame_idx,
         |  unnest(generate_series(0, n_frames - 1)) * (duration_ms // n_frames) AS frame_offset_ms
         |FROM v ORDER BY doc_id, frame_idx""".stripMargin,
+
+    "sample_split" ->
+      s"""WITH t AS (
+         |  SELECT event_type, user_id,
+         |    CASE WHEN ${Oracles.sampleBucket("CAST(event_id AS VARCHAR)", 1000)} < 800
+         |      THEN 'train' ELSE 'test' END AS split
+         |  FROM events)
+         |SELECT event_type, split, count(*) AS n, count(DISTINCT user_id) AS n_users
+         |FROM t GROUP BY event_type, split ORDER BY event_type, split""".stripMargin,
+
+    "sample_stratified" ->
+      s"""WITH t AS (
+         |  SELECT event_type, event_id,
+         |    ${Oracles.sampleBucket("CAST(event_id AS VARCHAR)", 1000)} AS b
+         |  FROM events)
+         |SELECT event_type, count(*) AS n, min(event_id) AS min_id, max(event_id) AS max_id
+         |FROM t
+         |WHERE (event_type = 'click' AND b < 500) OR (event_type = 'view' AND b < 100)
+         |   OR (event_type = 'purchase' AND b < 1000) OR (event_type = 'signup' AND b < 1000)
+         |   OR (event_type = 'error' AND b < 250)
+         |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "range_join" ->
       """WITH ev AS (

@@ -68,9 +68,16 @@ object Dedup {
                               maxDf: Int): DataFrame = {
     val sets = docs.select(col("doc_id"), shingleHashes(col("text"), n).as("gs"))
     val grams = sets.select(col("doc_id"), explode(col("gs")).as("g"))
-    val rare = grams.groupBy(col("g")).agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxDf).select(col("g"))
-    val rareGrams = grams.join(rare, "g")
+    // the STOP set (df > maxDf) is small by construction — at most
+    // totalShingleOccurrences / maxDf entries — so broadcast it and strip
+    // stop shingles with a map-side anti-join; the rare set (its
+    // complement) is most of the vocabulary and must never be the join
+    // side that ships anywhere. The df aggregation itself is map-side
+    // partial-combined, so its shuffle carries distinct shingles, not
+    // occurrences.
+    val stop = grams.groupBy(col("g")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf).select(col("g"))
+    val rareGrams = grams.join(broadcast(stop), Seq("g"), "left_anti")
     val cand = rareGrams.as("a")
       .join(rareGrams.as("b"),
         col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))

@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions._
+
+/** Deterministic, engine-portable sampling for training-data pipelines.
+  *
+  * `df.sample()` draws from a seeded RNG whose stream depends on the
+  * engine, its version, AND the physical partitioning — a re-run on a
+  * repartitioned 100 TB corpus yields a different sample, which breaks
+  * train/test reproducibility and contaminates evaluation sets. Here
+  * membership is a pure function of a caller-chosen key:
+  * `poly_hash(key) mod buckets` (the engine's portable hash, replayable
+  * in any SQL engine), so the split is stable under repartitioning,
+  * re-ingestion, engine swaps, and incremental appends — a new row's
+  * assignment never disturbs existing rows. All operators are map-only:
+  * no shuffle, no state, pushdown-friendly.
+  */
+object Sampling {
+
+  /** Knuth multiplicative mixing constant (2654435761 = 2^32 / phi),
+    * reduced mod PolyHash.P. PolyHash alone is too linear for bucketing
+    * short numeric keys — sequential ids land on a small residue lattice
+    * mod `buckets` (measured: an 80% threshold captured 90.5% of 1 000
+    * sequential ids). One multiplicative mix mod P equidistributes the
+    * lattice; every intermediate stays under 2^62, so any 64-bit SQL
+    * engine replays it exactly.
+    */
+  val MixA: Long = 2654435761L % graft.functions.PolyHash.P
+
+  /** Hash bucket in [0, buckets) of a sampling key. */
+  def hashBucket(key: Column, buckets: Int = 1000): Column =
+    pmod((poly_hash(key.cast("string")) * lit(MixA)) % lit(graft.functions.PolyHash.P),
+      lit(buckets))
+
+  /** Keep ~`fraction` of rows, deterministically by key. */
+  def deterministicSample(df: DataFrame, key: Column, fraction: Double,
+                          buckets: Int = 1000): DataFrame = {
+    require(fraction >= 0 && fraction <= 1)
+    df.filter(hashBucket(key, buckets) < math.round(fraction * buckets))
+  }
+
+  /** Tag every row "train" or "test" with ~`trainPct` going to train —
+    * disjoint and exhaustive by construction (one hash, one threshold).
+    */
+  def trainTestSplit(df: DataFrame, key: Column, trainPct: Double,
+                     buckets: Int = 1000): DataFrame =
+    df.withColumn("split",
+      when(hashBucket(key, buckets) < math.round(trainPct * buckets), lit("train"))
+        .otherwise(lit("test")))
+
+  /** Per-stratum sampling rates (e.g. downsample boilerplate classes,
+    * keep all rare ones). Strata absent from `fractions` are dropped.
+    */
+  def stratifiedSample(df: DataFrame, key: Column, stratum: Column,
+                       fractions: Map[String, Double],
+                       buckets: Int = 1000): DataFrame = {
+    val bucket = hashBucket(key, buckets)
+    val keep = fractions.foldLeft(lit(false)) { case (acc, (s, f)) =>
+      acc || (stratum === s && bucket < math.round(f * buckets))
+    }
+    df.filter(keep)
+  }
+}

@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Sampling
+
+/** Deterministic hash sampling: reproducibility is the whole point, so
+  * the specs pin invariance under repartitioning and split disjointness.
+  */
+class SamplingSpec extends SparkSuite {
+  import spark.implicits._
+
+  private lazy val ev = Tables.events(spark, sf)
+
+  test("train/test split is disjoint, exhaustive, and ~the requested rate") {
+    val split = Sampling.trainTestSplit(ev, col("event_id"), 0.8)
+    val n = ev.count()
+    val byTag = split.groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(byTag.values.sum == n, "every row gets exactly one tag")
+    val trainFrac = byTag.getOrElse("train", 0L).toDouble / n
+    assert(trainFrac > 0.7 && trainFrac < 0.9, s"train fraction $trainFrac far from 0.8")
+  }
+
+  test("membership is invariant under repartitioning (seeded sample() is not)") {
+    val a = Sampling.deterministicSample(ev, col("event_id"), 0.3)
+      .select("event_id").as[Long].collect().sorted.toSeq
+    val b = Sampling.deterministicSample(ev.repartition(13), col("event_id"), 0.3)
+      .select("event_id").as[Long].collect().sorted.toSeq
+    assert(a == b)
+    assert(a.nonEmpty && a.length < ev.count())
+  }
+
+  test("incremental append never disturbs existing assignments") {
+    val first = Sampling.trainTestSplit(ev.filter(col("event_id") < 500), col("event_id"), 0.8)
+      .select("event_id", "split").as[(Long, String)].collect().toMap
+    val all = Sampling.trainTestSplit(ev, col("event_id"), 0.8)
+      .select("event_id", "split").as[(Long, String)].collect().toMap
+    first.foreach { case (id, tag) => assert(all(id) == tag) }
+  }
+
+  test("stratified sampling keeps full-rate strata whole and drops unlisted strata") {
+    val got = Sampling.stratifiedSample(ev, col("event_id"), col("event_type"),
+      Map("purchase" -> 1.0, "view" -> 0.1))
+    val byType = got.groupBy("event_type").count().as[(String, Long)].collect().toMap
+    assert(byType.keySet == Set("purchase", "view"), "unlisted strata dropped")
+    val nPurchase = ev.filter(col("event_type") === "purchase").count()
+    assert(byType("purchase") == nPurchase, "rate 1.0 keeps the stratum whole")
+    val nView = ev.filter(col("event_type") === "view").count()
+    assert(byType("view") < nView / 2, "rate 0.1 downsamples")
+  }
+
+  test("sampling plans are map-only: no shuffle exchange") {
+    val plan = Sampling.deterministicSample(ev, col("event_id"), 0.5)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"sampling must not shuffle:\n$plan")
+  }
+}
