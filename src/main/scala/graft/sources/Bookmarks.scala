@@ -81,11 +81,16 @@ final class IncrementalReader(spark: SparkSession, sfDir: String, store: Bookmar
     read(table, graft.Tables.bookmarkKey(table), ctx)
 
   /** As [[read(table:String,ctx:String)*]] with an explicit key column —
-    * for tables outside the catalog.
+    * for tables outside the catalog. `fullRefresh = true` ignores the
+    * bookmark and reads everything WITHOUT advancing state — the
+    * documented escape hatch for below-bookmark late rows, which
+    * incremental runs drop by design (Glue semantics, SURVEY.md §2.1).
     */
-  def read(table: String, keyCol: String, ctx: String): DataFrame = {
+  def read(table: String, keyCol: String, ctx: String,
+           fullRefresh: Boolean = false): DataFrame = {
     val df = graft.Tables.load(spark, sfDir, table)
-    store.get(table, ctx) match {
+    if (fullRefresh) df
+    else store.get(table, ctx) match {
       case Some(last) => df.filter(col(keyCol) > lit(last))
       case None => df // first run reads everything
     }

@@ -27,6 +27,16 @@ class BookmarkSpec extends SparkSuite {
     assert(delta.agg(min($"event_id")).as[Long].head() == max / 2 + 1)
   }
 
+  test("full-refresh mode bypasses the bookmark and leaves state untouched") {
+    val store = freshStore()
+    val reader = new IncrementalReader(spark, sf, store)
+    val total = reader.read("events", "event_id", "t").count()
+    store.commit("events", "t", 500L)
+    assert(reader.read("events", "event_id", "t").count() < total)
+    assert(reader.read("events", "event_id", "t", fullRefresh = true).count() == total)
+    assert(store.get("events", "t").contains(500L), "refresh must not move the bookmark")
+  }
+
   test("gapped ascending keys: strictly-greater-than semantics, not next-id") {
     val store = freshStore()
     // keys 10, 20, 35 — gapped like medium/tbl_registers_nonsequence.jpeg
