@@ -2,8 +2,13 @@ package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // S12 job-argument resolution: --SPARK_GRAFT_SF_DIR on the CLI beats
+    // the env var beats the default (JobArgs mirrors getResolvedOptions)
+    val opts = JobArgs.resolve(args.toSeq, required = Nil,
+      defaults = Map("SPARK_GRAFT_SF_DIR" -> "/root/testdata/sf0.1",
+        "SPARK_GRAFT_CPUS" -> "4"))
+    val sfDir = opts("SPARK_GRAFT_SF_DIR")
+    val cpus = opts("SPARK_GRAFT_CPUS")
     val spark = graft.GraftSession.builder(s"local[$cpus]", cpus.toInt)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
