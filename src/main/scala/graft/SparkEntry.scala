@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.OutputMode
 import graft.functions.GraftFunctions
-import graft.operators.{AsOfJoin, Dedup, Multimodal, ParallelReports, RangeJoin, Sampling, Similarity, StarPipeline, TextAnalysis}
+import graft.operators.{AsOfJoin, Dedup, Multimodal, ParallelReports, RangeJoin, Sampling, Sessionize, Similarity, StarPipeline, TextAnalysis}
 import graft.sources.{BookmarkStore, IncrementalReader}
 import graft.streaming.Streaming
 
@@ -228,6 +228,19 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("frame_idx"))),
 
     // ===== Relational operator breadth =====================================
+
+    // Batch sessionization (gaps-and-islands): session-size distribution
+    // with average duration. One shuffle on the user key serves windows
+    // and aggregation; same session semantics as stream_sessions.
+    "session_stats" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), expr("ts DIV 1000000000").as("tss"))
+      Sessionize.batch(ev, 1800)
+        .groupBy(col("n_events"))
+        .agg(count(lit(1)).as("n_sessions"),
+          round(avg(col("session_end") - col("session_start")), 2).as("avg_duration"))
+        .orderBy(col("n_events"))
+    }),
 
     // Deterministic train/test split: membership is a pure function of
     // poly_hash(event_id), stable under repartitioning/re-ingestion (a
@@ -792,6 +805,27 @@ object SparkEntry {
         |  unnest(generate_series(0, n_frames - 1)) AS frame_idx,
         |  unnest(generate_series(0, n_frames - 1)) * (duration_ms // n_frames) AS frame_offset_ms
         |FROM v ORDER BY doc_id, frame_idx""".stripMargin,
+
+    "session_stats" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS tss FROM events),
+        |x AS (
+        |  SELECT user_id, event_id, tss,
+        |    CASE WHEN lag(tss) OVER w IS NULL OR tss - lag(tss) OVER w > 1800
+        |      THEN 1 ELSE 0 END AS new_s
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tss, event_id)),
+        |y AS (
+        |  SELECT user_id, event_id, tss,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY tss, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM x),
+        |s AS (
+        |  SELECT user_id, sid, min(tss) AS session_start,
+        |    max(tss) + 1800 AS session_end, count(*) AS n_events
+        |  FROM y GROUP BY user_id, sid)
+        |SELECT n_events, count(*) AS n_sessions,
+        |  round(avg(session_end - session_start), 2) AS avg_duration
+        |FROM s GROUP BY n_events ORDER BY n_events""".stripMargin,
 
     "sample_split" ->
       s"""WITH t AS (

@@ -1,0 +1,87 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.DriverManager
+import graft.streaming.StreamSink
+
+/** Exactly-once foreachBatch JDBC delivery against embedded Derby. */
+class StreamSinkSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val dbDir = Files.createTempDirectory("derby-stream").toString
+  private def url = s"jdbc:derby:$dbDir/sinkdb;create=true"
+
+  private def exec(sql: String): Unit = {
+    val c = DriverManager.getConnection(url)
+    try { val st = c.createStatement(); try st.execute(sql) finally st.close() }
+    finally c.close()
+  }
+
+  private def countOf(table: String): Long = {
+    val c = DriverManager.getConnection(url)
+    try {
+      val st = c.createStatement()
+      try {
+        val rs = st.executeQuery(s"SELECT count(*) FROM $table")
+        rs.next(); rs.getLong(1)
+      } finally st.close()
+    } finally c.close()
+  }
+
+  test("micro-batches land once; a re-delivered batch is a no-op; failure is atomic") {
+    exec("CREATE TABLE report_s (k BIGINT, total DOUBLE)")
+    exec(StreamSink.ledgerDdl("ledger_s"))
+    val sink = StreamSink.exactlyOnceJdbc(url,
+      "INSERT INTO report_s VALUES (?, ?)", "ledger_s", "q1") { (ps, r) =>
+      ps.setLong(1, r.getLong(0)); ps.setDouble(2, r.getDouble(1))
+    }
+
+    val b0 = Seq((1L, 10.0), (2L, 20.0)).toDF("k", "total")
+    sink(b0, 0L)
+    assert(countOf("report_s") == 2)
+    assert(countOf("ledger_s") == 1)
+
+    // crash-redelivery of the SAME batch id: ledger makes it a no-op
+    sink(b0, 0L)
+    assert(countOf("report_s") == 2, "re-delivered batch must not duplicate")
+
+    // next batch appends
+    sink(Seq((3L, 30.0)).toDF("k", "total"), 1L)
+    assert(countOf("report_s") == 3)
+    assert(countOf("ledger_s") == 2)
+
+    // a batch that fails mid-insert leaves neither rows nor a ledger entry
+    val bad = StreamSink.exactlyOnceJdbc(url,
+      "INSERT INTO report_s VALUES (?, ?)", "ledger_s", "q1") { (ps, r) =>
+      ps.setString(1, "not a number"); ps.setDouble(2, 0.0)
+    }
+    intercept[java.sql.SQLException] { bad(Seq((9L, 9.0)).toDF("k", "total"), 2L) }
+    assert(countOf("report_s") == 3, "failed batch rolled back")
+    assert(countOf("ledger_s") == 2, "failed batch must not be marked delivered")
+  }
+
+  test("drives a real writeStream.foreachBatch query end-to-end") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    exec("CREATE TABLE report_live (k BIGINT, total DOUBLE)")
+    exec(StreamSink.ledgerDdl("ledger_live"))
+    val sink = StreamSink.exactlyOnceJdbc(url,
+      "INSERT INTO report_live VALUES (?, ?)", "ledger_live", "live") { (ps, r) =>
+      ps.setLong(1, r.getLong(0)); ps.setDouble(2, r.getDouble(1))
+    }
+    val mem = MemoryStream[(Long, Double)]
+    val q = mem.toDF().toDF("k", "total")
+      .writeStream
+      .foreachBatch((df: org.apache.spark.sql.DataFrame, id: Long) => sink(df, id))
+      .option("checkpointLocation", Files.createTempDirectory("sink-ckpt").toString)
+      .start()
+    try {
+      mem.addData((1L, 1.0), (2L, 2.0))
+      q.processAllAvailable()
+      mem.addData((3L, 3.0))
+      q.processAllAvailable()
+      assert(countOf("report_live") == 3)
+      assert(countOf("ledger_live") >= 2)
+    } finally q.stop()
+  }
+}
