@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.OutputMode
 import graft.functions.GraftFunctions
-import graft.operators.{AsOfJoin, Dedup, Multimodal, ParallelReports, RangeJoin, Sampling, Sessionize, Similarity, StarPipeline, TextAnalysis}
+import graft.operators.{AsOfJoin, Cdc, Dedup, Multimodal, ParallelReports, RangeJoin, Resample, Sampling, Sessionize, Similarity, StarPipeline, TextAnalysis}
 import graft.sources.{BookmarkStore, IncrementalReader}
 import graft.streaming.Streaming
 
@@ -240,6 +240,43 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_sessions"),
           round(avg(col("session_end") - col("session_start")), 2).as("avg_duration"))
         .orderBy(col("n_events"))
+    }),
+
+    // CDC upsert compaction: current state per user from the event
+    // changelog, 'error' acting as the delete marker. max(struct) keeps
+    // the shuffle at one row per key per partition (map-side combine) —
+    // no window sort over the full log.
+    "cdc_latest" -> ((s, dir) => {
+      val ch = Tables.events(s, dir)
+        .select(col("user_id"), expr("ts DIV 1000000000").as("tss"),
+          col("event_id"), col("event_type"), col("value"))
+      Cdc.latest(ch, Seq("user_id"), Seq("tss", "event_id"),
+          isDelete = Some(col("event_type") === "error"))
+        .select(col("user_id"), col("tss").as("last_ts"),
+          col("event_id").as("last_event"), col("event_type").as("last_type"),
+          round(col("value"), 2).as("last_value"))
+        .orderBy(col("user_id"))
+    }),
+
+    // Type-2 SCD build: validity intervals of each user's event_type,
+    // consecutive duplicates collapsed; one shuffle on the key.
+    "scd2_build" -> ((s, dir) => {
+      val ch = Tables.events(s, dir)
+        .select(col("user_id"), expr("ts DIV 1000000000").as("tss"),
+          col("event_id"), col("event_type"))
+      Cdc.scd2(ch, Seq("user_id"), "tss", "event_id", Seq("event_type"))
+        .orderBy(col("user_id"), col("valid_from"))
+    }),
+
+    // Time-series resample: daily per-user activity with quiet days
+    // emitted and forward-filled. The raw stream crosses one shuffle;
+    // the grid is executor-generated (sequence+explode), never a
+    // driver calendar loop.
+    "gap_fill" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), expr("ts DIV 1000000000").as("tss"), col("value"))
+      Resample.gapFill(ev, "user_id", "tss", "value", 86400L)
+        .orderBy(col("user_id"), col("bucket"))
     }),
 
     // Deterministic train/test split: membership is a pure function of
@@ -826,6 +863,62 @@ object SparkEntry {
         |SELECT n_events, count(*) AS n_sessions,
         |  round(avg(session_end - session_start), 2) AS avg_duration
         |FROM s GROUP BY n_events ORDER BY n_events""".stripMargin,
+
+    "cdc_latest" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS tss, event_id,
+        |    event_type, value FROM events),
+        |r AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY user_id ORDER BY tss DESC, event_id DESC) AS rn
+        |  FROM e)
+        |SELECT user_id, tss AS last_ts, event_id AS last_event,
+        |  event_type AS last_type, round(value, 2) AS last_value
+        |FROM r WHERE rn = 1 AND event_type <> 'error'
+        |ORDER BY user_id""".stripMargin,
+
+    "scd2_build" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS tss, event_id,
+        |    event_type FROM events),
+        |c AS (
+        |  SELECT *, lag(event_type) OVER (
+        |    PARTITION BY user_id ORDER BY tss, event_id) AS prev
+        |  FROM e),
+        |f AS (
+        |  SELECT user_id, tss, event_id, event_type FROM c
+        |  WHERE prev IS NULL OR prev <> event_type),
+        |v AS (
+        |  SELECT user_id, event_type, tss AS valid_from,
+        |    lead(tss) OVER (PARTITION BY user_id ORDER BY tss, event_id) AS valid_to
+        |  FROM f)
+        |SELECT user_id, event_type, valid_from, valid_to,
+        |  CAST(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_current
+        |FROM v ORDER BY user_id, valid_from""".stripMargin,
+
+    "gap_fill" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS tss, value
+        |  FROM events),
+        |o AS (
+        |  SELECT user_id, tss - tss % 86400 AS bucket,
+        |    round(sum(value), 2) AS v, count(*) AS n_obs
+        |  FROM e GROUP BY 1, 2),
+        |s AS (
+        |  SELECT user_id, min(bucket) AS lo, max(bucket) AS hi
+        |  FROM o GROUP BY 1),
+        |g AS (
+        |  SELECT user_id, unnest(generate_series(lo, hi, 86400)) AS bucket
+        |  FROM s),
+        |f AS (
+        |  SELECT g.user_id, g.bucket, o.v, coalesce(o.n_obs, 0) AS n_obs
+        |  FROM g LEFT JOIN o ON g.user_id = o.user_id AND g.bucket = o.bucket)
+        |SELECT user_id, bucket,
+        |  last_value(v IGNORE NULLS) OVER (
+        |    PARTITION BY user_id ORDER BY bucket
+        |    ROWS UNBOUNDED PRECEDING) AS v_filled,
+        |  n_obs
+        |FROM f ORDER BY user_id, bucket""".stripMargin,
 
     "sample_split" ->
       s"""WITH t AS (
