@@ -184,6 +184,14 @@ object SparkEntry {
         .drop("text")
         .orderBy(col("doc_id"))),
 
+    // Top TF-IDF terms per document: map-side-combined (doc, term)
+    // counts, broadcast vocabulary join, per-doc top-k window.
+    "tfidf_terms" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      TextAnalysis.tfIdfTopTerms(docs, docs.count(), 3)
+        .orderBy(col("doc_id"), col("rank"))
+    }),
+
     // ===== Structured Streaming (bounded run via Trigger.AvailableNow) ====
 
     // Watermarked tumbling-window aggregation; complete mode emits every
@@ -355,6 +363,42 @@ object SparkEntry {
         .rollup(col("ship_year"), col("l_returnflag"))
         .agg(round(sum(col("l_quantity")), 2).as("sum_qty"), count(lit(1)).as("n"))
         .orderBy(col("ship_year"), col("l_returnflag"), col("n"))),
+
+    // CUBE with grouping_id: every (returnflag × linestatus) margin in
+    // one pass — Spark expands grouping sets before the single hash agg.
+    "cube_agg" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(round(sum(col("l_extendedprice")), 2).as("sum_price"),
+          count(lit(1)).as("n"), grouping_id().as("gid"))
+        .orderBy(col("gid"), col("l_returnflag"), col("l_linestatus"))),
+
+    // Unpivot (wide measures -> long): per-measure totals over lineitem.
+    // The melt is map-only; one hash agg on the 4-row measure key.
+    "unpivot_measures" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"),
+          col("l_discount"), col("l_tax"))
+        .unpivot(Array(col("l_orderkey")),
+          Array(col("l_quantity"), col("l_extendedprice"), col("l_discount"), col("l_tax")),
+          "measure", "val")
+        .groupBy(col("measure"))
+        .agg(count(lit(1)).as("n"), round(sum(col("val")), 2).as("total"),
+          round(avg(col("val")), 4).as("mean"))
+        .orderBy(col("measure"))),
+
+    // Moment statistics per group: stddev/variance/correlation/covariance
+    // — single partial-aggregating pass, no second scan for the means.
+    "stats_summary" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          round(avg(col("l_quantity")), 4).as("avg_qty"),
+          round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
+          round(var_samp(col("l_quantity")), 4).as("var_qty"),
+          round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qty_price"),
+          round(covar_samp(col("l_discount"), col("l_tax")), 6).as("cov_disc_tax"))
+        .orderBy(col("l_returnflag"))),
 
     // Set operations: customers ordering in both 1995 and 1996 but not 1997.
     "setop_customers" -> ((s, dir) => {
@@ -780,6 +824,25 @@ object SparkEntry {
          |FROM f ORDER BY doc_id""".stripMargin
     },
 
+    "tfidf_terms" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(${Oracles.tokens("lower(text)")}) AS term
+         |  FROM documents),
+         |tf AS (
+         |  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+         |dfreq AS (
+         |  SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |scored AS (
+         |  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+         |    round(tf.tf * ln(CAST((SELECT count(*) FROM documents) AS DOUBLE) / dfreq.df), 4) AS tfidf
+         |  FROM tf JOIN dfreq ON tf.term = dfreq.term),
+         |r AS (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rank
+         |  FROM scored)
+         |SELECT doc_id, rank, term, tf, df, tfidf
+         |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+
     "stream_window_agg" ->
       """SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS day_start, event_type,
         |  count(*) AS n_events, round(sum(value), 2) AS total_value
@@ -975,6 +1038,36 @@ object SparkEntry {
         |FROM lineitem
         |GROUP BY ROLLUP (ship_year, l_returnflag)
         |ORDER BY ship_year, l_returnflag, n""".stripMargin,
+
+    "cube_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_extendedprice), 2) AS sum_price, count(*) AS n,
+        |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin,
+
+    "unpivot_measures" ->
+      """WITH u AS (
+        |  SELECT l_orderkey, 'l_quantity' AS measure, l_quantity AS val FROM lineitem
+        |  UNION ALL
+        |  SELECT l_orderkey, 'l_extendedprice', l_extendedprice FROM lineitem
+        |  UNION ALL
+        |  SELECT l_orderkey, 'l_discount', l_discount FROM lineitem
+        |  UNION ALL
+        |  SELECT l_orderkey, 'l_tax', l_tax FROM lineitem)
+        |SELECT measure, count(*) AS n, round(sum(val), 2) AS total,
+        |  round(avg(val), 4) AS mean
+        |FROM u GROUP BY measure ORDER BY measure""".stripMargin,
+
+    "stats_summary" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  round(avg(l_quantity), 4) AS avg_qty,
+        |  round(stddev_samp(l_quantity), 4) AS sd_qty,
+        |  round(var_samp(l_quantity), 4) AS var_qty,
+        |  round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+        |  round(covar_samp(l_discount, l_tax), 6) AS cov_disc_tax
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "setop_customers" ->
       """SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995

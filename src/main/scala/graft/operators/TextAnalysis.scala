@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.GraftFunctions._
 
@@ -75,6 +76,32 @@ object TextAnalysis {
     * full text — the exact-dedup / change-detection key.
     */
   def fingerprint(text: Column): Column = poly_hash(text)
+
+  /** Top-`k` TF-IDF terms per document (tfidf = tf * ln(N / df), scored
+    * on lowercased whitespace tokens, rounded to 4 so ranking replays
+    * identically on the oracle; rank ties break by term).
+    *
+    * Two shuffles over term-level data: (doc, term) counts — combined
+    * map-side, so the exchange carries distinct pairs, not token
+    * occurrences — then the per-doc top-k window on the doc key. The
+    * document-frequency side is vocabulary-sized and joins broadcast;
+    * at a 100 TB corpus vocabulary, drop the hint and AQE picks a
+    * shuffle-hash join on the same key without changing semantics.
+    * `nDocs` is the corpus size, an O(1) driver scalar like the
+    * bookmark max-key.
+    */
+  def tfIdfTopTerms(docs: DataFrame, nDocs: Long, k: Int,
+                    text: Column = col("text")): DataFrame = {
+    val tf = docs
+      .select(col("doc_id"), explode(tokens(lower(text))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val scored = tf.join(broadcast(dfreq), "term")
+      .withColumn("tfidf", round(col("tf") * log(lit(nDocs.toDouble) / col("df")), 4))
+    val w = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("term"))
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+      .select("doc_id", "rank", "term", "tf", "df", "tfidf")
+  }
 
   /** All text statistics in one fused map-only pass, tokenizing ONCE.
     *

@@ -61,4 +61,27 @@ class TextAnalysisSpec extends SparkSuite {
     assert(fused.columns.toSeq == composed.columns.toSeq)
     assert(fused.except(composed).isEmpty && composed.except(fused).isEmpty)
   }
+
+  test("tfidf top terms on a hand-computed corpus") {
+    val docs = Seq((1L, "a b b"), (2L, "a c")).toDF("doc_id", "text")
+    val got = TextAnalysis.tfIdfTopTerms(docs, 2L, 2)
+      .select("doc_id", "rank", "term", "tf", "df", "tfidf")
+      .as[(Long, Int, String, Long, Long, Double)].collect().toSet
+    // ln 2 = 0.6931471...: round(2 * ln 2, 4) = 1.3863, round(ln 2, 4) = 0.6931
+    assert(got == Set(
+      (1L, 1, "b", 2L, 1L, 1.3863),
+      (1L, 2, "a", 1L, 2L, 0.0),
+      (2L, 1, "c", 1L, 1L, 0.6931),
+      (2L, 2, "a", 1L, 2L, 0.0)))
+  }
+
+  test("tfidf plan: map-side combine on (doc, term); vocabulary join broadcasts") {
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    val plan = TextAnalysis.tfIdfTopTerms(docs, 100L, 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_count") || plan.contains("partial_"),
+      s"token occurrences must combine before the shuffle:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"df join must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"unexpected shuffle join:\n$plan")
+  }
 }
