@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.OutputMode
 import graft.functions.GraftFunctions
-import graft.operators.{AsOfJoin, Cdc, Dedup, Multimodal, ParallelReports, RangeJoin, Resample, Sampling, Sessionize, Similarity, StarPipeline, TextAnalysis}
+import graft.operators.{AsOfJoin, Cdc, Dedup, IncrementalAgg, KMeans, Multimodal, ParallelReports, RangeJoin, Resample, Sampling, Sessionize, Similarity, SkewAgg, StarPipeline, TextAnalysis}
 import graft.sources.{BookmarkStore, IncrementalReader}
 import graft.streaming.Streaming
 
@@ -151,6 +151,13 @@ object SparkEntry {
     "dedup_embedding" -> ((s, dir) =>
       Dedup.embeddingPairs(Tables.embeddings(s, dir), 0.3, bucketed = true)
         .orderBy(col("id_a"), col("id_b"))),
+
+    // Deterministic Lloyd k-means (2 rounds, 8 seed centroids): map-only
+    // argmax assignment against driver-literal centroids; the mean update
+    // shuffles k×d partial sums per partition, never vectors.
+    "kmeans_assign" -> ((s, dir) =>
+      KMeans.assign(Tables.embeddings(s, dir), 8, 2)
+        .orderBy(col("vec_id"))),
 
     // Exact cosine top-5 for 8 query vectors: broadcast queries, one corpus
     // scan, window top-k.
@@ -430,6 +437,29 @@ object SparkEntry {
           count(lit(1)).as("n_events"),
           round(sum(col("value")), 2).as("total_value"))
         .orderBy(col("event_type"))),
+
+    // Skew-safe exact distinct count: the distinct set sharded 16 ways by
+    // a hash of the distinct column, so a hot key's per-task state is
+    // 1/16th — phase 2 plain-sums the disjoint shard counts.
+    "skew_distinct" -> ((s, dir) =>
+      SkewAgg.distinctCountSalted(Tables.events(s, dir), Seq("event_type"),
+          "user_id", 16)
+        .orderBy(col("event_type"))),
+
+    // Incremental aggregate maintenance: aggregate only the delta, fold
+    // it into the prior state, derive read-time values from the merged
+    // state. Equal to a full recompute (oracle) at O(delta) cost per run.
+    "incr_agg_merge" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("event_type"), col("value"))
+      val history = ev.where(pmod(col("event_id"), lit(2)) === 0)
+      val delta = ev.where(pmod(col("event_id"), lit(2)) === 1)
+      val state = IncrementalAgg.merge(
+        IncrementalAgg.aggregate(history, Seq("event_type"), "value"),
+        IncrementalAgg.aggregate(delta, Seq("event_type"), "value"),
+        Seq("event_type"))
+      IncrementalAgg.finish(state).orderBy(col("event_type"))
+    }),
 
     // JSON extraction over the props column, aggregated by extracted key.
     // from_json with a declared schema parses each props value ONCE into a
@@ -716,6 +746,36 @@ object SparkEntry {
          |  FROM keyed x JOIN keyed y
          |    ON x.chunk = y.chunk AND x.chunk_key = y.chunk_key AND x.doc_id < y.doc_id)
          |WHERE hamming <= 3 ORDER BY id_a, id_b""".stripMargin,
+
+    "kmeans_assign" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |seeds AS (
+         |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, v
+         |  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 8)),
+         |s1 AS (
+         |  SELECT e.vec_id, e.v, s.c, ${Oracles.cosine("e.v", "s.v", 64)} AS cs
+         |  FROM e CROSS JOIN seeds s),
+         |a1 AS (
+         |  SELECT vec_id, v, c FROM (
+         |    SELECT vec_id, v, c,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, c) AS rn
+         |    FROM s1) WHERE rn = 1),
+         |x1 AS (
+         |  SELECT c, unnest(v) AS val, generate_subscripts(v, 1) AS idx FROM a1),
+         |m1 AS (
+         |  SELECT c, idx, CAST(CAST(round(avg(val), 6) AS REAL) AS DOUBLE) AS m
+         |  FROM x1 GROUP BY c, idx),
+         |c1 AS (SELECT c, list(m ORDER BY idx) AS v FROM m1 GROUP BY c),
+         |cf AS (
+         |  SELECT s.c, coalesce(c1.v, s.v) AS v
+         |  FROM seeds s LEFT JOIN c1 ON s.c = c1.c),
+         |s2 AS (
+         |  SELECT e.vec_id, s.c, ${Oracles.cosine("e.v", "s.v", 64)} AS cs
+         |  FROM e CROSS JOIN cf s)
+         |SELECT vec_id, c AS cluster, round(cs, 6) AS cosine FROM (
+         |  SELECT vec_id, c, cs,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, c) AS rn
+         |  FROM s2) WHERE rn = 1 ORDER BY vec_id""".stripMargin,
 
     "dedup_embedding" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -1090,6 +1150,17 @@ object SparkEntry {
     "distinct_agg" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users,
         |  count(*) AS n_events, round(sum(value), 2) AS total_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "skew_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_distinct
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "incr_agg_merge" ->
+      """SELECT event_type, count(*) AS n,
+        |  round(sum(value), 2) AS total,
+        |  min(value) AS lo, max(value) AS hi,
+        |  round(round(sum(value), 2) / count(*), 4) AS mean
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "json_extract" ->
