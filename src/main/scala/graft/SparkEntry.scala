@@ -191,6 +191,34 @@ object SparkEntry {
         .drop("text")
         .orderBy(col("doc_id"))),
 
+    // End-to-end corpus cleaning — the composition a training-data
+    // pipeline actually runs: one map-only stats pass -> quality/lang/
+    // length gate -> exact dedup (keep lowest doc_id per fingerprint,
+    // partial-aggregating struct-min) -> near-dup removal (stop-shingle-
+    // pruned Jaccard >= 0.8, drop the higher id of each pair) -> per
+    // (lang, source) report.
+    "corpus_clean" -> ((s, dir) => {
+      val stats = TextAnalysis.stats(Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"), col("source")))
+      val kept = stats.where(col("quality_score") >= 0.55 &&
+        col("lang_pred") =!= "und" && col("n_tokens").between(5, 5000))
+      val sole = kept.groupBy(col("fingerprint"))
+        .agg(min(struct(col("doc_id"), col("text"), col("source"),
+          col("n_tokens"), col("quality_score"), col("lang_pred"))).as("_r"))
+        .select(col("_r.doc_id").as("doc_id"), col("_r.text").as("text"),
+          col("_r.source").as("source"), col("_r.n_tokens").as("n_tokens"),
+          col("_r.quality_score").as("quality_score"),
+          col("_r.lang_pred").as("lang_pred"))
+      val dupIds = Dedup.ngramJaccardPairsPruned(
+          sole.select(col("doc_id"), col("text")), 3, 0.8, maxDf = 40)
+        .select(col("id_b").as("doc_id")).distinct()
+      sole.join(dupIds, Seq("doc_id"), "left_anti")
+        .groupBy(col("lang_pred"), col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("tok_total"),
+          round(avg(col("quality_score")), 4).as("avg_quality"))
+        .orderBy(col("lang_pred"), col("source"))
+    }),
+
     // Top TF-IDF terms per document: map-side-combined (doc, term)
     // counts, broadcast vocabulary join, per-doc top-k window.
     "tfidf_terms" -> ((s, dir) => {
@@ -882,6 +910,61 @@ object SparkEntry {
          |  CASE WHEN $best <= 0 THEN 'und' $langCase ELSE 'und' END AS lang_pred,
          |  bpe_tokens, fingerprint
          |FROM f ORDER BY doc_id""".stripMargin
+    },
+
+    "corpus_clean" -> {
+      val markers = graft.operators.TextAnalysis.langMarkers
+      def inList(words: Seq[String]) = words.map(w => s"'$w'").mkString("[", ", ", "]")
+      val counts = markers.map { case (lang, ms) =>
+        s"len(list_filter(ltoks, x -> list_contains(${inList(ms)}, x))) AS c_$lang"
+      }.mkString(",\n    ")
+      val best = s"greatest(${markers.map("c_" + _._1).mkString(", ")})"
+      val langCase = markers.map { case (lang, _) =>
+        s"WHEN c_$lang = $best THEN '$lang'"
+      }.mkString(" ")
+      s"""WITH t AS (
+         |  SELECT doc_id, text, source,
+         |    ${Oracles.tokens("text")} AS toks,
+         |    ${Oracles.tokens("lower(text)")} AS ltoks,
+         |    length(text) AS nc
+         |  FROM documents),
+         |f AS (
+         |  SELECT doc_id, text, source, nc,
+         |    len(toks) AS n_tokens,
+         |    nc - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS punct,
+         |    len(list_filter(ltoks, x -> list_contains(${inList(markers.flatMap(_._2))}, x))) AS stop,
+         |    $counts,
+         |    ${Oracles.polyHash("text")} AS fingerprint
+         |  FROM t),
+         |g AS (
+         |  SELECT doc_id, text, source, n_tokens, fingerprint,
+         |    round(least(1.0, CASE WHEN n_tokens > 0 THEN 0.5 + CAST(stop AS DOUBLE) / n_tokens - CAST(punct AS DOUBLE) / greatest(nc, 1) ELSE 0.0 END), 4) AS quality_score,
+         |    CASE WHEN $best <= 0 THEN 'und' $langCase ELSE 'und' END AS lang_pred
+         |  FROM f),
+         |kept AS (
+         |  SELECT * FROM g WHERE quality_score >= 0.55 AND lang_pred <> 'und'
+         |    AND n_tokens BETWEEN 5 AND 5000),
+         |sole AS (
+         |  SELECT * FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) AS rn
+         |    FROM kept) WHERE rn = 1),
+         |sh AS (SELECT doc_id, ${Oracles.shingleHashes("text", 3)} AS gs FROM sole),
+         |gr AS (SELECT doc_id, unnest(gs) AS g FROM sh),
+         |stop_g AS (SELECT g FROM gr GROUP BY g HAVING count(*) > 40),
+         |rg AS (SELECT doc_id, g FROM gr WHERE g NOT IN (SELECT g FROM stop_g)),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM rg a JOIN rg b ON a.g = b.g AND a.doc_id < b.doc_id),
+         |pairs AS (
+         |  SELECT id_a, id_b FROM (
+         |    SELECT c.id_a, c.id_b,
+         |      len(list_intersect(x.gs, y.gs)) AS inter, len(x.gs) AS la, len(y.gs) AS lb
+         |    FROM cand c JOIN sh x ON c.id_a = x.doc_id JOIN sh y ON c.id_b = y.doc_id)
+         |  WHERE round(CAST(inter AS DOUBLE) / (la + lb - inter), 6) >= 0.8),
+         |final AS (SELECT * FROM sole WHERE doc_id NOT IN (SELECT id_b FROM pairs))
+         |SELECT lang_pred, source, count(*) AS n_docs, sum(n_tokens) AS tok_total,
+         |  round(avg(quality_score), 4) AS avg_quality
+         |FROM final GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
     },
 
     "tfidf_terms" ->

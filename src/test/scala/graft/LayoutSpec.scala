@@ -36,6 +36,52 @@ class LayoutSpec extends SparkSuite {
     }
   }
 
+  test("zorder interleaves bits: bit b of cell i lands at b*n + i") {
+    val got = Seq(1).toDF("x")
+      .select(Layout.zorder(2, lit(3L), lit(2L)).as("z"))
+      .as[Long].head()
+    // cells (0b11, 0b10): pos0 = a.b0 = 1, pos1 = b.b0 = 0,
+    //                     pos2 = a.b1 = 1, pos3 = b.b1 = 1 -> 0b1101
+    assert(got == 13L)
+  }
+
+  test("zorder layout prunes on EVERY z dimension; range layout only on its key") {
+    val base = Files.createTempDirectory("graft-zorder").toString
+    val ev = Tables.events(spark, sf)
+    Layout.zorderWrite(ev, s"$base/z", numFiles = 8,
+      maxRecordsPerFile = 100000, bitsPerCol = 8,
+      col("user_id"), col("event_id"))
+    Layout.clusteredWrite(ev, s"$base/r", numFiles = 8,
+      maxRecordsPerFile = 100000, col("user_id"))
+
+    def overlapping(dir: String, key: String, lo: Long, hi: Long): (Int, Int) = {
+      val files = new java.io.File(dir).listFiles()
+        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        .map(_.getAbsolutePath)
+      val n = files.count { p =>
+        val (mn, mx) = spark.read.parquet(p)
+          .agg(min(col(key)), max(col(key))).as[(Long, Long)].head()
+        mx >= lo && mn <= hi
+      }
+      (n, files.length)
+    }
+
+    // a narrow range on each dimension (~1/8 of each domain)
+    val (uLo, uHi) = ev.agg(min("user_id"), max("user_id")).as[(Long, Long)].head()
+    val (eLo, eHi) = ev.agg(min("event_id"), max("event_id")).as[(Long, Long)].head()
+    def narrow(lo: Long, hi: Long): (Long, Long) = (lo, lo + (hi - lo) / 8)
+    val (nu, tu) = { val (a, b) = narrow(uLo, uHi); overlapping(s"$base/z", "user_id", a, b) }
+    val (ne, te) = { val (a, b) = narrow(eLo, eHi); overlapping(s"$base/z", "event_id", a, b) }
+    assert(nu < tu, s"z layout must prune user_id ranges ($nu of $tu files overlap)")
+    assert(ne < te, s"z layout must prune event_id ranges ($ne of $te files overlap)")
+
+    // the single-key range layout cannot prune the non-key dimension
+    val (nr, tr) = { val (a, b) = narrow(eLo, eHi); overlapping(s"$base/r", "event_id", a, b) }
+    assert(nr == tr, "single-key layout was expected to interleave event_id across all files")
+    // and the z layout must round-trip losslessly
+    assert(spark.read.parquet(s"$base/z").count() == ev.count())
+  }
+
   test("rows are sorted within each file (tight row-group statistics)") {
     val dir = Files.createTempDirectory("graft-layout2").toString + "/events"
     Layout.clusteredWrite(Tables.events(spark, sf), dir, numFiles = 2,
