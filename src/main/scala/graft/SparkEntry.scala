@@ -202,6 +202,10 @@ object SparkEntry {
         .select(col("doc_id"), col("text"), col("source")))
       val kept = stats.where(col("quality_score") >= 0.55 &&
         col("lang_pred") =!= "und" && col("n_tokens").between(5, 5000))
+      // the near-dup stage consumes its input several times (grams, stop
+      // set, both verify sides) and the anti-join reads it again — a lazy
+      // localCheckpoint materializes the expensive stats+dedup pipeline
+      // ONCE instead of re-deriving it per consumer (5 scans otherwise)
       val sole = kept.groupBy(col("fingerprint"))
         .agg(min(struct(col("doc_id"), col("text"), col("source"),
           col("n_tokens"), col("quality_score"), col("lang_pred"))).as("_r"))
@@ -209,6 +213,7 @@ object SparkEntry {
           col("_r.source").as("source"), col("_r.n_tokens").as("n_tokens"),
           col("_r.quality_score").as("quality_score"),
           col("_r.lang_pred").as("lang_pred"))
+        .localCheckpoint(false)
       val dupIds = Dedup.ngramJaccardPairsPruned(
           sole.select(col("doc_id"), col("text")), 3, 0.8, maxDf = 40)
         .select(col("id_b").as("doc_id")).distinct()
