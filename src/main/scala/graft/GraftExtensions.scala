@@ -49,6 +49,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("hyperplane_buckets",
         "hyperplane_buckets(embedding, tables, bits) - LSH bucket key per hash table"),
       (args: Seq[Expression]) => HyperplaneBuckets(args(0), foldInt(args(1)), foldInt(args(2)))))
+
+    ext.injectFunction((FunctionIdentifier("top_k"),
+      info("top_k", "top_k(id, value, k) - exact mergeable top-k (value desc, id asc)"),
+      (args: Seq[Expression]) => TopKImperative(args(0), args(1), foldInt(args(2)))))
+
+    ext.injectFunction((FunctionIdentifier("heavy_hitters"),
+      info("heavy_hitters",
+        "heavy_hitters(item, k) - Misra-Gries frequent items, <= k bounded counters"),
+      (args: Seq[Expression]) => HeavyHittersAgg(args(0), foldInt(args(1)))))
   }
 
   /** Static-int arguments (k, bits, n) must be literals at parse time. */

@@ -471,6 +471,17 @@ object SparkEntry {
           round(sum(col("value")), 2).as("total_value"))
         .orderBy(col("event_type"))),
 
+    // Misra-Gries heavy hitters: bounded sketch state (<= 8 counters per
+    // partial) instead of an unbounded per-group frequency map. Exact
+    // here because the item cardinality fits the sketch; the eviction /
+    // error-bound regime is spec-pinned on skewed synthetic data.
+    "heavy_hitters" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .agg(GraftFunctions.heavy_hitters(col("event_type"), 8).as("hh"))
+        .select(explode(col("hh")).as("e"))
+        .select(col("e.item").as("event_type"), col("e.est_count").as("n"))
+        .orderBy(col("n").desc, col("event_type"))),
+
     // Skew-safe exact distinct count: the distinct set sharded 16 ways by
     // a hash of the distinct column, so a hot key's per-task state is
     // 1/16th — phase 2 plain-sums the disjoint shard counts.
@@ -1239,6 +1250,10 @@ object SparkEntry {
       """SELECT event_type, count(DISTINCT user_id) AS n_users,
         |  count(*) AS n_events, round(sum(value), 2) AS total_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "heavy_hitters" ->
+      """SELECT event_type, count(*) AS n FROM events
+        |GROUP BY event_type ORDER BY n DESC, event_type""".stripMargin,
 
     "skew_distinct" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_distinct

@@ -62,6 +62,15 @@ object GraftFunctions {
       Bridge.expression(id.cast(LongType)),
       Bridge.expression(value.cast(DoubleType)), k).toAggregateExpression())
 
+  /** Misra-Gries heavy hitters: <= k counters of bounded-state partial
+    * aggregation; exact when the item cardinality is <= k, otherwise
+    * every item with frequency > n/(k+1) survives with its count
+    * underestimated by at most n/(k+1) (see [[HeavyHittersAgg]]).
+    */
+  def heavy_hitters(item: Column, k: Int): Column =
+    Bridge.column(HeavyHittersAgg(
+      Bridge.expression(item.cast(StringType)), k).toAggregateExpression())
+
   /** Whitespace tokens, empties dropped (mirrors DuckDB
     * `list_filter(string_split_regex(s, '\s+'), t -> t != '')`).
     */

@@ -37,6 +37,16 @@ class ExtensionsSpec extends AnyFunSuite {
       assert(row.getInt(4) == 8)
       assert(row.getLong(5) >= 0)
       assert(row.getInt(6) == 4)
+
+      // the imperative aggregates resolve from SQL too
+      val agg = s.sql(
+        """SELECT top_k(id, v, 2) AS tk, heavy_hitters(w, 2) AS hh
+          |FROM VALUES (1L, 1.0D, 'a'), (2L, 2.0D, 'a'), (3L, 3.0D, 'b')
+          |  AS t(id, v, w)""".stripMargin).collect()(0)
+      val tk = agg.getSeq[org.apache.spark.sql.Row](0)
+      assert(tk.map(r => (r.getDouble(0), r.getLong(1))) == Seq((3.0, 3L), (2.0, 2L)))
+      val hh = agg.getSeq[org.apache.spark.sql.Row](1)
+      assert(hh.map(r => (r.getString(0), r.getLong(1))) == Seq(("a", 2L), ("b", 1L)))
     } finally {
       SparkSession.clearDefaultSession()
       SparkSession.clearActiveSession()
