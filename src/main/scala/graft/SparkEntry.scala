@@ -471,6 +471,49 @@ object SparkEntry {
           round(sum(col("value")), 2).as("total_value"))
         .orderBy(col("event_type"))),
 
+    // Ordered-firsts funnel (view -> click -> purchase): one conditional
+    // aggregation per user, then a global rollup — two shuffles total,
+    // the second over one row per user.
+    "funnel_steps" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"), expr("ts DIV 1000000000").as("tss"))
+      ev.groupBy(col("user_id"))
+        .agg(min(when(col("event_type") === "view", col("tss"))).as("t_view"),
+          min(when(col("event_type") === "click", col("tss"))).as("t_click"),
+          min(when(col("event_type") === "purchase", col("tss"))).as("t_buy"))
+        .agg(count(lit(1)).as("n_users"),
+          count(col("t_view")).as("n_view"),
+          sum(when(col("t_view") < col("t_click"), 1L).otherwise(0L)).as("n_view_click"),
+          sum(when(col("t_view") < col("t_click") && col("t_click") < col("t_buy"), 1L)
+            .otherwise(0L)).as("n_full"))
+    }),
+
+    // Fixed-bound histogram: width_bucket is map-only; one partial-
+    // aggregating shuffle on the 26-ary bucket key.
+    "value_histogram" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .select(width_bucket(col("value"), lit(0.0), lit(600.0), lit(24)).as("bucket"),
+          col("value"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+        .orderBy(col("bucket"))),
+
+    // Z-score anomaly counts: per-type moments, broadcast join-back,
+    // map-only scoring pass — the two-pass pattern that avoids a window
+    // over the full stream.
+    "anomaly_zscore" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(col("event_type"), col("value"))
+      val stats = ev.groupBy(col("event_type"))
+        .agg(avg(col("value")).as("mu"), stddev_samp(col("value")).as("sd"))
+      ev.join(broadcast(stats), "event_type")
+        .withColumn("z", round((col("value") - col("mu")) / col("sd"), 6))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(abs(col("z")) >= 3.0, 1L).otherwise(0L)).as("n_anomalies"),
+          round(max(abs(col("z"))), 4).as("max_z"))
+        .orderBy(col("event_type"))
+    }),
+
     // Misra-Gries heavy hitters: bounded sketch state (<= 8 counters per
     // partial) instead of an unbounded per-group frequency map. Exact
     // here because the item cardinality fits the sketch; the eviction /
@@ -1254,6 +1297,40 @@ object SparkEntry {
     "heavy_hitters" ->
       """SELECT event_type, count(*) AS n FROM events
         |GROUP BY event_type ORDER BY n DESC, event_type""".stripMargin,
+
+    "funnel_steps" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS tss
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id,
+        |    min(CASE WHEN event_type = 'view' THEN tss END) AS t_view,
+        |    min(CASE WHEN event_type = 'click' THEN tss END) AS t_click,
+        |    min(CASE WHEN event_type = 'purchase' THEN tss END) AS t_buy
+        |  FROM e GROUP BY user_id)
+        |SELECT count(*) AS n_users, count(t_view) AS n_view,
+        |  CAST(coalesce(sum(CASE WHEN t_view < t_click THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_view_click,
+        |  CAST(coalesce(sum(CASE WHEN t_view < t_click AND t_click < t_buy THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_full
+        |FROM s""".stripMargin,
+
+    "value_histogram" ->
+      """SELECT
+        |  CASE WHEN value < 0.0 THEN 0 WHEN value >= 600.0 THEN 25
+        |    ELSE CAST(floor(value / 25.0) AS BIGINT) + 1 END AS bucket,
+        |  count(*) AS n, round(sum(value), 2) AS total
+        |FROM events GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    "anomaly_zscore" ->
+      """WITH s AS (
+        |  SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sd
+        |  FROM events GROUP BY 1),
+        |z AS (
+        |  SELECT e.event_type, round((e.value - s.mu) / s.sd, 6) AS z
+        |  FROM events e JOIN s USING (event_type))
+        |SELECT event_type, count(*) AS n,
+        |  CAST(sum(CASE WHEN abs(z) >= 3.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies,
+        |  round(max(abs(z)), 4) AS max_z
+        |FROM z GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "skew_distinct" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_distinct
