@@ -2,7 +2,8 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
+import org.apache.spark.sql.types.{DoubleType, LongType, StringType}
 import graft.functions._
 
 /** SparkSessionExtensions entry point: registers the engine's native
@@ -50,14 +51,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "hyperplane_buckets(embedding, tables, bits) - LSH bucket key per hash table"),
       (args: Seq[Expression]) => HyperplaneBuckets(args(0), foldInt(args(1)), foldInt(args(2)))))
 
+    // the aggregates read their children as long/double/UTF8String, so
+    // SQL arguments get the same canonicalizing casts as the Scala
+    // wrappers in GraftFunctions — an INT id would otherwise CCE mid-job
     ext.injectFunction((FunctionIdentifier("top_k"),
       info("top_k", "top_k(id, value, k) - exact mergeable top-k (value desc, id asc)"),
-      (args: Seq[Expression]) => TopKImperative(args(0), args(1), foldInt(args(2)))))
+      (args: Seq[Expression]) => TopKImperative(
+        Cast(args(0), LongType), Cast(args(1), DoubleType), foldInt(args(2)))))
 
     ext.injectFunction((FunctionIdentifier("heavy_hitters"),
       info("heavy_hitters",
         "heavy_hitters(item, k) - Misra-Gries frequent items, <= k bounded counters"),
-      (args: Seq[Expression]) => HeavyHittersAgg(args(0), foldInt(args(1)))))
+      (args: Seq[Expression]) => HeavyHittersAgg(
+        Cast(args(0), StringType), foldInt(args(1)))))
   }
 
   /** Static-int arguments (k, bits, n) must be literals at parse time. */

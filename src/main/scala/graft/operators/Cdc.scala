@@ -40,7 +40,9 @@ object Cdc {
       .groupBy(keyCols.map(col): _*)
       .agg(max(packed).as("_m"))
       .select(keyCols.map(col) ++ payload.map(c => col(s"_m.$c").as(c)): _*)
-    isDelete.fold(compacted)(d => compacted.where(!d))
+    // NULL marker = not a delete: a bare `!d` would evaluate to NULL and
+    // silently drop live keys under three-valued logic
+    isDelete.fold(compacted)(d => compacted.where(!coalesce(d, lit(false))))
   }
 
   /** Type-2 slowly-changing dimension from a changelog: one row per

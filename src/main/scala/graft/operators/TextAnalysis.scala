@@ -92,9 +92,12 @@ object TextAnalysis {
     */
   def tfIdfTopTerms(docs: DataFrame, nDocs: Long, k: Int,
                     text: Column = col("text")): DataFrame = {
+    // tf feeds both the scored main side and dfreq — the lazy checkpoint
+    // tokenizes the corpus once instead of once per consumer
     val tf = docs
       .select(col("doc_id"), explode(tokens(lower(text))).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .localCheckpoint(false)
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val scored = tf.join(broadcast(dfreq), "term")
       .withColumn("tfidf", round(col("tf") * log(lit(nDocs.toDouble) / col("df")), 4))

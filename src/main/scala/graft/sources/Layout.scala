@@ -66,6 +66,10 @@ object Layout {
     }: _*).head()
     val buckets = 1L << bitsPerCol
     val cells = zCols.zipWithIndex.map { case (c, i) =>
+      // empty input / all-NULL column: no bounds, so the whole column is
+      // one cell (and an empty dataset still writes, like clusteredWrite)
+      if (stats.isNullAt(2 * i)) lit(0L)
+      else {
       val lo = stats.getDouble(2 * i)
       val hi = stats.getDouble(2 * i + 1)
       if (hi == lo) lit(0L)
@@ -74,6 +78,7 @@ object Layout {
           width_bucket(c.cast("double"), lit(lo), lit(hi), lit(buckets)) - 1,
           lit(0L)), lit(buckets - 1)),
         lit(0L))
+      }
     }
     df.withColumn("_z", zorder(bitsPerCol, cells: _*))
       .repartitionByRange(numFiles, col("_z"))

@@ -60,6 +60,16 @@ final class MaterializedAgg(stateDir: String, keyCols: Seq[String], valueCol: St
       Files.write(tmp, s"$nextV $batchId\n".getBytes(StandardCharsets.UTF_8))
       Files.move(tmp, pointer, StandardCopyOption.ATOMIC_MOVE,
         StandardCopyOption.REPLACE_EXISTING)
+      // prune superseded versions so a long-running stream doesn't leak
+      // one full state copy per batch; the immediately-previous version
+      // is retained for readers that resolved the pointer mid-swap
+      (0L until nextV - 1).foreach { v =>
+        val d = Paths.get(stateDir, s"v$v")
+        if (Files.exists(d)) {
+          Files.walk(d).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+            .forEach(p => Files.deleteIfExists(p))
+        }
+      }
     }
   }
 }

@@ -42,8 +42,6 @@ object StreamSink {
                       queryId: String, props: Properties = new Properties())
                      (bind: (java.sql.PreparedStatement, org.apache.spark.sql.Row) => Unit)
   : (DataFrame, Long) => Unit = { (batch: DataFrame, batchId: Long) =>
-    // bounded: aggregate output rows only (see scaladoc)
-    val rows = batch.collect()
     val conn = DriverManager.getConnection(url, props)
     try {
       conn.setAutoCommit(false)
@@ -55,6 +53,13 @@ object StreamSink {
         try rs.next() finally rs.close()
       } finally check.close()
       if (!delivered) {
+        // collect only AFTER the ledger check: crash-redelivery (the case
+        // this sink exists for) must be a metadata no-op, not a full
+        // recompute of the batch. Bounded: aggregate output rows only
+        // (see scaladoc). A racing duplicate delivery is backstopped by
+        // the ledger's primary key — the second commit fails and rolls
+        // back.
+        val rows = batch.collect()
         val ins = conn.prepareStatement(insertSql)
         try {
           rows.foreach { r => bind(ins, r); ins.addBatch() }

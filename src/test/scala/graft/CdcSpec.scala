@@ -32,6 +32,17 @@ class CdcSpec extends SparkSuite {
     assert(got == Set((2L, 103L), (3L, 104L)))
   }
 
+  test("a NULL delete marker means not-deleted, never a silent drop") {
+    val ch = Seq(
+      (1L, 10L, 100L, Option("U")), (1L, 20L, 101L, Option.empty[String]),
+      (2L, 10L, 102L, Option("D"))
+    ).toDF("k", "tss", "id", "op")
+    val got = Cdc.latest(ch, Seq("k"), Seq("tss", "id"),
+        isDelete = Some(col("op") === "D"))
+      .select("k", "id").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 101L)), "the NULL-marker winner must survive")
+  }
+
   test("latest partial-aggregates before its single exchange, with no window") {
     val plan = Cdc.latest(changelog, Seq("user_id"), Seq("tss", "event_id"))
       .queryExecution.executedPlan.toString

@@ -47,6 +47,16 @@ class ExtensionsSpec extends AnyFunSuite {
       assert(tk.map(r => (r.getDouble(0), r.getLong(1))) == Seq((3.0, 3L), (2.0, 2L)))
       val hh = agg.getSeq[org.apache.spark.sql.Row](1)
       assert(hh.map(r => (r.getString(0), r.getLong(1))) == Seq(("a", 2L), ("b", 1L)))
+
+      // non-canonical argument types (INT id, BIGINT item) must cast, not CCE
+      val cast = s.sql(
+        """SELECT top_k(i, v, 1) AS tk, heavy_hitters(n, 4) AS hh
+          |FROM VALUES (1, CAST(1.5 AS FLOAT), 7L), (2, CAST(0.5 AS FLOAT), 7L)
+          |  AS t(i, v, n)""".stripMargin).collect()(0)
+      assert(cast.getSeq[org.apache.spark.sql.Row](0)
+        .map(r => (r.getDouble(0), r.getLong(1))) == Seq((1.5, 1L)))
+      assert(cast.getSeq[org.apache.spark.sql.Row](1)
+        .map(r => (r.getString(0), r.getLong(1))) == Seq(("7", 2L)))
     } finally {
       SparkSession.clearDefaultSession()
       SparkSession.clearActiveSession()

@@ -82,6 +82,19 @@ class LayoutSpec extends SparkSuite {
     assert(spark.read.parquet(s"$base/z").count() == ev.count())
   }
 
+  test("zorder write degrades gracefully on empty input and all-NULL columns") {
+    val base = Files.createTempDirectory("graft-zorder-e").toString
+    val empty = Tables.events(spark, sf).where(lit(false))
+    Layout.zorderWrite(empty, s"$base/empty", 2, 1000, 4,
+      col("user_id"), col("event_id"))
+    assert(spark.read.parquet(s"$base/empty").count() == 0)
+    val withNull = Tables.events(spark, sf)
+      .withColumn("nullcol", lit(null).cast("long")).limit(100)
+    Layout.zorderWrite(withNull, s"$base/nulls", 2, 1000, 4,
+      col("user_id"), col("nullcol"))
+    assert(spark.read.parquet(s"$base/nulls").count() == 100)
+  }
+
   test("rows are sorted within each file (tight row-group statistics)") {
     val dir = Files.createTempDirectory("graft-layout2").toString + "/events"
     Layout.clusteredWrite(Tables.events(spark, sf), dir, numFiles = 2,

@@ -29,6 +29,13 @@ class MaterializedAggSpec extends SparkSuite {
     assert(m.currentPointer().get == (1L, 1L))
     val after = m.view(spark).get.agg(sum("n")).as[Long].head()
     assert(after == 5L, "redelivered batch must be a no-op")
+
+    // superseded versions are pruned: after batch 2 only v1 and v2 remain
+    m.sink(Seq(("d", 9.0)).toDF("k", "v"), 2L)
+    val versions = new java.io.File(dir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("v")).map(_.getName).sorted
+    assert(versions.toSeq == Seq("v1", "v2"), s"expected pruning, got ${versions.toSeq}")
+    assert(m.view(spark).get.count() == 4)
   }
 
   test("a reader on another instance resolves the committed pointer") {
