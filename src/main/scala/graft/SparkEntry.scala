@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.OutputMode
 import graft.functions.GraftFunctions
-import graft.operators.{AsOfJoin, Cdc, Dedup, IncrementalAgg, KMeans, Multimodal, ParallelReports, RangeJoin, Resample, Sampling, Sessionize, Similarity, SkewAgg, StarPipeline, TextAnalysis}
+import graft.operators.{AsOfJoin, Cdc, Dedup, IncrementalAgg, KMeans, Multimodal, Packing, ParallelReports, RangeJoin, Resample, Sampling, Sessionize, Similarity, SkewAgg, StarPipeline, TextAnalysis}
 import graft.sources.{BookmarkStore, IncrementalReader}
 import graft.streaming.Streaming
 
@@ -222,6 +222,21 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("tok_total"),
           round(avg(col("quality_score")), 4).as("avg_quality"))
         .orderBy(col("lang_pred"), col("source"))
+    }),
+
+    // Token-budgeted training shards via the two-level prefix sum —
+    // per-range offsets are O(ranges) driver metadata and each range
+    // runs its local window in parallel; never a single-partition
+    // global window (plan-asserted in PackingSpec).
+    "token_shards" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          size(GraftFunctions.tokens(lower(col("text")))).cast("long").as("n_tok"))
+      Packing.tokenShards(docs, "doc_id", "n_tok", 4096L)
+        .groupBy(col("shard_id"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
+          min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+        .orderBy(col("shard_id"))
     }),
 
     // Top TF-IDF terms per document: map-side-combined (doc, term)
@@ -1025,6 +1040,19 @@ object SparkEntry {
          |  round(avg(quality_score), 4) AS avg_quality
          |FROM final GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
     },
+
+    "token_shards" ->
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |    CAST(len(${Oracles.tokens("lower(text)")}) AS BIGINT) AS n_tok
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, n_tok, coalesce(sum(n_tok) OVER (
+         |    ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre
+         |  FROM d)
+         |SELECT pre // 4096 AS shard_id, count(*) AS n_docs,
+         |  sum(n_tok) AS n_tokens, min(doc_id) AS first_doc, max(doc_id) AS last_doc
+         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "tfidf_terms" ->
       s"""WITH toks AS (

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions
+import graft.operators.Packing
+
+class PackingSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("shards fill by exclusive prefix: a doc starting inside shard N stays in N") {
+    val docs = Seq((1L, 6L), (2L, 3L), (3L, 3L), (4L, 10L), (5L, 1L))
+      .toDF("doc_id", "n_tok")
+    // budget 8: prefixes 0,6,9,12,22 -> shards 0,0,1,1,2
+    val got = Packing.tokenShards(docs, "doc_id", "n_tok", 8L, ranges = 2)
+      .select("doc_id", "shard_id").as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 1L, 5L -> 2L))
+  }
+
+  test("two-level prefix equals the single-window formulation exactly") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        size(GraftFunctions.tokens(lower(col("text")))).cast("long").as("n_tok"))
+    val got = Packing.tokenShards(docs, "doc_id", "n_tok", 4096L)
+      .select("doc_id", "shard_id")
+    val w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    val want = docs
+      .withColumn("_pre", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+      .withColumn("shard_id", expr("_pre DIV 4096"))
+      .select("doc_id", "shard_id")
+    assert(got.count() > 0)
+    assert(got.except(want).isEmpty && want.except(got).isEmpty)
+  }
+
+  test("no shard overfills by more than one document") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        size(GraftFunctions.tokens(lower(col("text")))).cast("long").as("n_tok"))
+    val budget = 2048L
+    val maxDoc = docs.agg(max("n_tok")).as[Long].head()
+    val shards = Packing.tokenShards(docs, "doc_id", "n_tok", budget)
+      .groupBy("shard_id").agg(sum("n_tok").as("toks"))
+    val over = shards.where(col("toks") > budget + maxDoc).count()
+    assert(over == 0, s"a shard exceeded budget + one document")
+    // all but the last shard reach the budget
+    val lastShard = shards.agg(max("shard_id")).as[Long].head()
+    val under = shards.where(col("shard_id") =!= lastShard && col("toks") < budget - maxDoc)
+      .count()
+    assert(under == 0, "a non-final shard fell more than one document short")
+  }
+
+  test("the plan never funnels the corpus through a single partition") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        size(GraftFunctions.tokens(lower(col("text")))).cast("long").as("n_tok"))
+    val plan = Packing.tokenShards(docs, "doc_id", "n_tok", 4096L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange SinglePartition") || !plan.contains("Window"),
+      s"global-window funnel in plan:\n$plan")
+    assert("Exchange hashpartitioning\\(_rid".r.findFirstIn(plan).isDefined,
+      s"expected the per-range window exchange:\n$plan")
+  }
+}
