@@ -529,6 +529,23 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    // Retention cohorts: users grouped by first-signup week, counted as
+    // active in each later week. Cohort table is user-keyed (one row per
+    // user) and joins the distinct (user, week) activity on the user key.
+    "retention_cohorts" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"),
+          expr("(ts DIV 1000000000) DIV 604800").as("week"))
+      val cohort = ev.where(col("event_type") === "signup")
+        .groupBy(col("user_id")).agg(min(col("week")).as("cohort_week"))
+      val active = ev.select(col("user_id"), col("week")).distinct()
+      cohort.join(active, "user_id")
+        .where(col("week") >= col("cohort_week"))
+        .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("week_offset"))
+        .agg(countDistinct(col("user_id")).as("n_active"))
+        .orderBy(col("cohort_week"), col("week_offset"))
+    }),
+
     // Misra-Gries heavy hitters: bounded sketch state (<= 8 counters per
     // partial) instead of an unbounded per-group frequency map. Exact
     // here because the item cardinality fits the sketch; the eviction /
@@ -1325,6 +1342,21 @@ object SparkEntry {
     "heavy_hitters" ->
       """SELECT event_type, count(*) AS n FROM events
         |GROUP BY event_type ORDER BY n DESC, event_type""".stripMargin,
+
+    "retention_cohorts" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type,
+        |    CAST(floor(epoch(ts)) AS BIGINT) // 604800 AS week
+        |  FROM events),
+        |cohort AS (
+        |  SELECT user_id, min(week) AS cohort_week FROM e
+        |  WHERE event_type = 'signup' GROUP BY user_id),
+        |active AS (SELECT DISTINCT user_id, week FROM e)
+        |SELECT c.cohort_week, a.week - c.cohort_week AS week_offset,
+        |  count(DISTINCT c.user_id) AS n_active
+        |FROM cohort c JOIN active a ON c.user_id = a.user_id
+        |WHERE a.week >= c.cohort_week
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "funnel_steps" ->
       """WITH e AS (
