@@ -451,8 +451,12 @@ object SparkEntry {
           round(avg(col("l_quantity")), 4).as("avg_qty"),
           round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
           round(var_samp(col("l_quantity")), 4).as("var_qty"),
-          round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qty_price"),
-          round(covar_samp(col("l_discount"), col("l_tax")), 6).as("cov_disc_tax"))
+          // `+ 0.0` collapses IEEE -0.0 to +0.0: DuckDB's float round keeps
+          // the sign of a tiny negative (round(-2e-7, 6) = -0.0) while
+          // Spark's BigDecimal round yields +0.0 — same value, different
+          // bits, and the driver's hash compare is bit-exact.
+          (round(corr(col("l_quantity"), col("l_extendedprice")), 4) + lit(0.0)).as("corr_qty_price"),
+          (round(covar_samp(col("l_discount"), col("l_tax")), 6) + lit(0.0)).as("cov_disc_tax"))
         .orderBy(col("l_returnflag"))),
 
     // Set operations: customers ordering in both 1995 and 1996 but not 1997.
@@ -1053,7 +1057,7 @@ object SparkEntry {
          |    FROM cand c JOIN sh x ON c.id_a = x.doc_id JOIN sh y ON c.id_b = y.doc_id)
          |  WHERE round(CAST(inter AS DOUBLE) / (la + lb - inter), 6) >= 0.8),
          |final AS (SELECT * FROM sole WHERE doc_id NOT IN (SELECT id_b FROM pairs))
-         |SELECT lang_pred, source, count(*) AS n_docs, sum(n_tokens) AS tok_total,
+         |SELECT lang_pred, source, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS tok_total,
          |  round(avg(quality_score), 4) AS avg_quality
          |FROM final GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
     },
@@ -1064,11 +1068,11 @@ object SparkEntry {
          |    CAST(len(${Oracles.tokens("lower(text)")}) AS BIGINT) AS n_tok
          |  FROM documents),
          |c AS (
-         |  SELECT doc_id, n_tok, coalesce(sum(n_tok) OVER (
-         |    ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre
+         |  SELECT doc_id, n_tok, CAST(coalesce(sum(n_tok) OVER (
+         |    ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS pre
          |  FROM d)
          |SELECT pre // 4096 AS shard_id, count(*) AS n_docs,
-         |  sum(n_tok) AS n_tokens, min(doc_id) AS first_doc, max(doc_id) AS last_doc
+         |  CAST(sum(n_tok) AS BIGINT) AS n_tokens, min(doc_id) AS first_doc, max(doc_id) AS last_doc
          |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "tfidf_terms" ->
@@ -1312,8 +1316,8 @@ object SparkEntry {
         |  round(avg(l_quantity), 4) AS avg_qty,
         |  round(stddev_samp(l_quantity), 4) AS sd_qty,
         |  round(var_samp(l_quantity), 4) AS var_qty,
-        |  round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
-        |  round(covar_samp(l_discount, l_tax), 6) AS cov_disc_tax
+        |  round(corr(l_quantity, l_extendedprice), 4) + 0 AS corr_qty_price,
+        |  round(covar_samp(l_discount, l_tax), 6) + 0 AS cov_disc_tax
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "setop_customers" ->

@@ -6,29 +6,72 @@ Usage: python3 tools/check.py <sfDir> <verifyOutDir>
 Reads <verifyOutDir>/oracle_sql.json, runs each SQL in DuckDB with the
 parquet tables of <sfDir> registered as views, and compares against the
 parquet the Spark Verify main dumped at <verifyOutDir>/<name>/.
-Comparison: sort columns by name, sort rows, compare values.
+
+Comparison mirrors the driver's pandas-hash gate, which is BIT-exact:
+both sides go through fetchdf / read_parquet into pandas, columns are
+sorted by name, rows sorted, then values compared at the bit level
+(float64 -0.0 != +0.0, int64 != float64). This catches the two classes
+a value-level compare hides:
+  * DuckDB sum(BIGINT) -> HUGEINT -> float64 in pandas (dtype mismatch
+    vs Spark's int64) -- cast integer sums to BIGINT in oracle SQL;
+  * IEEE -0.0 vs +0.0 after round() of a tiny negative -- normalize
+    with `+ 0` on both sides.
 """
 import sys, json, glob, os
 import duckdb
+import numpy as np
+import pandas as pd
 
 TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
 
-def norm(rows):
-    out = []
-    for r in rows:
-        vals = []
-        for v in r:
-            if isinstance(v, float):
-                vals.append(round(v, 6))
-            else:
-                vals.append(str(v))
-        out.append(tuple(vals))
-    out.sort(key=lambda t: tuple(str(x) for x in t))
-    return out
+
+def canon(df):
+    """Sort columns by name, rows by stringified tuple; keep dtypes."""
+    df = df[sorted(df.columns)]
+    if len(df):
+        key = df.astype(str).apply(tuple, axis=1)
+        df = df.iloc[key.argsort(kind="mergesort").to_numpy()].reset_index(drop=True)
+    return df
+
+
+def bit_diff(a, b):
+    """First bit-level difference between two canonicalized frames, or None."""
+    if list(a.columns) != list(b.columns):
+        return f"columns {list(a.columns)} vs {list(b.columns)}"
+    if len(a) != len(b):
+        return f"rows {len(a)} vs {len(b)}"
+    for c in a.columns:
+        x, y = a[c], b[c]
+        # int widths are interchangeable (the driver's pandas hash casts
+        # every integer dtype to uint64), but int-vs-float is a mismatch.
+        ints = (np.int8, np.int16, np.int32, np.int64,
+                np.uint8, np.uint16, np.uint32, np.uint64)
+        if x.dtype in ints and y.dtype in ints:
+            if not (x.to_numpy().astype(np.int64) == y.to_numpy().astype(np.int64)).all():
+                neq = x.to_numpy().astype(np.int64) != y.to_numpy().astype(np.int64)
+                i = int(np.argmax(neq))
+                return f"col {c} row {i}: {x.iloc[i]!r} vs {y.iloc[i]!r}"
+            continue
+        if str(x.dtype) != str(y.dtype):
+            return f"col {c}: dtype {x.dtype} vs {y.dtype}"
+        if x.dtype == np.float64:
+            xb = x.to_numpy().view(np.uint64)
+            yb = y.to_numpy().view(np.uint64)
+            neq = xb != yb
+            if neq.any():
+                i = int(np.argmax(neq))
+                return f"col {c} row {i}: {x.iloc[i]!r} vs {y.iloc[i]!r} (bit-level)"
+        else:
+            for i in range(len(x)):
+                if repr(x.iloc[i]) != repr(y.iloc[i]):
+                    return f"col {c} row {i}: {x.iloc[i]!r} vs {y.iloc[i]!r}"
+    return None
+
 
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3:])
     con = duckdb.connect()
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
@@ -38,44 +81,32 @@ def main():
     n_pass = n_fail = 0
     for name in sorted(os.listdir(out_dir)):
         d = os.path.join(out_dir, name)
-        if not os.path.isdir(d):
+        if not os.path.isdir(d) or (only and name not in only):
             continue
         files = glob.glob(f"{d}/*.parquet")
         if not files:
             print(f"FAIL {name}: no spark output parquet"); n_fail += 1; continue
-        got_rel = con.execute(f"SELECT * FROM '{d}/*.parquet'")
-        got_cols = [c[0] for c in got_rel.description]
-        got = got_rel.fetchall()
+        got = con.execute(f"SELECT * FROM '{d}/*.parquet'").fetchdf()
         if name not in oracle:
             status = "rows-only " + ("PASS" if len(got) > 0 else "FAIL(empty)")
             print(f"{status} {name}: {len(got)} rows (no oracle)")
             n_pass += len(got) > 0; n_fail += len(got) == 0
             continue
         try:
-            exp_rel = con.execute(oracle[name])
-            exp_cols = [c[0] for c in exp_rel.description]
-            exp = exp_rel.fetchall()
+            exp = con.execute(oracle[name]).fetchdf()
         except Exception as e:
             print(f"FAIL {name}: oracle SQL error: {e}"); n_fail += 1; continue
-        if sorted(got_cols) != sorted(exp_cols):
-            print(f"FAIL {name}: columns differ spark={sorted(got_cols)} duck={sorted(exp_cols)}")
+        if sorted(got.columns) != sorted(exp.columns):
+            print(f"FAIL {name}: columns differ spark={sorted(got.columns)} duck={sorted(exp.columns)}")
             n_fail += 1; continue
-        # reorder both by sorted column name
-        gidx = [got_cols.index(c) for c in sorted(got_cols)]
-        eidx = [exp_cols.index(c) for c in sorted(exp_cols)]
-        g = norm([tuple(r[i] for i in gidx) for r in got])
-        e = norm([tuple(r[i] for i in eidx) for r in exp])
-        if g == e:
-            print(f"PASS {name}: {len(g)} rows"); n_pass += 1
+        diff = bit_diff(canon(got), canon(exp))
+        if diff is None:
+            print(f"PASS {name}: {len(got)} rows"); n_pass += 1
         else:
-            print(f"FAIL {name}: rows spark={len(g)} duck={len(e)}")
-            for i, (a, b) in enumerate(zip(g, e)):
-                if a != b:
-                    print(f"  first diff at row {i}:\n    spark={a}\n    duck ={b}")
-                    break
-            n_fail += 1
+            print(f"FAIL {name}: {diff}"); n_fail += 1
     print(f"== {n_pass} pass, {n_fail} fail")
     sys.exit(1 if n_fail else 0)
+
 
 if __name__ == "__main__":
     main()
