@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.OutputMode
 import graft.functions.GraftFunctions
-import graft.operators.{AsOfJoin, Cdc, Dedup, IncrementalAgg, KMeans, Multimodal, Packing, ParallelReports, RangeJoin, Resample, Sampling, Sessionize, Similarity, SkewAgg, StarPipeline, TextAnalysis}
+import graft.operators.{AsOfJoin, Cdc, Dedup, Graph, IncrementalAgg, KMeans, Multimodal, Packing, ParallelReports, Quantize, RangeJoin, Resample, Sampling, Sessionize, Similarity, SkewAgg, StarPipeline, TextAnalysis}
 import graft.sources.{BookmarkStore, IncrementalReader}
 import graft.streaming.Streaming
 
@@ -245,6 +245,61 @@ object SparkEntry {
       val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
       TextAnalysis.tfIdfTopTerms(docs, docs.count(), 3)
         .orderBy(col("doc_id"), col("rank"))
+    }),
+
+    // Sliding-window token chunking (32-token chunks every 24 tokens,
+    // 8-token overlap): map-only explode — the unit a tokenizer/packer
+    // consumes downstream.
+    "doc_chunks" -> ((s, dir) =>
+      TextAnalysis.chunks(
+          Tables.documents(s, dir).select(col("doc_id"), col("text")), 32, 24)
+        .orderBy(col("doc_id"), col("chunk_idx"))),
+
+    // PII redaction over the corpus: deterministic synthetic emails/phones
+    // injected (the stock corpus has none), scrub+count per pattern in one
+    // map-only pass, then per-source counts plus an exact checksum of the
+    // scrubbed text (sum of poly_hash — integer, order-insensitive).
+    "pii_scrub" -> ((s, dir) => {
+      val aug = Tables.documents(s, dir).select(col("doc_id"), col("source"),
+        concat(col("text"),
+          when(col("doc_id") % 7 === 0,
+            concat(lit(" contact"), col("doc_id"), lit("@example.com")))
+            .otherwise(lit("")),
+          when(col("doc_id") % 11 === 0, lit(" call 555-123-4567"))
+            .otherwise(lit(""))).as("text"))
+      TextAnalysis.piiScrub(aug)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_email")).as("emails"),
+          sum(col("n_phone")).as("phones"),
+          sum(col("n_ip")).as("ips"),
+          sum(GraftFunctions.poly_hash(col("clean_text"))).as("scrub_checksum"))
+        .orderBy(col("source"))
+    }),
+
+    // Per-vector int8 scalar quantization of the embedding corpus: rowwise
+    // (lo, scale), mean reconstruction error, and a codes checksum.
+    "embed_quantize" -> ((s, dir) =>
+      Quantize.int8(Tables.embeddings(s, dir))
+        .select(col("vec_id"),
+          // + 0.0 collapses IEEE -0.0 (DuckDB float round keeps the sign
+          // of a tiny negative; Spark's BigDecimal round does not)
+          (round(col("q_lo"), 6) + lit(0.0)).as("q_lo"),
+          (round(col("q_hi"), 6) + lit(0.0)).as("q_hi"),
+          col("q_err"),
+          Quantize.codesHash(col("codes")).as("codes_hash"))
+        .orderBy(col("vec_id"))),
+
+    // 3-iteration PageRank over the bipartite part<->supplier graph from
+    // lineitem (ids namespaced even/odd); per-round rounding keeps the
+    // carried state bit-identical between engines.
+    "pagerank" -> ((s, dir) => {
+      val pairs = Tables.lineitem(s, dir)
+        .select(col("l_partkey").as("p"), col("l_suppkey").as("sk")).distinct()
+      val edges = pairs
+        .select((col("p") * 2).as("src"), (col("sk") * 2 + 1).as("dst"))
+        .union(pairs.select((col("sk") * 2 + 1).as("src"), (col("p") * 2).as("dst")))
+      Graph.pagerank(edges, iters = 3).orderBy(col("node"))
     }),
 
     // ===== Structured Streaming (bounded run via Trigger.AvailableNow) ====
@@ -1074,6 +1129,91 @@ object SparkEntry {
          |SELECT pre // 4096 AS shard_id, count(*) AS n_docs,
          |  CAST(sum(n_tok) AS BIGINT) AS n_tokens, min(doc_id) AS first_doc, max(doc_id) AS last_doc
          |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "doc_chunks" ->
+      s"""WITH t AS (SELECT doc_id, ${Oracles.tokens("text")} AS toks FROM documents),
+         |n AS (SELECT doc_id, toks, len(toks) AS n_tok FROM t WHERE len(toks) > 0),
+         |c AS (SELECT doc_id, toks, unnest(range(0, n_tok, 24)) AS chunk_start FROM n),
+         |sl AS (SELECT doc_id, chunk_start // 24 AS chunk_idx, chunk_start,
+         |         list_slice(toks, chunk_start + 1, chunk_start + 32) AS chunk FROM c)
+         |SELECT doc_id, chunk_idx, chunk_start, len(chunk) AS chunk_len,
+         |  ${Oracles.polyHash("array_to_string(chunk, ' ')")} AS chunk_hash
+         |FROM sl ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "pii_scrub" -> {
+      // one source of truth: the SQL stages replay TextAnalysis.piiPatterns
+      // in order (duckdb needs the explicit 'g' flag Spark implies)
+      val stages = graft.operators.TextAnalysis.piiPatterns.zipWithIndex.map {
+        case ((name, re, repl), i) =>
+          val keep = (Seq("doc_id", "source") ++
+            graft.operators.TextAnalysis.piiPatterns.take(i).map("n_" + _._1))
+            .mkString(", ")
+          s"""s${i + 1} AS (SELECT $keep,
+             |  len(regexp_extract_all(t$i, '$re')) AS n_$name,
+             |  regexp_replace(t$i, '$re', '$repl', 'g') AS t${i + 1} FROM s$i)"""
+            .stripMargin
+      }.mkString(",\n")
+      val last = graft.operators.TextAnalysis.piiPatterns.size
+      s"""WITH s0 AS (
+         |  SELECT doc_id, source, text ||
+         |    CASE WHEN doc_id % 7 = 0
+         |      THEN ' contact' || CAST(doc_id AS VARCHAR) || '@example.com'
+         |      ELSE '' END ||
+         |    CASE WHEN doc_id % 11 = 0 THEN ' call 555-123-4567' ELSE '' END AS t0
+         |  FROM documents),
+         |$stages
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(sum(n_email) AS BIGINT) AS emails,
+         |  CAST(sum(n_phone) AS BIGINT) AS phones,
+         |  CAST(sum(n_ip) AS BIGINT) AS ips,
+         |  CAST(sum(${Oracles.polyHash(s"t$last")}) AS BIGINT) AS scrub_checksum
+         |FROM s$last GROUP BY source ORDER BY source""".stripMargin
+    },
+
+    "embed_quantize" ->
+      s"""WITH b AS (
+         |  SELECT vec_id, embedding,
+         |    CAST(list_aggregate(embedding, 'min') AS DOUBLE) AS lo,
+         |    CAST(list_aggregate(embedding, 'max') AS DOUBLE) AS hi
+         |  FROM embeddings),
+         |sc AS (SELECT vec_id, embedding, lo, hi, (hi - lo) / 255.0 AS scale FROM b),
+         |cd AS (SELECT vec_id, embedding, lo, hi, scale,
+         |  CASE WHEN scale = 0 THEN list_transform(embedding, v -> CAST(0 AS BIGINT))
+         |       ELSE list_transform(embedding, v ->
+         |         CAST(round((CAST(v AS DOUBLE) - lo) / scale) AS BIGINT)) END AS codes
+         |  FROM sc)
+         |SELECT vec_id,
+         |  round(lo, 6) + 0 AS q_lo,
+         |  round(hi, 6) + 0 AS q_hi,
+         |  round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |    list_transform(range(0, len(embedding)), i ->
+         |      abs(CAST(codes[i+1] AS DOUBLE) * scale + lo
+         |        - CAST(embedding[i+1] AS DOUBLE)))),
+         |    (a, x) -> a + x) / len(embedding), 6) AS q_err,
+         |  ${Oracles.polyHash("array_to_string(codes, ',')")} AS codes_hash
+         |FROM cd ORDER BY vec_id""".stripMargin,
+
+    "pagerank" -> {
+      val iters = 3
+      val rounds = (1 to iters).map { i =>
+        s"""r$i AS (
+           |  SELECT e.dst AS node, round(CAST(0.15 AS DOUBLE) / (SELECT n FROM nn) +
+           |    0.85 * sum(r.score / d.out_deg), 9) AS score
+           |  FROM edges e JOIN r${i - 1} r ON e.src = r.node
+           |  JOIN deg d ON e.src = d.src
+           |  GROUP BY e.dst)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH pairs AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS sk FROM lineitem),
+         |edges AS (SELECT p*2 AS src, sk*2+1 AS dst FROM pairs
+         |          UNION ALL SELECT sk*2+1, p*2 FROM pairs),
+         |deg AS (SELECT src, count(*) AS out_deg FROM edges GROUP BY src),
+         |nn AS (SELECT count(*) AS n FROM deg),
+         |r0 AS (SELECT src AS node, CAST(1.0 AS DOUBLE) / (SELECT n FROM nn) AS score
+         |       FROM deg),
+         |$rounds
+         |SELECT d.src AS node, d.out_deg, r$iters.score
+         |FROM deg d JOIN r$iters ON d.src = r$iters.node ORDER BY node""".stripMargin
+    },
 
     "tfidf_terms" ->
       s"""WITH toks AS (

@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Iterative graph propagation as repeated join + aggregate — the Spark
+  * formulation of PageRank-style scoring (no GraphX dependency; the
+  * score table is (node, score), never adjacency in driver memory).
+  *
+  * Each iteration is: edges ⋈ scores on src (the big shuffle, on the
+  * same key every round so the exchange is reusable), divide by
+  * out-degree, group-sum by dst. State between rounds is one row per
+  * node — at 100 TB of edges the iteration cost is the edge shuffle,
+  * and the score/degree sides stay node-sized.
+  *
+  * Determinism for the oracle: per-node contributions sum in shuffle
+  * order, so each round's score is rounded to `roundTo` decimals on
+  * BOTH engines before feeding the next round — the carried state is
+  * bit-identical, and only the final low-order digit of a fresh sum
+  * could ever disagree (probability ~ ulp / 10^-roundTo per node).
+  */
+object Graph {
+
+  /** `iters` rounds of PageRank over directed `edges(src, dst)`.
+    * Every node must appear as a src (symmetrize the edge list for
+    * undirected graphs) so there are no dangling-mass corrections.
+    * Returns (node, out_deg, score).
+    */
+  def pagerank(edges: DataFrame, iters: Int, damping: Double = 0.85,
+               teleport: Double = 0.15, roundTo: Int = 9): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+    val deg = e.groupBy("src").agg(count(lit(1)).as("out_deg"))
+    val nodes = deg.select(col("src").as("node"), col("out_deg"))
+    // O(1) driver scalar, same pattern as the tf-idf corpus size
+    val n = nodes.count()
+    var scores = nodes.select(col("node"), lit(1.0 / n).as("score"))
+    for (_ <- 1 to iters) {
+      scores = e
+        .join(scores.withColumnRenamed("node", "src"), "src")
+        .join(deg, "src")
+        .groupBy(col("dst").as("node"))
+        .agg(round(lit(teleport / n) +
+          lit(damping) * sum(col("score") / col("out_deg")), roundTo).as("score"))
+    }
+    nodes.join(scores, "node").select("node", "out_deg", "score")
+  }
+}

@@ -106,6 +106,61 @@ object TextAnalysis {
       .select("doc_id", "rank", "term", "tf", "df", "tfidf")
   }
 
+  /** Sliding-window token chunking: split each document into chunks of
+    * `chunkSize` whitespace tokens starting every `stride` tokens
+    * (overlap = chunkSize - stride), the unit a training pipeline feeds
+    * to a tokenizer/packer. Map-only: tokenize once, explode the chunk
+    * starts (fan-out bounded by n_tok/stride per row), slice — no
+    * shuffle, so at 100 TB this is a single pass over the corpus with
+    * output proportional to input. `chunk_hash` fingerprints the chunk
+    * text so dedup/lineage can track chunks without carrying them.
+    */
+  def chunks(docs: DataFrame, chunkSize: Int, stride: Int,
+             text: Column = col("text")): DataFrame = {
+    require(chunkSize >= 1 && stride >= 1)
+    docs
+      .withColumn("_toks", tokens(text))
+      .withColumn("n_tok", size(col("_toks")))
+      .where(col("n_tok") > 0)
+      .select(col("doc_id"), col("n_tok"), col("_toks"),
+        explode(sequence(lit(0), col("n_tok") - 1, lit(stride))).as("chunk_start"))
+      .withColumn("chunk_idx", expr(s"chunk_start DIV $stride"))
+      .withColumn("_chunk", slice(col("_toks"), col("chunk_start") + 1, lit(chunkSize)))
+      .select(col("doc_id"), col("chunk_idx"), col("chunk_start"),
+        size(col("_chunk")).as("chunk_len"),
+        poly_hash(concat_ws(" ", col("_chunk"))).as("chunk_hash"))
+  }
+
+  /** PII redaction patterns: (name, regex, replacement). Conservative
+    * ASCII patterns valid in both Java regex (Spark) and RE2 (DuckDB),
+    * applied in order — emails first so their dotted hosts are gone
+    * before the IP pattern runs.
+    */
+  val piiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", "\\b\\d{3}-\\d{3}-\\d{4}\\b", "<PHONE>"),
+    ("ip", "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>"))
+
+  /** Per-document PII scrub: one map-only pass emitting the redacted
+    * text plus a match count per pattern (`n_email`, `n_phone`, `n_ip`).
+    * Counting runs on the same partially-scrubbed string the replacement
+    * sees, so counts and redactions agree pattern-by-pattern.
+    */
+  def piiScrub(docs: DataFrame, text: Column = col("text")): DataFrame = {
+    // each stage lands in its own projected column so the (non-cheap)
+    // replacement chain is evaluated once per pattern, not once per
+    // downstream count (CollapseProject keeps them un-duplicated)
+    val staged = piiPatterns.zipWithIndex.foldLeft(
+        docs.withColumn("_s0", text)) {
+      case (df, ((name, re, repl), i)) =>
+        df.withColumn(s"n_$name",
+            size(regexp_extract_all(col(s"_s$i"), lit(re), lit(0))))
+          .withColumn(s"_s${i + 1}", regexp_replace(col(s"_s$i"), re, repl))
+    }
+    staged.withColumn("clean_text", col(s"_s${piiPatterns.size}"))
+      .drop((0 to piiPatterns.size).map(i => s"_s$i"): _*)
+  }
+
   /** All text statistics in one fused map-only pass, tokenizing ONCE.
     *
     * The composed formulation ([[qualityFeatures]] + [[langId]] +

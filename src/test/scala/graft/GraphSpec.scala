@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Graph
+
+class GraphSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def sym(pairs: (Long, Long)*) =
+    (pairs ++ pairs.map(p => (p._2, p._1))).toDF("src", "dst")
+
+  test("pagerank: symmetric 2-cycle is the stationary uniform distribution") {
+    val got = Graph.pagerank(sym((1L, 2L)), iters = 5)
+      .select("node", "score").as[(Long, Double)].collect().toMap
+    assert(got == Map(1L -> 0.5, 2L -> 0.5))
+  }
+
+  test("pagerank: star graph matches the scalar recurrence with per-round rounding") {
+    val edges = sym((0L, 1L), (0L, 2L), (0L, 3L))
+    val got = Graph.pagerank(edges, iters = 3)
+      .select("node", "score").as[(Long, Double)].collect().toMap
+    // same recurrence in plain doubles: hub degree 3, leaves degree 1
+    def r9(x: Double) = BigDecimal(x)
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    var hub = 0.25; var leaf = 0.25
+    for (_ <- 1 to 3) {
+      val h2 = r9(0.15 / 4 + 0.85 * (leaf / 1 + leaf / 1 + leaf / 1))
+      val l2 = r9(0.15 / 4 + 0.85 * (hub / 3))
+      hub = h2; leaf = l2
+    }
+    assert(got(0L) == hub)
+    assert(got(1L) == leaf && got(2L) == leaf && got(3L) == leaf)
+  }
+
+  test("pagerank: mass is conserved on a symmetric graph") {
+    val edges = sym((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L))
+    val total = Graph.pagerank(edges, iters = 4)
+      .agg(sum("score")).as[Double].head()
+    assert(math.abs(total - 1.0) < 1e-6)
+  }
+
+  test("pagerank: out_deg column matches the edge list") {
+    val got = Graph.pagerank(sym((0L, 1L), (0L, 2L)), iters = 1)
+      .select("node", "out_deg").as[(Long, Long)].collect().toMap
+    assert(got == Map(0L -> 2L, 1L -> 1L, 2L -> 1L))
+  }
+}

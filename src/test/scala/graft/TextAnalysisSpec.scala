@@ -75,6 +75,59 @@ class TextAnalysisSpec extends SparkSuite {
       (2L, 2, "a", 1L, 2L, 0.0)))
   }
 
+  test("chunks: sliding windows with overlap on a hand-computed doc") {
+    val docs = Seq((1L, (0 until 10).map("t" + _).mkString(" "))).toDF("doc_id", "text")
+    val got = TextAnalysis.chunks(docs, chunkSize = 4, stride = 3)
+      .select("chunk_idx", "chunk_start", "chunk_len")
+      .as[(Long, Int, Int)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq((0L, 0, 4), (1L, 3, 4), (2L, 6, 4), (3L, 9, 1)))
+  }
+
+  test("chunks: hash matches poly_hash of the joined window; full coverage") {
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text")).limit(50)
+    val chunks = TextAnalysis.chunks(docs, 32, 24)
+    // last chunk ends exactly at n_tok => every token lands in >= 1 chunk
+    val cover = chunks.groupBy("doc_id")
+      .agg(max(col("chunk_start") + col("chunk_len")).as("covered"))
+      .join(docs.select(col("doc_id"),
+        size(graft.functions.GraftFunctions.tokens(col("text"))).as("n_tok")), "doc_id")
+      .where(col("covered") =!= col("n_tok")).count()
+    assert(cover == 0)
+    // spot-check one hash against the scalar implementation
+    val one = docs.limit(1).select(col("doc_id"), col("text")).as[(Long, String)].head()
+    val toks = one._2.split("\\s+").filter(_.nonEmpty)
+    val expect = graft.functions.PolyHash.hash(toks.slice(0, 32).mkString(" "))
+    val gotHash = chunks.where(col("doc_id") === one._1 && col("chunk_idx") === 0)
+      .select("chunk_hash").as[Long].head()
+    assert(gotHash == expect)
+  }
+
+  test("chunks plan is map-only (no Exchange before the caller's sort)") {
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    val plan = TextAnalysis.chunks(docs, 32, 24).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"chunking must not shuffle:\n$plan")
+  }
+
+  test("piiScrub: redacts and counts every pattern, all occurrences") {
+    val docs = Seq(
+      (1L, "mail a@b.com or b@c.org, call 555-123-4567, host 10.0.0.1 end"),
+      (2L, "clean text")).toDF("doc_id", "text")
+    val got = TextAnalysis.piiScrub(docs)
+      .select("doc_id", "n_email", "n_phone", "n_ip", "clean_text")
+      .as[(Long, Int, Int, Int, String)].collect().sortBy(_._1)
+    assert(got(0)._2 == 2 && got(0)._3 == 1 && got(0)._4 == 1)
+    assert(got(0)._5 ==
+      "mail <EMAIL> or <EMAIL>, call <PHONE>, host <IP> end")
+    assert(got(1) == ((2L, 0, 0, 0, "clean text")))
+  }
+
+  test("piiScrub: email stage consumes dotted hosts before the IP stage") {
+    val got = TextAnalysis.piiScrub(Seq((1L, "v1.2.3.4@host.com here"))
+        .toDF("doc_id", "text"))
+      .select("n_email", "n_ip", "clean_text").as[(Int, Int, String)].head()
+    assert(got == ((1, 0, "<EMAIL> here")))
+  }
+
   test("tfidf plan: map-side combine on (doc, term); vocabulary join broadcasts") {
     val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
     val plan = TextAnalysis.tfIdfTopTerms(docs, 100L, 3)
