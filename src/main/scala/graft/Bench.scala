@@ -6,9 +6,13 @@ object Bench {
     // the env var beats the default (JobArgs mirrors getResolvedOptions)
     val opts = JobArgs.resolve(args.toSeq, required = Nil,
       defaults = Map("SPARK_GRAFT_SF_DIR" -> "/root/testdata/sf0.1",
-        "SPARK_GRAFT_CPUS" -> "4"))
+        "SPARK_GRAFT_CPUS" -> "4",
+        // comma-separated query-name filter for A/B timing a subset
+        "SPARK_GRAFT_ONLY" -> ""))
     val sfDir = opts("SPARK_GRAFT_SF_DIR")
     val cpus = opts("SPARK_GRAFT_CPUS")
+    val only = Option(opts("SPARK_GRAFT_ONLY")).filter(_.nonEmpty)
+      .map(_.split(",").map(_.trim).toSet)
     val spark = graft.GraftSession.builder(s"local[$cpus]", cpus.toInt)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -17,7 +21,9 @@ object Bench {
     Tables.all.foreach { t =>
       try Tables.load(spark, sfDir, t).count() catch { case _: Throwable => () }
     }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop sink: consumes every row and every column, so the timing
       // includes all expression work (count() lets Catalyst prune the

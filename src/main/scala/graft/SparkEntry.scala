@@ -303,24 +303,30 @@ object SparkEntry {
     }),
 
     // ===== Structured Streaming (bounded run via Trigger.AvailableNow) ====
+    // All bounded runs pin 8 state partitions: state-store parallelism is
+    // a stream-volume knob (see Streaming.runToCompletion) and the verify/
+    // bench streams are small; results are partition-count-invariant.
 
     // Watermarked tumbling-window aggregation; complete mode emits every
     // window on a bounded input.
     "stream_window_agg" -> ((s, dir) =>
       Streaming.runToCompletion(
-        Streaming.dailyTypeCounts(Streaming.events(s, dir)), OutputMode.Complete())
+        Streaming.dailyTypeCounts(Streaming.events(s, dir)), OutputMode.Complete(),
+        statePartitions = Some(8))
         .orderBy(col("day_start"), col("event_type"))),
 
     // Built-in session_window aggregation (30-min gap) per user.
     "stream_sessions" -> ((s, dir) =>
       Streaming.runToCompletion(
-        Streaming.userSessions(Streaming.events(s, dir)), OutputMode.Complete())
+        Streaming.userSessions(Streaming.events(s, dir)), OutputMode.Complete(),
+        statePartitions = Some(8))
         .orderBy(col("user_id"), col("session_start"))),
 
     // Streaming exact dedup of a doubled stream — each event exactly once.
     "stream_dedup" -> ((s, dir) => {
       val doubled = Streaming.events(s, dir).union(Streaming.events(s, dir))
-      Streaming.runToCompletion(Streaming.dedupEvents(doubled), OutputMode.Append())
+      Streaming.runToCompletion(Streaming.dedupEvents(doubled), OutputMode.Append(),
+        statePartitions = Some(8))
         .orderBy(col("event_id"))
     }),
 
@@ -328,7 +334,8 @@ object SparkEntry {
     // the join's event-time range.
     "stream_join" -> ((s, dir) =>
       Streaming.runToCompletion(
-        Streaming.clickToPurchase(Streaming.events(s, dir)), OutputMode.Append())
+        Streaming.clickToPurchase(Streaming.events(s, dir)), OutputMode.Append(),
+        statePartitions = Some(8))
         .orderBy(col("click_id"), col("purchase_id"))),
 
     // ===== Multimodal columns (binary payload + typed metadata) ==========

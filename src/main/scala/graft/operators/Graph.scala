@@ -26,18 +26,31 @@ object Graph {
     * undirected graphs) so there are no dangling-mass corrections.
     * Returns (node, out_deg, score).
     */
+  /** When `broadcastNodes` (default): the node-sized score/degree sides
+    * ship as broadcasts, so each round is one edge-side shuffle (the
+    * group-sum). Disable for node sets past broadcast limits — the joins
+    * fall back to shuffles that reuse the same src-key partitioning
+    * every round.
+    */
   def pagerank(edges: DataFrame, iters: Int, damping: Double = 0.85,
-               teleport: Double = 0.15, roundTo: Int = 9): DataFrame = {
-    val e = edges.select(col("src"), col("dst"))
+               teleport: Double = 0.15, roundTo: Int = 9,
+               broadcastNodes: Boolean = true): DataFrame = {
+    // materialize the edge list and degree table ONCE: without the lazy
+    // checkpoint each iteration's join re-derives them from source (at
+    // 100 TB that is `iters` full scans of the input instead of one)
+    val e = edges.select(col("src"), col("dst")).localCheckpoint(false)
     val deg = e.groupBy("src").agg(count(lit(1)).as("out_deg"))
+      .localCheckpoint(false)
+    val bc: DataFrame => DataFrame =
+      if (broadcastNodes) broadcast(_) else identity
     val nodes = deg.select(col("src").as("node"), col("out_deg"))
     // O(1) driver scalar, same pattern as the tf-idf corpus size
     val n = nodes.count()
     var scores = nodes.select(col("node"), lit(1.0 / n).as("score"))
     for (_ <- 1 to iters) {
       scores = e
-        .join(scores.withColumnRenamed("node", "src"), "src")
-        .join(deg, "src")
+        .join(bc(scores.withColumnRenamed("node", "src")), "src")
+        .join(bc(deg), "src")
         .groupBy(col("dst").as("node"))
         .agg(round(lit(teleport / n) +
           lit(damping) * sum(col("score") / col("out_deg")), roundTo).as("score"))

@@ -84,17 +84,33 @@ object Streaming {
     * and return the materialized result. AvailableNow processes all
     * available input in (possibly many) micro-batches, then stops.
     */
-  def runToCompletion(df: DataFrame, mode: OutputMode): DataFrame = {
+  def runToCompletion(df: DataFrame, mode: OutputMode,
+                      statePartitions: Option[Int] = None): DataFrame = {
     val name = "graft_stream_" + UUID.randomUUID().toString.replace("-", "")
-    val q = df.writeStream
-      .format("memory").queryName(name)
-      .outputMode(mode)
-      .trigger(Trigger.AvailableNow())
-      .option("checkpointLocation",
-        java.nio.file.Files.createTempDirectory("graft-ckpt").toString)
-      .start()
-    q.awaitTermination()
-    df.sparkSession.table(name)
+    val spark = df.sparkSession
+    // State-store parallelism is a per-stream deploy knob, pinned by the
+    // first checkpoint: every shuffle partition is a StateStore instance
+    // writing its own delta files per micro-batch, so a small bounded
+    // stream with the batch default (32) pays 32x the per-batch commit
+    // fixed cost for no parallelism gain. Callers size it to stream
+    // volume — the bounded verify/bench streams use 8; a production
+    // 100 TB/day stream raises it well past the batch default instead.
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    statePartitions.foreach(n => spark.conf.set(key, n.toString))
+    try {
+      val q = df.writeStream
+        .format("memory").queryName(name)
+        .outputMode(mode)
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("graft-ckpt").toString)
+        .start()
+      q.awaitTermination()
+    } finally {
+      statePartitions.foreach(_ => spark.conf.set(key, prev))
+    }
+    spark.table(name)
   }
 
   /** Stream-stream interval join: each click joined to the same user's
