@@ -247,6 +247,30 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("rank"))
     }),
 
+    // Corpus vocabulary (top-500 terms) + per-document OOV rate: the gate
+    // before committing to a tokenizer vocab.
+    "vocab_oov" -> ((s, dir) =>
+      TextAnalysis.vocabOov(
+          Tables.documents(s, dir).select(col("doc_id"), col("text")), 500)
+        .orderBy(col("doc_id"))),
+
+    // Repetition / compressibility signals: distinct-vs-total ratios of
+    // char 5-grams and tokens, map-only.
+    "doc_repetition" -> ((s, dir) =>
+      TextAnalysis.repetition(
+          Tables.documents(s, dir).select(col("doc_id"), col("text")), 5)
+        .orderBy(col("doc_id"))),
+
+    // Decontamination sweep: train docs sharing >= 5 distinct 8-char
+    // grams with the (simulated, doc_id % 50 == 0) eval set.
+    "decontam_overlap" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      Dedup.crossOverlapPairs(
+          docs.filter(col("doc_id") % 50 =!= 0),
+          docs.filter(col("doc_id") % 50 === 0), n = 8, minShared = 5L)
+        .orderBy(col("train_id"), col("bench_id"))
+    }),
+
     // Sliding-window token chunking (32-token chunks every 24 tokens,
     // 8-token overlap): map-only explode — the unit a tokenizer/packer
     // consumes downstream.
@@ -1136,6 +1160,49 @@ object SparkEntry {
          |SELECT pre // 4096 AS shard_id, count(*) AS n_docs,
          |  CAST(sum(n_tok) AS BIGINT) AS n_tokens, min(doc_id) AS first_doc, max(doc_id) AS last_doc
          |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "vocab_oov" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id, unnest(${Oracles.tokens("lower(text)")}) AS term
+         |  FROM documents),
+         |tf AS (SELECT term, count(*) AS tf FROM tk GROUP BY term),
+         |vocab AS (SELECT term FROM tf ORDER BY tf DESC, term LIMIT 500),
+         |j AS (
+         |  SELECT t.doc_id, CASE WHEN v.term IS NULL THEN 1 ELSE 0 END AS oov
+         |  FROM tk t LEFT JOIN vocab v ON t.term = v.term)
+         |SELECT doc_id, count(*) AS n_tok, CAST(sum(oov) AS BIGINT) AS n_oov,
+         |  round(CAST(sum(oov) AS DOUBLE) / count(*), 4) AS oov_rate
+         |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "doc_repetition" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, text,
+         |    greatest(length(text) - 4, 0) AS n_grams,
+         |    len(${Oracles.shingleHashes("text", 5)}) AS n_distinct_grams,
+         |    len(${Oracles.tokens("text")}) AS n_tok,
+         |    len(list_distinct(${Oracles.tokens("text")})) AS n_distinct_tok
+         |  FROM documents)
+         |SELECT doc_id, n_grams, n_distinct_grams,
+         |  round(CASE WHEN n_grams > 0
+         |    THEN CAST(1.0 AS DOUBLE) - CAST(n_distinct_grams AS DOUBLE) / n_grams
+         |    ELSE 0.0 END, 4) AS gram_rep_ratio,
+         |  n_tok, n_distinct_tok,
+         |  round(CASE WHEN n_tok > 0
+         |    THEN CAST(1.0 AS DOUBLE) - CAST(n_distinct_tok AS DOUBLE) / n_tok
+         |    ELSE 0.0 END, 4) AS tok_rep_ratio
+         |FROM t ORDER BY doc_id""".stripMargin,
+
+    "decontam_overlap" ->
+      s"""WITH b AS (
+         |  SELECT doc_id AS bench_id, unnest(${Oracles.shingleHashes("text", 8)}) AS g
+         |  FROM documents WHERE doc_id % 50 = 0),
+         |t AS (
+         |  SELECT doc_id AS train_id, unnest(${Oracles.shingleHashes("text", 8)}) AS g
+         |  FROM documents WHERE doc_id % 50 <> 0)
+         |SELECT t.train_id, b.bench_id, count(*) AS n_shared
+         |FROM t JOIN b ON t.g = b.g
+         |GROUP BY t.train_id, b.bench_id HAVING count(*) >= 5
+         |ORDER BY t.train_id, b.bench_id""".stripMargin,
 
     "doc_chunks" ->
       s"""WITH t AS (SELECT doc_id, ${Oracles.tokens("text")} AS toks FROM documents),

@@ -234,4 +234,23 @@ object Dedup {
         .filter(col("cosine") >= threshold)
     }
   }
+
+  /** Train/eval contamination pairs: (train doc, benchmark doc) sharing
+    * at least `minShared` distinct hashed character `n`-grams — the
+    * decontamination sweep a training pipeline runs so eval-set text is
+    * excluded from training shards. The benchmark side is an eval set,
+    * small by definition, so its exploded gram set ships as a broadcast:
+    * the (100 TB) train side is a map-only gram scan, and the only
+    * shuffle is the pair-key count — candidate pairs only, never grams.
+    */
+  def crossOverlapPairs(train: DataFrame, bench: DataFrame, n: Int,
+                        minShared: Long): DataFrame = {
+    def grams(df: DataFrame, idAs: String) =
+      df.select(col("doc_id").as(idAs),
+        explode(shingleHashes(col("text"), n)).as("g"))
+    grams(train, "train_id").join(broadcast(grams(bench, "bench_id")), "g")
+      .groupBy(col("train_id"), col("bench_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
 }

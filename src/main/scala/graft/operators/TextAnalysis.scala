@@ -161,6 +161,54 @@ object TextAnalysis {
       .drop((0 to piiPatterns.size).map(i => s"_s$i"): _*)
   }
 
+  /** Corpus vocabulary (the `vocabSize` most frequent lowercased tokens,
+    * ties by term) and per-document out-of-vocabulary rates — the gate a
+    * tokenizer-training / corpus-mix pipeline runs before committing to a
+    * vocab. Two shuffles over term-sized data: map-side-combined term
+    * counts, then the per-doc count aggregation; the vocab itself is
+    * selected with orderBy+limit (TakeOrdered — per-partition top-k then
+    * a k-sized merge, never a global sort) and joins back as a broadcast.
+    */
+  def vocabOov(docs: DataFrame, vocabSize: Int,
+               text: Column = col("text")): DataFrame = {
+    val toks = docs.select(col("doc_id"), explode(tokens(lower(text))).as("term"))
+    val vocab = toks.groupBy("term").agg(count(lit(1)).as("tf"))
+      .orderBy(col("tf").desc, col("term")).limit(vocabSize)
+      .select(col("term"), lit(1).as("in_vocab"))
+    toks.join(broadcast(vocab), Seq("term"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tok"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_rate",
+        round(col("n_oov").cast("double") / col("n_tok"), 4))
+  }
+
+  /** Repetition / compressibility signals per document, map-only: the
+    * distinct-vs-total ratio of character `n`-grams and of whitespace
+    * tokens (1 - distinct/total; boilerplate and looped generations score
+    * high). Total gram count is pure arithmetic (len - n + 1), distinct
+    * gram count reuses the codegen'd shingle kernel — no explode, no
+    * shuffle, output one row per input row.
+    */
+  def repetition(docs: DataFrame, n: Int = 5,
+                 text: Column = col("text")): DataFrame = {
+    // each measure lands in its own projected column so the shingle/token
+    // kernels run once, not once per ratio referencing them
+    val arr = docs
+      .withColumn("n_grams", greatest(length(text) - (n - 1), lit(0)))
+      .withColumn("n_distinct_grams", size(shingleHashes(text, n)))
+      .withColumn("n_tok", size(tokens(text)))
+      .withColumn("n_distinct_tok", size(array_distinct(tokens(text))))
+    arr.select(col("doc_id"), col("n_grams"), col("n_distinct_grams"),
+      round(when(col("n_grams") > 0,
+        lit(1.0) - col("n_distinct_grams").cast("double") / col("n_grams"))
+        .otherwise(0.0), 4).as("gram_rep_ratio"),
+      col("n_tok"), col("n_distinct_tok"),
+      round(when(col("n_tok") > 0,
+        lit(1.0) - col("n_distinct_tok").cast("double") / col("n_tok"))
+        .otherwise(0.0), 4).as("tok_rep_ratio"))
+  }
+
   /** All text statistics in one fused map-only pass, tokenizing ONCE.
     *
     * The composed formulation ([[qualityFeatures]] + [[langId]] +

@@ -114,4 +114,27 @@ class DedupSpec extends SparkSuite {
       .queryExecution.executedPlan.toString
     assert(brutePlan.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("crossOverlapPairs: contaminated train doc found, clean ones not") {
+    val train = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"), // contains bench text
+      (4L, "completely different content with zero overlap xyz")
+    ).toDF("doc_id", "text")
+    val bench = Seq(
+      (100L, "quick brown fox jumps")
+    ).toDF("doc_id", "text")
+    val got = Dedup.crossOverlapPairs(train, bench, n = 8, minShared = 5L)
+      .select("train_id", "bench_id").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 100L)))
+  }
+
+  test("crossOverlapPairs plan: bench gram set broadcasts (train side never shuffles grams)") {
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    val plan = Dedup.crossOverlapPairs(
+        docs.filter(col("doc_id") % 50 =!= 0),
+        docs.filter(col("doc_id") % 50 === 0), 8, 5L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"bench side must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"gram join must not shuffle both sides:\n$plan")
+  }
 }

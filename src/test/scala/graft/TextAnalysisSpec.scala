@@ -128,6 +128,38 @@ class TextAnalysisSpec extends SparkSuite {
     assert(got == ((1, 0, "<EMAIL> here")))
   }
 
+  test("vocabOov: top-k vocab with ties by term; per-doc OOV counts") {
+    val docs = Seq(
+      (1L, "a a b c"),   // a:2 within doc
+      (2L, "b b d")      // corpus tf: a=2 b=3 c=1 d=1
+    ).toDF("doc_id", "text")
+    // vocabSize=2 -> vocab {b(3), a(2)}; c and d are OOV
+    val got = TextAnalysis.vocabOov(docs, 2)
+      .select("doc_id", "n_tok", "n_oov", "oov_rate")
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq((1L, 4L, 1L, 0.25), (2L, 3L, 1L, 0.3333)))
+  }
+
+  test("vocabOov plan: vocab via TakeOrdered (no global sort), broadcast join-back") {
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    val plan = TextAnalysis.vocabOov(docs, 100).queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"vocab selection must be a distributed top-k, not a global sort:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"vocab join must broadcast:\n$plan")
+  }
+
+  test("repetition: high for looped text, zero for all-distinct text") {
+    val docs = Seq(
+      (1L, "ab ab ab ab ab ab ab ab"),  // 3 distinct 5-grams, 1 distinct token
+      (2L, "pqrst uvwxy")               // all 5-grams and tokens distinct
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.repetition(docs, 5)
+      .select("doc_id", "gram_rep_ratio", "tok_rep_ratio")
+      .as[(Long, Double, Double)].collect().sortBy(_._1)
+    assert(got(0)._2 > 0.8 && got(0)._3 == math.rint((1.0 - 1.0 / 8) * 10000) / 10000)
+    assert(got(1)._2 == 0.0 && got(1)._3 == 0.0)
+  }
+
   test("tfidf plan: map-side combine on (doc, term); vocabulary join broadcasts") {
     val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
     val plan = TextAnalysis.tfIdfTopTerms(docs, 100L, 3)
