@@ -247,6 +247,18 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("rank"))
     }),
 
+    // Custom DataSource V2 generator source with real column pruning and
+    // id-range filter pushdown (the range narrows inside the source, so
+    // the predicate skips whole input partitions like row-group pruning).
+    "seq_source" -> ((s, _) =>
+      s.read.format("graft.sources.SeqSource")
+        .option("rows", "100000").option("partitions", "16").load()
+        .filter(col("id") >= 25000 && col("id") < 75000)
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"), round(sum(col("val")), 2).as("total"),
+          min(col("id")).as("min_id"), max(col("id")).as("max_id"))
+        .orderBy(col("bucket"))),
+
     // Corpus vocabulary (top-500 terms) + per-document OOV rate: the gate
     // before committing to a tokenizer vocab.
     "vocab_oov" -> ((s, dir) =>
@@ -1160,6 +1172,16 @@ object SparkEntry {
          |SELECT pre // 4096 AS shard_id, count(*) AS n_docs,
          |  CAST(sum(n_tok) AS BIGINT) AS n_tokens, min(doc_id) AS first_doc, max(doc_id) AS last_doc
          |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "seq_source" ->
+      s"""WITH s AS (
+         |  SELECT i AS id, CAST(i % 97 AS INT) AS bucket,
+         |    CAST((i*1103515245 + 12345) % 2147483648 AS DOUBLE)
+         |      / CAST(2147483648 AS DOUBLE) AS val
+         |  FROM generate_series(25000, 74999) t(i))
+         |SELECT bucket, count(*) AS n, round(sum(val), 2) AS total,
+         |  min(id) AS min_id, max(id) AS max_id
+         |FROM s GROUP BY bucket ORDER BY bucket""".stripMargin,
 
     "vocab_oov" ->
       s"""WITH tk AS (

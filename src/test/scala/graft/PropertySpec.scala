@@ -74,6 +74,13 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  check("SeqSource.valOf lands in [0, 1) and is deterministic") {
+    forAll(Gen.chooseNum(0L, 10000000L)) { id =>
+      val v = graft.sources.SeqSource.valOf(id)
+      v >= 0.0 && v < 1.0 && v == graft.sources.SeqSource.valOf(id)
+    }
+  }
+
   check("minhash coefficients: stable prefix property") {
     forAll(Gen.chooseNum(1, 32)) { k =>
       GraftFunctions.minhashCoefficients(32).take(k) ==
