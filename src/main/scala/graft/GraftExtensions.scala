@@ -2,75 +2,75 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
-import org.apache.spark.sql.types.{DoubleType, LongType, StringType}
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
 import graft.functions._
 
-/** SparkSessionExtensions entry point: registers the engine's native
-  * expressions as SQL functions, so `spark.sql("SELECT poly_hash(text) ...")`
-  * works anywhere the library is on the classpath.
+/** [[SparkSessionExtensions]] hook that registers the engine's native
+  * Catalyst kernels as SQL functions, so `spark.sql` users get the same
+  * codegen'd primitives the Column API exposes
+  * (`SELECT poly_hash(text), simhash64(text, 16) FROM docs`):
   *
-  * Wire up via
-  * `SparkSession.builder.withExtensions(new GraftExtensions)` or
-  * `spark.sql.extensions=graft.GraftExtensions` (the standard mechanism for
-  * cluster-wide deployment — no code changes in user jobs).
+  *  - `poly_hash(str)`, `token_hashes(str)`, `shingle_hashes(str, n)`
+  *  - `minhash_sig(array<long>, k)`, `simhash64(str, bits)`
+  *  - `dot_product(a, b)`, `cosine_sim(a, b)`,
+  *    `hyperplane_buckets(emb, tables, bits)`
+  *  - aggregates `top_k_agg(id, value, k)`,
+  *    `heavy_hitters_agg(item, k)`
+  *
+  * Wired into every session by [[GraftSession.builder]] via
+  * `.withExtensions` — the idiomatic extension point (no fork, no
+  * session-state hacks); sizing arguments must be literal integers, like
+  * the built-in `approx_percentile`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
-  private def info(name: String, usage: String) =
-    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage,
-      "", "", "", "", "", "", "built-in")
-
-  override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction((FunctionIdentifier("poly_hash"),
-      info("poly_hash", "poly_hash(str) - portable polynomial string hash mod 2^31-1"),
-      (args: Seq[Expression]) => PolyHash(args.head)))
-
-    ext.injectFunction((FunctionIdentifier("cosine_similarity"),
-      info("cosine_similarity", "cosine_similarity(a, b) - cosine of two float arrays"),
-      (args: Seq[Expression]) => CosineSimilarity(args(0), args(1))))
-
-    ext.injectFunction((FunctionIdentifier("shingle_hashes"),
-      info("shingle_hashes", "shingle_hashes(str, n) - distinct hashed character n-grams"),
-      (args: Seq[Expression]) => ShingleHashesExpr(args(0), foldInt(args(1)))))
-
-    ext.injectFunction((FunctionIdentifier("token_hashes"),
-      info("token_hashes", "token_hashes(str) - poly_hash of each whitespace token"),
-      (args: Seq[Expression]) => TokenHashesExpr(args.head)))
-
-    ext.injectFunction((FunctionIdentifier("minhash_signature"),
-      info("minhash_signature", "minhash_signature(hashes, k) - k-hash MinHash signature"),
-      (args: Seq[Expression]) => MinHashSignatureExpr(args(0), foldInt(args(1)))))
-
-    ext.injectFunction((FunctionIdentifier("simhash"),
-      info("simhash", "simhash(token_hashes, bits) - bitwise majority simhash"),
-      (args: Seq[Expression]) => SimHashExpr(args(0), foldInt(args(1)))))
-
-    ext.injectFunction((FunctionIdentifier("hyperplane_buckets"),
-      info("hyperplane_buckets",
-        "hyperplane_buckets(embedding, tables, bits) - LSH bucket key per hash table"),
-      (args: Seq[Expression]) => HyperplaneBuckets(args(0), foldInt(args(1)), foldInt(args(2)))))
-
-    // the aggregates read their children as long/double/UTF8String, so
-    // SQL arguments get the same canonicalizing casts as the Scala
-    // wrappers in GraftFunctions — an INT id would otherwise CCE mid-job
-    ext.injectFunction((FunctionIdentifier("top_k"),
-      info("top_k", "top_k(id, value, k) - exact mergeable top-k (value desc, id asc)"),
-      (args: Seq[Expression]) => TopKImperative(
-        Cast(args(0), LongType), Cast(args(1), DoubleType), foldInt(args(2)))))
-
-    ext.injectFunction((FunctionIdentifier("heavy_hitters"),
-      info("heavy_hitters",
-        "heavy_hitters(item, k) - Misra-Gries frequent items, <= k bounded counters"),
-      (args: Seq[Expression]) => HeavyHittersAgg(
-        Cast(args(0), StringType), foldInt(args(1)))))
+  private def intArg(e: Expression, fn: String): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case Literal(v: Long, LongType)   => v.toInt
+    case _ => throw new IllegalArgumentException(
+      s"$fn: sizing argument must be a literal integer, got $e")
   }
 
-  /** Static-int arguments (k, bits, n) must be literals at parse time. */
-  private def foldInt(e: Expression): Int = e.eval(null) match {
-    case i: Int => i
-    case l: Long => l.toInt
-    case other => throw new IllegalArgumentException(
-      s"expected an integer literal argument, got $other")
+  private def str(e: Expression): Expression = Cast(e, StringType)
+
+  private def fn(name: String, usage: String)(builder: Seq[Expression] => Expression) =
+    (new FunctionIdentifier(name),
+      new ExpressionInfo("graft.functions", name, usage),
+      builder)
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction(fn("poly_hash", "portable polynomial string hash mod 2^31-1") {
+      args => PolyHash(str(args.head))
+    })
+    ext.injectFunction(fn("token_hashes", "poly_hash of each whitespace token") {
+      args => TokenHashesExpr(str(args.head))
+    })
+    ext.injectFunction(fn("shingle_hashes", "distinct hashed character n-grams") {
+      args => ShingleHashesExpr(str(args(0)), intArg(args(1), "shingle_hashes"))
+    })
+    ext.injectFunction(fn("minhash_sig", "MinHash signature of a hash set") {
+      args => MinHashSignatureExpr(args(0), intArg(args(1), "minhash_sig"))
+    })
+    ext.injectFunction(fn("simhash64", "SimHash of a string's tokens") {
+      args => SimHashExpr(TokenHashesExpr(str(args(0))), intArg(args(1), "simhash64"))
+    })
+    ext.injectFunction(fn("dot_product", "float-array dot product in double precision") {
+      args => DotProduct(args(0), args(1))
+    })
+    ext.injectFunction(fn("cosine_sim", "cosine similarity, 0 on zero norm") {
+      args => CosineSimilarity(args(0), args(1))
+    })
+    ext.injectFunction(fn("hyperplane_buckets", "LSH bucket key per hash table") {
+      args => HyperplaneBuckets(args(0),
+        intArg(args(1), "hyperplane_buckets"), intArg(args(2), "hyperplane_buckets"))
+    })
+    ext.injectFunction(fn("top_k_agg", "exact mergeable top-k (value desc, id asc)") {
+      args => TopKImperative(Cast(args(0), LongType),
+        Cast(args(1), org.apache.spark.sql.types.DoubleType), intArg(args(2), "top_k_agg"))
+    })
+    ext.injectFunction(fn("heavy_hitters_agg", "Misra-Gries heavy hitters") {
+      args => HeavyHittersAgg(str(args(0)), intArg(args(1), "heavy_hitters_agg"))
+    })
   }
 }

@@ -19,6 +19,8 @@ object GraftSession {
   def builder(master: String, shufflePartitions: Int): SparkSession.Builder = {
     val b = SparkSession.builder()
       .master(master)
+      // SQL surface for the native kernels (poly_hash, cosine_sim, ...)
+      .withExtensions(new GraftExtensions)
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

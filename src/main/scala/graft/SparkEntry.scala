@@ -247,6 +247,20 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("rank"))
     }),
 
+    // The native kernels through the SQL front door — GraftExtensions
+    // registers them via SparkSessionExtensions.injectFunction, so a pure
+    // spark.sql user gets the same codegen'd primitives as the Column API.
+    "sql_kernels" -> ((s, dir) => {
+      Tables.documents(s, dir).select(col("doc_id"), col("text"))
+        .createOrReplaceTempView("documents_v")
+      s.sql("""SELECT doc_id,
+               |  poly_hash(text) AS fp,
+               |  simhash64(text, 16) AS sh,
+               |  size(token_hashes(text)) AS n_tok,
+               |  size(shingle_hashes(text, 3)) AS n_shingles
+               |FROM documents_v ORDER BY doc_id""".stripMargin)
+    }),
+
     // Custom DataSource V2 generator source with real column pruning and
     // id-range filter pushdown (the range narrows inside the source, so
     // the predicate skips whole input partitions like row-group pruning).
@@ -1172,6 +1186,16 @@ object SparkEntry {
          |SELECT pre // 4096 AS shard_id, count(*) AS n_docs,
          |  CAST(sum(n_tok) AS BIGINT) AS n_tokens, min(doc_id) AS first_doc, max(doc_id) AS last_doc
          |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "sql_kernels" -> {
+      val th = s"list_transform(${Oracles.tokens("text")}, t -> ${Oracles.polyHash("t")})"
+      s"""SELECT doc_id,
+         |  ${Oracles.polyHash("text")} AS fp,
+         |  ${Oracles.simhash(th, 16)} AS sh,
+         |  len(${Oracles.tokens("text")}) AS n_tok,
+         |  len(${Oracles.shingleHashes("text", 3)}) AS n_shingles
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
 
     "seq_source" ->
       s"""WITH s AS (

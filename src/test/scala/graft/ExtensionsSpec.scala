@@ -1,67 +1,64 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
-import org.scalatest.funsuite.AnyFunSuite
-import graft.functions.PolyHash
+import org.apache.spark.sql.functions._
+import graft.functions.{GraftFunctions, PolyHash}
 
-/** The engine's expressions registered as SQL functions via
-  * SparkSessionExtensions (extensions apply at session construction, so
-  * this suite builds its own session over the shared context).
-  */
-class ExtensionsSpec extends AnyFunSuite {
+class ExtensionsSpec extends SparkSuite {
+  import spark.implicits._
 
-  test("all engine functions are callable from plain SQL") {
-    val prevDefault = SparkSession.getDefaultSession
-    val prevActive = SparkSession.getActiveSession
-    SparkSession.clearDefaultSession()
-    SparkSession.clearActiveSession()
-    val s = GraftSession.builder("local[4]", 4)
-      .withExtensions(new GraftExtensions)
-      .getOrCreate()
-    try {
-      val row = s.sql(
-        """SELECT
-          |  poly_hash('hello') AS h,
-          |  cosine_similarity(array(CAST(1 AS FLOAT), CAST(0 AS FLOAT)),
-          |                    array(CAST(1 AS FLOAT), CAST(0 AS FLOAT))) AS c,
-          |  size(shingle_hashes('abcd', 3)) AS ns,
-          |  size(token_hashes('a b  c')) AS nt,
-          |  size(minhash_signature(shingle_hashes('abcd', 3), 8)) AS nm,
-          |  simhash(token_hashes('a b c a'), 16) AS sh,
-          |  size(hyperplane_buckets(array_repeat(CAST(0.5 AS FLOAT), 64), 4, 8)) AS nb
-          |""".stripMargin).collect()(0)
-      assert(row.getLong(0) == PolyHash.hash("hello"))
-      assert(row.getDouble(1) == 1.0)
-      assert(row.getInt(2) == 2)
-      assert(row.getInt(3) == 3)
-      assert(row.getInt(4) == 8)
-      assert(row.getLong(5) >= 0)
-      assert(row.getInt(6) == 4)
+  test("poly_hash via SQL equals the scalar kernel") {
+    assert(spark.sql("SELECT poly_hash('abc') AS h").as[Long].head()
+      == PolyHash.hash("abc"))
+  }
 
-      // the imperative aggregates resolve from SQL too
-      val agg = s.sql(
-        """SELECT top_k(id, v, 2) AS tk, heavy_hitters(w, 2) AS hh
-          |FROM VALUES (1L, 1.0D, 'a'), (2L, 2.0D, 'a'), (3L, 3.0D, 'b')
-          |  AS t(id, v, w)""".stripMargin).collect()(0)
-      val tk = agg.getSeq[org.apache.spark.sql.Row](0)
-      assert(tk.map(r => (r.getDouble(0), r.getLong(1))) == Seq((3.0, 3L), (2.0, 2L)))
-      val hh = agg.getSeq[org.apache.spark.sql.Row](1)
-      assert(hh.map(r => (r.getString(0), r.getLong(1))) == Seq(("a", 2L), ("b", 1L)))
+  test("dot_product and cosine_sim on float-array literals") {
+    val r = spark.sql(
+      """SELECT
+        |  dot_product(CAST(array(1.0, 2.0) AS ARRAY<FLOAT>),
+        |              CAST(array(3.0, 4.0) AS ARRAY<FLOAT>)) AS d,
+        |  cosine_sim(CAST(array(1.0, 0.0) AS ARRAY<FLOAT>),
+        |             CAST(array(1.0, 0.0) AS ARRAY<FLOAT>)) AS one,
+        |  cosine_sim(CAST(array(0.0, 0.0) AS ARRAY<FLOAT>),
+        |             CAST(array(1.0, 0.0) AS ARRAY<FLOAT>)) AS zero
+        |""".stripMargin).as[(Double, Double, Double)].head()
+    assert(r == ((11.0, 1.0, 0.0)))
+  }
 
-      // non-canonical argument types (INT id, BIGINT item) must cast, not CCE
-      val cast = s.sql(
-        """SELECT top_k(i, v, 1) AS tk, heavy_hitters(n, 4) AS hh
-          |FROM VALUES (1, CAST(1.5 AS FLOAT), 7L), (2, CAST(0.5 AS FLOAT), 7L)
-          |  AS t(i, v, n)""".stripMargin).collect()(0)
-      assert(cast.getSeq[org.apache.spark.sql.Row](0)
-        .map(r => (r.getDouble(0), r.getLong(1))) == Seq((1.5, 1L)))
-      assert(cast.getSeq[org.apache.spark.sql.Row](1)
-        .map(r => (r.getString(0), r.getLong(1))) == Seq(("7", 2L)))
-    } finally {
-      SparkSession.clearDefaultSession()
-      SparkSession.clearActiveSession()
-      prevDefault.foreach(SparkSession.setDefaultSession)
-      prevActive.foreach(SparkSession.setActiveSession)
+  test("SQL kernels agree with the Column API on real documents") {
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text")).limit(100)
+    docs.createOrReplaceTempView("ext_docs")
+    val viaSql = spark.sql(
+      """SELECT doc_id, poly_hash(text) AS fp, simhash64(text, 16) AS sh,
+        |  minhash_sig(shingle_hashes(text, 3), 8) AS mh
+        |FROM ext_docs""".stripMargin)
+    val viaCols = docs.select(col("doc_id"),
+      GraftFunctions.poly_hash(col("text")).as("fp"),
+      GraftFunctions.simhashOf(col("text"), 16).as("sh"),
+      GraftFunctions.minhashSignature(
+        GraftFunctions.shingleHashes(col("text"), 3), 8).as("mh"))
+    assert(viaSql.except(viaCols).isEmpty && viaCols.except(viaSql).isEmpty)
+  }
+
+  test("aggregates: top_k_agg and heavy_hitters_agg resolve and match") {
+    val ev = Tables.events(spark, sf).limit(2000)
+    ev.createOrReplaceTempView("ext_events")
+    val viaSql = spark.sql(
+      "SELECT top_k_agg(event_id, value, 5) AS t FROM ext_events")
+      .select(explode(col("t")).as("e")).select("e.id", "e.value")
+      .as[(Long, Double)].collect().toSeq
+    val viaCol = ev.agg(GraftFunctions.top_k(col("event_id"), col("value"), 5).as("t"))
+      .select(explode(col("t")).as("e")).select("e.id", "e.value")
+      .as[(Long, Double)].collect().toSeq
+    assert(viaSql == viaCol && viaSql.size == 5)
+    val hh = spark.sql(
+      "SELECT heavy_hitters_agg(event_type, 10) AS h FROM ext_events")
+      .select(explode(col("h"))).count()
+    assert(hh > 0)
+  }
+
+  test("sizing arguments must be literal integers") {
+    intercept[Exception] {
+      spark.sql("SELECT simhash64('a', CAST(id AS INT)) FROM range(2)").collect()
     }
   }
 }
