@@ -2,75 +2,94 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo, Literal}
-import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
+import org.apache.spark.sql.types.{DoubleType, LongType, StringType}
 import graft.functions._
 
-/** [[SparkSessionExtensions]] hook that registers the engine's native
-  * Catalyst kernels as SQL functions, so `spark.sql` users get the same
-  * codegen'd primitives the Column API exposes
-  * (`SELECT poly_hash(text), simhash64(text, 16) FROM docs`):
-  *
-  *  - `poly_hash(str)`, `token_hashes(str)`, `shingle_hashes(str, n)`
-  *  - `minhash_sig(array<long>, k)`, `simhash64(str, bits)`
-  *  - `dot_product(a, b)`, `cosine_sim(a, b)`,
-  *    `hyperplane_buckets(emb, tables, bits)`
-  *  - aggregates `top_k_agg(id, value, k)`,
-  *    `heavy_hitters_agg(item, k)`
+/** SparkSessionExtensions entry point: registers the engine's native
+  * expressions as SQL functions, so `spark.sql("SELECT poly_hash(text) ...")`
+  * works anywhere the library is on the classpath.
   *
   * Wired into every session by [[GraftSession.builder]] via
-  * `.withExtensions` — the idiomatic extension point (no fork, no
-  * session-state hacks); sizing arguments must be literal integers, like
-  * the built-in `approx_percentile`.
+  * `.withExtensions`; cluster-wide deployment can equivalently set
+  * `spark.sql.extensions=graft.GraftExtensions` (no code changes in user
+  * jobs). Sizing arguments (k, n, bits, tables) must be integer literals,
+  * like the built-in `approx_percentile`.
+  *
+  * Functions: `poly_hash(str)`, `token_hashes(str)`,
+  * `shingle_hashes(str, n)`, `minhash_signature(hashes, k)` (alias
+  * `minhash_sig`), `simhash(token_hashes, bits)`,
+  * `simhash64(str, bits)` (tokenize + simhash in one call),
+  * `dot_product(a, b)`, `cosine_similarity(a, b)` (alias `cosine_sim`),
+  * `hyperplane_buckets(emb, tables, bits)`, and the aggregates
+  * `top_k(id, value, k)` (alias `top_k_agg`) /
+  * `heavy_hitters(item, k)` (alias `heavy_hitters_agg`).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
-  private def intArg(e: Expression, fn: String): Int = e match {
-    case Literal(v: Int, IntegerType) => v
-    case Literal(v: Long, LongType)   => v.toInt
-    case _ => throw new IllegalArgumentException(
-      s"$fn: sizing argument must be a literal integer, got $e")
-  }
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage,
+      "", "", "", "", "", "", "built-in")
 
-  private def str(e: Expression): Expression = Cast(e, StringType)
-
-  private def fn(name: String, usage: String)(builder: Seq[Expression] => Expression) =
-    (new FunctionIdentifier(name),
-      new ExpressionInfo("graft.functions", name, usage),
-      builder)
+  private def register(ext: SparkSessionExtensions, usage: String,
+                       names: Seq[String])(builder: Seq[Expression] => Expression): Unit =
+    names.foreach { name =>
+      ext.injectFunction((FunctionIdentifier(name), info(name, usage), builder))
+    }
 
   override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction(fn("poly_hash", "portable polynomial string hash mod 2^31-1") {
-      args => PolyHash(str(args.head))
-    })
-    ext.injectFunction(fn("token_hashes", "poly_hash of each whitespace token") {
-      args => TokenHashesExpr(str(args.head))
-    })
-    ext.injectFunction(fn("shingle_hashes", "distinct hashed character n-grams") {
-      args => ShingleHashesExpr(str(args(0)), intArg(args(1), "shingle_hashes"))
-    })
-    ext.injectFunction(fn("minhash_sig", "MinHash signature of a hash set") {
-      args => MinHashSignatureExpr(args(0), intArg(args(1), "minhash_sig"))
-    })
-    ext.injectFunction(fn("simhash64", "SimHash of a string's tokens") {
-      args => SimHashExpr(TokenHashesExpr(str(args(0))), intArg(args(1), "simhash64"))
-    })
-    ext.injectFunction(fn("dot_product", "float-array dot product in double precision") {
-      args => DotProduct(args(0), args(1))
-    })
-    ext.injectFunction(fn("cosine_sim", "cosine similarity, 0 on zero norm") {
-      args => CosineSimilarity(args(0), args(1))
-    })
-    ext.injectFunction(fn("hyperplane_buckets", "LSH bucket key per hash table") {
-      args => HyperplaneBuckets(args(0),
-        intArg(args(1), "hyperplane_buckets"), intArg(args(2), "hyperplane_buckets"))
-    })
-    ext.injectFunction(fn("top_k_agg", "exact mergeable top-k (value desc, id asc)") {
-      args => TopKImperative(Cast(args(0), LongType),
-        Cast(args(1), org.apache.spark.sql.types.DoubleType), intArg(args(2), "top_k_agg"))
-    })
-    ext.injectFunction(fn("heavy_hitters_agg", "Misra-Gries heavy hitters") {
-      args => HeavyHittersAgg(str(args(0)), intArg(args(1), "heavy_hitters_agg"))
-    })
+    register(ext, "poly_hash(str) - portable polynomial string hash mod 2^31-1",
+      Seq("poly_hash"))(args => PolyHash(Cast(args.head, StringType)))
+
+    register(ext, "cosine_similarity(a, b) - cosine of two float arrays",
+      Seq("cosine_similarity", "cosine_sim"))(
+      args => CosineSimilarity(args(0), args(1)))
+
+    register(ext, "dot_product(a, b) - float-array dot product in double precision",
+      Seq("dot_product"))(args => DotProduct(args(0), args(1)))
+
+    register(ext, "shingle_hashes(str, n) - distinct hashed character n-grams",
+      Seq("shingle_hashes"))(
+      args => ShingleHashesExpr(Cast(args(0), StringType), foldInt(args(1))))
+
+    register(ext, "token_hashes(str) - poly_hash of each whitespace token",
+      Seq("token_hashes"))(args => TokenHashesExpr(Cast(args.head, StringType)))
+
+    register(ext, "minhash_signature(hashes, k) - k-hash MinHash signature",
+      Seq("minhash_signature", "minhash_sig"))(
+      args => MinHashSignatureExpr(args(0), foldInt(args(1))))
+
+    register(ext, "simhash(token_hashes, bits) - bitwise majority simhash",
+      Seq("simhash"))(args => SimHashExpr(args(0), foldInt(args(1))))
+
+    register(ext, "simhash64(str, bits) - tokenize + simhash in one call",
+      Seq("simhash64"))(
+      args => SimHashExpr(TokenHashesExpr(Cast(args(0), StringType)), foldInt(args(1))))
+
+    register(ext,
+      "hyperplane_buckets(embedding, tables, bits) - LSH bucket key per hash table",
+      Seq("hyperplane_buckets"))(
+      args => HyperplaneBuckets(args(0), foldInt(args(1)), foldInt(args(2))))
+
+    // the aggregates read their children as long/double/UTF8String, so
+    // SQL arguments get the same canonicalizing casts as the Scala
+    // wrappers in GraftFunctions — an INT id would otherwise CCE mid-job
+    register(ext, "top_k(id, value, k) - exact mergeable top-k (value desc, id asc)",
+      Seq("top_k", "top_k_agg"))(
+      args => TopKImperative(
+        Cast(args(0), LongType), Cast(args(1), DoubleType), foldInt(args(2))))
+
+    register(ext,
+      "heavy_hitters(item, k) - Misra-Gries frequent items, <= k bounded counters",
+      Seq("heavy_hitters", "heavy_hitters_agg"))(
+      args => HeavyHittersAgg(Cast(args(0), StringType), foldInt(args(1))))
+  }
+
+  /** Static-int arguments (k, bits, n) must be literals at parse time. */
+  private def foldInt(e: Expression): Int = e.eval(null) match {
+    case i: Int => i
+    case l: Long => l.toInt
+    case other => throw new IllegalArgumentException(
+      s"expected an integer literal argument, got $other")
   }
 }

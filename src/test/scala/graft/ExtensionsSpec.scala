@@ -3,25 +3,65 @@ package graft
 import org.apache.spark.sql.functions._
 import graft.functions.{GraftFunctions, PolyHash}
 
+/** The engine's expressions registered as SQL functions via
+  * SparkSessionExtensions (GraftSession wires them into every session).
+  */
 class ExtensionsSpec extends SparkSuite {
   import spark.implicits._
 
-  test("poly_hash via SQL equals the scalar kernel") {
-    assert(spark.sql("SELECT poly_hash('abc') AS h").as[Long].head()
-      == PolyHash.hash("abc"))
+  test("all engine functions are callable from plain SQL") {
+    val row = spark.sql(
+      """SELECT
+        |  poly_hash('hello') AS h,
+        |  cosine_similarity(array(CAST(1 AS FLOAT), CAST(0 AS FLOAT)),
+        |                    array(CAST(1 AS FLOAT), CAST(0 AS FLOAT))) AS c,
+        |  size(shingle_hashes('abcd', 3)) AS ns,
+        |  size(token_hashes('a b  c')) AS nt,
+        |  size(minhash_signature(shingle_hashes('abcd', 3), 8)) AS nm,
+        |  simhash(token_hashes('a b c a'), 16) AS sh,
+        |  size(hyperplane_buckets(array_repeat(CAST(0.5 AS FLOAT), 64), 4, 8)) AS nb
+        |""".stripMargin).collect()(0)
+    assert(row.getLong(0) == PolyHash.hash("hello"))
+    assert(row.getDouble(1) == 1.0)
+    assert(row.getInt(2) == 2)
+    assert(row.getInt(3) == 3)
+    assert(row.getInt(4) == 8)
+    assert(row.getLong(5) >= 0)
+    assert(row.getInt(6) == 4)
   }
 
-  test("dot_product and cosine_sim on float-array literals") {
+  test("the imperative aggregates resolve from SQL, with canonicalizing casts") {
+    val agg = spark.sql(
+      """SELECT top_k(id, v, 2) AS tk, heavy_hitters(w, 2) AS hh
+        |FROM VALUES (1L, 1.0D, 'a'), (2L, 2.0D, 'a'), (3L, 3.0D, 'b')
+        |  AS t(id, v, w)""".stripMargin).collect()(0)
+    val tk = agg.getSeq[org.apache.spark.sql.Row](0)
+    assert(tk.map(r => (r.getDouble(0), r.getLong(1))) == Seq((3.0, 3L), (2.0, 2L)))
+    val hh = agg.getSeq[org.apache.spark.sql.Row](1)
+    assert(hh.map(r => (r.getString(0), r.getLong(1))) == Seq(("a", 2L), ("b", 1L)))
+    // non-canonical argument types (INT id, FLOAT value, BIGINT item)
+    // must cast, not CCE mid-job
+    val cast = spark.sql(
+      """SELECT top_k(i, v, 1) AS tk, heavy_hitters(n, 4) AS hh
+        |FROM VALUES (1, CAST(1.5 AS FLOAT), 7L), (2, CAST(0.5 AS FLOAT), 7L)
+        |  AS t(i, v, n)""".stripMargin).collect()(0)
+    assert(cast.getSeq[org.apache.spark.sql.Row](0)
+      .map(r => (r.getDouble(0), r.getLong(1))) == Seq((1.5, 1L)))
+    assert(cast.getSeq[org.apache.spark.sql.Row](1)
+      .map(r => (r.getString(0), r.getLong(1))) == Seq(("7", 2L)))
+  }
+
+  test("aliases resolve to the same kernels") {
     val r = spark.sql(
       """SELECT
-        |  dot_product(CAST(array(1.0, 2.0) AS ARRAY<FLOAT>),
-        |              CAST(array(3.0, 4.0) AS ARRAY<FLOAT>)) AS d,
-        |  cosine_sim(CAST(array(1.0, 0.0) AS ARRAY<FLOAT>),
-        |             CAST(array(1.0, 0.0) AS ARRAY<FLOAT>)) AS one,
-        |  cosine_sim(CAST(array(0.0, 0.0) AS ARRAY<FLOAT>),
-        |             CAST(array(1.0, 0.0) AS ARRAY<FLOAT>)) AS zero
-        |""".stripMargin).as[(Double, Double, Double)].head()
-    assert(r == ((11.0, 1.0, 0.0)))
+        |  cosine_sim(array(CAST(3 AS FLOAT)), array(CAST(2 AS FLOAT))) AS c,
+        |  size(minhash_sig(shingle_hashes('abcd', 3), 8)) AS nm,
+        |  simhash64('a b c a', 16) AS sh,
+        |  simhash(token_hashes('a b c a'), 16) AS sh2
+        |""".stripMargin).collect()(0)
+    assert(r.getDouble(0) == 1.0)
+    assert(r.getInt(1) == 8)
+    assert(r.getLong(2) == r.getLong(3))
   }
 
   test("SQL kernels agree with the Column API on real documents") {
@@ -29,7 +69,7 @@ class ExtensionsSpec extends SparkSuite {
     docs.createOrReplaceTempView("ext_docs")
     val viaSql = spark.sql(
       """SELECT doc_id, poly_hash(text) AS fp, simhash64(text, 16) AS sh,
-        |  minhash_sig(shingle_hashes(text, 3), 8) AS mh
+        |  minhash_signature(shingle_hashes(text, 3), 8) AS mh
         |FROM ext_docs""".stripMargin)
     val viaCols = docs.select(col("doc_id"),
       GraftFunctions.poly_hash(col("text")).as("fp"),
@@ -39,21 +79,17 @@ class ExtensionsSpec extends SparkSuite {
     assert(viaSql.except(viaCols).isEmpty && viaCols.except(viaSql).isEmpty)
   }
 
-  test("aggregates: top_k_agg and heavy_hitters_agg resolve and match") {
+  test("top_k via SQL matches the Column wrapper on real events") {
     val ev = Tables.events(spark, sf).limit(2000)
     ev.createOrReplaceTempView("ext_events")
     val viaSql = spark.sql(
-      "SELECT top_k_agg(event_id, value, 5) AS t FROM ext_events")
+      "SELECT top_k(event_id, value, 5) AS t FROM ext_events")
       .select(explode(col("t")).as("e")).select("e.id", "e.value")
       .as[(Long, Double)].collect().toSeq
     val viaCol = ev.agg(GraftFunctions.top_k(col("event_id"), col("value"), 5).as("t"))
       .select(explode(col("t")).as("e")).select("e.id", "e.value")
       .as[(Long, Double)].collect().toSeq
     assert(viaSql == viaCol && viaSql.size == 5)
-    val hh = spark.sql(
-      "SELECT heavy_hitters_agg(event_type, 10) AS h FROM ext_events")
-      .select(explode(col("h"))).count()
-    assert(hh > 0)
   }
 
   test("sizing arguments must be literal integers") {
