@@ -380,6 +380,14 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    // Stream-static enrichment: stateless broadcast join to the customer
+    // dimension, per-segment aggregate in complete mode.
+    "stream_enrich" -> ((s, dir) =>
+      Streaming.runToCompletion(
+        Streaming.enrichedSegments(Streaming.events(s, dir), Tables.customer(s, dir)),
+        OutputMode.Complete(), statePartitions = Some(8))
+        .orderBy(col("segment"))),
+
     // Stream-stream interval join with state bounded by watermarks +
     // the join's event-time range.
     "stream_join" -> ((s, dir) =>
@@ -1380,6 +1388,12 @@ object SparkEntry {
     "stream_dedup" ->
       """SELECT event_id, user_id, event_type, value
         |FROM events ORDER BY event_id""".stripMargin,
+
+    "stream_enrich" ->
+      """SELECT c_mktsegment AS segment, count(*) AS n_events,
+        |  round(sum(value), 2) AS total_value
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "stream_join" ->
       """SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,

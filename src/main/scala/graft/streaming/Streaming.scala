@@ -113,6 +113,19 @@ object Streaming {
     spark.table(name)
   }
 
+  /** Stream-static enrichment: the event stream joined to a static
+    * dimension table, then aggregated per dimension attribute. The
+    * stream-static join is STATELESS — no watermark, no join state; the
+    * dimension ships as a broadcast once per micro-batch, so at 100 TB/day
+    * the stream is never shuffled for the join, only for the final
+    * segment-key aggregation.
+    */
+  def enrichedSegments(stream: DataFrame, dim: DataFrame): DataFrame = stream
+    .join(broadcast(dim.select(col("c_custkey"), col("c_mktsegment"))),
+      stream("user_id") === col("c_custkey"))
+    .groupBy(col("c_mktsegment").as("segment"))
+    .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("total_value"))
+
   /** Stream-stream interval join: each click joined to the same user's
     * purchases within the following `windowSec` seconds. Both sides carry
     * watermarks so the join state is evicted once the event-time bound

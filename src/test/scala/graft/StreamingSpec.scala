@@ -47,6 +47,34 @@ class StreamingSpec extends SparkSuite {
     assert(got.select("event_id").distinct().count() == n)
   }
 
+  test("stream-static enrichment: broadcast join, no join state, equals batch") {
+    val enriched = Streaming.enrichedSegments(
+      Streaming.events(spark, sf), Tables.customer(spark, sf))
+    val streamed = Streaming.runToCompletion(enriched, OutputMode.Complete())
+    val batch = Tables.events(spark, sf).as("e")
+      .join(Tables.customer(spark, sf), col("user_id") === col("c_custkey"))
+      .groupBy(col("c_mktsegment").as("segment"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("total_value"))
+    assert(streamed.count() > 0)
+    assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty)
+    // the join itself is stateless: only the aggregation keeps state
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, Double)]
+    val st = mem.toDF().toDF("user_id", "value")
+    val q = Streaming.enrichedSegments(st, Tables.customer(spark, sf))
+      .writeStream.format("memory").queryName("enrich_state")
+      .outputMode("complete")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-enr-ckpt").toString)
+      .start()
+    try {
+      mem.addData((1L, 1.0), (2L, 2.0))
+      q.processAllAvailable()
+      assert(q.lastProgress.stateOperators.length == 1,
+        "exactly one stateful operator (the aggregation); the join adds none")
+    } finally q.stop()
+  }
+
   test("stream-stream join state is bounded: watermark evicts rows past the join window") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val mem = MemoryStream[(Long, Long, String, Long)]
