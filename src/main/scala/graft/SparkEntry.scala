@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.OutputMode
 import graft.functions.GraftFunctions
-import graft.operators.{AsOfJoin, Cdc, Dedup, Graph, IncrementalAgg, KMeans, Multimodal, Packing, ParallelReports, Quantize, RangeJoin, Resample, Sampling, Sessionize, Similarity, SkewAgg, StarPipeline, TextAnalysis}
+import graft.operators.{AsOfJoin, Cdc, Dedup, Graph, IncrementalAgg, Intervals, KMeans, Merge, Multimodal, Packing, ParallelReports, Quantize, RangeJoin, Resample, Sampling, Sessionize, Similarity, SkewAgg, StarPipeline, TextAnalysis, Transitions}
 import graft.sources.{BookmarkStore, IncrementalReader}
 import graft.streaming.Streaming
 
@@ -830,7 +830,43 @@ object SparkEntry {
         .select(col("event_type"), posexplode(col("topk")))
         .select(col("event_type"), (col("pos") + 1).cast("int").as("rank"),
           col("col.id").as("event_id"), col("col.value").as("value"))
-        .orderBy(col("event_type"), col("rank")))
+        .orderBy(col("event_type"), col("rank"))),
+
+    // MERGE upsert: apply a change batch (updates + CDC delete markers +
+    // inserts) to a snapshot in one full-outer shuffle join on the key.
+    "merge_upsert" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      val target = ev.where(col("event_id") % 3 =!= 0)
+      val source = ev.where(col("event_id") % 2 === 0)
+        .withColumn("value", col("value") + 100)
+      Merge.upsert(target, source, Seq("event_id"),
+          deleteWhen = Some(col("event_type") === "error"))
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          round(col("value"), 2).as("value"), col("op"))
+        .orderBy(col("event_id"))
+    }),
+
+    // Interval coalescing: each user's ±30-min activity spans merged into
+    // maximal disjoint busy intervals (gaps-and-islands, one shuffle).
+    "interval_merge" -> ((s, dir) => {
+      val iv = Tables.events(s, dir)
+        .select(col("user_id"), expr("ts DIV 1000000000").as("start_sec"))
+        .withColumn("end_sec", col("start_sec") + 1800)
+      Intervals.coalesce(iv, "user_id", "start_sec", "end_sec")
+        .orderBy(col("user_id"), col("start_sec"))
+    }),
+
+    // First-order Markov transition matrix of event types per user:
+    // the sequence shuffles once; the normalizer runs over the |states|²
+    // aggregated pairs.
+    "markov_transitions" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"),
+          expr("ts DIV 1000000000").as("tss"), col("event_id"))
+      Transitions.matrix(ev, "user_id", Seq("tss", "event_id"), "event_type")
+        .orderBy(col("state"), col("next_state"))
+    })
   )
 
   /** Shared CTE chain producing `mh_pairs` — the MinHash-LSH near-dup
@@ -1744,6 +1780,53 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS rank,
         |    event_id, value
         |  FROM events)
-        |WHERE rank <= 3 ORDER BY event_type, rank""".stripMargin
+        |WHERE rank <= 3 ORDER BY event_type, rank""".stripMargin,
+
+    "merge_upsert" ->
+      """WITH ev AS (SELECT event_id, user_id, event_type, value FROM events),
+        |t AS (SELECT * FROM ev WHERE event_id % 3 != 0),
+        |s AS (SELECT event_id, user_id, event_type, value + 100 AS value
+        |      FROM ev WHERE event_id % 2 = 0)
+        |SELECT coalesce(s.event_id, t.event_id) AS event_id,
+        |  CASE WHEN s.event_id IS NOT NULL THEN s.user_id ELSE t.user_id END AS user_id,
+        |  CASE WHEN s.event_id IS NOT NULL THEN s.event_type ELSE t.event_type END AS event_type,
+        |  round(CASE WHEN s.event_id IS NOT NULL THEN s.value ELSE t.value END, 2) AS value,
+        |  CASE WHEN s.event_id IS NOT NULL AND t.event_id IS NOT NULL THEN 'updated'
+        |       WHEN t.event_id IS NULL THEN 'inserted' ELSE 'kept' END AS op
+        |FROM t FULL JOIN s ON t.event_id = s.event_id
+        |WHERE NOT (s.event_id IS NOT NULL AND s.event_type = 'error')
+        |ORDER BY event_id""".stripMargin,
+
+    "interval_merge" ->
+      """WITH iv AS (
+        |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS start_sec,
+        |    CAST(floor(epoch(ts)) AS BIGINT) + 1800 AS end_sec FROM events),
+        |m AS (
+        |  SELECT user_id, start_sec, end_sec,
+        |    max(end_sec) OVER (PARTITION BY user_id ORDER BY start_sec, end_sec
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+        |  FROM iv),
+        |fl AS (SELECT *, CASE WHEN prev_end IS NULL OR start_sec > prev_end
+        |                 THEN 1 ELSE 0 END AS ni FROM m),
+        |isl AS (SELECT *, sum(ni) OVER (PARTITION BY user_id
+        |    ORDER BY start_sec, end_sec ROWS UNBOUNDED PRECEDING) AS island FROM fl)
+        |SELECT user_id, min(start_sec) AS start_sec, max(end_sec) AS end_sec,
+        |  count(*) AS n_merged
+        |FROM isl GROUP BY user_id, island
+        |ORDER BY user_id, start_sec""".stripMargin,
+
+    "markov_transitions" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS tss, event_id
+        |  FROM events),
+        |nx AS (
+        |  SELECT event_type AS state,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY tss, event_id) AS next_state
+        |  FROM e),
+        |cnt AS (SELECT state, next_state, count(*) AS n FROM nx
+        |        WHERE next_state IS NOT NULL GROUP BY 1, 2)
+        |SELECT state, next_state, n,
+        |  round(n / sum(n) OVER (PARTITION BY state), 6) AS prob
+        |FROM cnt ORDER BY state, next_state""".stripMargin
   )
 }
