@@ -866,7 +866,36 @@ object SparkEntry {
           expr("ts DIV 1000000000").as("tss"), col("event_id"))
       Transitions.matrix(ev, "user_id", Seq("tss", "event_id"), "event_type")
         .orderBy(col("state"), col("next_state"))
-    })
+    }),
+
+    // Token bigram language model (count >= 5): map-only bigram explode,
+    // map-side-combined pair counts, vocab²-bounded normalizer window.
+    "bigram_lm" -> ((s, dir) =>
+      TextAnalysis.bigramLm(
+          Tables.documents(s, dir).select(col("doc_id"), col("text")), 5L)
+        .orderBy(col("w1"), col("w2"))),
+
+    // Blocked fuzzy entity matching: originals vs a perturbed copy
+    // (char 6 replaced) of every 5th part name — 5-char-prefix blocking
+    // join, levenshtein <= 2 verify on candidates only.
+    "fuzzy_match" -> ((s, dir) => {
+      val parts = Tables.part(s, dir)
+        .select(col("p_partkey").as("id"), col("p_name").as("name"))
+      val perturbed = parts.where(col("id") % 5 === 0)
+        .select((col("id") + 1000000L).as("id"),
+          concat(substring(col("name"), 1, 5), lit("x"),
+            expr("substring(name, 7)")).as("name"))
+      graft.operators.FuzzyMatch.blocked(parts, perturbed, "id", "name",
+          prefixLen = 5, maxDist = 2)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // One-pass multi-column table profile (ANALYZE-style catalog stats):
+    // count/nulls/exact-ndv/min/max/avg per measure, melted long-form.
+    "column_profile" -> ((s, dir) =>
+      graft.operators.Profile.numeric(Tables.lineitem(s, dir),
+          Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+        .orderBy(col("column_name")))
   )
 
   /** Shared CTE chain producing `mh_pairs` — the MinHash-LSH near-dup
@@ -1827,6 +1856,46 @@ object SparkEntry {
         |        WHERE next_state IS NOT NULL GROUP BY 1, 2)
         |SELECT state, next_state, n,
         |  round(n / sum(n) OVER (PARTITION BY state), 6) AS prob
-        |FROM cnt ORDER BY state, next_state""".stripMargin
+        |FROM cnt ORDER BY state, next_state""".stripMargin,
+
+    "bigram_lm" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, ${Oracles.tokens("lower(text)")} AS t FROM documents),
+         |bg AS (
+         |  SELECT unnest(list_transform(range(1, len(t)),
+         |    i -> struct_pack(w1 := t[i], w2 := t[i+1]))) AS b
+         |  FROM toks WHERE len(t) >= 2),
+         |cnt AS (SELECT b.w1 AS w1, b.w2 AS w2, count(*) AS n FROM bg GROUP BY 1, 2),
+         |nrm AS (
+         |  SELECT w1, w2, n,
+         |    round(n / sum(n) OVER (PARTITION BY w1), 6) AS prob
+         |  FROM cnt)
+         |SELECT w1, w2, n, prob FROM nrm WHERE n >= 5
+         |ORDER BY w1, w2""".stripMargin,
+
+    "fuzzy_match" ->
+      """WITH parts AS (SELECT p_partkey AS id, p_name AS name FROM part),
+        |pert AS (
+        |  SELECT id + 1000000 AS id,
+        |    substr(name, 1, 5) || 'x' || substr(name, 7) AS name
+        |  FROM parts WHERE id % 5 = 0),
+        |l AS (SELECT id AS id_a, name AS name_a, substr(name, 1, 5) AS bk FROM parts),
+        |r AS (SELECT id AS id_b, name AS name_b, substr(name, 1, 5) AS bk FROM pert)
+        |SELECT id_a, name_a, id_b, name_b,
+        |  levenshtein(name_a, name_b) AS dist
+        |FROM l JOIN r USING (bk)
+        |WHERE id_a != id_b AND levenshtein(name_a, name_b) <= 2
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "column_profile" -> {
+      def one(c: String) =
+        s"""SELECT '$c' AS column_name, count($c) AS n,
+           |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+           |  count(DISTINCT $c) AS ndv,
+           |  CAST(min($c) AS DOUBLE) AS min_val, CAST(max($c) AS DOUBLE) AS max_val,
+           |  round(avg($c), 4) AS avg_val FROM lineitem""".stripMargin
+      Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+        .map(one).mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
+    }
   )
 }

@@ -258,4 +258,35 @@ object TextAnalysis {
       .withColumn("fingerprint", poly_hash(text))
       .drop("_toks", "_ltoks", "_nopunct", "_bpe")
   }
+
+  /** First-order token language model: bigram counts and the MLE
+    * conditional probability P(w2 | w1) over lowercased whitespace
+    * tokens — the corpus statistic behind perplexity-style quality
+    * filters and contamination fingerprints.
+    *
+    * The bigram explode is map-only (zip of the token list with its own
+    * tail — no self-join); counts combine map-side so the one shuffle
+    * carries distinct (w1, w2) pairs, not token occurrences. The
+    * per-context normalizer runs as a window over the aggregated pairs
+    * (≤ vocab² rows) and sums ALL of a context's bigrams before the
+    * `minCount` output filter, so probabilities are true conditionals,
+    * not renormalized survivors.
+    */
+  def bigramLm(docs: DataFrame, minCount: Long,
+               text: Column = col("text")): DataFrame = {
+    val t = tokens(lower(text))
+    val pairs = docs
+      .select(t.as("_t"))
+      .where(size(col("_t")) >= 2)
+      .select(explode(zip_with(
+        slice(col("_t"), lit(1), size(col("_t")) - 1),
+        slice(col("_t"), lit(2), size(col("_t")) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("b"))
+      .groupBy(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .agg(count(lit(1)).as("n"))
+    pairs
+      .withColumn("prob",
+        round(col("n") / sum(col("n")).over(Window.partitionBy(col("w1"))), 6))
+      .where(col("n") >= minCount)
+  }
 }

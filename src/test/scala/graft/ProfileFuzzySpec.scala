@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{FuzzyMatch, Profile, TextAnalysis}
+
+class ProfileFuzzySpec extends SparkSuite {
+  import spark.implicits._
+
+  test("bigram LM: counts and conditionals, normalizer over ALL pairs of a context") {
+    val docs = Seq(
+      (1L, "a b a b"),        // a->b x2, b->a x1
+      (2L, "a b a c"),        // a->b, b->a, a->c
+      (3L, "solo")            // no bigrams
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.bigramLm(docs, 1L)
+      .orderBy("w1", "w2").as[(String, String, Long, Double)].collect().toList
+    // a: ->b 3, ->c 1 (P = .75/.25); b: ->a 2 (P = 1.0)
+    assert(out === List(
+      ("a", "b", 3L, 0.75), ("a", "c", 1L, 0.25), ("b", "a", 2L, 1.0)))
+    // with minCount 2 the a->c row is filtered but a->b keeps P=0.75:
+    // the normalizer saw the filtered row
+    val kept = TextAnalysis.bigramLm(docs, 2L)
+      .orderBy("w1", "w2").as[(String, String, Long, Double)].collect().toList
+    assert(kept === List(("a", "b", 3L, 0.75), ("b", "a", 2L, 1.0)))
+  }
+
+  test("fuzzy match: blocked candidates verified by edit distance, no nested loop") {
+    val left = Seq((1L, "chocolate lace"), (2L, "goldenrod dim"), (3L, "zzz"))
+      .toDF("id", "name")
+    val right = Seq((10L, "chocoXate lace"), (11L, "goldenrod dXm"),
+      (12L, "chacolate lace")).toDF("id", "name")
+    val df = FuzzyMatch.blocked(left, right, "id", "name", prefixLen = 5, maxDist = 2)
+    val out = df.select("id_a", "id_b", "dist")
+      .as[(Long, Long, Int)].collect().toSet
+    // 1<->10 share "choco", dist 1; 2<->11 share "golde", dist 1;
+    // 12 ("chaco") is in a different block despite dist 1 — not recalled
+    assert(out === Set((1L, 10L, 1), (2L, 11L, 1)))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"), plan)
+  }
+
+  test("column profile: one row per column with exact stats") {
+    val df = Seq[(java.lang.Double, java.lang.Double)](
+      (1.0, 10.0), (2.0, 10.0), (3.0, null)).toDF("x", "y")
+    val out = Profile.numeric(df, Seq("x", "y")).orderBy("column_name")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4), r.getDouble(5), r.getDouble(6))).toList
+    assert(out === List(
+      ("x", 3L, 0L, 3L, 1.0, 3.0, 2.0),
+      ("y", 2L, 1L, 1L, 10.0, 10.0, 10.0)))
+  }
+
+  test("column profile is a single scan (one aggregate over Expand)") {
+    val plan = Profile.numeric(
+        Tables.lineitem(spark, sf), Seq("l_quantity", "l_tax"))
+      .queryExecution.executedPlan.toString
+    val scans = "Scan parquet".r.findAllIn(plan).length
+    assert(scans == 1, s"expected 1 scan, got $scans")
+    assert(plan.contains("Expand"), plan)
+  }
+}
