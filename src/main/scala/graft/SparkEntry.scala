@@ -895,7 +895,48 @@ object SparkEntry {
     "column_profile" -> ((s, dir) =>
       graft.operators.Profile.numeric(Tables.lineitem(s, dir),
           Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
-        .orderBy(col("column_name")))
+        .orderBy(col("column_name"))),
+
+    // Deterministic per-group reservoir: 3 events per type, ranked by the
+    // portable mixed hash — reproducible under repartition/re-ingestion.
+    "reservoir_group" -> ((s, dir) =>
+      Sampling.reservoirByGroup(
+          Tables.events(s, dir)
+            .select(col("event_id"), col("user_id"), col("event_type"), col("value")),
+          Seq("event_type"), col("event_id"), 3)
+        .select(col("event_type"), col("sample_rank"), col("event_id"),
+          col("user_id"), round(col("value"), 2).as("value"))
+        .orderBy(col("event_type"), col("sample_rank"))),
+
+    // ORC source/sink roundtrip: the third columnar/text format next to
+    // csv_roundtrip and json_roundtrip.
+    "orc_roundtrip" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-orc").toString
+      Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+        .write.mode("overwrite").orc(tmp)
+      s.read.orc(tmp)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+        .orderBy(col("event_type"))
+    }),
+
+    // Hive-style partitioned layout: write events partitioned by type,
+    // read back two partitions — the filter prunes directories, so the
+    // scan never opens the other partitions' files (PartitionPruningSpec
+    // asserts selectedPartitions on this layout).
+    "partitioned_scan" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-part").toString
+      Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+        .write.mode("overwrite").partitionBy("event_type").parquet(tmp)
+      s.read.parquet(tmp)
+        .where(col("event_type").isin("click", "purchase"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"),
+          countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("event_type"))
+    })
   )
 
   /** Shared CTE chain producing `mh_pairs` — the MinHash-LSH near-dup
@@ -1896,6 +1937,33 @@ object SparkEntry {
            |  round(avg($c), 4) AS avg_val FROM lineitem""".stripMargin
       Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
         .map(one).mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
-    }
+    },
+
+    "reservoir_group" -> {
+      val rk = s"(${Oracles.polyHash("CAST(event_id AS VARCHAR)")} * " +
+        s"${graft.operators.Sampling.MixA}) % ${Oracles.P}"
+      s"""WITH h AS (
+         |  SELECT event_type, event_id, user_id, value, $rk AS rk FROM events),
+         |r AS (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY event_type ORDER BY rk, event_id) AS sample_rank
+         |  FROM h)
+         |SELECT event_type, sample_rank, event_id, user_id,
+         |  round(value, 2) AS value
+         |FROM r WHERE sample_rank <= 3
+         |ORDER BY event_type, sample_rank""".stripMargin
+    },
+
+    // the roundtrip queries aggregate what was written and read back, so
+    // the oracle aggregates the source table directly
+    "orc_roundtrip" ->
+      """SELECT event_type, count(*) AS n, round(sum(value), 2) AS total
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "partitioned_scan" ->
+      """SELECT event_type, count(*) AS n, round(sum(value), 2) AS total,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM events WHERE event_type IN ('click', 'purchase')
+        |GROUP BY event_type ORDER BY event_type""".stripMargin
   )
 }

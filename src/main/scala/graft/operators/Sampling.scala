@@ -50,6 +50,28 @@ object Sampling {
       when(hashBucket(key, buckets) < math.round(trainPct * buckets), lit("train"))
         .otherwise(lit("test")))
 
+  /** Deterministic fixed-k per-group sample (a "frozen reservoir"):
+    * rank each group's rows by the mixed portable hash of `key` (ties
+    * broken by the key) and keep the first `k`. Distributionally a
+    * uniform k-sample per group; operationally a pure function of the
+    * data — re-runs, repartitions, and engine swaps reproduce it.
+    *
+    * One shuffle on the group key + a partition-local sort for the
+    * rank window. When groups are huge and only ids are needed, the
+    * k-bounded [[graft.functions.GraftFunctions.top_k]] aggregate
+    * computes the same sample with O(k) state per group and no sort.
+    */
+  def reservoirByGroup(df: DataFrame, groupCols: Seq[String], key: Column,
+                       k: Int): DataFrame = {
+    val rk = pmod(
+      (poly_hash(key.cast("string")) * lit(MixA)) % lit(graft.functions.PolyHash.P),
+      lit(graft.functions.PolyHash.P))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*).orderBy(rk, key)
+    df.withColumn("sample_rank", row_number().over(w))
+      .where(col("sample_rank") <= k)
+  }
+
   /** Per-stratum sampling rates (e.g. downsample boilerplate classes,
     * keep all rare ones). Strata absent from `fractions` are dropped.
     */

@@ -53,4 +53,17 @@ class SamplingSpec extends SparkSuite {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"sampling must not shuffle:\n$plan")
   }
+
+  test("per-group reservoir keeps exactly k rows per group, deterministically") {
+    val got = Sampling.reservoirByGroup(ev, Seq("event_type"), col("event_id"), 3)
+    val sizes = got.groupBy("event_type").count().as[(String, Long)].collect()
+    assert(sizes.nonEmpty && sizes.forall(_._2 == 3L), sizes.mkString(","))
+    // pure function of the data: identical ids after a repartition
+    val again = Sampling.reservoirByGroup(
+      ev.repartition(7), Seq("event_type"), col("event_id"), 3)
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("event_type", "sample_rank", "event_id")
+        .as[(String, Int, Long)].collect().toSet
+    assert(ids(got) == ids(again))
+  }
 }
