@@ -921,6 +921,19 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    // Bloom-prefiltered decontamination: bench grams sketched into a
+    // Bloom filter (codegen'd might_contain prefilter, map-only), exact
+    // verify join over survivors only — result identical to the exact
+    // path, never approximate. Different params than decontam_overlap
+    // (6-char grams, >= 3 shared) so both paths stay independently gated.
+    "bloom_decontam" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      Dedup.crossOverlapPairsBloom(
+          docs.filter(col("doc_id") % 50 =!= 0),
+          docs.filter(col("doc_id") % 50 === 0), n = 6, minShared = 3L)
+        .orderBy(col("train_id"), col("bench_id"))
+    }),
+
     // Hive-style partitioned layout: write events partitioned by type,
     // read back two partitions — the filter prunes directories, so the
     // scan never opens the other partitions' files (PartitionPruningSpec
@@ -1953,6 +1966,19 @@ object SparkEntry {
          |FROM r WHERE sample_rank <= 3
          |ORDER BY event_type, sample_rank""".stripMargin
     },
+
+    // exact SQL: the bloom prefilter provably does not change the result
+    "bloom_decontam" ->
+      s"""WITH b AS (
+         |  SELECT doc_id AS bench_id, unnest(${Oracles.shingleHashes("text", 6)}) AS g
+         |  FROM documents WHERE doc_id % 50 = 0),
+         |t AS (
+         |  SELECT doc_id AS train_id, unnest(${Oracles.shingleHashes("text", 6)}) AS g
+         |  FROM documents WHERE doc_id % 50 <> 0)
+         |SELECT t.train_id, b.bench_id, count(*) AS n_shared
+         |FROM t JOIN b ON t.g = b.g
+         |GROUP BY t.train_id, b.bench_id HAVING count(*) >= 3
+         |ORDER BY t.train_id, b.bench_id""".stripMargin,
 
     // the roundtrip queries aggregate what was written and read back, so
     // the oracle aggregates the source table directly

@@ -99,6 +99,13 @@ object GraftFunctions {
   def shingleHashesComposed(c: Column, n: Int): Column =
     array_distinct(transform(shingles(c, n), g => poly_hash(g)))
 
+  /** Codegen'd probe of a pre-built Bloom sketch over a LONG column —
+    * no false negatives, so it is a safe prefilter before an exact
+    * verify join ([[BloomMightContainExpr]]).
+    */
+  def bloom_might_contain(c: Column, bloom: org.apache.spark.util.sketch.BloomFilter): Column =
+    Bridge.column(BloomMightContainExpr(Bridge.expression(c), bloom))
+
   /** MinHash signature of a hashed-shingle set under `k` universal hash
     * functions `h_i(x) = (a_i * x + b_i) mod P`. Deterministic seeds so the
     * oracle can replay the exact arithmetic. Codegen'd

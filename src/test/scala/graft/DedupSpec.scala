@@ -137,4 +137,29 @@ class DedupSpec extends SparkSuite {
     assert(plan.contains("BroadcastHashJoin"), s"bench side must broadcast:\n$plan")
     assert(!plan.contains("SortMergeJoin"), s"gram join must not shuffle both sides:\n$plan")
   }
+
+  test("bloom-prefiltered decontamination is bit-identical to the exact path") {
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    val train = docs.filter(col("doc_id") % 50 =!= 0)
+    val bench = docs.filter(col("doc_id") % 50 === 0)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("train_id", "bench_id", "n_shared")
+        .as[(Long, Long, Long)].collect().toSet
+    val exact = rows(Dedup.crossOverlapPairs(train, bench, 6, 3L))
+    val bloom = Dedup.crossOverlapPairsBloom(train, bench, 6, 3L)
+    assert(rows(bloom) == exact)
+    // the prefilter is really in the plan, upstream of the verify join
+    val plan = bloom.queryExecution.executedPlan.toString
+    assert(plan.contains("bloom_might_contain"), plan)
+  }
+
+  test("bloom prefilter discards non-candidate grams before the join") {
+    import spark.implicits._
+    val bench = Seq((100L, "the quick brown fox jumps")).toDF("doc_id", "text")
+    val train = Seq((1L, "the quick brown fox jumps"),
+      (2L, "zzzz yyyy xxxx wwww vvvv")).toDF("doc_id", "text")
+    val got = Dedup.crossOverlapPairsBloom(train, bench, 6, 3L)
+      .select("train_id", "bench_id").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 100L)))
+  }
 }
