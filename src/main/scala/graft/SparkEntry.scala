@@ -897,6 +897,14 @@ object SparkEntry {
           Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
         .orderBy(col("column_name"))),
 
+    // Hard-negative mining: per query vector, top-3 most-similar vectors
+    // from a DIFFERENT k-means cluster (same deterministic k-means as
+    // kmeans_assign; map-only cluster column, broadcast query side).
+    "hard_negatives" -> ((s, dir) =>
+      Similarity.hardNegatives(Tables.embeddings(s, dir),
+          isQuery = col("vec_id") < 8, k = 3, nClusters = 8, iters = 2)
+        .orderBy(col("query_id"), col("rank"))),
+
     // Deterministic per-group reservoir: 3 events per type, ranked by the
     // portable mixed hash — reproducible under repartition/re-ingestion.
     "reservoir_group" -> ((s, dir) =>
@@ -951,6 +959,42 @@ object SparkEntry {
         .orderBy(col("event_type"))
     })
   )
+
+  /** Shared CTE chain replaying the deterministic 2-round k-means of
+    * [[graft.operators.KMeans]] and ending in `a2` = (vec_id, v, c, cs):
+    * each vector with its final cluster and cosine. Consumed by the
+    * kmeans_assign and hard_negatives oracles.
+    */
+  private def kmeansCtes: String =
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |seeds AS (
+       |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, v
+       |  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 8)),
+       |s1 AS (
+       |  SELECT e.vec_id, e.v, s.c, ${Oracles.cosine("e.v", "s.v", 64)} AS cs
+       |  FROM e CROSS JOIN seeds s),
+       |a1 AS (
+       |  SELECT vec_id, v, c FROM (
+       |    SELECT vec_id, v, c,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, c) AS rn
+       |    FROM s1) WHERE rn = 1),
+       |x1 AS (
+       |  SELECT c, unnest(v) AS val, generate_subscripts(v, 1) AS idx FROM a1),
+       |m1 AS (
+       |  SELECT c, idx, CAST(CAST(round(avg(val), 6) AS REAL) AS DOUBLE) AS m
+       |  FROM x1 GROUP BY c, idx),
+       |c1 AS (SELECT c, list(m ORDER BY idx) AS v FROM m1 GROUP BY c),
+       |cf AS (
+       |  SELECT s.c, coalesce(c1.v, s.v) AS v
+       |  FROM seeds s LEFT JOIN c1 ON s.c = c1.c),
+       |s2 AS (
+       |  SELECT e.vec_id, e.v, s.c, ${Oracles.cosine("e.v", "s.v", 64)} AS cs
+       |  FROM e CROSS JOIN cf s),
+       |a2 AS (
+       |  SELECT vec_id, v, c, cs FROM (
+       |    SELECT vec_id, v, c, cs,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, c) AS rn
+       |    FROM s2) WHERE rn = 1)""".stripMargin
 
   /** Shared CTE chain producing `mh_pairs` — the MinHash-LSH near-dup
     * pairs the dedup_minhash_lsh and dedup_clusters oracles both consume.
@@ -1110,34 +1154,24 @@ object SparkEntry {
          |WHERE hamming <= 3 ORDER BY id_a, id_b""".stripMargin,
 
     "kmeans_assign" ->
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         |seeds AS (
-         |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, v
-         |  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 8)),
-         |s1 AS (
-         |  SELECT e.vec_id, e.v, s.c, ${Oracles.cosine("e.v", "s.v", 64)} AS cs
-         |  FROM e CROSS JOIN seeds s),
-         |a1 AS (
-         |  SELECT vec_id, v, c FROM (
-         |    SELECT vec_id, v, c,
-         |      row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, c) AS rn
-         |    FROM s1) WHERE rn = 1),
-         |x1 AS (
-         |  SELECT c, unnest(v) AS val, generate_subscripts(v, 1) AS idx FROM a1),
-         |m1 AS (
-         |  SELECT c, idx, CAST(CAST(round(avg(val), 6) AS REAL) AS DOUBLE) AS m
-         |  FROM x1 GROUP BY c, idx),
-         |c1 AS (SELECT c, list(m ORDER BY idx) AS v FROM m1 GROUP BY c),
-         |cf AS (
-         |  SELECT s.c, coalesce(c1.v, s.v) AS v
-         |  FROM seeds s LEFT JOIN c1 ON s.c = c1.c),
-         |s2 AS (
-         |  SELECT e.vec_id, s.c, ${Oracles.cosine("e.v", "s.v", 64)} AS cs
-         |  FROM e CROSS JOIN cf s)
-         |SELECT vec_id, c AS cluster, round(cs, 6) AS cosine FROM (
-         |  SELECT vec_id, c, cs,
-         |    row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, c) AS rn
-         |  FROM s2) WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+      s"""WITH $kmeansCtes
+         |SELECT vec_id, c AS cluster, round(cs, 6) AS cosine FROM a2
+         |ORDER BY vec_id""".stripMargin,
+
+    "hard_negatives" ->
+      s"""WITH $kmeansCtes,
+         |q AS (SELECT vec_id, v, c FROM a2 WHERE vec_id < 8),
+         |pairs AS (
+         |  SELECT q.vec_id AS query_id, q.c AS query_cluster,
+         |    a2.vec_id AS neighbor_id, a2.c AS neighbor_cluster,
+         |    round(${Oracles.cosine("q.v", "a2.v", 64)}, 6) AS cosine
+         |  FROM q JOIN a2 ON a2.vec_id != q.vec_id AND a2.c != q.c)
+         |SELECT query_id, query_cluster, rank, neighbor_id, neighbor_cluster, cosine
+         |FROM (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+         |  FROM pairs)
+         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
 
     "dedup_embedding" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -28,33 +28,28 @@ import graft.functions.GraftFunctions._
   */
 object KMeans {
 
-  /** Cluster assignments after `iters` argmax rounds (so `iters - 1`
-    * centroid updates). Output: vec_id, cluster, cosine (to the final
-    * centroid, rounded 6).
+  // (cosine, -cluster, cluster) structs: lexicographic greatest = best
+  // cosine, ties to the lowest cluster id (the ivfTopK pattern)
+  private def best(cs: Map[Int, Seq[Float]]): Column =
+    greatest(cs.toSeq.sortBy(_._1).map { case (c, v) =>
+      struct(cosineSimilarity(col("embedding"), typedlit(v)).as("cs"),
+        lit(-c).as("nc"), lit(c).as("cluster"))
+    }: _*)
+
+  /** The trained centroid matrix after `iters` argmax rounds (so
+    * `iters - 1` mean updates) — O(k·d) driver metadata.
     */
-  def assign(emb: DataFrame, k: Int, iters: Int): DataFrame = {
-    require(k >= 2 && iters >= 1)
+  private def train(emb: DataFrame, k: Int, iters: Int): Map[Int, Seq[Float]] = {
     var centroids: Map[Int, Seq[Float]] = emb
       .select(col("vec_id"), col("embedding"))
       .orderBy(col("vec_id")).limit(k)
       .collect().toSeq.zipWithIndex
       .map { case (r, i) => i -> r.getSeq[Float](1) }.toMap
 
-    // (cosine, -cluster, cluster) structs: lexicographic greatest = best
-    // cosine, ties to the lowest cluster id (the ivfTopK pattern)
-    def best(cs: Map[Int, Seq[Float]]): Column =
-      greatest(cs.toSeq.sortBy(_._1).map { case (c, v) =>
-        struct(cosineSimilarity(col("embedding"), typedlit(v)).as("cs"),
-          lit(-c).as("nc"), lit(c).as("cluster"))
-      }: _*)
-
-    def assigned(cs: Map[Int, Seq[Float]]): DataFrame =
-      emb.select(col("vec_id"), col("embedding"),
-        best(cs).getField("cluster").as("cluster"))
-
     for (_ <- 1 until iters) {
-      val means = assigned(centroids)
-        .select(col("cluster"), posexplode(col("embedding")))
+      val means = emb
+        .select(best(centroids).getField("cluster").as("cluster"),
+          posexplode(col("embedding")))
         .groupBy(col("cluster"), col("pos"))
         .agg(round(avg(col("col").cast("double")), 6).as("m"))
         .groupBy(col("cluster"))
@@ -65,11 +60,28 @@ object KMeans {
         .map(r => r.getInt(0) -> r.getSeq[Float](1)).toMap
       centroids = centroids.map { case (c, old) => c -> means.getOrElse(c, old) }
     }
+    centroids
+  }
 
+  /** Cluster assignments after `iters` argmax rounds (so `iters - 1`
+    * centroid updates). Output: vec_id, cluster, cosine (to the final
+    * centroid, rounded 6).
+    */
+  def assign(emb: DataFrame, k: Int, iters: Int): DataFrame =
+    assignFull(emb, k, iters).drop("embedding")
+
+  /** Like [[assign]] but keeps the embedding column, for downstream
+    * similarity work over the clustered corpus (hard-negative mining,
+    * diversity sampling) — same map-only argmax plan, no extra pass.
+    */
+  def assignFull(emb: DataFrame, k: Int, iters: Int): DataFrame = {
+    require(k >= 2 && iters >= 1)
+    val centroids = train(emb, k, iters)
     // materialize the argmax struct once (CollapseProject keeps non-cheap
     // expressions un-duplicated), then read both fields from it
-    emb.select(col("vec_id"), best(centroids).as("_b"))
-      .select(col("vec_id"), col("_b.cluster").as("cluster"),
+    emb.select(col("vec_id"), col("embedding"), best(centroids).as("_b"))
+      .select(col("vec_id"), col("embedding"),
+        col("_b.cluster").as("cluster"),
         round(col("_b.cs"), 6).as("cosine"))
   }
 }

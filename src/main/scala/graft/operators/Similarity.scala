@@ -161,6 +161,36 @@ object Similarity {
     cand.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Hard-negative mining for contrastive training: for each query
+    * vector, the `k` most cosine-similar corpus vectors that live in a
+    * DIFFERENT k-means cluster — semantically close, label-wise negative.
+    *
+    * The cluster structure comes from [[KMeans.assignFull]] (map-only
+    * argmax against driver-literal centroids), so adding the cluster
+    * column costs no shuffle over the corpus. `isQuery` selects the
+    * query rows out of the clustered corpus (kept small — the query side
+    * is broadcast like [[bruteForceTopK]]); the corpus is scanned once
+    * and reduced per query by a window top-k.
+    */
+  def hardNegatives(corpus: DataFrame, isQuery: Column, k: Int,
+                    nClusters: Int, iters: Int): DataFrame = {
+    val assigned = KMeans.assignFull(corpus, nClusters, iters)
+      .select(col("vec_id"), col("embedding"), col("cluster"))
+    val joined = assigned.as("c")
+      .join(broadcast(assigned.filter(isQuery).as("q")),
+        col("q.vec_id") =!= col("c.vec_id") &&
+          col("q.cluster") =!= col("c.cluster"))
+      .select(col("q.vec_id").as("query_id"), col("q.cluster").as("query_cluster"),
+        col("c.vec_id").as("neighbor_id"), col("c.cluster").as("neighbor_cluster"),
+        round(cosineSimilarity(col("q.embedding"), col("c.embedding")), 6).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    joined.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("query_cluster"), col("rank"),
+        col("neighbor_id"), col("neighbor_cluster"), col("cosine"))
+  }
+
   /** ANN top-k via LSH: candidates = corpus vectors sharing any table
     * bucket with the query; exact cosine re-rank of candidates only.
     * Returns at most k neighbors per query (fewer if buckets were sparse —

@@ -87,4 +87,29 @@ class SimilaritySpec extends SparkSuite {
       .select("id_a", "id_b").as[(Long, Long)].collect()
     assert(cand.toSet == Set((1L, 2L)))
   }
+
+  test("hard negatives: never the query's own cluster, ranked like brute force") {
+    val emb = Tables.embeddings(spark, sf)
+    val hn = Similarity.hardNegatives(emb, col("vec_id") < 8, k = 3,
+      nClusters = 8, iters = 2)
+    val rows = hn.select("query_id", "query_cluster", "neighbor_id",
+        "neighbor_cluster", "cosine")
+      .as[(Long, Int, Long, Int, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (q, qc, nid, nc, _) =>
+      assert(qc != nc, s"query $q got a neighbor $nid from its own cluster $qc")
+      assert(q != nid)
+    }
+    // the cosine of every mined pair equals the brute-force cosine
+    val brute = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 8), 1000)
+      .select("query_id", "neighbor_id", "cosine")
+      .as[(Long, Long, Double)].collect()
+      .map { case (q, n, c) => (q, n) -> c }.toMap
+    rows.foreach { case (q, _, nid, _, c) =>
+      assert(brute((q, nid)) == c, s"cosine drift for ($q, $nid)")
+    }
+    // query side broadcasts; corpus never nested-loops
+    val plan = hn.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"))
+  }
 }
