@@ -388,6 +388,18 @@ object SparkEntry {
         OutputMode.Complete(), statePartitions = Some(8))
         .orderBy(col("segment"))),
 
+    // Bounded-state streaming dedup: dropDuplicatesWithinWatermark — the
+    // unbounded-stream-safe variant of stream_dedup (state expires after
+    // the disorder bound; the doubled stream's duplicates are identical
+    // timestamps, so all are caught).
+    "stream_dedup_wm" -> ((s, dir) => {
+      val doubled = Streaming.events(s, dir).union(Streaming.events(s, dir))
+      Streaming.runToCompletion(
+        Streaming.dedupEventsWithinWatermark(doubled), OutputMode.Append(),
+        statePartitions = Some(8))
+        .orderBy(col("event_id"))
+    }),
+
     // Stream-stream interval join with state bounded by watermarks +
     // the join's event-time range.
     "stream_join" -> ((s, dir) =>
@@ -756,6 +768,56 @@ object SparkEntry {
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
         .orderBy(col("event_type"))
+    }),
+
+    // Time-RANGE window frame: each event's trailing-7-day sum/count for
+    // its user — a range frame over event-time seconds, not a row frame
+    // (duplicate timestamps share one frame; deterministic by value set).
+    "window_range" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"),
+          expr("ts DIV 1000000000").as("tss"), col("value"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("tss"))
+        .rangeBetween(-604800L, 0L)
+      ev.withColumn("trailing_7d_sum", round(sum(col("value")).over(w), 2))
+        .withColumn("trailing_7d_n", count(lit(1)).over(w))
+        .select(col("event_id"), col("user_id"), col("tss"),
+          round(col("value"), 2).as("value"),
+          col("trailing_7d_sum"), col("trailing_7d_n"))
+        .orderBy(col("event_id"))
+    }),
+
+    // Per-customer order-value quartiles (ntile) rolled up globally —
+    // ntile partitions are per-customer, so no global single-partition
+    // sort exists anywhere in the plan.
+    "ntile_quartiles" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      Tables.orders(s, dir)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+        .withColumn("quartile", ntile(4).over(w))
+        .groupBy(col("quartile"))
+        .agg(count(lit(1)).as("n"),
+          round(avg(col("o_totalprice")), 2).as("avg_price"),
+          round(sum(col("o_totalprice")), 2).as("sum_price"))
+        .orderBy(col("quartile"))
+    }),
+
+    // Data mixing: rebalance the corpus to target source proportions by
+    // deterministic downsampling (no upsampling); per-source achieved
+    // counts + token totals.
+    "train_mix" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"),
+          size(GraftFunctions.tokens(col("text"))).cast("long").as("n_tok"))
+      Sampling.rebalanceMix(docs, "source", col("doc_id"),
+          Map("src0" -> 0.4, "src1" -> 0.3, "src2" -> 0.2,
+            "src3" -> 0.08, "src4" -> 0.02))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"), sum(col("n_tok")).as("tok_total"))
+        .orderBy(col("source"))
     }),
 
     // Running windows: per-customer cumulative order value + previous
@@ -1541,6 +1603,59 @@ object SparkEntry {
     "stream_dedup" ->
       """SELECT event_id, user_id, event_type, value
         |FROM events ORDER BY event_id""".stripMargin,
+
+    // duplicates in the doubled stream carry identical event times, so
+    // the within-watermark dedup catches every one of them
+    "stream_dedup_wm" ->
+      """SELECT event_id, user_id, event_type, value
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "window_range" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS tss, value
+        |  FROM events)
+        |SELECT event_id, user_id, tss, round(value, 2) AS value,
+        |  round(sum(value) OVER w, 2) AS trailing_7d_sum,
+        |  count(*) OVER w AS trailing_7d_n
+        |FROM e
+        |WINDOW w AS (PARTITION BY user_id ORDER BY tss
+        |  RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
+
+    "ntile_quartiles" ->
+      """WITH q AS (
+        |  SELECT o_custkey, o_totalprice,
+        |    ntile(4) OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice, o_orderkey) AS quartile
+        |  FROM orders)
+        |SELECT quartile, count(*) AS n, round(avg(o_totalprice), 2) AS avg_price,
+        |  round(sum(o_totalprice), 2) AS sum_price
+        |FROM q GROUP BY quartile ORDER BY quartile""".stripMargin,
+
+    "train_mix" -> {
+      val bucket = Oracles.sampleBucket("CAST(doc_id AS VARCHAR)", 1000)
+      s"""WITH d AS (
+         |  SELECT doc_id, source,
+         |    CAST(len(${Oracles.tokens("text")}) AS BIGINT) AS n_tok
+         |  FROM documents),
+         |c AS (SELECT source, count(*) AS n FROM d GROUP BY source),
+         |t AS (
+         |  SELECT 'src0' AS source, CAST(0.4 AS DOUBLE) AS tgt
+         |  UNION ALL SELECT 'src1', CAST(0.3 AS DOUBLE)
+         |  UNION ALL SELECT 'src2', CAST(0.2 AS DOUBLE)
+         |  UNION ALL SELECT 'src3', CAST(0.08 AS DOUBLE)
+         |  UNION ALL SELECT 'src4', CAST(0.02 AS DOUBLE)),
+         |sc AS (SELECT min(c.n / t.tgt) AS scale
+         |       FROM c JOIN t USING (source) WHERE t.tgt > 0),
+         |f AS (SELECT c.source,
+         |        least(1.0, (SELECT scale FROM sc) * t.tgt / c.n) AS frac
+         |      FROM c JOIN t USING (source)),
+         |kept AS (
+         |  SELECT d.source, d.n_tok FROM d JOIN f USING (source)
+         |  WHERE $bucket < floor(f.frac * 1000))
+         |SELECT source, count(*) AS n_kept, CAST(sum(n_tok) AS BIGINT) AS tok_total
+         |FROM kept GROUP BY source ORDER BY source""".stripMargin
+    },
 
     "stream_enrich" ->
       """SELECT c_mktsegment AS segment, count(*) AS n_events,

@@ -72,6 +72,40 @@ object Sampling {
       .where(col("sample_rank") <= k)
   }
 
+  /** Rebalance a corpus to target stratum proportions by DOWNSAMPLING
+    * only (no stratum is upsampled): the achievable output size is
+    * `scale = min over strata of n_s / target_s`, and each stratum keeps
+    * `scale * target_s / n_s` of its rows, deterministically by key.
+    * Strata without a target are dropped — the data-mixing verb of a
+    * training pipeline ("40% web, 30% code, ..." over heterogeneous
+    * source sizes).
+    *
+    * Per-stratum counts are O(|strata|) driver metadata (one partial-
+    * aggregated count shuffle); membership itself is the same map-only
+    * hash filter as [[stratifiedSample]]. Thresholds use floor, not
+    * round, so any SQL engine replays the arithmetic bit-identically.
+    */
+  def rebalanceMix(df: DataFrame, stratumCol: String, key: Column,
+                   targets: Map[String, Double],
+                   buckets: Int = 1000): DataFrame = {
+    require(targets.values.forall(_ >= 0))
+    val counts = df.groupBy(col(stratumCol)).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val scale = targets.collect {
+      case (s, t) if t > 0 && counts.getOrElse(s, 0L) > 0 => counts(s).toDouble / t
+    }
+    require(scale.nonEmpty, "no targeted stratum has any rows")
+    val fractions = targets.collect {
+      case (s, t) if counts.getOrElse(s, 0L) > 0 =>
+        s -> math.min(1.0, scale.min * t / counts(s).toDouble)
+    }
+    val bucket = hashBucket(key, buckets)
+    val keep = fractions.foldLeft(lit(false)) { case (acc, (s, f)) =>
+      acc || (col(stratumCol) === s && bucket < math.floor(f * buckets).toLong)
+    }
+    df.filter(keep)
+  }
+
   /** Per-stratum sampling rates (e.g. downsample boilerplate classes,
     * keep all rare ones). Strata absent from `fractions` are dropped.
     */

@@ -80,6 +80,21 @@ object Streaming {
     .dropDuplicates("event_id")
     .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
 
+  /** Streaming dedup with EXPIRING state: duplicates are only tracked
+    * while their event time is within `disorder` of the watermark, then
+    * the key's state is dropped. [[dedupEvents]]' state grows with every
+    * distinct key forever — unrunnable on an unbounded 100 TB/day
+    * stream; this is the production formulation for "duplicates arrive
+    * close together" (retries, at-least-once replays). A duplicate
+    * arriving later than `disorder` after the original is NOT caught —
+    * that is the bounded-state trade-off, made explicit here.
+    */
+  def dedupEventsWithinWatermark(stream: DataFrame,
+                                 disorder: String = "1 hour"): DataFrame = stream
+    .withWatermark("event_ts", disorder)
+    .dropDuplicatesWithinWatermark("event_id")
+    .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+
   /** Run a (bounded) streaming frame to completion through a memory sink
     * and return the materialized result. AvailableNow processes all
     * available input in (possibly many) micro-batches, then stops.

@@ -54,6 +54,22 @@ class SamplingSpec extends SparkSuite {
     assert(!plan.contains("Exchange"), s"sampling must not shuffle:\n$plan")
   }
 
+  test("rebalanceMix downsamples toward the target proportions, never upsamples") {
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("source"))
+    val targets = Map("src0" -> 0.4, "src1" -> 0.1)
+    val kept = Sampling.rebalanceMix(docs, "source", col("doc_id"), targets)
+      .groupBy("source").count().as[(String, Long)].collect().toMap
+    val orig = docs.groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(kept.keySet.subsetOf(targets.keySet), "untargeted strata dropped")
+    kept.foreach { case (s, n) => assert(n <= orig(s), s"$s upsampled") }
+    // the binding stratum (largest n_s/t_s demand) is kept whole
+    val binding = targets.minBy { case (s, t) => orig(s) / t }._1
+    assert(kept(binding) == orig(binding), "binding stratum must keep all rows")
+    // achieved mix leans toward the target ratio (4:1 here)
+    assert(kept("src0") > kept("src1") * 2,
+      s"mix not rebalanced: ${kept.mkString(",")}")
+  }
+
   test("per-group reservoir keeps exactly k rows per group, deterministically") {
     val got = Sampling.reservoirByGroup(ev, Seq("event_type"), col("event_id"), 3)
     val sizes = got.groupBy("event_type").count().as[(String, Long)].collect()

@@ -47,6 +47,15 @@ class StreamingSpec extends SparkSuite {
     assert(got.select("event_id").distinct().count() == n)
   }
 
+  test("within-watermark dedup catches co-timed duplicates with expiring state") {
+    val doubled = Streaming.events(spark, sf).union(Streaming.events(spark, sf))
+    val got = Streaming.runToCompletion(
+      Streaming.dedupEventsWithinWatermark(doubled), OutputMode.Append())
+    val n = Tables.events(spark, sf).count()
+    assert(got.count() == n)
+    assert(got.select("event_id").distinct().count() == n)
+  }
+
   test("stream-static enrichment: broadcast join, no join state, equals batch") {
     val enriched = Streaming.enrichedSegments(
       Streaming.events(spark, sf), Tables.customer(spark, sf))
