@@ -937,18 +937,21 @@ object SparkEntry {
           Tables.documents(s, dir).select(col("doc_id"), col("text")), 5L)
         .orderBy(col("w1"), col("w2"))),
 
-    // Blocked fuzzy entity matching: originals vs a perturbed copy
-    // (char 6 replaced) of every 5th part name — 5-char-prefix blocking
-    // join, levenshtein <= 2 verify on candidates only.
+    // Blocked fuzzy entity matching over document titles (first 24
+    // chars — a sparse name space, unlike the 64-value part vocabulary):
+    // originals vs a perturbed copy (char 12 replaced) of every 5th
+    // title. (length, first-3, last-3) blocking join, banded
+    // levenshtein <= 2 verify on candidates only.
     "fuzzy_match" -> ((s, dir) => {
-      val parts = Tables.part(s, dir)
-        .select(col("p_partkey").as("id"), col("p_name").as("name"))
-      val perturbed = parts.where(col("id") % 5 === 0)
+      val titles = Tables.documents(s, dir)
+        .select(col("doc_id").as("id"), substring(col("text"), 1, 24).as("name"))
+        .where(length(col("name")) >= 16)
+      val perturbed = titles.where(col("id") % 5 === 0)
         .select((col("id") + 1000000L).as("id"),
-          concat(substring(col("name"), 1, 5), lit("x"),
-            expr("substring(name, 7)")).as("name"))
-      graft.operators.FuzzyMatch.blocked(parts, perturbed, "id", "name",
-          prefixLen = 5, maxDist = 2)
+          concat(substring(col("name"), 1, 11), lit("x"),
+            expr("substring(name, 13)")).as("name"))
+      graft.operators.FuzzyMatch.blocked(titles, perturbed, "id", "name",
+          prefixLen = 3, suffixLen = 3, maxDist = 2)
         .orderBy(col("id_a"), col("id_b"))
     }),
 
@@ -2076,19 +2079,24 @@ object SparkEntry {
          |SELECT w1, w2, n, prob FROM nrm WHERE n >= 5
          |ORDER BY w1, w2""".stripMargin,
 
-    "fuzzy_match" ->
-      """WITH parts AS (SELECT p_partkey AS id, p_name AS name FROM part),
-        |pert AS (
-        |  SELECT id + 1000000 AS id,
-        |    substr(name, 1, 5) || 'x' || substr(name, 7) AS name
-        |  FROM parts WHERE id % 5 = 0),
-        |l AS (SELECT id AS id_a, name AS name_a, substr(name, 1, 5) AS bk FROM parts),
-        |r AS (SELECT id AS id_b, name AS name_b, substr(name, 1, 5) AS bk FROM pert)
-        |SELECT id_a, name_a, id_b, name_b,
-        |  levenshtein(name_a, name_b) AS dist
-        |FROM l JOIN r USING (bk)
-        |WHERE id_a != id_b AND levenshtein(name_a, name_b) <= 2
-        |ORDER BY id_a, id_b""".stripMargin,
+    "fuzzy_match" -> {
+      val bk = "CAST(length(name) AS VARCHAR) || '|' || substr(name, 1, 3) " +
+        "|| '|' || substr(name, greatest(length(name) - 2, 1), 3)"
+      s"""WITH titles AS (
+         |  SELECT doc_id AS id, substr(text, 1, 24) AS name FROM documents
+         |  WHERE length(substr(text, 1, 24)) >= 16),
+         |pert AS (
+         |  SELECT id + 1000000 AS id,
+         |    substr(name, 1, 11) || 'x' || substr(name, 13) AS name
+         |  FROM titles WHERE id % 5 = 0),
+         |l AS (SELECT id AS id_a, name AS name_a, $bk AS bk FROM titles),
+         |r AS (SELECT id AS id_b, name AS name_b, $bk AS bk FROM pert)
+         |SELECT id_a, name_a, id_b, name_b,
+         |  levenshtein(name_a, name_b) AS dist
+         |FROM l JOIN r USING (bk)
+         |WHERE id_a != id_b AND levenshtein(name_a, name_b) <= 2
+         |ORDER BY id_a, id_b""".stripMargin
+    },
 
     "column_profile" -> {
       def one(c: String) =

@@ -29,7 +29,8 @@ class ProfileFuzzySpec extends SparkSuite {
       .toDF("id", "name")
     val right = Seq((10L, "chocoXate lace"), (11L, "goldenrod dXm"),
       (12L, "chacolate lace")).toDF("id", "name")
-    val df = FuzzyMatch.blocked(left, right, "id", "name", prefixLen = 5, maxDist = 2)
+    val df = FuzzyMatch.blocked(left, right, "id", "name",
+      prefixLen = 5, suffixLen = 0, maxDist = 2)
     val out = df.select("id_a", "id_b", "dist")
       .as[(Long, Long, Int)].collect().toSet
     // 1<->10 share "choco", dist 1; 2<->11 share "golde", dist 1;
@@ -37,6 +38,16 @@ class ProfileFuzzySpec extends SparkSuite {
     assert(out === Set((1L, 10L, 1), (2L, 11L, 1)))
     val plan = df.queryExecution.executedPlan.toString
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"), plan)
+  }
+
+  test("fuzzy match with a suffix window recalls middle edits, blocks end edits") {
+    val left = Seq((1L, "abcdefghijkl")).toDF("id", "name")
+    val right = Seq((10L, "abcXefghijkl"),   // middle edit: recalled
+      (11L, "abcdefghijkX")).toDF("id", "name") // suffix edit: different block
+    val out = FuzzyMatch.blocked(left, right, "id", "name",
+        prefixLen = 3, suffixLen = 3, maxDist = 2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(out === Set((1L, 10L)))
   }
 
   test("column profile: one row per column with exact stats") {
