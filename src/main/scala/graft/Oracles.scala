@@ -69,15 +69,26 @@ object Oracles {
     s"(CASE WHEN ${l2(a, dim)} * ${l2(b, dim)} = 0 THEN 0.0 " +
       s"ELSE ${dot(a, b, dim)} / (${l2(a, dim)} * ${l2(b, dim)}) END)"
 
+  /** The ±1 sign of hyperplane component (j, d) as SQL — the identical
+    * xor-shift multiply mixer of Similarity.hyperplaneSign inlined as
+    * 64-bit integer arithmetic (31-bit states, so no overflow).
+    */
+  private def mixedSign(idx: String): String = {
+    val h1 = s"(($idx) * 2654435761) % 2147483648"
+    val h2 = s"xor($h1, ($h1) >> 13)"
+    val h3 = s"(($h2) * 2246822519) % 2147483648"
+    val h4 = s"xor($h3, ($h3) >> 16)"
+    s"(CASE WHEN ($h4) % 2 = 0 THEN 1.0 ELSE -1.0 END)"
+  }
+
   /** Hyperplane-sign bucket bits list (Similarity.bucketKey's projections):
-    * element j+1 is 1 iff projection onto ±1-sign plane j is >= 0. The sign
-    * is the identical LCG-parity formula inlined as SQL integer arithmetic.
+    * element j+1 is 1 iff projection onto ±1-sign plane j is >= 0.
     */
   def hyperplaneBits(v: String, planes: Int, dim: Int): String =
     s"list_transform(range(0, $planes), j -> CASE WHEN " +
       s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(0, $dim), d -> " +
-      s"$v[d+1] * (CASE WHEN ((1103515245 * CAST(j*$dim + d AS BIGINT) + 12345) % 2147483648) % 2 = 0 " +
-      s"THEN 1.0 ELSE -1.0 END))), (a, x) -> a + x) >= 0 THEN 1 ELSE 0 END)"
+      s"$v[d+1] * ${mixedSign(s"CAST(j*$dim + d AS BIGINT)")})), " +
+      s"(a, x) -> a + x) >= 0 THEN 1 ELSE 0 END)"
 
   /** Sampling bucket in [0, buckets): mixed PolyHash of `e`
     * (graft.operators.Sampling.hashBucket — identical constant and

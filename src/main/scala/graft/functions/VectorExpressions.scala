@@ -133,9 +133,12 @@ object HyperplaneBuckets {
         var acc = 0.0
         var d = 0
         while (d < n) {
-          val s =
-            if (((1103515245L * (j * dim + d) + 12345L) % 2147483648L) % 2 == 0) 1.0
-            else -1.0
+          // xor-shift multiply mixer — lockstep with Similarity.hyperplaneSign
+          var h = ((j.toLong * dim + d) * 2654435761L) % 2147483648L
+          h ^= h >> 13
+          h = (h * 2246822519L) % 2147483648L
+          h ^= h >> 16
+          val s = if (h % 2 == 0) 1.0 else -1.0
           acc += arr.getFloat(d).toDouble * s
           d += 1
         }
