@@ -894,6 +894,81 @@ object SparkEntry {
           col("col.id").as("event_id"), col("col.value").as("value"))
         .orderBy(col("event_type"), col("rank"))),
 
+    // Deep multi-join (TPC-H Q5 flavor): 6-table snowflake with the
+    // local-supplier correlation (s_nationkey = c_nationkey) — Catalyst
+    // orders the joins and broadcasts the small dims; the fact table
+    // never shuffles more than once per join key.
+    "q5_region_revenue" -> ((s, dir) =>
+      Tables.customer(s, dir)
+        .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"))
+        .filter(year(col("o_orderdate")) === 1995)
+        .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
+        .join(Tables.supplier(s, dir),
+          col("l_suppkey") === col("s_suppkey") &&
+            col("s_nationkey") === col("c_nationkey"))
+        .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("r_name"), col("n_name"))),
+
+    // Correlated subqueries through the SQL front door: EXISTS and NOT
+    // EXISTS decorrelate to semi/anti joins in the optimized plan.
+    "exists_subquery" -> ((s, dir) => {
+      Tables.customer(s, dir).createOrReplaceTempView("customer_v")
+      Tables.orders(s, dir).createOrReplaceTempView("orders_v")
+      s.sql("""SELECT c_mktsegment, count(*) AS n_custs
+              |FROM customer_v c
+              |WHERE EXISTS (SELECT 1 FROM orders_v o
+              |              WHERE o.o_custkey = c.c_custkey
+              |                AND year(o.o_orderdate) = 1995)
+              |  AND NOT EXISTS (SELECT 1 FROM orders_v o2
+              |                  WHERE o2.o_custkey = c.c_custkey
+              |                    AND year(o2.o_orderdate) = 1997)
+              |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
+    }),
+
+    // Rank-family windows in one pass: rank / dense_rank / percent_rank /
+    // cume_dist over the same deterministic per-type ordering.
+    "window_ranks" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type"))
+        .orderBy(col("value").desc, col("event_id"))
+      Tables.events(s, dir)
+        .filter(col("user_id") < 5)
+        .select(col("event_type"), col("event_id"), round(col("value"), 2).as("value"))
+        .withColumn("rnk", rank().over(w))
+        .withColumn("drnk", dense_rank().over(w))
+        .withColumn("prnk", round(percent_rank().over(w), 6))
+        .withColumn("cdist", round(cume_dist().over(w), 6))
+        .orderBy(col("event_type"), col("rnk"), col("event_id"))
+    }),
+
+    // Array higher-order functions over the embedding corpus: filter /
+    // exists / strict-fold aggregate / array_max in one map-only pass.
+    "array_analytics" -> ((s, dir) =>
+      Tables.embeddings(s, dir)
+        .select(col("vec_id"),
+          size(filter(col("embedding"), x => x > 0)).as("n_pos"),
+          round(aggregate(col("embedding"), lit(0.0),
+            (a, x) => a + abs(x.cast("double"))), 6).as("l1_norm"),
+          round(array_max(col("embedding")).cast("double"), 6).as("max_val"),
+          exists(col("embedding"), x => x > 0.2).as("has_big"))
+        .orderBy(col("vec_id"))),
+
+    // regexp_extract_all over the JSON props: every digit run, exploded
+    // and aggregated per event type.
+    "regex_numbers" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .select(col("event_type"),
+          explode(regexp_extract_all(col("props"), lit("[0-9]+"), lit(0))).as("num"))
+        .select(col("event_type"), col("num").cast("long").as("v"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("total"),
+          min(col("v")).as("min_v"), max(col("v")).as("max_v"))
+        .orderBy(col("event_type"))),
+
     // MERGE upsert: apply a change batch (updates + CDC delete markers +
     // inserts) to a snapshot in one full-outer shuffle join on the key.
     "merge_upsert" -> ((s, dir) => {
@@ -2016,6 +2091,57 @@ object SparkEntry {
         |    event_id, value
         |  FROM events)
         |WHERE rank <= 3 ORDER BY event_type, rank""".stripMargin,
+
+    "q5_region_revenue" ->
+      """SELECT r_name, n_name,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+        |  count(*) AS n_items
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey AND year(o_orderdate) = 1995
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+
+    "exists_subquery" ->
+      """SELECT c_mktsegment, count(*) AS n_custs
+        |FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey
+        |                AND year(o.o_orderdate) = 1995)
+        |  AND NOT EXISTS (SELECT 1 FROM orders o2
+        |                  WHERE o2.o_custkey = c.c_custkey
+        |                    AND year(o2.o_orderdate) = 1997)
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "window_ranks" ->
+      """SELECT event_type, event_id, round(value, 2) AS value,
+        |  rank() OVER w AS rnk, dense_rank() OVER w AS drnk,
+        |  round(percent_rank() OVER w, 6) AS prnk,
+        |  round(cume_dist() OVER w, 6) AS cdist
+        |FROM events WHERE user_id < 5
+        |WINDOW w AS (PARTITION BY event_type ORDER BY value DESC, event_id)
+        |ORDER BY event_type, rnk, event_id""".stripMargin,
+
+    "array_analytics" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+        |SELECT vec_id,
+        |  CAST(len(list_filter(v, x -> x > 0)) AS INT) AS n_pos,
+        |  round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |    list_transform(v, x -> abs(x))), (a, x) -> a + x), 6) AS l1_norm,
+        |  round(list_max(v), 6) AS max_val,
+        |  len(list_filter(v, x -> x > 0.2)) > 0 AS has_big
+        |FROM e ORDER BY vec_id""".stripMargin,
+
+    "regex_numbers" ->
+      """WITH x AS (
+        |  SELECT event_type,
+        |    CAST(unnest(regexp_extract_all(props, '[0-9]+')) AS BIGINT) AS v
+        |  FROM events)
+        |SELECT event_type, count(*) AS n, CAST(sum(v) AS BIGINT) AS total,
+        |  min(v) AS min_v, max(v) AS max_v
+        |FROM x GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "merge_upsert" ->
       """WITH ev AS (SELECT event_id, user_id, event_type, value FROM events),

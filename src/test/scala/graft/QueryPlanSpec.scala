@@ -1,0 +1,28 @@
+package graft
+
+/** Plan-shape assertions for the declared SQL-surface queries — the
+  * properties that matter at 1000 executors, pinned at test scale.
+  */
+class QueryPlanSpec extends SparkSuite {
+
+  private def planOf(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("q5 snowflake: dims broadcast, no cartesian product anywhere") {
+    val plan = planOf("q5_region_revenue")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("correlated EXISTS decorrelates to semi/anti joins, never a subquery loop") {
+    val plan = planOf("exists_subquery")
+    assert(plan.contains("LeftSemi"), plan)
+    assert(plan.contains("LeftAnti"), plan)
+  }
+
+  test("array analytics is map-only: no exchange before the sort") {
+    val plan = planOf("array_analytics")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 0, s"expected no hash exchange:\n$plan")
+  }
+}
