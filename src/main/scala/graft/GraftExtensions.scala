@@ -38,6 +38,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     }
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // optimizer rule: cosine against a constant vector gets its norm
+    // folded at plan time (graft.plans.PrenormalizeLiteralCosine)
+    ext.injectOptimizerRule(_ => graft.plans.PrenormalizeLiteralCosine)
+
     register(ext, "poly_hash(str) - portable polynomial string hash mod 2^31-1",
       Seq("poly_hash"))(args => PolyHash(Cast(args.head, StringType)))
 

@@ -88,6 +88,73 @@ object DotProduct {
   }
 }
 
+/** [[CosineSimilarity]] against a CONSTANT vector whose norm was computed
+  * once at optimization time — produced by the
+  * [[graft.plans.PrenormalizeLiteralCosine]] rule, never written by hand.
+  *
+  * The generic kernel accumulates three folds per row (dot, |a|², |b|²);
+  * when one side is a plan-time literal (k-means / IVF centroids inlined
+  * as `typedlit`), |b|² is row-invariant — this kernel drops that third
+  * accumulator, cutting the argmax hot loop's multiplies by a third.
+  * Bit-identical to the generic kernel by construction: same fold order
+  * for dot and |a|², and `normB` is the same `sqrt` of the same fold the
+  * generic kernel would compute per row (the literal's elements don't
+  * change). The equality is spec-pinned (ExtensionsSpec).
+  */
+case class CosineToConst(child: Expression, vec: Seq[Float], normB: Double)
+  extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+
+  @transient lazy val vecArr: Array[Float] = vec.toArray
+
+  override def nullSafeEval(input: Any): Any =
+    CosineToConst.compute(input.asInstanceOf[ArrayData], vecArr, normB)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("cosineToConst", this,
+      classOf[CosineToConst].getName)
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.CosineToConst.compute($c, $self.vecArr(), $self.normB())")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CosineToConst =
+    copy(child = newChild)
+  override def prettyName: String = "cosine_to_const"
+}
+
+object CosineToConst {
+  /** Norm of the literal side under the generic kernel's fold order over
+    * the FIRST `n` elements — called at rule time, and per-row only in
+    * the (degenerate) case where the row vector is shorter than the
+    * literal, which the generic kernel would also truncate.
+    */
+  def normPrefix(b: Array[Float], n: Int): Double = {
+    var nb = 0.0
+    var i = 0
+    while (i < n) { val y = b(i).toDouble; nb += y * y; i += 1 }
+    math.sqrt(nb)
+  }
+
+  def compute(a: ArrayData, b: Array[Float], normB: Double): Double = {
+    val n = math.min(a.numElements(), b.length)
+    // truncated rows would change which |b|² prefix the generic kernel
+    // sums — recompute the prefix norm only in that rare case
+    val nb = if (n == b.length) normB else normPrefix(b, n)
+    var dot = 0.0
+    var na = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble
+      val y = b(i).toDouble
+      dot += x * y
+      na += x * x
+      i += 1
+    }
+    val denom = math.sqrt(na) * nb
+    if (denom == 0.0) 0.0 else dot / denom
+  }
+}
+
 /** All `tables` random-hyperplane LSH bucket keys of a float-array vector
   * in one pass: element t of the result is the `bits`-bit sign bucket of
   * projections onto ±1 hyperplanes t*bits .. t*bits+bits-1

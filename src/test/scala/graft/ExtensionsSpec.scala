@@ -97,4 +97,37 @@ class ExtensionsSpec extends SparkSuite {
       spark.sql("SELECT simhash64('a', CAST(id AS INT)) FROM range(2)").collect()
     }
   }
+
+  test("literal-cosine rule rewrites to the prenormed kernel, bit-identically") {
+    val emb = Tables.embeddings(spark, sf)
+    val centroid: Seq[Float] = emb.orderBy(col("vec_id")).limit(1)
+      .collect().head.getSeq[Float](1)
+    val viaKernel = emb.select(col("vec_id"),
+      GraftFunctions.cosineSimilarity(col("embedding"), typedlit(centroid)).as("c"))
+    // the rewrite fired: the optimized plan carries cosine_to_const
+    assert(viaKernel.queryExecution.optimizedPlan.toString.contains("cosine_to_const"),
+      viaKernel.queryExecution.optimizedPlan.toString)
+    // literal on the left rewrites too (cosine is symmetric)
+    val flipped = emb.select(
+      GraftFunctions.cosineSimilarity(typedlit(centroid), col("embedding")).as("c"))
+    assert(flipped.queryExecution.optimizedPlan.toString.contains("cosine_to_const"))
+    // bit-identical to the composed-HOF formulation the rule cannot touch
+    val viaHof = emb.select(col("vec_id"),
+      (GraftFunctions.dotProduct(col("embedding"), typedlit(centroid)) /
+        (GraftFunctions.l2Norm(col("embedding")) * GraftFunctions.l2Norm(typedlit(centroid)))).as("c"))
+    val a = viaKernel.orderBy("vec_id").select("c").as[Double].collect()
+    val b = viaHof.orderBy("vec_id").select("c").as[Double].collect()
+    assert(a.length == b.length && a.indices.forall(i =>
+      java.lang.Double.doubleToRawLongBits(a(i)) == java.lang.Double.doubleToRawLongBits(b(i))))
+  }
+
+  test("literal-cosine rule keeps the zero-norm guard") {
+    val zero: Seq[Float] = Seq.fill(4)(0.0f)
+    val df = Seq((1L, Seq(1.0f, 2.0f, 3.0f, 4.0f)), (2L, Seq.fill(4)(0.0f)))
+      .toDF("id", "v")
+    val out = df.select(
+      GraftFunctions.cosineSimilarity(col("v"), typedlit(zero)).as("c"))
+      .as[Double].collect()
+    assert(out.forall(_ == 0.0))
+  }
 }
