@@ -1012,6 +1012,13 @@ object SparkEntry {
           Tables.documents(s, dir).select(col("doc_id"), col("text")), 5L)
         .orderBy(col("w1"), col("w2"))),
 
+    // Per-document pseudo-perplexity under the corpus's own bigram LM —
+    // the statistical quality filter before data mixing.
+    "lm_perplexity" -> ((s, dir) =>
+      TextAnalysis.perplexity(
+          Tables.documents(s, dir).select(col("doc_id"), col("text")))
+        .orderBy(col("doc_id"))),
+
     // Blocked fuzzy entity matching over document titles (first 24
     // chars — a sparse name space, unlike the 64-value part vocabulary):
     // originals vs a perturbed copy (char 12 replaced) of every 5th
@@ -2204,6 +2211,24 @@ object SparkEntry {
          |  FROM cnt)
          |SELECT w1, w2, n, prob FROM nrm WHERE n >= 5
          |ORDER BY w1, w2""".stripMargin,
+
+    "lm_perplexity" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, ${Oracles.tokens("lower(text)")} AS t FROM documents),
+         |bg AS (
+         |  SELECT doc_id, unnest(list_transform(range(1, len(t)),
+         |    i -> struct_pack(w1 := t[i], w2 := t[i+1]))) AS b
+         |  FROM toks WHERE len(t) >= 2),
+         |p AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM bg),
+         |cnt AS (SELECT w1, w2, count(*) AS n FROM p GROUP BY 1, 2),
+         |lm AS (SELECT w1, w2,
+         |         round(n / sum(n) OVER (PARTITION BY w1), 6) AS prob
+         |       FROM cnt),
+         |sc AS (
+         |  SELECT doc_id, count(*) AS n_bigrams, round(avg(ln(prob)), 4) AS avg_ll
+         |  FROM p JOIN lm USING (w1, w2) GROUP BY doc_id)
+         |SELECT doc_id, n_bigrams, avg_ll, round(exp(-avg_ll), 4) AS ppl
+         |FROM sc ORDER BY doc_id""".stripMargin,
 
     "fuzzy_match" -> {
       val bk = "CAST(length(name) AS VARCHAR) || '|' || substr(name, 1, 3) " +

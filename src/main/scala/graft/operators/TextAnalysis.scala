@@ -273,20 +273,47 @@ object TextAnalysis {
     * not renormalized survivors.
     */
   def bigramLm(docs: DataFrame, minCount: Long,
-               text: Column = col("text")): DataFrame = {
+               text: Column = col("text")): DataFrame =
+    lmProbs(bigramPairs(docs, text)).where(col("n") >= minCount)
+      .select(col("w1"), col("w2"), col("n"), col("prob"))
+
+  /** (doc_id, w1, w2) bigram occurrences — map-only explode of the token
+    * list zipped with its own tail.
+    */
+  private def bigramPairs(docs: DataFrame, text: Column): DataFrame = {
     val t = tokens(lower(text))
-    val pairs = docs
-      .select(t.as("_t"))
+    docs.select(col("doc_id"), t.as("_t"))
       .where(size(col("_t")) >= 2)
-      .select(explode(zip_with(
+      .select(col("doc_id"), explode(zip_with(
         slice(col("_t"), lit(1), size(col("_t")) - 1),
         slice(col("_t"), lit(2), size(col("_t")) - 1),
         (a, b) => struct(a.as("w1"), b.as("w2")))).as("b"))
-      .groupBy(col("b.w1").as("w1"), col("b.w2").as("w2"))
-      .agg(count(lit(1)).as("n"))
-    pairs
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+  }
+
+  /** (w1, w2, n, prob) MLE conditionals over a pair stream. */
+  private def lmProbs(pairs: DataFrame): DataFrame =
+    pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n"))
       .withColumn("prob",
         round(col("n") / sum(col("n")).over(Window.partitionBy(col("w1"))), 6))
-      .where(col("n") >= minCount)
+
+  /** Pseudo-perplexity of every document under the corpus's own bigram
+    * LM — the statistical quality filter ("how surprising is this text
+    * given the corpus") a training pipeline runs before mixing.
+    *
+    * Two consumers read the same bigram stream (LM training and
+    * scoring), so it is lazily checkpointed and tokenized once. The LM
+    * table is vocab²-bounded; the scoring join keys on (w1, w2) and the
+    * per-doc reduction is one partial-aggregated shuffle on doc_id.
+    * Scoring the corpus under its own LM means no unseen bigrams — a
+    * held-out scorer would add the usual add-k smoothing term.
+    */
+  def perplexity(docs: DataFrame, text: Column = col("text")): DataFrame = {
+    val pairs = bigramPairs(docs, text).localCheckpoint(false)
+    pairs.join(lmProbs(pairs), Seq("w1", "w2"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(log(col("prob"))), 4).as("avg_ll"))
+      .withColumn("ppl", round(exp(-col("avg_ll")), 4))
   }
 }
