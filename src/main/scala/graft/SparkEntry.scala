@@ -894,6 +894,53 @@ object SparkEntry {
           col("col.id").as("event_id"), col("col.value").as("value"))
         .orderBy(col("event_type"), col("rank"))),
 
+    // Pareto frontier of users on (total value, event count): sort-based
+    // skyline — local prefilter per partition, exact pass over survivors
+    // only; dominance compares pre-rounded doubles so both engines rank
+    // identical values.
+    "skyline_users" -> ((s, dir) => {
+      val u = Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(round(sum(col("value")), 2).as("total"), count(lit(1)).as("n"))
+      graft.operators.Skyline.pareto2D(u, "total", "n")
+        .orderBy(col("total").desc, col("n").desc, col("user_id"))
+    }),
+
+    // Bucketed co-located join: both sides written bucketed+sorted on the
+    // join key, so the fact-fact join reads co-located buckets (the
+    // zero-exchange property is asserted in BucketingSpec).
+    "bucketed_join" -> ((s, dir) => {
+      val l = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      val o = Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderdate"))
+      graft.sources.Bucketing.writeBucketed(l, "bt_lineitem", "l_orderkey", 8)
+      graft.sources.Bucketing.writeBucketed(o, "bt_orders", "o_orderkey", 8)
+      graft.sources.Bucketing.table(s, "bt_lineitem")
+        .join(graft.sources.Bucketing.table(s, "bt_orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(year(col("o_orderdate")).as("order_year"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+        .orderBy(col("order_year"))
+    }),
+
+    // Z-order layout: events written clustered on the Morton interleave
+    // of (user_id, value), read back with a 2-D range predicate — both
+    // dimensions prune row groups, not just a leading key.
+    "zorder_prune" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-z").toString
+      graft.sources.Layout.zorderWrite(
+        Tables.events(s, dir)
+          .select(col("event_id"), col("user_id"), col("value"), col("event_type")),
+        tmp, 8, 500000L, 4, col("user_id"), col("value"))
+      s.read.parquet(tmp)
+        .where(col("user_id").between(10, 30) && col("value").between(50.0, 150.0))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"),
+          min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"))
+        .orderBy(col("event_type"))
+    }),
+
     // Deep multi-join (TPC-H Q5 flavor): 6-table snowflake with the
     // local-supplier correlation (s_nationkey = c_nationkey) — Catalyst
     // orders the joins and broadcasts the small dims; the fact table
@@ -2098,6 +2145,30 @@ object SparkEntry {
         |    event_id, value
         |  FROM events)
         |WHERE rank <= 3 ORDER BY event_type, rank""".stripMargin,
+
+    "skyline_users" ->
+      """WITH u AS (
+        |  SELECT user_id, round(sum(value), 2) AS total, count(*) AS n
+        |  FROM events GROUP BY user_id)
+        |SELECT total, n, user_id FROM u a
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM u b
+        |  WHERE b.total >= a.total AND b.n >= a.n
+        |    AND (b.total > a.total OR b.n > a.n))
+        |ORDER BY total DESC, n DESC, user_id""".stripMargin,
+
+    "bucketed_join" ->
+      """SELECT year(o_orderdate) AS order_year, count(*) AS n,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "zorder_prune" ->
+      """SELECT event_type, count(*) AS n, round(sum(value), 2) AS total,
+        |  min(event_id) AS min_id, max(event_id) AS max_id
+        |FROM events
+        |WHERE user_id BETWEEN 10 AND 30 AND value BETWEEN 50.0 AND 150.0
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q5_region_revenue" ->
       """SELECT r_name, n_name,
