@@ -81,6 +81,33 @@ object SparkEntry {
       out
     }),
 
+    // The reference's WHOLE job end-to-end (SURVEY.md §3): bookmark state
+    // says half the fact table was already ingested (its partial report
+    // sits in the warehouse dir); one incremental run reads ONLY the
+    // delta, fans out both reports under FAIR pools, appends, and commits
+    // the bookmark after both sinks succeed. The consumer view re-
+    // aggregates the appended partials — equal to a full recompute.
+    "incr_star_e2e" -> ((s, dir) => {
+      val stateDir = java.nio.file.Files.createTempDirectory("graft-isj").toString
+      val outDir = java.nio.file.Files.createTempDirectory("graft-isj-out").toString
+      val store = new BookmarkStore(stateDir)
+      val reader = new IncrementalReader(s, dir, store)
+      val keyCol = Tables.bookmarkKey("lineitem")
+      val mid = reader.maxKey(Tables.lineitem(s, dir), keyCol).getOrElse(0L) / 2
+      store.commit("lineitem", "star_job", mid)
+      StarPipeline.supplierReport(StarPipeline.denormalizedFrom(
+          Tables.lineitem(s, dir).filter(col(keyCol) <= mid),
+          Tables.supplier(s, dir), Tables.part(s, dir)))
+        .write.mode("append").parquet(s"$outDir/supplier_report")
+      graft.operators.IncrementalStarJob.run(s, dir, store) { (name, df) =>
+        df.write.mode("append").parquet(s"$outDir/$name")
+      }
+      s.read.parquet(s"$outDir/supplier_report")
+        .groupBy(col("s_suppkey"), col("s_name"), col("register_date"))
+        .agg(round(sum(col("total")), 2).as("total"))
+        .orderBy(col("s_suppkey"), col("register_date"))
+    }),
+
     // S1 incremental scan: bookmark = floor(max(event_id)/2) committed to a
     // real BookmarkStore, then a second "run" reads strictly beyond it with
     // the predicate pushed into the parquet scan.
@@ -399,6 +426,14 @@ object SparkEntry {
         statePartitions = Some(8))
         .orderBy(col("event_id"))
     }),
+
+    // Streaming windowed top-k through the custom k-bounded-heap
+    // aggregate: O(k) streaming state per day, not a day's event buffer.
+    "stream_topk" -> ((s, dir) =>
+      Streaming.runToCompletion(
+        Streaming.dailyTopK(Streaming.events(s, dir), 3), OutputMode.Complete(),
+        statePartitions = Some(8))
+        .orderBy(col("day_start"), col("rank"))),
 
     // Stream-stream interval join with state bounded by watermarks +
     // the join's event-time range.
@@ -1275,6 +1310,21 @@ object SparkEntry {
         |WHERE event_id > (SELECT CAST(floor(max(event_id) / 2) AS BIGINT) FROM events)
         |ORDER BY event_id""".stripMargin,
 
+    // mirrors the two-stage rounding of appended partial aggregates:
+    // each half's report rounds its sum to 2, the consumer re-aggregates
+    "incr_star_e2e" ->
+      """WITH mid AS (SELECT max(l_orderkey) // 2 AS m FROM lineitem),
+        |p AS (
+        |  SELECT l_suppkey AS s_suppkey, s_name,
+        |    CAST(l_shipdate AS DATE) AS register_date,
+        |    CASE WHEN l_orderkey <= (SELECT m FROM mid) THEN 0 ELSE 1 END AS half,
+        |    round(sum(l_extendedprice), 2) AS total
+        |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT s_suppkey, s_name, register_date, round(sum(total), 2) AS total
+        |FROM p GROUP BY 1, 2, 3
+        |ORDER BY s_suppkey, register_date""".stripMargin,
+
     "dedup_exact" ->
       """WITH corpus AS (
         |  SELECT doc_id, text FROM documents
@@ -1735,6 +1785,18 @@ object SparkEntry {
     "stream_dedup" ->
       """SELECT event_id, user_id, event_type, value
         |FROM events ORDER BY event_id""".stripMargin,
+
+    "stream_topk" ->
+      """WITH e AS (
+        |  SELECT event_id, value,
+        |    CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS day_start
+        |  FROM events),
+        |r AS (
+        |  SELECT day_start, event_id, value, row_number() OVER (
+        |    PARTITION BY day_start ORDER BY value DESC, event_id) AS rank
+        |  FROM e)
+        |SELECT day_start, rank, event_id, round(value, 2) AS value
+        |FROM r WHERE rank <= 3 ORDER BY day_start, rank""".stripMargin,
 
     // duplicates in the doubled stream carry identical event times, so
     // the within-watermark dedup catches every one of them

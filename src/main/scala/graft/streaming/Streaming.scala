@@ -95,6 +95,20 @@ object Streaming {
     .dropDuplicatesWithinWatermark("event_id")
     .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
 
+  /** Per-day top-`k` events by value through the engine's own bounded-
+    * state aggregate: [[graft.functions.TopKImperative]] keeps a k-sized
+    * heap per window in the streaming state store — O(k) state per day
+    * regardless of stream volume, where a window+rank formulation would
+    * have to buffer every event of the day.
+    */
+  def dailyTopK(stream: DataFrame, k: Int): DataFrame = stream
+    .withWatermark("event_ts", "1 day")
+    .groupBy(window(col("event_ts"), "1 day").as("w"))
+    .agg(graft.functions.GraftFunctions.top_k(col("event_id"), col("value"), k).as("topk"))
+    .select(unix_timestamp(col("w.start")).as("day_start"), posexplode(col("topk")))
+    .select(col("day_start"), (col("pos") + 1).cast("int").as("rank"),
+      col("col.id").as("event_id"), round(col("col.value"), 2).as("value"))
+
   /** Run a (bounded) streaming frame to completion through a memory sink
     * and return the materialized result. AvailableNow processes all
     * available input in (possibly many) micro-batches, then stops.
