@@ -1066,6 +1066,23 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    // Snapshot diff: v2 drops error events, bumps every 7th value, and
+    // adds synthetic rows — the diff reports exactly those keys, change-
+    // sized output from one full-outer key join.
+    "table_diff" -> ((s, dir) => {
+      val v1 = Tables.events(s, dir)
+        .select(col("event_id"), col("event_type"), col("value"))
+      val v2 = Tables.events(s, dir)
+        .where(col("event_type") =!= "error")
+        .select(col("event_id"), col("event_type"),
+          (col("value") + when(col("event_id") % 7 === 0, 10.0).otherwise(0.0)).as("value"))
+        .union(Tables.events(s, dir).where(col("event_id") % 1000 === 0)
+          .select((col("event_id") + 1000000L).as("event_id"),
+            lit("synthetic").as("event_type"), lit(1.0).as("value")))
+      graft.operators.Diff.byKey(v1, v2, Seq("event_id"))
+        .orderBy(col("event_id"))
+    }),
+
     // Interval coalescing: each user's ±30-min activity spans merged into
     // maximal disjoint busy intervals (gaps-and-islands, one shuffle).
     "interval_merge" -> ((s, dir) => {
@@ -2296,6 +2313,26 @@ object SparkEntry {
         |       WHEN t.event_id IS NULL THEN 'inserted' ELSE 'kept' END AS op
         |FROM t FULL JOIN s ON t.event_id = s.event_id
         |WHERE NOT (s.event_id IS NOT NULL AND s.event_type = 'error')
+        |ORDER BY event_id""".stripMargin,
+
+    "table_diff" ->
+      """WITH v1 AS (SELECT event_id, event_type, value FROM events),
+        |v2 AS (
+        |  SELECT event_id, event_type,
+        |    value + CASE WHEN event_id % 7 = 0 THEN 10.0 ELSE 0.0 END AS value
+        |  FROM events WHERE event_type != 'error'
+        |  UNION ALL
+        |  SELECT event_id + 1000000, 'synthetic', 1.0
+        |  FROM events WHERE event_id % 1000 = 0),
+        |j AS (
+        |  SELECT coalesce(v1.event_id, v2.event_id) AS event_id,
+        |    CASE WHEN v1.event_id IS NULL THEN 'added'
+        |         WHEN v2.event_id IS NULL THEN 'removed'
+        |         WHEN v1.event_type IS DISTINCT FROM v2.event_type
+        |           OR v1.value IS DISTINCT FROM v2.value THEN 'changed'
+        |    END AS op
+        |  FROM v1 FULL JOIN v2 ON v1.event_id = v2.event_id)
+        |SELECT event_id, op FROM j WHERE op IS NOT NULL
         |ORDER BY event_id""".stripMargin,
 
     "interval_merge" ->

@@ -25,4 +25,12 @@ class QueryPlanSpec extends SparkSuite {
     val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
     assert(exchanges == 0, s"expected no hash exchange:\n$plan")
   }
+
+  test("window top-k pushes the rank filter into the sort (WindowGroupLimit)") {
+    // Spark's WindowGroupLimit keeps only k rows per group through the
+    // sort instead of ranking everything and filtering after — the
+    // optimization that makes window top-k viable on huge groups
+    val plan = planOf("topk_per_group")
+    assert(plan.contains("WindowGroupLimit"), plan)
+  }
 }
