@@ -1066,6 +1066,21 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    // Aggregate-function breadth: deterministic arg-max/arg-min via
+    // struct ordering (ties break on id), count_if / bool_or / bool_and,
+    // and the exact interpolated median — one hash agg pass.
+    "agg_misc" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(
+          max(struct(col("value"), col("event_id"))).getField("event_id").as("max_event"),
+          min(struct(col("value"), col("event_id"))).getField("event_id").as("min_event"),
+          count_if(col("value") > 300).as("n_big"),
+          bool_or(col("value") > 590).as("any_huge"),
+          bool_and(col("value") >= 0).as("all_nonneg"),
+          round(median(col("value")), 2).as("med"))
+        .orderBy(col("event_type"))),
+
     // Snapshot diff: v2 drops error events, bumps every 7th value, and
     // adds synthetic rows — the diff reports exactly those keys, change-
     // sized output from one full-outer key join.
@@ -2314,6 +2329,16 @@ object SparkEntry {
         |FROM t FULL JOIN s ON t.event_id = s.event_id
         |WHERE NOT (s.event_id IS NOT NULL AND s.event_type = 'error')
         |ORDER BY event_id""".stripMargin,
+
+    "agg_misc" ->
+      """SELECT event_type,
+        |  (max(struct_pack(v := value, id := event_id))).id AS max_event,
+        |  (min(struct_pack(v := value, id := event_id))).id AS min_event,
+        |  CAST(count_if(value > 300) AS BIGINT) AS n_big,
+        |  bool_or(value > 590) AS any_huge,
+        |  bool_and(value >= 0) AS all_nonneg,
+        |  round(median(value), 2) AS med
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "table_diff" ->
       """WITH v1 AS (SELECT event_id, event_type, value FROM events),
