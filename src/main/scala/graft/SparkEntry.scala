@@ -1066,6 +1066,79 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    // Text normalization pipeline: lowercase -> strip non-alphanumerics ->
+    // collapse whitespace, with before/after length and token deltas and a
+    // normalized fingerprint — the canonicalization step ahead of exact
+    // dedup. Map-only.
+    "text_normalize" -> ((s, dir) => {
+      val norm = trim(regexp_replace(
+        regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " "))
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          length(col("text")).as("raw_len"),
+          length(norm).as("norm_len"),
+          size(GraftFunctions.tokens(norm)).as("norm_tokens"),
+          GraftFunctions.poly_hash(norm).as("norm_fp"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Nested-JSON roundtrip: per-order line items packed into a JSON
+    // document (sorted array of structs), parsed back with a declared
+    // nested schema, array exploded, re-aggregated — equals computing
+    // directly from the source (the oracle does exactly that).
+    "json_nested" -> ((s, dir) => {
+      val packed = Tables.lineitem(s, dir)
+        .groupBy(col("l_orderkey"))
+        .agg(to_json(struct(col("l_orderkey").as("order_id"),
+          array_sort(collect_list(struct(col("l_linenumber").as("line"),
+            col("l_quantity").as("qty")))).as("items"))).as("doc"))
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "order_id LONG, items ARRAY<STRUCT<line: INT, qty: DOUBLE>>")
+      packed
+        .select(from_json(col("doc"), schema).as("o"))
+        .select(col("o.order_id").as("order_id"), explode(col("o.items")).as("it"))
+        .groupBy(col("order_id"))
+        .agg(count(lit(1)).as("n_items"), round(sum(col("it.qty")), 2).as("sum_qty"),
+          max(col("it.line")).as("max_line"))
+        .orderBy(col("order_id"))
+    }),
+
+    // Three-valued-logic breadth: injected nulls handled with coalesce /
+    // nullif / null-safe equality / na.fill, and null-aware aggregates.
+    "null_handling" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("event_type"),
+          when(col("event_id") % 5 === 0, lit(null)).otherwise(col("value"))
+            .cast("double").as("v"))
+      ev.withColumn("v_filled", coalesce(col("v"), lit(-1.0)))
+        .withColumn("v_nz", nullif(col("v_filled"), lit(-1.0)))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_rows"), count(col("v")).as("n_nonnull"),
+          sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_null"),
+          round(sum(col("v_filled")), 2).as("sum_filled"),
+          round(avg(col("v_nz")), 4).as("avg_nonnull"),
+          sum(when(col("v") <=> lit(null), 1L).otherwise(0L)).as("n_nullsafe_eq"))
+        .orderBy(col("event_type"))
+    }),
+
+    // Date/time function breadth: truncation, month arithmetic, day
+    // deltas, end-of-month, and cross-engine-aligned day-of-week.
+    "date_functions" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
+        .withColumn("order_month", date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM-dd"))
+        .withColumn("plus_quarter", date_format(add_months(col("o_orderdate"), 3), "yyyy-MM-dd"))
+        .withColumn("month_end", date_format(last_day(col("o_orderdate")), "yyyy-MM-dd"))
+        .withColumn("days_to_1997", datediff(lit("1997-01-01").cast("date"), col("o_orderdate")))
+        .withColumn("dow", dayofweek(col("o_orderdate")))
+        .groupBy(col("order_month"))
+        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"),
+          min(col("plus_quarter")).as("first_plus_q"),
+          max(col("month_end")).as("month_end"),
+          min(col("days_to_1997")).as("min_days_to_1997"),
+          countDistinct(col("dow")).as("n_dows"))
+        .orderBy(col("order_month"))),
+
     // Aggregate-function breadth: deterministic arg-max/arg-min via
     // struct ordering (ties break on id), count_if / bool_or / bool_and,
     // and the exact interpolated median — one hash agg pass.
@@ -2329,6 +2402,53 @@ object SparkEntry {
         |FROM t FULL JOIN s ON t.event_id = s.event_id
         |WHERE NOT (s.event_id IS NOT NULL AND s.event_type = 'error')
         |ORDER BY event_id""".stripMargin,
+
+    "text_normalize" ->
+      s"""WITH n AS (
+         |  SELECT doc_id, text,
+         |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+         |      ' +', ' ', 'g')) AS norm
+         |  FROM documents)
+         |SELECT doc_id, length(text) AS raw_len, length(norm) AS norm_len,
+         |  CAST(len(${Oracles.tokens("norm")}) AS INT) AS norm_tokens,
+         |  ${Oracles.polyHash("norm")} AS norm_fp
+         |FROM n ORDER BY doc_id""".stripMargin,
+
+    // the roundtrip is Spark-internal (pack to JSON, parse back, explode);
+    // the oracle computes the same result from the source directly
+    "json_nested" ->
+      """SELECT l_orderkey AS order_id, count(*) AS n_items,
+        |  round(sum(l_quantity), 2) AS sum_qty, max(l_linenumber) AS max_line
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "null_handling" ->
+      """WITH ev AS (
+        |  SELECT event_id, event_type,
+        |    CASE WHEN event_id % 5 = 0 THEN NULL ELSE value END AS v
+        |  FROM events),
+        |x AS (SELECT *, coalesce(v, -1.0) AS v_filled,
+        |        nullif(coalesce(v, -1.0), -1.0) AS v_nz FROM ev)
+        |SELECT event_type, count(*) AS n_rows, count(v) AS n_nonnull,
+        |  CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+        |  round(sum(v_filled), 2) AS sum_filled,
+        |  round(avg(v_nz), 4) AS avg_nonnull,
+        |  CAST(sum(CASE WHEN v IS NOT DISTINCT FROM NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_nullsafe_eq
+        |FROM x GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "date_functions" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, o_totalprice,
+        |    strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS order_month,
+        |    strftime(o_orderdate + INTERVAL 3 MONTH, '%Y-%m-%d') AS plus_quarter,
+        |    strftime(last_day(o_orderdate), '%Y-%m-%d') AS month_end,
+        |    date_diff('day', CAST(o_orderdate AS DATE), DATE '1997-01-01') AS days_to_1997,
+        |    (isodow(o_orderdate) % 7) + 1 AS dow
+        |  FROM orders)
+        |SELECT order_month, count(*) AS n, round(sum(o_totalprice), 2) AS total,
+        |  min(plus_quarter) AS first_plus_q, max(month_end) AS month_end,
+        |  min(days_to_1997) AS min_days_to_1997, count(DISTINCT dow) AS n_dows
+        |FROM o GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "agg_misc" ->
       """SELECT event_type,
