@@ -211,6 +211,20 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // Sparse TF-IDF cosine top-5 over word-bigram terms: df-pruned
+    // inverted-index join, integer-quantized weights (exact dot products
+    // under any shuffle order), cosine defined over the pruned space.
+    // Bigrams come from the codegen'd token_ngrams kernel — the composed
+    // slice/zip_with chain is CodegenFallback and re-tokenizes per use.
+    "sim_sparse_topk" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val n = docs.count()
+      Similarity.sparseTopK(docs, n, col("doc_id") % 97 === 0, 5,
+        maxDf = n / 10,
+        terms = graft.functions.GraftFunctions.tokenNgrams(lower(col("text")), 2))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // Language-ID + quality scoring + token counting + fingerprint in one
     // map-only pass over the corpus.
     "text_stats" -> ((s, dir) =>
@@ -1593,6 +1607,43 @@ object SparkEntry {
          |      ORDER BY round(${Oracles.cosine("qv", "cv", 64)}, 6) DESC, neighbor_id) AS rank
          |  FROM cand)
          |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // Integer-quantized weights make every dot product / squared norm
+    // exact 64-bit arithmetic — identical on both engines regardless of
+    // aggregation order; floats only in the final sqrt/divide.
+    "sim_sparse_topk" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, ${Oracles.tokens("lower(text)")} AS t FROM documents),
+         |bg AS (
+         |  SELECT doc_id,
+         |    unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS term
+         |  FROM toks WHERE len(t) >= 2),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM bg GROUP BY 1, 2),
+         |dfreq AS (
+         |  SELECT term, count(*) AS df FROM tf GROUP BY 1
+         |  HAVING count(*) <= (SELECT count(*) // 10 FROM documents)),
+         |post AS (
+         |  SELECT tf.doc_id, tf.term,
+         |    CAST(round(tf.tf * ln(CAST((SELECT count(*) FROM documents) AS DOUBLE)
+         |      / dfreq.df) * 1000) AS BIGINT) AS w
+         |  FROM tf JOIN dfreq ON tf.term = dfreq.term),
+         |norms AS (SELECT doc_id, CAST(sum(w * w) AS BIGINT) AS nsq FROM post GROUP BY 1),
+         |dots AS (
+         |  SELECT q.doc_id AS query_id, p.doc_id AS neighbor_id,
+         |    CAST(sum(q.w * p.w) AS BIGINT) AS dot
+         |  FROM post p JOIN post q ON p.term = q.term
+         |  WHERE q.doc_id % 97 = 0 AND p.doc_id != q.doc_id
+         |  GROUP BY 1, 2),
+         |scored AS (
+         |  SELECT d.query_id, d.neighbor_id,
+         |    round(d.dot / (sqrt(n.nsq) * sqrt(qn.nsq)), 6) AS cosine
+         |  FROM dots d
+         |  JOIN norms n ON n.doc_id = d.neighbor_id
+         |  JOIN norms qn ON qn.doc_id = d.query_id),
+         |r AS (SELECT *, row_number() OVER (
+         |  PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank FROM scored)
+         |SELECT query_id, rank, neighbor_id, cosine
+         |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
     "text_stats" -> {
       val markers = graft.operators.TextAnalysis.langMarkers

@@ -77,6 +77,21 @@ object GraftFunctions {
   def tokens(c: Column): Column =
     filter(split(c, "\\s+"), t => t =!= lit(""))
 
+  /** Space-joined word n-grams over whitespace tokens (the sparse-vector
+    * term space of [[graft.operators.Similarity.sparseTopK]]). Codegen'd
+    * ([[TokenNgramsExpr]]); composed cross-check below.
+    */
+  def tokenNgrams(c: Column, n: Int): Column =
+    Bridge.column(TokenNgramsExpr(Bridge.expression(c.cast(StringType)), n))
+
+  def tokenNgramsComposed(c: Column, n: Int): Column = {
+    val t = tokens(c)
+    when(size(t) >= n,
+      transform(sequence(lit(1), size(t) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(j => element_at(t, i + j)): _*)))
+      .otherwise(array().cast("array<string>"))
+  }
+
   /** Distinct character n-gram shingles of `n` code units. Guarded so a
     * too-short string yields an empty set (Spark `sequence(1, 0)` would
     * descend, not return empty).

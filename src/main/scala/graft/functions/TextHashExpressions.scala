@@ -123,6 +123,55 @@ object MinHashSignatureExpr {
   }
 }
 
+/** Word n-grams over whitespace tokens, space-joined, order preserved,
+  * duplicates kept (== zip_with over slices of tokens(c) for n = 2).
+  * Fewer than n tokens yields an empty array. One tight loop instead of
+  * the composed slice/zip_with HOF chain, which is CodegenFallback and
+  * re-tokenizes the string once per reference to the token array.
+  */
+case class TokenNgramsExpr(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    TokenNgramsExpr.compute(input.asInstanceOf[UTF8String].toString, n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TokenNgramsExpr.compute($c.toString(), $n)")
+  override protected def withNewChildInternal(newChild: Expression): TokenNgramsExpr =
+    copy(child = newChild)
+  override def prettyName: String = "token_ngrams"
+}
+
+object TokenNgramsExpr {
+  def compute(s: String, n: Int): ArrayData = {
+    // same tokenizer as TokenHashesExpr/GraftFunctions.tokens: java-regex
+    // \s+ split, empties dropped
+    val raw = s.split("\\s+")
+    val toks = new scala.collection.mutable.ArrayBuffer[String](raw.length)
+    var i = 0
+    while (i < raw.length) {
+      if (raw(i).nonEmpty) toks += raw(i)
+      i += 1
+    }
+    val m = toks.length - n + 1
+    if (m <= 0) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](m)
+    val sb = new java.lang.StringBuilder()
+    var g = 0
+    while (g < m) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(g + j))
+        j += 1
+      }
+      out(g) = UTF8String.fromString(sb.toString)
+      g += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
 /** SimHash over a token-hash array (== GraftFunctions.simhash composed
   * column): bit b set iff sum over tokens of (2*((h>>b)&1) - 1) > 0.
   */

@@ -205,6 +205,61 @@ object Similarity {
         col("neighbor_id"), col("neighbor_cluster"), col("cosine"))
   }
 
+  /** Sparse TF-IDF cosine top-k over TEXT — the term-space complement to
+    * the dense-embedding paths, via a document-frequency-pruned inverted
+    * index (the classic posting-list self-join, never a cross join).
+    *
+    * Weights are tf·ln(N/df) quantized to integers (`scale` fixed-point
+    * steps), so every dot product and squared norm is exact 64-bit
+    * integer arithmetic — order-independent under any shuffle, hence
+    * bit-replayable in the SQL oracle; floats appear only in the final
+    * sqrt/divide, which is a deterministic IEEE computation per pair.
+    *
+    * Scale shape: terms with df > `maxDf` are dropped from the vector
+    * space (stop terms contribute near-zero idf weight but quadratic
+    * posting-list join fan-out — the prune is the scale dial, exactly
+    * like [[graft.operators.Dedup]]'s stop-shingle prune). The query
+    * side (`isQuery` rows) is small and broadcast, so candidate
+    * generation is a map-side join against the posting stream: at most
+    * |query terms| × maxDf candidate rows, then ONE shuffle on
+    * (query, doc) for the dot-product aggregation. Cosine is defined
+    * over the pruned vector space on both sides — an exact algorithm
+    * over the pruned vectors, not an approximation of the unpruned
+    * cosine.
+    */
+  def sparseTopK(docs: DataFrame, nDocs: Long, isQuery: Column, k: Int,
+                 maxDf: Long, scale: Int = 1000,
+                 terms: Column = tokens(lower(col("text")))): DataFrame = {
+    // tf feeds postings AND document frequency — checkpoint tokenizes once
+    val tf = docs.select(col("doc_id"), explode(terms).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .localCheckpoint(false)
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      .where(col("df") <= maxDf)
+    // each posting carries its document's squared norm (one window pass
+    // over the postings), so norms ride through the dot-product
+    // aggregation as grouping keys — no separate norm table, no re-join
+    val post = tf.join(broadcast(dfreq), "term")
+      .withColumn("w",
+        round(col("tf") * log(lit(nDocs.toDouble) / col("df")) * scale).cast("long"))
+      .withColumn("nsq",
+        sum(col("w") * col("w")).over(Window.partitionBy(col("doc_id"))))
+    val qpost = post.where(isQuery)
+      .select(col("doc_id").as("query_id"), col("term"),
+        col("w").as("qw"), col("nsq").as("q_nsq"))
+    val scored = post.join(broadcast(qpost), Seq("term"))
+      .where(col("query_id") =!= col("doc_id"))
+      .groupBy(col("query_id"), col("doc_id"), col("nsq"), col("q_nsq"))
+      .agg(sum(col("qw") * col("w")).as("dot"))
+      .withColumn("cosine",
+        round(col("dot") / (sqrt(col("nsq")) * sqrt(col("q_nsq"))), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("doc_id"))
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id").as("neighbor_id"),
+        col("cosine"))
+  }
+
   /** ANN top-k via LSH: candidates = corpus vectors sharing any table
     * bucket with the query; exact cosine re-rank of candidates only.
     * Returns at most k neighbors per query (fewer if buckets were sparse —

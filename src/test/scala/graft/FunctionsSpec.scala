@@ -92,6 +92,21 @@ class FunctionsSpec extends SparkSuite {
     assert(mismatch == 0)
   }
 
+  test("codegen'd token_ngrams equals the composed formulation; edge cases") {
+    val docs = Tables.documents(spark, sf).limit(100)
+    for (n <- Seq(1, 2, 3)) {
+      val mismatch = docs.select(
+        tokenNgrams(lower(col("text")), n).as("fast"),
+        tokenNgramsComposed(lower(col("text")), n).as("ref"))
+        .filter(col("fast") =!= col("ref")).count()
+      assert(mismatch == 0, s"n=$n")
+    }
+    val edge = Seq("", "  ", "one", "one two", " a  b\tc ").toDF("text")
+    val rows = edge.select(tokenNgrams(col("text"), 2).as("g"))
+      .as[Seq[String]].collect()
+    assert(rows.toSeq == Seq(Nil, Nil, Nil, Seq("one two"), Seq("a b", "b c")))
+  }
+
   test("codegen'd shingle/minhash edge cases: short and empty strings") {
     val rows = Seq("", "ab", "abc").toDF("s")
       .select(shingleHashes(col("s"), 3).as("g"),

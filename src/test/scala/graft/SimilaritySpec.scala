@@ -112,4 +112,56 @@ class SimilaritySpec extends SparkSuite {
     val plan = hn.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("sparse TF-IDF top-k matches an independent in-memory computation") {
+    val raw = Seq(
+      (0L, "red fox jumps over the lazy dog"),
+      (1L, "red fox jumps over a sleeping cat"),
+      (2L, "the lazy dog sleeps all day"),
+      (3L, "quick brown fox and red fox"),
+      (4L, "a cat and a dog play all day"),
+      (5L, "red fox red fox red fox"))
+    val docs = raw.toDF("doc_id", "text")
+    val n = raw.size.toLong
+    val result = Similarity.sparseTopK(docs, n, col("doc_id") % 2 === 0,
+      k = 3, maxDf = n)
+    val got = result.select("query_id", "rank", "neighbor_id", "cosine")
+      .as[(Long, Int, Long, Double)].collect().toSet
+
+    // independent recomputation with plain Scala collections
+    def toks(s: String): Seq[String] =
+      s.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+    val tf: Map[Long, Map[String, Int]] = raw.map { case (id, t) =>
+      id -> toks(t).groupBy(identity).map { case (w, o) => w -> o.size }
+    }.toMap
+    val dfreq: Map[String, Int] = tf.values.flatMap(_.keys).toSeq
+      .groupBy(identity).map { case (w, o) => w -> o.size }
+    val vec: Map[Long, Map[String, Long]] = tf.map { case (id, m) =>
+      id -> m.map { case (t, c) =>
+        t -> math.round(c * math.log(n.toDouble / dfreq(t)) * 1000)
+      }
+    }
+    val nsq: Map[Long, Long] =
+      vec.map { case (id, v) => id -> v.values.map(x => x * x).sum }
+    def round6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected = (for {
+      q <- raw.map(_._1) if q % 2 == 0
+      d <- raw.map(_._1) if d != q
+      shared = vec(q).keySet intersect vec(d).keySet
+      if shared.nonEmpty
+    } yield {
+      val dot = shared.toSeq.map(t => vec(q)(t) * vec(d)(t)).sum
+      (q, d, round6(dot / (math.sqrt(nsq(d).toDouble) * math.sqrt(nsq(q).toDouble))))
+    }).groupBy(_._1).flatMap { case (q, rows) =>
+      rows.sortBy { case (_, d, c) => (-c, d) }.take(3).zipWithIndex.map {
+        case ((_, d, c), i) => (q, i + 1, d, c)
+      }
+    }.toSet
+    assert(got == expected)
+
+    // posting-list equi-joins only: never a cross/nested-loop pair join
+    val plan = result.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"))
+  }
 }
