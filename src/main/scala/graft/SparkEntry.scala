@@ -272,7 +272,8 @@ object SparkEntry {
     "token_shards" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
         .select(col("doc_id"),
-          size(GraftFunctions.tokens(lower(col("text")))).cast("long").as("n_tok"))
+          GraftFunctions.textStats(col("text"))
+            .getField("n_tokens").cast("long").as("n_tok"))
       Packing.tokenShards(docs, "doc_id", "n_tok", 4096L)
         .groupBy(col("shard_id"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),

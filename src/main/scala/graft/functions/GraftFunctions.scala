@@ -77,6 +77,15 @@ object GraftFunctions {
   def tokens(c: Column): Column =
     filter(split(c, "\\s+"), t => t =!= lit(""))
 
+  /** Fused per-document text-statistics struct ([[TextStatsExpr]]): all
+    * counts in one scan instead of ~8 interpreted HOF passes. The second
+    * child is Spark's own `lower`, so case mapping matches the composed
+    * columns exactly.
+    */
+  def textStats(c: Column): Column =
+    Bridge.column(TextStatsExpr(Bridge.expression(c.cast(StringType)),
+      Bridge.expression(lower(c.cast(StringType)))))
+
   /** Space-joined word n-grams over whitespace tokens (the sparse-vector
     * term space of [[graft.operators.Similarity.sparseTopK]]). Codegen'd
     * ([[TokenNgramsExpr]]); composed cross-check below.

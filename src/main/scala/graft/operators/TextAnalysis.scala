@@ -14,14 +14,11 @@ object TextAnalysis {
 
   /** Marker stopwords per language for the n-gram/stopword language-ID
     * heuristic. Deterministic and tiny so the scoring is a handful of
-    * codegen'd array ops per row.
+    * codegen'd array ops per row. Single source of truth lives next to
+    * the fused kernel ([[graft.functions.TextStatsExpr]]).
     */
-  val langMarkers: Seq[(String, Seq[String])] = Seq(
-    "en" -> Seq("the", "and", "of", "to", "a"),
-    "de" -> Seq("der", "die", "und", "das", "ist"),
-    "es" -> Seq("el", "los", "que", "y", "es"),
-    "fr" -> Seq("le", "les", "et", "est", "une"),
-    "zh" -> Seq("de5", "shi4", "le5", "zai4", "he2"))
+  val langMarkers: Seq[(String, Seq[String])] =
+    graft.functions.TextStatsExpr.langMarkers
 
   private def markerCount(toks: Column, markers: Seq[String]): Column =
     size(filter(toks, t => t.isin(markers.map(lit(_)): _*)))
@@ -209,31 +206,26 @@ object TextAnalysis {
         .otherwise(0.0), 4).as("tok_rep_ratio"))
   }
 
-  /** All text statistics in one fused map-only pass, tokenizing ONCE.
+  /** All text statistics in one fused map-only pass over each string.
     *
     * The composed formulation ([[qualityFeatures]] + [[langId]] +
     * [[tokenCounts]]) re-splits the text inside every higher-order
     * `filter` — HOFs are CodegenFallback, so common-subexpression reuse
-    * never kicks in and a document is re-tokenized ~8x. Here the token
-    * arrays are materialized once in a projection (CollapseProject keeps
-    * non-cheap expressions un-duplicated) and every downstream count
-    * reads the array column. Same results bit-for-bit (spec-pinned);
-    * ~linear speedup in the number of marker filters at any scale.
+    * never kicks in and a document is re-tokenized ~8x. All raw counts
+    * now come from ONE codegen'd kernel scan
+    * ([[graft.functions.TextStatsExpr]], materialized once in a
+    * projection — CollapseProject keeps non-cheap expressions
+    * un-duplicated); only the cheap derived arithmetic stays in column
+    * space. Same results bit-for-bit (spec-pinned vs the composed
+    * formulation).
     */
   def stats(docs: DataFrame, text: Column = col("text")): DataFrame = {
-    val arr = docs
-      .withColumn("_toks", tokens(text))
-      .withColumn("_ltoks", tokens(lower(text)))
-      .withColumn("_nopunct", regexp_replace(text, "[.,;:!?]", ""))
-      .withColumn("_bpe",
-        split(text, "(?<=[^A-Za-z0-9])|(?=[^A-Za-z0-9])"))
-    val nTokens = size(col("_toks"))
+    val arr = docs.withColumn("_st", textStats(text))
+    val nTokens = col("_st.n_tokens")
     val nChars = length(text)
-    val punct = nChars - length(col("_nopunct"))
-    val stop = markerCount(col("_ltoks"), langMarkers.flatMap(_._2))
-    val scored = langMarkers.map { case (lang, ms) =>
-      (lang, markerCount(col("_ltoks"), ms))
-    }
+    val punct = col("_st.punct")
+    val stop = col("_st.stop")
+    val scored = langMarkers.map { case (lang, _) => (lang, col(s"_st.c_$lang")) }
     val best = scored.map(_._2).reduce((a, b) => greatest(a, b))
     val lang = scored.foldLeft(when(best <= 0, lit("und")): Column) {
       case (acc, (l, score)) => acc.when(score === best, lit(l))
@@ -253,10 +245,9 @@ object TextAnalysis {
             - punct.cast("double") / greatest(nChars, lit(1)))
             .otherwise(lit(0.0))), 4))
       .withColumn("lang_pred", lang)
-      .withColumn("bpe_tokens",
-        size(filter(col("_bpe"), t => t =!= lit("") && t =!= lit(" "))))
-      .withColumn("fingerprint", poly_hash(text))
-      .drop("_toks", "_ltoks", "_nopunct", "_bpe")
+      .withColumn("bpe_tokens", col("_st.bpe"))
+      .withColumn("fingerprint", col("_st.fp"))
+      .drop("_st")
   }
 
   /** First-order token language model: bigram counts and the MLE
