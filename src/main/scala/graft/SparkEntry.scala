@@ -610,6 +610,20 @@ object SparkEntry {
           count(lit(1)).as("n"), grouping_id().as("gid"))
         .orderBy(col("gid"), col("l_returnflag"), col("l_linestatus"))),
 
+    // Arbitrary GROUPING SETS (neither rollup nor cube): three unrelated
+    // margins in ONE expand + hash agg pass, not three scans unioned.
+    "grouping_sets_agg" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .withColumn("ship_year", year(col("l_shipdate")))
+        .groupingSets(
+          Seq(Seq(col("ship_year"), col("l_returnflag")),
+            Seq(col("l_linestatus")), Seq()),
+          col("ship_year"), col("l_returnflag"), col("l_linestatus"))
+        .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+          count(lit(1)).as("n"), grouping_id().as("gid"))
+        .orderBy(col("gid"), col("ship_year"), col("l_returnflag"),
+          col("l_linestatus"))),
+
     // Unpivot (wide measures -> long): per-measure totals over lineitem.
     // The melt is map-only; one hash agg on the 4-row measure key.
     "unpivot_measures" -> ((s, dir) =>
@@ -2190,6 +2204,14 @@ object SparkEntry {
         |FROM lineitem
         |GROUP BY CUBE (l_returnflag, l_linestatus)
         |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin,
+
+    "grouping_sets_agg" ->
+      """SELECT CAST(year(l_shipdate) AS INT) AS ship_year, l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty, count(*) AS n,
+        |  CAST(GROUPING(ship_year, l_returnflag, l_linestatus) AS BIGINT) AS gid
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((ship_year, l_returnflag), (l_linestatus), ())
+        |ORDER BY gid, ship_year, l_returnflag, l_linestatus""".stripMargin,
 
     "unpivot_measures" ->
       """WITH u AS (
