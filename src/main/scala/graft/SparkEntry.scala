@@ -1260,6 +1260,23 @@ object SparkEntry {
           Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
         .orderBy(col("column_name"))),
 
+    // Declarative data-quality gate: all row checks + uniqueness fold
+    // into ONE aggregation pass; the FK check is one anti-join.
+    "dq_checks" -> ((s, dir) => {
+      import graft.operators.DqChecks._
+      checks(Tables.orders(s, dir),
+        rowChecks = Seq(
+          RowCheck("not_null", "o_custkey", col("o_custkey").isNull),
+          RowCheck("in_range", "o_totalprice",
+            col("o_totalprice") < 0 || col("o_totalprice") > 1000000),
+          RowCheck("accepted_values", "o_orderstatus",
+            !col("o_orderstatus").isin("O", "F", "P"))),
+        uniqueCols = Seq("o_orderkey"),
+        fks = Seq(FkCheck("fk_customer", "o_custkey",
+          Tables.customer(s, dir), "c_custkey")))
+        .orderBy(col("check_name"), col("column_name"))
+    }),
+
     // Hard-negative mining: per query vector, top-3 most-similar vectors
     // from a DIFFERENT k-means cluster (same deterministic k-means as
     // kmeans_assign; map-only cluster column, broadcast query side).
@@ -2648,6 +2665,34 @@ object SparkEntry {
       Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
         .map(one).mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
     },
+
+    "dq_checks" ->
+      """WITH m AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS cust_nulls,
+        |    CAST(sum(CASE WHEN o_totalprice < 0 OR o_totalprice > 1000000
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS price_oob,
+        |    CAST(sum(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P')
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS status_bad,
+        |    CAST(count(o_orderkey) - count(DISTINCT o_orderkey) AS BIGINT) AS key_dups
+        |  FROM orders),
+        |fk AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS orphans FROM orders o
+        |  WHERE o.o_custkey IS NOT NULL AND NOT EXISTS (
+        |    SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)),
+        |rows_out AS (
+        |  SELECT 'not_null' AS check_name, 'o_custkey' AS column_name,
+        |    cust_nulls AS violations FROM m
+        |  UNION ALL
+        |  SELECT 'in_range', 'o_totalprice', price_oob FROM m
+        |  UNION ALL
+        |  SELECT 'accepted_values', 'o_orderstatus', status_bad FROM m
+        |  UNION ALL
+        |  SELECT 'unique', 'o_orderkey', key_dups FROM m
+        |  UNION ALL
+        |  SELECT 'fk_customer', 'o_custkey', orphans FROM fk)
+        |SELECT check_name, column_name, violations, violations = 0 AS passed
+        |FROM rows_out ORDER BY check_name, column_name""".stripMargin,
 
     "reservoir_group" -> {
       val rk = s"(${Oracles.polyHash("CAST(event_id AS VARCHAR)")} * " +
