@@ -394,6 +394,17 @@ object SparkEntry {
       Graph.pagerank(edges, iters = 3).orderBy(col("node"))
     }),
 
+    // Triangle participation per node over the near-dup candidate graph
+    // (density signal for dedup clusters): two vertex-key equi-joins,
+    // never a cross product.
+    "graph_triangles" -> ((s, dir) =>
+      Graph.triangleCounts(
+        Dedup.minhashLshPairs(
+          Tables.documents(s, dir).filter(col("doc_id") % 10 === 0),
+          n = 3, k = 16, bands = 4, threshold = 0.6)
+          .select(col("id_a"), col("id_b")))
+        .orderBy(col("node"))),
+
     // ===== Structured Streaming (bounded run via Trigger.AvailableNow) ====
     // All bounded runs pin 8 state partitions: state-store parallelism is
     // a stream-volume knob (see Streaming.runToCompletion) and the verify/
@@ -1518,6 +1529,21 @@ object SparkEntry {
     "dedup_minhash_lsh" ->
       s"""WITH $minhashPairsCtes
          |SELECT * FROM mh_pairs ORDER BY id_a, id_b""".stripMargin,
+
+    "graph_triangles" ->
+      s"""WITH $minhashPairsCtes,
+         |e AS (SELECT DISTINCT id_a AS a, id_b AS b FROM mh_pairs),
+         |w AS (
+         |  SELECT e1.a AS a, e1.b AS b, e2.b AS c
+         |  FROM e e1 JOIN e e2 ON e1.a = e2.a AND e1.b < e2.b),
+         |tri AS (
+         |  SELECT w.a, w.b, w.c FROM w JOIN e e3 ON w.b = e3.a AND w.c = e3.b),
+         |corners AS (
+         |  SELECT a AS node FROM tri
+         |  UNION ALL SELECT b FROM tri
+         |  UNION ALL SELECT c FROM tri)
+         |SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+         |FROM corners GROUP BY node ORDER BY node""".stripMargin,
 
     "dedup_clusters" ->
       s"""WITH RECURSIVE $minhashPairsCtes,

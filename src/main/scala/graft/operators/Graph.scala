@@ -32,6 +32,35 @@ object Graph {
     * fall back to shuffles that reuse the same src-key partitioning
     * every round.
     */
+  /** Per-node triangle participation counts over an undirected edge
+    * list — the node-iterator++ formulation as two equi-joins, never a
+    * cross product.
+    *
+    * Edges canonicalize to `a < b` and dedupe, wedges pair two edges on
+    * their shared LOW vertex with `b < c` (each candidate triangle
+    * enumerated exactly once, from its smallest vertex), and the closing
+    * `(b, c)` edge joins once more. Both joins shuffle on a single
+    * vertex key; fan-out per key is bounded by max degree (the classic
+    * skew dial for triangle counting — degree-cap or split hot vertices
+    * at the extreme). Each found triangle credits all three corners via
+    * one explode + count.
+    */
+  def triangleCounts(edges: DataFrame, src: String = "id_a",
+                     dst: String = "id_b"): DataFrame = {
+    val e = edges
+      .select(least(col(src), col(dst)).as("a"), greatest(col(src), col(dst)).as("b"))
+      .where(col("a") =!= col("b") && col("a").isNotNull && col("b").isNotNull)
+      .distinct()
+    val wedges = e.as("e1").join(e.as("e2"),
+        col("e1.a") === col("e2.a") && col("e1.b") < col("e2.b"))
+      .select(col("e1.a").as("wa"), col("e1.b").as("wb"), col("e2.b").as("wc"))
+    val tri = wedges.join(e.as("e3"),
+        col("wb") === col("e3.a") && col("wc") === col("e3.b"))
+      .select(col("wa"), col("wb"), col("wc"))
+    tri.select(explode(array(col("wa"), col("wb"), col("wc"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
+  }
+
   def pagerank(edges: DataFrame, iters: Int, damping: Double = 0.85,
                teleport: Double = 0.15, roundTo: Int = 9,
                broadcastNodes: Boolean = true): DataFrame = {

@@ -44,4 +44,22 @@ class GraphSpec extends SparkSuite {
       .select("node", "out_deg").as[(Long, Long)].collect().toMap
     assert(got == Map(0L -> 2L, 1L -> 1L, 2L -> 1L))
   }
+
+  test("triangle counts: two sharing triangles, reversed/duplicate edges canonicalized") {
+    // triangles {1,2,3} and {3,4,5}; (5,6) closes nothing; (2,1) and a
+    // repeat of (1,3) must not double-count
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (1L, 3L), (3L, 1L),
+      (3L, 4L), (4L, 5L), (3L, 5L), (5L, 6L))
+      .toDF("id_a", "id_b")
+    val got = Graph.triangleCounts(edges)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 1L, 5L -> 1L))
+  }
+
+  test("triangle counts: K4 has four triangles, three per node") {
+    val k4 = (for { a <- 1L to 4L; b <- 1L to 4L if a < b } yield (a, b))
+      .toDF("id_a", "id_b")
+    val got = Graph.triangleCounts(k4).as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
 }
