@@ -477,6 +477,13 @@ object SparkEntry {
       Multimodal.decodeFeatures(Multimodal.asRecords(Multimodal.media(s, dir)))
         .toDF().orderBy(col("doc_id"))),
 
+    // Batched stub resize of image payloads (stride subsampling to ~256
+    // bytes): binary->binary mapPartitions, partitioning preserved.
+    "multimodal_resize" -> ((s, dir) =>
+      Multimodal.resize(Multimodal.asRecords(
+          Multimodal.media(s, dir).filter(col("media_type") === "image")))
+        .toDF().orderBy(col("doc_id"))),
+
     // Metadata-driven frame sampling for video payloads — map-only, the
     // binary column is pruned from the scan entirely.
     "multimodal_frames" -> ((s, dir) =>
@@ -2096,6 +2103,23 @@ object SparkEntry {
          |  CAST(CASE media_type WHEN 'image' THEN 1 WHEN 'audio' THEN 0
          |       ELSE least(duration_ms // 1000, 8) END AS INT) AS n_frames
          |FROM m ORDER BY doc_id""".stripMargin,
+
+    // Stride subsampling of the UTF-8 payload == char subsampling on the
+    // ASCII corpus; the checksum replays PolyHash over the kept chars.
+    "multimodal_resize" ->
+      s"""WITH m AS (
+         |  SELECT doc_id, text, CAST(length(text) AS INT) AS in_len
+         |  FROM documents WHERE CAST(doc_id % 3 AS INT) = 0),
+         |s AS (
+         |  SELECT *, greatest(1, (in_len + 255) // 256) AS stride FROM m)
+         |SELECT doc_id, 'image' AS media_type, in_len,
+         |  CAST(stride AS INT) AS stride,
+         |  CAST((in_len + stride - 1) // stride AS INT) AS out_len,
+         |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |    list_transform(range(1, CAST(in_len + 1 AS BIGINT), CAST(stride AS BIGINT)),
+         |      i -> CAST(ord(substr(text, CAST(i AS INT), 1)) AS BIGINT))),
+         |    (h, c) -> (h * 31 + c) % ${Oracles.P}) AS out_checksum
+         |FROM s ORDER BY doc_id""".stripMargin,
 
     "multimodal_frames" ->
       """WITH v AS (

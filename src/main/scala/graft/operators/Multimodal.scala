@@ -64,6 +64,26 @@ object Multimodal {
     }
   }
 
+  final case class ResizedMedia(doc_id: Long, media_type: String, in_len: Int,
+                                stride: Int, out_len: Int, out_checksum: Long)
+
+  /** Batched "resize": binary → binary payload transform in the same
+    * bounded-batch `mapPartitions` shape as [[decodeFeatures]] (one
+    * resizer init per partition, partitioning preserved — no shuffle at
+    * any scale). STUB transform: deterministic stride subsampling of the
+    * payload bytes down to ~`targetBytes` (the oracle replays it); a real
+    * image scaler changes only [[Decode.resizeOne]]'s body.
+    */
+  def resize(records: Dataset[MediaRecord], targetBytes: Int = 256,
+             batchSize: Int = 64): Dataset[ResizedMedia] = {
+    import records.sparkSession.implicits._
+    records.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.map(r => Decode.resizeOne(r, targetBytes))
+      }
+    }
+  }
+
   /** Frame sampling for video payloads: up to `maxFrames` evenly-spaced
     * frame offsets from the metadata duration. Pure column expressions —
     * map-only, no decode required, the payload column is never touched
@@ -98,6 +118,22 @@ object Decode {
     var i = 0
     while (i < bytes.length) { h = (h * 31 + (bytes(i) & 0xff)) % PolyHash.P; i += 1 }
     h
+  }
+
+  /** STUB resize: keep every `stride`-th byte so the output is at most
+    * `target` bytes (stride = ceil(len/target), pure integer arithmetic
+    * so the oracle replays it). A real scaler decodes, interpolates, and
+    * re-encodes here.
+    */
+  def resizeOne(r: MediaRecord, target: Int): Multimodal.ResizedMedia = {
+    val len = r.content.length
+    val stride = math.max(1, (len + target - 1) / target)
+    val out = new Array[Byte]((len + stride - 1) / stride)
+    var i = 0
+    var j = 0
+    while (i < len) { out(j) = r.content(i); j += 1; i += stride }
+    Multimodal.ResizedMedia(r.doc_id, r.media_type, len, stride, out.length,
+      byteChecksum(out))
   }
 
   def decodeOne(r: MediaRecord): MediaFeatures = {

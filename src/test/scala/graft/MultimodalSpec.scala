@@ -67,4 +67,32 @@ class MultimodalSpec extends SparkSuite {
     // the payload construction (encode -> binary) must be pruned away
     assert(!plan.contains("encode(") && !plan.contains("binary"), plan)
   }
+
+  test("resize: stride subsampling to the target, checksum over kept bytes") {
+    val r = Multimodal.MediaRecord(7L, "image",
+      "abcdefghij".getBytes("UTF-8"), 0L)
+    // target 4 of len 10 -> stride 3, kept indices 0,3,6,9 -> "adgj"
+    val got = graft.operators.Decode.resizeOne(r, 4)
+    assert(got == Multimodal.ResizedMedia(7L, "image", 10, 3, 4,
+      graft.operators.Decode.byteChecksum("adgj".getBytes("UTF-8"))))
+    // payload shorter than the target passes through whole (stride 1)
+    val small = graft.operators.Decode.resizeOne(r, 100)
+    assert(small.stride == 1 && small.out_len == 10 &&
+      small.out_checksum == graft.operators.Decode.byteChecksum(r.content))
+    // empty payload: zero-length output, zero checksum
+    val empty = graft.operators.Decode.resizeOne(
+      Multimodal.MediaRecord(8L, "image", Array.empty[Byte], 0L), 4)
+    assert(empty.out_len == 0 && empty.out_checksum == 0L)
+  }
+
+  test("resize dataset op is map-only and batch-invariant") {
+    val recs = Multimodal.asRecords(media.filter(col("media_type") === "image"))
+    val a = Multimodal.resize(recs, targetBytes = 8, batchSize = 3)
+      .collect().sortBy(_.doc_id).toSeq
+    val b = Multimodal.resize(recs, targetBytes = 8, batchSize = 1000)
+      .collect().sortBy(_.doc_id).toSeq
+    assert(a.nonEmpty && a == b)
+    val plan = Multimodal.resize(recs).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
 }
