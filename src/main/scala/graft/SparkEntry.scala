@@ -128,6 +128,24 @@ object SparkEntry {
     // Exact dedup: corpus unioned with a re-ingested copy (the reference's
     // duplicate-reload failure mode, medium/..._messed.jpeg) — one hash
     // aggregation keeps min doc_id per distinct text.
+    // Incremental dedup across discrete runs: the delta (new docs + a
+    // re-ingested slice of history + a doubled slice of itself) anti-joins
+    // the historical FINGERPRINT store — O(delta + store), history text
+    // never re-read. The bookmark story applied to dedup.
+    "dedup_incremental" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val mid = docs.agg(max(col("doc_id"))).head().getLong(0) / 2
+      val history = docs.filter(col("doc_id") <= mid)
+      val hfp = history.select(GraftFunctions.poly_hash(col("text")).as("fingerprint"))
+        .distinct()
+      val delta = docs.filter(col("doc_id") > mid)
+        .union(history.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+        .union(docs.filter(col("doc_id") > mid && col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 2000000L).as("doc_id"), col("text")))
+      Dedup.incrementalExact(hfp, delta).orderBy(col("keep_id"))
+    }),
+
     "dedup_exact" -> ((s, dir) => {
       val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
       val corpus = docs.union(docs.withColumn("doc_id", col("doc_id") + lit(1000000L)))
@@ -1501,6 +1519,26 @@ object SparkEntry {
         |  SELECT doc_id + 1000000, text FROM documents)
         |SELECT min(doc_id) AS keep_id, count(*) AS n_dupes
         |FROM corpus GROUP BY text ORDER BY keep_id""".stripMargin,
+
+    "dedup_incremental" ->
+      s"""WITH mx AS (SELECT max(doc_id) // 2 AS mid FROM documents),
+         |hist AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id <= (SELECT mid FROM mx)),
+         |hfp AS (SELECT DISTINCT ${Oracles.polyHash("text")} AS fingerprint FROM hist),
+         |delta AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id > (SELECT mid FROM mx)
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, text FROM hist WHERE doc_id % 7 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 2000000, text FROM documents
+         |  WHERE doc_id > (SELECT mid FROM mx) AND doc_id % 5 = 0),
+         |fp AS (
+         |  SELECT ${Oracles.polyHash("text")} AS fingerprint, doc_id FROM delta),
+         |fresh AS (
+         |  SELECT * FROM fp
+         |  WHERE fingerprint NOT IN (SELECT fingerprint FROM hfp))
+         |SELECT fingerprint, min(doc_id) AS keep_id, count(*) AS n_dupes
+         |FROM fresh GROUP BY fingerprint ORDER BY keep_id""".stripMargin,
 
     "dedup_ngram_jaccard" -> {
       val inter = "len(list_intersect(a.gs, b.gs))"

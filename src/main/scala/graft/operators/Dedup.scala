@@ -31,6 +31,27 @@ object Dedup {
     .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dupes"))
     .select(col("keep_id"), col("n_dupes"))
 
+  /** Incremental exact dedup — the bookmark-delta complement of [[exact]]:
+    * admit only delta documents whose content fingerprint is unseen, in
+    * the historical store AND earlier within the delta itself (smallest
+    * doc_id wins, like [[exact]]).
+    *
+    * The history side is `historyFps(fingerprint)` ONLY — 8 bytes per
+    * historical document, never its text — so a run's cost is
+    * O(delta + fingerprint store) regardless of corpus age: the delta
+    * anti-joins the store on the hash key, then one hash aggregation
+    * dedupes within the delta. Paired with the bookmark reader this is
+    * the dedup a discrete-run ingestion pipeline executes per run;
+    * emitting `fingerprint` lets the caller append the survivors back to
+    * the store (commit-after-sink, like the bookmark itself).
+    */
+  def incrementalExact(historyFps: DataFrame, delta: DataFrame): DataFrame =
+    delta.withColumn("fingerprint", poly_hash(col("text")))
+      .join(historyFps, Seq("fingerprint"), "left_anti")
+      .groupBy(col("fingerprint"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dupes"))
+      .select(col("fingerprint"), col("keep_id"), col("n_dupes"))
+
   /** Candidate near-dup pairs by n-gram Jaccard >= `threshold`, computed
     * set-theoretically: explode distinct shingle hashes, join on shingle,
     * count intersections per pair, derive the union from per-doc set sizes.

@@ -21,6 +21,25 @@ class DedupSpec extends SparkSuite {
     assert(got.toSeq == Seq((1L, 2L), (3L, 1L), (4L, 1L), (5L, 1L)))
   }
 
+  test("incremental exact dedup: history fingerprints block re-ingests, delta self-dedupes") {
+    val history = Seq((1L, "alpha text"), (2L, "beta text")).toDF("doc_id", "text")
+    val hfp = history.select(
+      graft.functions.GraftFunctions.poly_hash(col("text")).as("fingerprint")).distinct()
+    val delta = Seq(
+      (10L, "alpha text"),  // re-ingest of history doc 1 -> dropped
+      (11L, "gamma text"),  // new
+      (12L, "gamma text"),  // intra-delta duplicate -> folded into 11
+      (13L, "delta text")   // new
+    ).toDF("doc_id", "text")
+    val got = Dedup.incrementalExact(hfp, delta)
+      .select("keep_id", "n_dupes").orderBy("keep_id")
+      .as[(Long, Long)].collect()
+    assert(got.toSeq == Seq((11L, 2L), (13L, 1L)))
+    // history side joins on the 8-byte fingerprint only, via anti-join
+    val plan = Dedup.incrementalExact(hfp, delta).queryExecution.executedPlan.toString
+    assert(plan.contains("LeftAnti"), plan)
+  }
+
   test("ngram jaccard finds the exact pair at 1.0 and the near pair above 0.5") {
     val pairs = Dedup.ngramJaccardPairs(docs, 3, 0.5)
       .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect()
