@@ -725,6 +725,15 @@ object SparkEntry {
     // Ordered-firsts funnel (view -> click -> purchase): one conditional
     // aggregation per user, then a global rollup — two shuffles total,
     // the second over one row per user.
+    // CEP-style ordered sequence match click->view->purchase within 24h:
+    // tightest-chain semantics, one exchange + one sort + k windows.
+    "pattern_funnel" -> ((s, dir) =>
+      graft.operators.Patterns.sequenceMatches(
+        Tables.events(s, dir).select(col("user_id"), col("event_id"),
+          col("event_type"), expr("ts DIV 1000000000").as("tss")),
+        pattern = Seq("click", "view", "purchase"), withinSec = 86400)
+        .orderBy(col("user_id"))),
+
     "funnel_steps" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
         .select(col("user_id"), col("event_type"), expr("ts DIV 1000000000").as("tss"))
@@ -2381,6 +2390,37 @@ object SparkEntry {
         |FROM cohort c JOIN active a ON c.user_id = a.user_id
         |WHERE a.week >= c.cohort_week
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "pattern_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS tss
+        |  FROM events),
+        |s0 AS (
+        |  SELECT *, CASE WHEN event_type = 'click' THEN tss END AS c0 FROM e),
+        |s1 AS (
+        |  SELECT *, CASE WHEN event_type = 'view' THEN
+        |    last_value(CASE WHEN event_type = 'click' THEN c0 END IGNORE NULLS) OVER (
+        |      PARTITION BY user_id ORDER BY tss, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) END AS c1
+        |  FROM s0),
+        |s2 AS (
+        |  SELECT *, CASE WHEN event_type = 'purchase' THEN
+        |    last_value(CASE WHEN event_type = 'view' THEN c1 END IGNORE NULLS) OVER (
+        |      PARTITION BY user_id ORDER BY tss, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) END AS c2
+        |  FROM s1),
+        |m AS (
+        |  SELECT user_id, tss, event_id, tss - c2 AS span FROM s2
+        |  WHERE event_type = 'purchase' AND c2 IS NOT NULL AND tss - c2 <= 86400),
+        |r AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY user_id ORDER BY tss, event_id) AS rn FROM m),
+        |agg AS (SELECT user_id, count(*) AS n_matches FROM m GROUP BY user_id)
+        |SELECT a.user_id, a.n_matches,
+        |  r.tss AS first_end_sec, r.span AS first_span_sec
+        |FROM agg a JOIN r ON a.user_id = r.user_id AND r.rn = 1
+        |ORDER BY a.user_id""".stripMargin,
 
     "funnel_steps" ->
       """WITH e AS (
