@@ -838,6 +838,28 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), min(col("k")).as("min_k"), max(col("k")).as("max_k"))
         .orderBy(col("k_bucket"))),
 
+    // Bad-record routing: parse with a schema, aggregate the valid rows,
+    // quarantine the rest with a count (k_bucket = -1) — corrupt input
+    // never kills the job and never silently drops. Corruption is
+    // synthesized deterministically (event_id % 13) so the oracle replays
+    // the same routing.
+    "json_quarantine" -> ((s, dir) => {
+      val parsed = Tables.events(s, dir).select(col("event_id"), col("props"))
+        .withColumn("raw", when(col("event_id") % 13 === 0,
+          concat(lit("{bad"), col("props"))).otherwise(col("props")))
+        .withColumn("k",
+          from_json(col("raw"), org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+            .getField("k"))
+      val valid = parsed.where(col("k").isNotNull)
+        .groupBy((col("k") % 10).as("k_bucket"))
+        .agg(count(lit(1)).as("n"), min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+      val quarantined = parsed.where(col("k").isNull)
+        .agg(count(lit(1)).as("n"))
+        .select(lit(-1).as("k_bucket"), col("n"),
+          lit(null).cast("int").as("min_k"), lit(null).cast("int").as("max_k"))
+      valid.unionByName(quarantined).orderBy(col("k_bucket"))
+    }),
+
     // Salted skew join: per-user totals joined back to events with the hot
     // key spread over 8 salt buckets — result identical to a plain join.
     "skew_join" -> ((s, dir) => {
@@ -2472,6 +2494,25 @@ object SparkEntry {
         |  SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k FROM events)
         |SELECT k % 10 AS k_bucket, count(*) AS n, min(k) AS min_k, max(k) AS max_k
         |FROM e GROUP BY 1 ORDER BY k_bucket""".stripMargin,
+
+    "json_quarantine" ->
+      """WITH r AS (
+        |  SELECT event_id,
+        |    CASE WHEN event_id % 13 = 0 THEN '{bad' || props ELSE props END AS raw
+        |  FROM events),
+        |v AS (
+        |  SELECT CAST(json_extract_string(raw, '$.k') AS INT) AS k
+        |  FROM r WHERE json_valid(raw)),
+        |valid AS (
+        |  SELECT CAST(k % 10 AS INT) AS k_bucket, count(*) AS n,
+        |    min(k) AS min_k, max(k) AS max_k
+        |  FROM v WHERE k IS NOT NULL GROUP BY 1),
+        |quarantined AS (
+        |  SELECT CAST(-1 AS INT) AS k_bucket, count(*) AS n,
+        |    CAST(NULL AS INT) AS min_k, CAST(NULL AS INT) AS max_k
+        |  FROM r WHERE NOT json_valid(raw))
+        |SELECT * FROM valid UNION ALL SELECT * FROM quarantined
+        |ORDER BY k_bucket""".stripMargin,
 
     "skew_join" ->
       """WITH t AS (
