@@ -887,6 +887,25 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    // Schema evolution: two parquet snapshots with different schemas
+    // (v2 adds o_orderstatus) merged by one mergeSchema read; old rows
+    // surface NULL for the added column and both generations aggregate
+    // in a single scan.
+    "schema_evolution" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-evo").toString
+      val orders = Tables.orders(s, dir)
+      orders.where(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .write.mode("overwrite").parquet(s"$tmp/v1")
+      orders.where(col("o_orderkey") % 2 === 1)
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+        .write.mode("overwrite").parquet(s"$tmp/v2")
+      s.read.option("mergeSchema", "true").parquet(s"$tmp/v1", s"$tmp/v2")
+        .groupBy(col("o_orderstatus").isNotNull.as("has_status"))
+        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+        .orderBy(col("has_status"))
+    }),
+
     // JSON-lines source roundtrip: events written as JSON, read back with
     // an explicit schema, aggregated.
     "json_roundtrip" -> ((s, dir) => {
@@ -2520,6 +2539,12 @@ object SparkEntry {
         |SELECT e.event_id, e.user_id, t.user_total
         |FROM events e JOIN t ON e.user_id = t.user_id
         |ORDER BY e.event_id""".stripMargin,
+
+    "schema_evolution" ->
+      """WITH m AS (
+        |  SELECT o_totalprice, o_orderkey % 2 = 1 AS has_status FROM orders)
+        |SELECT has_status, count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |FROM m GROUP BY has_status ORDER BY has_status""".stripMargin,
 
     "csv_roundtrip" ->
       """SELECT event_type, count(*) AS n, round(sum(value), 2) AS total
