@@ -8,6 +8,24 @@ class QueryPlanSpec extends SparkSuite {
   private def planOf(name: String): String =
     SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
 
+  test("global plan sweep: no cartesian product in ANY declared query; " +
+      "nested-loop joins only in the declared brute-force baselines") {
+    // the exact-scan baselines broadcast a tiny query side through a
+    // non-equi join by design — everything else must plan equi-joins
+    val bruteForceBaselines = Set("sim_topk", "hard_negatives")
+    val skip = (name: String) => name.startsWith("stream_") // execute on declaration
+    val offenders = SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(skip)
+      .flatMap { name =>
+        val plan = planOf(name)
+        val cartesian = plan.contains("CartesianProduct")
+        val bnlj = plan.contains("BroadcastNestedLoopJoin") &&
+          !bruteForceBaselines(name)
+        if (cartesian || bnlj) Some(name) else None
+      }
+    assert(offenders.isEmpty, s"unexpected nested-loop/cartesian plans: $offenders")
+  }
+
   test("q5 snowflake: dims broadcast, no cartesian product anywhere") {
     val plan = planOf("q5_region_revenue")
     assert(plan.contains("BroadcastHashJoin"), plan)
