@@ -2514,22 +2514,25 @@ object SparkEntry {
         |SELECT k % 10 AS k_bucket, count(*) AS n, min(k) AS min_k, max(k) AS max_k
         |FROM e GROUP BY 1 ORDER BY k_bucket""".stripMargin,
 
+    // TRY_CAST(raw AS JSON), not a json_valid() filter: DuckDB may
+    // evaluate a projection before/alongside the filter, so extraction
+    // must itself be total on malformed input.
     "json_quarantine" ->
       """WITH r AS (
         |  SELECT event_id,
         |    CASE WHEN event_id % 13 = 0 THEN '{bad' || props ELSE props END AS raw
         |  FROM events),
-        |v AS (
-        |  SELECT CAST(json_extract_string(raw, '$.k') AS INT) AS k
-        |  FROM r WHERE json_valid(raw)),
+        |p AS (
+        |  SELECT CAST(json_extract_string(TRY_CAST(raw AS JSON), '$.k') AS INT) AS k
+        |  FROM r),
         |valid AS (
         |  SELECT CAST(k % 10 AS INT) AS k_bucket, count(*) AS n,
         |    min(k) AS min_k, max(k) AS max_k
-        |  FROM v WHERE k IS NOT NULL GROUP BY 1),
+        |  FROM p WHERE k IS NOT NULL GROUP BY 1),
         |quarantined AS (
         |  SELECT CAST(-1 AS INT) AS k_bucket, count(*) AS n,
         |    CAST(NULL AS INT) AS min_k, CAST(NULL AS INT) AS max_k
-        |  FROM r WHERE NOT json_valid(raw))
+        |  FROM p WHERE k IS NULL)
         |SELECT * FROM valid UNION ALL SELECT * FROM quarantined
         |ORDER BY k_bucket""".stripMargin,
 
