@@ -87,4 +87,49 @@ class PropertySpec extends AnyFunSuite {
         GraftFunctions.minhashCoefficients(k)
     }
   }
+
+  // adversarial text: words, digits, punctuation, marker words, and every
+  // java-regex \s whitespace char, concatenated in random order
+  private val textGen: Gen[String] = Gen.listOf(Gen.oneOf(
+    Gen.alphaNumStr.map(_.take(6)),
+    Gen.oneOf(".", ",", ";", ":", "!", "?", "@", "-"),
+    Gen.oneOf("the", "und", "les", "que", "de5"),
+    Gen.oneOf(" ", "\t", "\n", "\u000B", "\f", "\r", "  "))).map(_.mkString)
+
+  private def refTokens(s: String): Seq[String] =
+    s.split("\\s+").toSeq.filter(_.nonEmpty)
+
+  check("token_ngrams equals the split-based reference on adversarial text") {
+    forAll(textGen, Gen.chooseNum(1, 4)) { (s, n) =>
+      val got = graft.functions.TokenNgramsExpr.compute(s, n)
+        .toArray[Object](org.apache.spark.sql.types.StringType).map(_.toString).toSeq
+      val toks = refTokens(s)
+      val want = if (toks.size < n) Nil
+        else toks.sliding(n).map(_.mkString(" ")).toSeq
+      got == want
+    }
+  }
+
+  check("TextStatsExpr counts equal the regex-based reference formulations") {
+    import org.apache.spark.unsafe.types.UTF8String
+    forAll(textGen) { s =>
+      val row = graft.functions.TextStatsExpr.compute(
+        UTF8String.fromString(s), UTF8String.fromString(s.toLowerCase))
+      val low = s.toLowerCase
+      val markers = graft.functions.TextStatsExpr.langMarkers
+      val ltoks = refTokens(low)
+      val nTokens = refTokens(s).size
+      val punct = s.count(".,;:!?".contains(_))
+      val bpe = s.split("(?<=[^A-Za-z0-9])|(?=[^A-Za-z0-9])")
+        .count(t => t.nonEmpty && t != " ")
+      val stop = ltoks.count(markers.flatMap(_._2).toSet)
+      val langCounts = markers.map { case (_, ms) => ltoks.count(ms.toSet) }
+      row.getInt(0) == nTokens &&
+        row.getInt(1) == punct &&
+        row.getInt(2) == stop &&
+        langCounts.zipWithIndex.forall { case (c, i) => row.getInt(3 + i) == c } &&
+        row.getInt(3 + markers.size) == bpe &&
+        row.getLong(4 + markers.size) == PolyHash.hash(s)
+    }
+  }
 }
