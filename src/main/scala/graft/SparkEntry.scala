@@ -487,6 +487,26 @@ object SparkEntry {
         statePartitions = Some(8))
         .orderBy(col("click_id"), col("purchase_id"))),
 
+    // Streaming CEP: same tightest-chain pattern semantics as
+    // pattern_funnel, as k-1 longs of per-user flatMapGroupsWithState
+    // state; matches materialize in Append mode, then batch-aggregate.
+    "stream_pattern" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Streaming.events(s, dir)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          expr("ts DIV 1000000000").as("tss"))
+        .as[Streaming.PatternEvent]
+      Streaming.runToCompletion(
+        Streaming.matchPattern(ev, Seq("click", "view", "purchase"), 86400).toDF(),
+        OutputMode.Append(), statePartitions = Some(8))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_matches"),
+          min(struct(col("end_sec"), col("end_event"), col("span"))).as("_f"))
+        .select(col("user_id"), col("n_matches"),
+          col("_f.end_sec").as("first_end_sec"), col("_f.span").as("first_span_sec"))
+        .orderBy(col("user_id"))
+    }),
+
     // ===== Multimodal columns (binary payload + typed metadata) ==========
 
     // Batched stub decode over binary payloads via mapPartitions
@@ -1489,6 +1509,37 @@ object SparkEntry {
        |  WHERE jaccard >= 0.6)""".stripMargin
   }
 
+  private val patternChainSql: String =
+    """WITH e AS (
+        |  SELECT user_id, event_id, event_type,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS tss
+        |  FROM events),
+        |s0 AS (
+        |  SELECT *, CASE WHEN event_type = 'click' THEN tss END AS c0 FROM e),
+        |s1 AS (
+        |  SELECT *, CASE WHEN event_type = 'view' THEN
+        |    last_value(CASE WHEN event_type = 'click' THEN c0 END IGNORE NULLS) OVER (
+        |      PARTITION BY user_id ORDER BY tss, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) END AS c1
+        |  FROM s0),
+        |s2 AS (
+        |  SELECT *, CASE WHEN event_type = 'purchase' THEN
+        |    last_value(CASE WHEN event_type = 'view' THEN c1 END IGNORE NULLS) OVER (
+        |      PARTITION BY user_id ORDER BY tss, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) END AS c2
+        |  FROM s1),
+        |m AS (
+        |  SELECT user_id, tss, event_id, tss - c2 AS span FROM s2
+        |  WHERE event_type = 'purchase' AND c2 IS NOT NULL AND tss - c2 <= 86400),
+        |r AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY user_id ORDER BY tss, event_id) AS rn FROM m),
+        |agg AS (SELECT user_id, count(*) AS n_matches FROM m GROUP BY user_id)
+        |SELECT a.user_id, a.n_matches,
+        |  r.tss AS first_end_sec, r.span AS first_span_sec
+        |FROM agg a JOIN r ON a.user_id = r.user_id AND r.rn = 1
+        |ORDER BY a.user_id""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
@@ -2432,36 +2483,10 @@ object SparkEntry {
         |WHERE a.week >= c.cohort_week
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
-    "pattern_funnel" ->
-      """WITH e AS (
-        |  SELECT user_id, event_id, event_type,
-        |    CAST(floor(epoch(ts)) AS BIGINT) AS tss
-        |  FROM events),
-        |s0 AS (
-        |  SELECT *, CASE WHEN event_type = 'click' THEN tss END AS c0 FROM e),
-        |s1 AS (
-        |  SELECT *, CASE WHEN event_type = 'view' THEN
-        |    last_value(CASE WHEN event_type = 'click' THEN c0 END IGNORE NULLS) OVER (
-        |      PARTITION BY user_id ORDER BY tss, event_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) END AS c1
-        |  FROM s0),
-        |s2 AS (
-        |  SELECT *, CASE WHEN event_type = 'purchase' THEN
-        |    last_value(CASE WHEN event_type = 'view' THEN c1 END IGNORE NULLS) OVER (
-        |      PARTITION BY user_id ORDER BY tss, event_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) END AS c2
-        |  FROM s1),
-        |m AS (
-        |  SELECT user_id, tss, event_id, tss - c2 AS span FROM s2
-        |  WHERE event_type = 'purchase' AND c2 IS NOT NULL AND tss - c2 <= 86400),
-        |r AS (
-        |  SELECT *, row_number() OVER (
-        |    PARTITION BY user_id ORDER BY tss, event_id) AS rn FROM m),
-        |agg AS (SELECT user_id, count(*) AS n_matches FROM m GROUP BY user_id)
-        |SELECT a.user_id, a.n_matches,
-        |  r.tss AS first_end_sec, r.span AS first_span_sec
-        |FROM agg a JOIN r ON a.user_id = r.user_id AND r.rn = 1
-        |ORDER BY a.user_id""".stripMargin,
+    // identical semantics batch (pattern_funnel) and streaming
+    // (stream_pattern) -- one oracle serves both
+    "pattern_funnel" -> patternChainSql,
+    "stream_pattern" -> patternChainSql,
 
     "funnel_steps" ->
       """WITH e AS (

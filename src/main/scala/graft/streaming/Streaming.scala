@@ -192,6 +192,52 @@ object Streaming {
   final case class Event(user_id: Long, event_id: Long, event_ts: java.sql.Timestamp) {
     def tsSec: Long = event_ts.getTime / 1000
   }
+  final case class PatternEvent(user_id: Long, event_id: Long,
+                                event_type: String, tss: Long)
+  final case class PatternMatch(user_id: Long, end_sec: Long, end_event: Long,
+                                span: Long)
+  final case class ChainState(starts: Array[Long])
+
+  /** Streaming CEP: the exact tightest-chain semantics of
+    * [[graft.operators.Patterns.sequenceMatches]] as bounded per-key
+    * state — one chain-start slot per non-terminal pattern stage
+    * (k-1 longs per user, FOREVER bounded; an unbounded deploy adds an
+    * event-time timeout to expire idle users). A stage event promotes
+    * the previous stage's chain start; a terminal event emits a match
+    * when its chain span fits the window. Events are sorted per key
+    * within each micro-batch (like [[sessionize]]) so emission does not
+    * depend on shuffle order; chain starts are monotonically
+    * non-decreasing, which is what makes single-slot state equal the
+    * batch running-last window.
+    */
+  def matchPattern(events: Dataset[PatternEvent], pattern: Seq[String],
+                   withinSec: Long): Dataset[PatternMatch] = {
+    require(pattern.size >= 2 && pattern.distinct.size == pattern.size)
+    import events.sparkSession.implicits._
+    val k = pattern.size
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[ChainState, PatternMatch](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, it: Iterator[PatternEvent], state: GroupState[ChainState]) =>
+          val starts = state.getOption.map(_.starts)
+            .getOrElse(Array.fill(k - 1)(-1L))
+          val out = Seq.newBuilder[PatternMatch]
+          it.toSeq.sortBy(e => (e.tss, e.event_id)).foreach { e =>
+            pattern.indexOf(e.event_type) match {
+              case 0 => starts(0) = e.tss
+              case i if i > 0 && i < k - 1 =>
+                if (starts(i - 1) >= 0) starts(i) = starts(i - 1)
+              case i if i == k - 1 =>
+                if (starts(k - 2) >= 0 && e.tss - starts(k - 2) <= withinSec)
+                  out += PatternMatch(user, e.tss, e.event_id, e.tss - starts(k - 2))
+              case _ => ()
+            }
+          }
+          state.update(ChainState(starts))
+          out.result().iterator
+      }
+  }
+
   final case class SessionState(start: Long, lastTs: Long, n: Long,
                                 firstEvent: Long, lastEvent: Long)
   final case class Session(user_id: Long, session_start: Long, session_end: Long,

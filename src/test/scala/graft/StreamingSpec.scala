@@ -159,4 +159,33 @@ class StreamingSpec extends SparkSuite {
       assert(got.contains(Streaming.Session(1, 1000000, 1000000 + 1800, 1, 4, 4)), s"got $got")
     } finally q.stop()
   }
+
+  test("streaming CEP matches equal the batch tightest-chain operator") {
+    val pattern = Seq("click", "view", "purchase")
+    val evStream = Streaming.events(spark, sf)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("ts DIV 1000000000").as("tss"))
+      .as[Streaming.PatternEvent]
+    val streamed = Streaming.runToCompletion(
+        Streaming.matchPattern(evStream, pattern, 86400).toDF(),
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        statePartitions = Some(4))
+      .select("user_id", "end_sec", "end_event", "span")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // batch operator, per-anchor rows before aggregation: recompute the
+    // per-match set it aggregates from
+    val batch = graft.operators.Patterns.sequenceMatches(
+        Tables.events(spark, sf).select(col("user_id"), col("event_id"),
+          col("event_type"), expr("ts DIV 1000000000").as("tss")),
+        pattern, 86400)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(streamed.nonEmpty)
+    // aggregate the streamed matches the same way and compare exactly
+    val streamedAgg = streamed.groupBy(_._1).map { case (u, ms) =>
+      val sorted = ms.toSeq.sortBy { case (_, end, id, _) => (end, id) }
+      val (_, end, _, span) = sorted.head
+      (u, ms.size.toLong, end, span)
+    }.toSet
+    assert(streamedAgg == batch.toSet)
+  }
 }
