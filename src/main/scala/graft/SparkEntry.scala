@@ -907,6 +907,33 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    // Small-file compaction: 64 trickle-ingested shards rewritten into 2
+    // range-clustered, size-targeted files; row count and value checksum
+    // prove the rewrite is lossless. The summary is O(1) driver metadata
+    // (file counts + two aggregates), never data through the driver.
+    "compact_files" -> ((s, dir) => {
+      import s.implicits._
+      val tmp = java.nio.file.Files.createTempDirectory("graft-compact").toString
+      val ev = Tables.events(s, dir).select(col("event_id"), col("user_id"), col("value"))
+      ev.repartition(64).write.mode("overwrite").parquet(s"$tmp/small")
+      val small = s.read.parquet(s"$tmp/small")
+      graft.sources.Layout.clusteredWrite(small, s"$tmp/compact", 2,
+        maxRecordsPerFile = 10000000L, col("event_id"))
+      val compacted = s.read.parquet(s"$tmp/compact")
+      def files(p: String): Long = java.nio.file.Files.list(java.nio.file.Paths.get(p))
+        .filter(f => f.getFileName.toString.startsWith("part-")).count()
+      def summary(df: DataFrame): (Long, Double) = {
+        val r = df.agg(count(lit(1)), round(sum(col("value")), 2)).head()
+        (r.getLong(0), r.getDouble(1))
+      }
+      val (nb, tb) = summary(small)
+      val (na, ta) = summary(compacted)
+      Seq(("after", files(s"$tmp/compact"), na, ta),
+        ("before", files(s"$tmp/small"), nb, tb))
+        .toDF("phase", "n_files", "n_rows", "total")
+        .orderBy(col("phase"))
+    }),
+
     // Schema evolution: two parquet snapshots with different schemas
     // (v2 adds o_orderstatus) merged by one mergeSchema read; old rows
     // surface NULL for the added column and both generations aggregate
@@ -2567,6 +2594,13 @@ object SparkEntry {
         |SELECT e.event_id, e.user_id, t.user_total
         |FROM events e JOIN t ON e.user_id = t.user_id
         |ORDER BY e.event_id""".stripMargin,
+
+    "compact_files" ->
+      """SELECT 'after' AS phase, CAST(2 AS BIGINT) AS n_files,
+        |  count(*) AS n_rows, round(sum(value), 2) AS total FROM events
+        |UNION ALL
+        |SELECT 'before', CAST(64 AS BIGINT), count(*), round(sum(value), 2)
+        |FROM events ORDER BY phase""".stripMargin,
 
     "schema_evolution" ->
       """WITH m AS (
