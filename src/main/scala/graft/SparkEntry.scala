@@ -1017,6 +1017,18 @@ object SparkEntry {
         .orderBy(col("source"))
     }),
 
+    // Temperature-flattened source mixing (targets ∝ n^0.5): the head
+    // downsamples toward the tail, deterministic hash membership.
+    "temperature_mix" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"),
+          size(GraftFunctions.tokens(col("text"))).cast("long").as("n_tok"))
+      Sampling.temperatureMix(docs, "source", col("doc_id"), alpha = 0.5)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"), sum(col("n_tok")).as("tok_total"))
+        .orderBy(col("source"))
+    }),
+
     // Running windows: per-customer cumulative order value + previous
     // order's value (lag) over the order sequence.
     "window_running" -> ((s, dir) => {
@@ -2226,6 +2238,28 @@ object SparkEntry {
          |  UNION ALL SELECT 'src2', CAST(0.2 AS DOUBLE)
          |  UNION ALL SELECT 'src3', CAST(0.08 AS DOUBLE)
          |  UNION ALL SELECT 'src4', CAST(0.02 AS DOUBLE)),
+         |sc AS (SELECT min(c.n / t.tgt) AS scale
+         |       FROM c JOIN t USING (source) WHERE t.tgt > 0),
+         |f AS (SELECT c.source,
+         |        least(1.0, (SELECT scale FROM sc) * t.tgt / c.n) AS frac
+         |      FROM c JOIN t USING (source)),
+         |kept AS (
+         |  SELECT d.source, d.n_tok FROM d JOIN f USING (source)
+         |  WHERE $bucket < floor(f.frac * 1000))
+         |SELECT source, count(*) AS n_kept, CAST(sum(n_tok) AS BIGINT) AS tok_total
+         |FROM kept GROUP BY source ORDER BY source""".stripMargin
+    },
+
+    "temperature_mix" -> {
+      val bucket = Oracles.sampleBucket("CAST(doc_id AS VARCHAR)", 1000)
+      s"""WITH d AS (
+         |  SELECT doc_id, source,
+         |    CAST(len(${Oracles.tokens("text")}) AS BIGINT) AS n_tok
+         |  FROM documents),
+         |c AS (SELECT source, count(*) AS n FROM d GROUP BY source),
+         |z AS (SELECT sum(pow(n, 0.5)) AS z FROM c),
+         |t AS (
+         |  SELECT source, round(pow(n, 0.5) / (SELECT z FROM z), 6) AS tgt FROM c),
          |sc AS (SELECT min(c.n / t.tgt) AS scale
          |       FROM c JOIN t USING (source) WHERE t.tgt > 0),
          |f AS (SELECT c.source,

@@ -106,6 +106,32 @@ object Sampling {
     df.filter(keep)
   }
 
+  /** Temperature-flattened mixing — the standard multilingual/LLM source
+    * rebalancing: target share of stratum i ∝ count_i^alpha. alpha = 1
+    * keeps natural proportions (provably keeps every row); alpha = 0
+    * equalizes shares (the smallest stratum is kept whole, larger ones
+    * downsample toward it); between, the head flattens toward the tail.
+    * Downsample-only, like [[rebalanceMix]] — no row duplication.
+    *
+    * Shares are rounded to 6 decimals before thresholding: `pow` is not
+    * correctly rounded across engines and the normalizer sums floats in
+    * engine order, so the oracle's shares could drift by ulps — at 6
+    * decimals the drift vanishes while bucket thresholds (granularity
+    * 1/buckets) are unaffected.
+    */
+  def temperatureMix(df: DataFrame, stratumCol: String, key: Column,
+                     alpha: Double, buckets: Int = 1000): DataFrame = {
+    require(alpha >= 0 && alpha <= 1)
+    val counts = df.groupBy(col(stratumCol)).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toSeq.sortBy(_._1)
+    val powed = counts.map { case (s, n) => s -> math.pow(n.toDouble, alpha) }
+    val z = powed.map(_._2).sum
+    val targets = powed.map { case (s, p) =>
+      s -> BigDecimal(p / z).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }.toMap
+    rebalanceMix(df, stratumCol, key, targets, buckets)
+  }
+
   /** Per-stratum sampling rates (e.g. downsample boilerplate classes,
     * keep all rare ones). Strata absent from `fractions` are dropped.
     */

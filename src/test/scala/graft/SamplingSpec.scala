@@ -82,4 +82,23 @@ class SamplingSpec extends SparkSuite {
         .as[(String, Int, Long)].collect().toSet
     assert(ids(got) == ids(again))
   }
+
+  test("temperature mix: alpha=1 keeps everything, alpha=0 keeps the smallest stratum whole") {
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("source"))
+    val natural = Sampling.temperatureMix(docs, "source", col("doc_id"), alpha = 1.0)
+    assert(natural.count() == docs.count(), "alpha=1 must keep natural proportions whole")
+    val counts = docs.groupBy("source").count()
+      .as[(String, Long)].collect().toMap
+    val smallest = counts.minBy { case (s, n) => (n, s) }._1
+    val flat = Sampling.temperatureMix(docs, "source", col("doc_id"), alpha = 0.0)
+      .groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(flat(smallest) == counts(smallest),
+      s"alpha=0 must keep the smallest stratum whole: $flat vs $counts")
+    // larger strata flatten DOWN toward the smallest, never below it by
+    // more than hash-bucket rounding (1/1000 granularity)
+    flat.foreach { case (s, n) =>
+      assert(n <= counts(s))
+      assert(n >= (counts(smallest) * 0.9).toLong, s"$s flattened too far: $n")
+    }
+  }
 }
