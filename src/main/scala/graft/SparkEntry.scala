@@ -1017,6 +1017,14 @@ object SparkEntry {
         .orderBy(col("source"))
     }),
 
+    // BPE merge-rule learning: 3 rounds of most-frequent-pair merges
+    // with the corpus rewritten between rounds; output is the learned
+    // merge table plus corpus size after each round.
+    "bpe_merges" -> ((s, dir) =>
+      TextAnalysis.bpeMergeRounds(
+        Tables.documents(s, dir).select(col("doc_id"), col("text")), rounds = 3)
+        .orderBy(col("round"))),
+
     // Temperature-flattened source mixing (targets ∝ n^0.5): the head
     // downsamples toward the tail, deterministic hash membership.
     "temperature_mix" -> ((s, dir) => {
@@ -2248,6 +2256,56 @@ object SparkEntry {
          |  WHERE $bucket < floor(f.frac * 1000))
          |SELECT source, count(*) AS n_kept, CAST(sum(n_tok) AS BIGINT) AS tok_total
          |FROM kept GROUP BY source ORDER BY source""".stripMargin
+    },
+
+    // One CTE block per BPE round: argmax pair, gaps-and-islands merge
+    // rewrite (leftmost non-overlapping), renumbered positions.
+    "bpe_merges" -> {
+      val rounds = 3
+      def roundCtes(r: Int): String =
+        s"""top$r AS (
+           |  SELECT a, b, count(*) AS n FROM (
+           |    SELECT tok AS a,
+           |      lead(tok) OVER (PARTITION BY doc_id ORDER BY p) AS b
+           |    FROM tk$r)
+           |  WHERE b IS NOT NULL GROUP BY a, b
+           |  ORDER BY n DESC, a, b LIMIT 1),
+           |d$r AS (
+           |  SELECT *, (m AND off % 2 = 0) AS do_merge,
+           |    coalesce(lag(m AND off % 2 = 0) OVER (
+           |      PARTITION BY doc_id ORDER BY p), false) AS prev_merged
+           |  FROM (
+           |    SELECT *, CASE WHEN m THEN p - min(p) OVER (
+           |        PARTITION BY doc_id, island ORDER BY p) END AS off
+           |    FROM (
+           |      SELECT *, CASE WHEN m THEN p - count(CASE WHEN m THEN 1 END) OVER (
+           |          PARTITION BY doc_id ORDER BY p ROWS UNBOUNDED PRECEDING) END AS island
+           |      FROM (
+           |        SELECT doc_id, p, tok,
+           |          (lead(tok) OVER (PARTITION BY doc_id ORDER BY p) IS NOT NULL
+           |           AND tok = (SELECT a FROM top$r)
+           |           AND lead(tok) OVER (PARTITION BY doc_id ORDER BY p) =
+           |               (SELECT b FROM top$r)) AS m
+           |        FROM tk$r)))),
+           |tk${r + 1} AS (
+           |  SELECT doc_id,
+           |    row_number() OVER (PARTITION BY doc_id ORDER BY p) - 1 AS p,
+           |    CASE WHEN do_merge THEN (SELECT a || ' ' || b FROM top$r)
+           |         ELSE tok END AS tok
+           |  FROM d$r WHERE NOT prev_merged)""".stripMargin
+      val outRows = (1 to rounds).map { r =>
+        s"""SELECT CAST($r AS INT) AS round, a AS pair_a, b AS pair_b,
+           |  n AS n_pair, (SELECT count(*) FROM tk${r + 1}) AS corpus_tokens_after
+           |FROM top$r""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH toks0 AS (
+         |  SELECT doc_id, ${Oracles.tokens("lower(text)")} AS t FROM documents),
+         |tk1 AS (
+         |  SELECT doc_id, unnest(t) AS tok, generate_subscripts(t, 1) - 1 AS p
+         |  FROM toks0 WHERE len(t) >= 2),
+         |${(1 to rounds).map(roundCtes).mkString(",\n")}
+         |$outRows
+         |ORDER BY round""".stripMargin
     },
 
     "temperature_mix" -> {

@@ -250,6 +250,91 @@ object TextAnalysis {
       .drop("_st")
   }
 
+  /** BPE-style merge-rule learning: `rounds` iterations of (count
+    * adjacent token pairs → take the most frequent pair → merge its
+    * occurrences corpus-wide), emitting the learned merge table — the
+    * artifact a tokenizer trainer produces. Merged tokens are
+    * space-joined, so a merged token can never equal a base token and
+    * chains resolve deterministically.
+    *
+    * Merge semantics (oracle-replayable): occurrences merge leftmost
+    * non-overlapping. Overlap only happens when a == b (a run of the
+    * same token); within each maximal run of match positions the even
+    * offsets merge — the gaps-and-islands formulation both engines
+    * compute identically.
+    *
+    * Scale shape per round: pair counting is one map-side-combined
+    * shuffle over distinct (a, b) pairs; the winning pair is O(1)
+    * driver metadata (like a bookmark max-key); the rewrite is one
+    * posexplode + (doc, pos) window + per-doc re-aggregation. BPE
+    * training is inherently iterative full passes — production trainers
+    * bound `docs` by corpus sampling first ([[graft.operators.Sampling]]),
+    * which changes nothing structurally here.
+    */
+  def bpeMergeRounds(docs: DataFrame, rounds: Int,
+                     text: Column = col("text")): DataFrame = {
+    require(rounds >= 1)
+    val spark = docs.sparkSession
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    var state = docs.select(col("doc_id"), tokens(lower(text)).as("toks"))
+      .where(size(col("toks")) >= 2)
+      .localCheckpoint(false)
+    val learned = Seq.newBuilder[(Int, String, String, Long, Long)]
+    for (round <- 1 to rounds) {
+      val pairs = state
+        .select(explode(zip_with(
+          slice(col("toks"), lit(1), size(col("toks")) - 1),
+          slice(col("toks"), lit(2), size(col("toks")) - 1),
+          (x, y) => struct(x.as("a"), y.as("b")))).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(count(lit(1)).as("n"))
+      val top = pairs.orderBy(col("n").desc, col("a"), col("b")).limit(1).head()
+      val (ta, tb, tn) = (top.getString(0), top.getString(1), top.getLong(2))
+      val merged = ta + " " + tb
+      // leftmost-non-overlapping rewrite via gaps-and-islands on match
+      // positions: a position matches when (tok, next) == (a, b); within
+      // a consecutive run of matches only even offsets merge
+      val pos = state.select(col("doc_id"), posexplode(col("toks")))
+        .withColumnRenamed("pos", "p").withColumnRenamed("col", "tok")
+      val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("p"))
+      val flagged = pos
+        .withColumn("nxt", lead(col("tok"), 1).over(wDoc))
+        .withColumn("m", // null-safe: the last token's nxt is null
+          col("nxt").isNotNull && col("tok") === ta && col("nxt") === tb)
+      val wMatch = Window.partitionBy(col("doc_id"), col("island"))
+        .orderBy(col("p"))
+      val islands = flagged
+        .withColumn("mrank",
+          count(when(col("m"), 1)).over(wDoc.rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("island", when(col("m"), col("p") - col("mrank")))
+      val keepFlags = islands
+        .withColumn("offset",
+          when(col("m"), col("p") - min(col("p")).over(wMatch)))
+        .withColumn("do_merge", col("m") && col("offset") % 2 === 0)
+        .withColumn("prev_merged", lag(col("do_merge"), 1, false).over(wDoc))
+      state = keepFlags
+        .where(!col("prev_merged"))
+        .select(col("doc_id"), col("p"),
+          when(col("do_merge"), lit(merged)).otherwise(col("tok")).as("tok"))
+        .groupBy(col("doc_id"))
+        .agg(sort_array(collect_list(struct(col("p"), col("tok")))).as("s"))
+        .select(col("doc_id"), expr("transform(s, x -> x.tok)").as("toks"))
+        .localCheckpoint(false)
+      val corpusTokens = state.select(sum(size(col("toks")))).head().getLong(0)
+      learned += ((round, ta, tb, tn, corpusTokens))
+    }
+    val rows = learned.result().map { case (r, a, b, n, t) => Row(r, a, b, n, t) }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1),
+      StructType(Seq(
+        StructField("round", IntegerType, nullable = false),
+        StructField("pair_a", StringType, nullable = false),
+        StructField("pair_b", StringType, nullable = false),
+        StructField("n_pair", LongType, nullable = false),
+        StructField("corpus_tokens_after", LongType, nullable = false))))
+  }
+
   /** First-order token language model: bigram counts and the MLE
     * conditional probability P(w2 | w1) over lowercased whitespace
     * tokens — the corpus statistic behind perplexity-style quality

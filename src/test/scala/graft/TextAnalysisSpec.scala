@@ -62,6 +62,22 @@ class TextAnalysisSpec extends SparkSuite {
     assert(fused.except(composed).isEmpty && composed.except(fused).isEmpty)
   }
 
+  test("BPE merges on a hand-computed corpus: ties, runs, and rewrites") {
+    val docs = Seq(
+      (1L, "x y x y z"),
+      (2L, "x y q"),
+      (3L, "a a a a")).toDF("doc_id", "text")
+    val got = TextAnalysis.bpeMergeRounds(docs, rounds = 3)
+      .as[(Int, String, String, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      // (a,a) ties (x,y) at 3, wins lexicographically; the aaaa run
+      // merges leftmost non-overlapping into two "a a" tokens
+      (1, "a", "a", 3L, 10L),
+      (2, "x", "y", 3L, 7L),
+      // all pairs tie at 1; ("a a","a a") is lexicographically least
+      (3, "a a", "a a", 1L, 6L)))
+  }
+
   test("tfidf top terms on a hand-computed corpus") {
     val docs = Seq((1L, "a b b"), (2L, "a c")).toDF("doc_id", "text")
     val got = TextAnalysis.tfIdfTopTerms(docs, 2L, 2)
