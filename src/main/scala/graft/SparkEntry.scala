@@ -1017,6 +1017,39 @@ object SparkEntry {
         .orderBy(col("source"))
     }),
 
+    // Full-outer reconciliation across tables: per-nation counts of
+    // customers with/without orders and orphan order keys (none by FK).
+    "outer_join_recon" -> ((s, dir) => {
+      val custOrders = Tables.orders(s, dir)
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_orders"))
+      Tables.customer(s, dir)
+        .join(custOrders, col("c_custkey") === col("o_custkey"), "full_outer")
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_keys"),
+          sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("n_without_orders"),
+          sum(when(col("c_custkey").isNull, 1L).otherwise(0L)).as("n_orphan_orders"),
+          coalesce(sum(col("n_orders")), lit(0L)).as("orders_total"))
+        .orderBy(col("c_nationkey"))
+    }),
+
+    // Hopping (sliding) windows in batch: 1h windows every 30min via a
+    // map-only explode of the window starts each event falls into.
+    "hopping_windows" -> ((s, dir) => {
+      val winSec = 3600L
+      val hopSec = 1800L
+      Tables.events(s, dir)
+        .select(col("event_type"), col("value"),
+          expr("ts DIV 1000000000").as("tss"))
+        .withColumn("w_start", explode(sequence(
+          (col("tss") - (winSec - hopSec)).cast("long") -
+            pmod(col("tss") - (winSec - hopSec), lit(hopSec)),
+          col("tss") - pmod(col("tss"), lit(hopSec)),
+          lit(hopSec))))
+        .groupBy(col("w_start"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+        .orderBy(col("w_start"), col("event_type"))
+    }),
+
     // BPE merge-rule learning: 3 rounds of most-frequent-pair merges
     // with the corpus rewritten between rounds; output is the learned
     // merge table plus corpus size after each round.
@@ -2257,6 +2290,29 @@ object SparkEntry {
          |SELECT source, count(*) AS n_kept, CAST(sum(n_tok) AS BIGINT) AS tok_total
          |FROM kept GROUP BY source ORDER BY source""".stripMargin
     },
+
+    "outer_join_recon" ->
+      """WITH co AS (
+        |  SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY 1)
+        |SELECT c_nationkey, count(*) AS n_keys,
+        |  CAST(sum(CASE WHEN co.o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_without_orders,
+        |  CAST(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphan_orders,
+        |  CAST(coalesce(sum(co.n_orders), 0) AS BIGINT) AS orders_total
+        |FROM customer c FULL OUTER JOIN co ON c.c_custkey = co.o_custkey
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+
+    "hopping_windows" ->
+      """WITH e AS (
+        |  SELECT event_type, value, CAST(floor(epoch(ts)) AS BIGINT) AS tss
+        |  FROM events),
+        |w AS (
+        |  SELECT event_type, value,
+        |    unnest(generate_series(
+        |      tss - 1800 - ((tss - 1800) % 1800),
+        |      tss - (tss % 1800), 1800)) AS w_start
+        |  FROM e)
+        |SELECT w_start, event_type, count(*) AS n, round(sum(value), 2) AS total
+        |FROM w GROUP BY w_start, event_type ORDER BY w_start, event_type""".stripMargin,
 
     // One CTE block per BPE round: argmax pair, gaps-and-islands merge
     // rewrite (leftmost non-overlapping), renumbered positions.
