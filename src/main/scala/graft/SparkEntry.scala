@@ -1017,6 +1017,28 @@ object SparkEntry {
         .orderBy(col("source"))
     }),
 
+    // MAP-type breadth: per-user event_type→count map built with
+    // map_from_entries (deterministic entry order from sorted entries),
+    // then map_keys/element_at/map_filter/aggregate over it; map outputs
+    // canonicalize to sorted k=v strings for the cross-engine compare.
+    "map_functions" -> ((s, dir) => {
+      val counts = Tables.events(s, dir)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      counts.groupBy(col("user_id"))
+        .agg(map_from_entries(
+          array_sort(collect_list(struct(col("event_type"), col("n"))))).as("m"))
+        .select(col("user_id"),
+          size(map_keys(col("m"))).as("n_types"),
+          element_at(col("m"), "click").as("n_click"),
+          aggregate(map_values(col("m")), lit(0L), (a, x) => a + x).as("total"),
+          nullif(concat_ws(",",
+            transform(map_entries(map_filter(col("m"), (_, v) => v >= 5)),
+              e => concat(e.getField("key"), lit("="), e.getField("value")))),
+            lit("")).as("frequent"))
+        .orderBy(col("user_id"))
+    }),
+
     // Full-outer reconciliation across tables: per-nation counts of
     // customers with/without orders and orphan order keys (none by FK).
     "outer_join_recon" -> ((s, dir) => {
@@ -2290,6 +2312,17 @@ object SparkEntry {
          |SELECT source, count(*) AS n_kept, CAST(sum(n_tok) AS BIGINT) AS tok_total
          |FROM kept GROUP BY source ORDER BY source""".stripMargin
     },
+
+    "map_functions" ->
+      """WITH c AS (
+        |  SELECT user_id, event_type, count(*) AS n FROM events GROUP BY 1, 2)
+        |SELECT user_id,
+        |  CAST(count(*) AS INT) AS n_types,
+        |  max(CASE WHEN event_type = 'click' THEN n END) AS n_click,
+        |  CAST(sum(n) AS BIGINT) AS total,
+        |  string_agg(CASE WHEN n >= 5 THEN event_type || '=' || n END, ','
+        |    ORDER BY event_type) AS frequent
+        |FROM c GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "outer_join_recon" ->
       """WITH co AS (
