@@ -108,6 +108,43 @@ object SparkEntry {
         .orderBy(col("s_suppkey"), col("register_date"))
     }),
 
+    // S10 staged warehouse load, proven exactly-once END TO END: the
+    // reference's signature failure mode is a re-run duplicating every
+    // target row (medium/transaction_by_subscription_report_messed.jpeg).
+    // Here the same report is delivered TWICE through
+    // JdbcSink.stagedBulkLoadExactlyOnce under one run id (a simulated
+    // redelivery); the run-ledger transaction makes the second load a
+    // metadata no-op, and the oracle checks the FINAL warehouse state —
+    // any duplicate reload would double `n`/`total` and fail the hash.
+    "jdbc_staged_load" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-jdbc").toString
+      val url = s"jdbc:derby:$tmp/db;create=true"
+      val report = Tables.orders(s, dir)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+      // warehouse-specific COPY verb (Derby's bulk import; Redshift would
+      // be `COPY ... FROM 's3://...'`) — caller-owned per the sink contract
+      def derbyCopy(table: String, path: String): String =
+        s"CALL SYSCS_UTIL.SYSCS_IMPORT_TABLE(null, '${table.toUpperCase}', '$path', null, null, null, 0)"
+      val ddl = Seq(
+        "CREATE TABLE rpt (o_orderpriority VARCHAR(20), n BIGINT, total DOUBLE)",
+        graft.sources.JdbcSink.loadLedgerDdl("load_ledger"))
+      val loaded = graft.sources.JdbcSink.stagedBulkLoadExactlyOnce(
+        report, url, "rpt", s"$tmp/stage1", derbyCopy,
+        runId = "run-1", preactions = ddl)
+      assert(loaded > 0, "first delivery must load")
+      // redelivery: same runId, fresh staging dir, no preactions (Derby
+      // lacks IF NOT EXISTS; on Redshift the same DDL would rerun) —
+      // must be a no-op
+      val redelivered = graft.sources.JdbcSink.stagedBulkLoadExactlyOnce(
+        report, url, "rpt", s"$tmp/stage2", derbyCopy, runId = "run-1")
+      assert(redelivered == 0, "redelivery must be deduplicated by the ledger")
+      s.read.format("jdbc").option("url", url).option("dbtable", "rpt").load()
+        .select(col("o_orderpriority").as("o_orderpriority"),
+          col("n").cast("long").as("n"), col("total").as("total"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
     // S1 incremental scan: bookmark = floor(max(event_id)/2) committed to a
     // real BookmarkStore, then a second "run" reads strictly beyond it with
     // the predicate pushed into the parquet scan.
@@ -1143,13 +1180,29 @@ object SparkEntry {
           count(lit(1)).as("n"))
         .orderBy(col("event_type"))),
 
-    // Approximate sketches (HLL distinct + approx quantiles): rows-only
-    // check — approximation algorithms differ across engines by design.
+    // Approximate sketches (HLL distinct + approx quantiles), driver-checkable:
+    // approximation algorithms differ across engines by design, so the approx
+    // values feed only tolerance BOOLEANS computed against exact aggregates
+    // that both engines replay identically. The oracle emits the same exact
+    // values with the booleans as TRUE constants — sketch drift beyond
+    // tolerance flips Spark's boolean and fails the hash gate, which is
+    // exactly the regression this query guards (FunctionsSpec pins the same
+    // bounds at spec level). hll_ok uses 3× the default HLL rsd (0.05);
+    // median_ok brackets approx_percentile(0.5) by the exact 0.45/0.55
+    // quantiles.
     "approx_sketches" -> ((s, dir) =>
       Tables.events(s, dir)
         .groupBy(col("event_type"))
-        .agg(approx_count_distinct(col("user_id")).as("approx_users"),
-          round(expr("approx_percentile(value, 0.5)"), 2).as("approx_median"))
+        .agg(
+          countDistinct(col("user_id")).as("exact_users"),
+          approx_count_distinct(col("user_id")).as("au"),
+          expr("approx_percentile(value, 0.5)").as("am"),
+          expr("percentile(value, 0.45)").as("q45"),
+          expr("percentile(value, 0.55)").as("q55"))
+        .select(col("event_type"), col("exact_users"),
+          (abs(col("au") - col("exact_users")) <= col("exact_users") * 3 * 0.05)
+            .as("hll_ok"),
+          (col("am") >= col("q45") && col("am") <= col("q55")).as("median_ok"))
         .orderBy(col("event_type"))),
 
     // Custom native aggregate: exact mergeable top-k with k-bounded heap
@@ -1714,6 +1767,14 @@ object SparkEntry {
         |SELECT s_suppkey, s_name, register_date, round(sum(total), 2) AS total
         |FROM p GROUP BY 1, 2, 3
         |ORDER BY s_suppkey, register_date""".stripMargin,
+
+    // final warehouse state after load + deduplicated redelivery == the
+    // report computed once straight from parquet
+    "jdbc_staged_load" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS total
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
 
     "dedup_exact" ->
       """WITH corpus AS (
@@ -2829,9 +2890,15 @@ object SparkEntry {
         |  count(*) AS n
         |FROM events WHERE user_id < 25
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
-    // approx_sketches intentionally has no oracle: approximation
-    // algorithms (HLL/KLL) differ across engines; the driver records a
-    // rows-only check.
+    // approx_sketches: DuckDB replays only the EXACT side; the tolerance
+    // booleans are constants here because a correct sketch must land inside
+    // them — Spark-side drift fails the hash compare.
+    "approx_sketches" ->
+      """SELECT event_type,
+        |  count(DISTINCT user_id) AS exact_users,
+        |  TRUE AS hll_ok,
+        |  TRUE AS median_ok
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "agg_topk" ->
       """SELECT * FROM (

@@ -7,9 +7,9 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class ContractSpec extends AnyFunSuite {
 
-  // approximation algorithms differ across engines by design; bounded
-  // instead by the tolerance spec in FunctionsSpec
-  private val rowsOnlyByDesign = Set("approx_sketches")
+  // every declared query is now oracle-checked (approx_sketches emits
+  // tolerance booleans over exact aggregates, so even the sketches hash)
+  private val rowsOnlyByDesign = Set.empty[String]
 
   test("every declared query has an oracle (or is an explicit rows-only exception)") {
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnlyByDesign

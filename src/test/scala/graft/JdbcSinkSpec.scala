@@ -78,6 +78,56 @@ class JdbcSinkSpec extends SparkSuite {
       "first part's insert must have been rolled back")
   }
 
+  test("exactly-once staged load: redelivery is a ledger no-op; a new run id appends") {
+    val df = Seq((1, 10.0), (2, 20.0)).toDF("k", "total").repartition(2)
+    val ddl = Seq("CREATE TABLE eo (k INT, total DOUBLE)",
+      JdbcSink.loadLedgerDdl("eo_ledger"))
+    val s1 = Files.createTempDirectory("eo1").toString
+    val n1 = JdbcSink.stagedBulkLoadExactlyOnce(df, url, "eo", s1, derbyCopy,
+      runId = "run-A", ledgerTable = "eo_ledger", preactions = ddl)
+    assert(n1 >= 1, "first delivery loads")
+    def count(): Long = spark.read.format("jdbc")
+      .option("url", url).option("dbtable", "eo").load().count()
+    assert(count() == 2)
+    // redelivery of the SAME run: deduplicated without re-staging
+    val s2 = Files.createTempDirectory("eo2").toString
+    assert(JdbcSink.stagedBulkLoadExactlyOnce(df, url, "eo", s2, derbyCopy,
+      runId = "run-A", ledgerTable = "eo_ledger") == 0)
+    assert(count() == 2, "redelivery must not duplicate (the 'messed' screenshot)")
+    assert(!Files.exists(java.nio.file.Paths.get(s2, "_SUCCESS")),
+      "deduplicated redelivery must not even re-stage")
+    // a distinct run id is a new delivery: appends
+    val s3 = Files.createTempDirectory("eo3").toString
+    assert(JdbcSink.stagedBulkLoadExactlyOnce(df, url, "eo", s3, derbyCopy,
+      runId = "run-B", ledgerTable = "eo_ledger") >= 1)
+    assert(count() == 4)
+  }
+
+  test("exactly-once staged load: a failed load leaves no ledger row, so the retry delivers") {
+    val df = Seq((1, 1.0), (2, 2.0)).toDF("k", "total").repartition(2)
+    val ddl = Seq("CREATE TABLE eo_rb (k INT, total DOUBLE)",
+      JdbcSink.loadLedgerDdl("eo_rb_ledger"))
+    var calls = 0
+    def flaky(table: String, path: String): String = {
+      calls += 1
+      if (calls == 1) s"INSERT INTO $table VALUES (99, 9.9)" else "THIS IS NOT SQL"
+    }
+    val s1 = Files.createTempDirectory("eorb1").toString
+    intercept[java.sql.SQLException] {
+      JdbcSink.stagedBulkLoadExactlyOnce(df, url, "eo_rb", s1, flaky,
+        runId = "run-X", ledgerTable = "eo_rb_ledger", preactions = ddl)
+    }
+    assert(spark.read.format("jdbc")
+      .option("url", url).option("dbtable", "eo_rb").load().count() == 0,
+      "rows and ledger entry roll back together")
+    // crash-retry with the same run id: ledger is empty, so it loads
+    val s2 = Files.createTempDirectory("eorb2").toString
+    assert(JdbcSink.stagedBulkLoadExactlyOnce(df, url, "eo_rb", s2, derbyCopy,
+      runId = "run-X", ledgerTable = "eo_rb_ledger") >= 1)
+    assert(spark.read.format("jdbc")
+      .option("url", url).option("dbtable", "eo_rb").load().count() == 2)
+  }
+
   test("failed preaction aborts before any write") {
     val df = Seq((1, 10.0)).toDF("k", "total")
     intercept[java.sql.SQLException] {
