@@ -88,8 +88,8 @@ object SparkEntry {
     // the bookmark after both sinks succeed. The consumer view re-
     // aggregates the appended partials — equal to a full recompute.
     "incr_star_e2e" -> ((s, dir) => {
-      val stateDir = java.nio.file.Files.createTempDirectory("graft-isj").toString
-      val outDir = java.nio.file.Files.createTempDirectory("graft-isj-out").toString
+      val stateDir = graft.TempDirs.create("graft-isj")
+      val outDir = graft.TempDirs.create("graft-isj-out")
       val store = new BookmarkStore(stateDir)
       val reader = new IncrementalReader(s, dir, store)
       val keyCol = Tables.bookmarkKey("lineitem")
@@ -117,7 +117,7 @@ object SparkEntry {
     // metadata no-op, and the oracle checks the FINAL warehouse state —
     // any duplicate reload would double `n`/`total` and fail the hash.
     "jdbc_staged_load" -> ((s, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft-jdbc").toString
+      val tmp = graft.TempDirs.create("graft-jdbc")
       val url = s"jdbc:derby:$tmp/db;create=true"
       val report = Tables.orders(s, dir)
         .groupBy(col("o_orderpriority"))
@@ -145,11 +145,57 @@ object SparkEntry {
         .orderBy(col("o_orderpriority"))
     }),
 
+    // Streaming twin of jdbc_staged_load: a real writeStream.foreachBatch
+    // query delivers per-batch PARTIAL aggregates into Derby through
+    // StreamSink.exactlyOnceJdbc, and every batch is delivered TWICE (a
+    // forced crash-redelivery) — the (query, batchId) ledger makes the
+    // second delivery a no-op inside one warehouse transaction. The
+    // consumer view re-aggregates the partials; the oracle checks that
+    // final state equals the aggregate computed once from parquet, so any
+    // duplicated batch would double counts and fail the hash.
+    "stream_ledger_sink" -> ((s, dir) => {
+      val tmp = graft.TempDirs.create("graft-ledger")
+      val url = s"jdbc:derby:$tmp/db;create=true"
+      def exec(sql: String): Unit = {
+        val c = java.sql.DriverManager.getConnection(url)
+        try { val st = c.createStatement(); try st.execute(sql) finally st.close() }
+        finally c.close()
+      }
+      exec("CREATE TABLE stream_rpt (event_type VARCHAR(20), n BIGINT, total DOUBLE)")
+      exec(graft.streaming.StreamSink.ledgerDdl("stream_ledger"))
+      val sink = graft.streaming.StreamSink.exactlyOnceJdbc(url,
+        "INSERT INTO stream_rpt VALUES (?, ?, ?)", "stream_ledger", "ledger_q") {
+        (ps, r) =>
+          ps.setString(1, r.getString(0)); ps.setLong(2, r.getLong(1))
+          ps.setDouble(3, r.getDouble(2))
+      }
+      val q = Streaming.events(s, dir)
+        .select(col("event_type"), col("value"))
+        .writeStream
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          // bounded per-batch partial aggregate (unrounded: the consumer
+          // re-aggregates, rounding once at the end)
+          val partial = batch.groupBy(col("event_type"))
+            .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
+          sink(partial, id)
+          sink(partial, id) // forced duplicate delivery of every batch
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .start()
+      q.awaitTermination()
+      s.read.format("jdbc").option("url", url).option("dbtable", "stream_rpt").load()
+        .groupBy(col("event_type").as("event_type"))
+        .agg(sum(col("n")).cast("long").as("n"),
+          round(sum(col("total")), 2).as("total"))
+        .orderBy(col("event_type"))
+    }),
+
     // S1 incremental scan: bookmark = floor(max(event_id)/2) committed to a
     // real BookmarkStore, then a second "run" reads strictly beyond it with
     // the predicate pushed into the parquet scan.
     "incremental_scan" -> ((s, dir) => {
-      val stateDir = java.nio.file.Files.createTempDirectory("graft-bm").toString
+      val stateDir = graft.TempDirs.create("graft-bm")
       val store = new BookmarkStore(stateDir)
       val reader = new IncrementalReader(s, dir, store)
       val firstRunMax =
@@ -932,7 +978,7 @@ object SparkEntry {
     // CSV source roundtrip: events written as CSV, read back with an
     // explicit schema, aggregated — exercises the text-format reader path.
     "csv_roundtrip" -> ((s, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft-csv").toString
+      val tmp = graft.TempDirs.create("graft-csv")
       Tables.events(s, dir)
         .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
         .write.mode("overwrite").option("header", "true").csv(tmp)
@@ -950,25 +996,31 @@ object SparkEntry {
     // (file counts + two aggregates), never data through the driver.
     "compact_files" -> ((s, dir) => {
       import s.implicits._
-      val tmp = java.nio.file.Files.createTempDirectory("graft-compact").toString
+      val tmp = graft.TempDirs.create("graft-compact")
       val ev = Tables.events(s, dir).select(col("event_id"), col("user_id"), col("value"))
       ev.repartition(64).write.mode("overwrite").parquet(s"$tmp/small")
       val small = s.read.parquet(s"$tmp/small")
       graft.sources.Layout.clusteredWrite(small, s"$tmp/compact", 2,
         maxRecordsPerFile = 10000000L, col("event_id"))
       val compacted = s.read.parquet(s"$tmp/compact")
-      def files(p: String): Long = java.nio.file.Files.list(java.nio.file.Paths.get(p))
-        .filter(f => f.getFileName.toString.startsWith("part-")).count()
+      def files(p: String): Long = {
+        val s = java.nio.file.Files.list(java.nio.file.Paths.get(p))
+        try s.filter(f => f.getFileName.toString.startsWith("part-")).count()
+        finally s.close()
+      }
       def summary(df: DataFrame): (Long, Double) = {
         val r = df.agg(count(lit(1)), round(sum(col("value")), 2)).head()
         (r.getLong(0), r.getDouble(1))
       }
       val (nb, tb) = summary(small)
       val (na, ta) = summary(compacted)
-      Seq(("after", files(s"$tmp/compact"), na, ta),
+      val out = Seq(("after", files(s"$tmp/compact"), na, ta),
         ("before", files(s"$tmp/small"), nb, tb))
         .toDF("phase", "n_files", "n_rows", "total")
         .orderBy(col("phase"))
+      // the result is driver-side literals — the scratch dir is dead here
+      graft.TempDirs.delete(tmp)
+      out
     }),
 
     // Schema evolution: two parquet snapshots with different schemas
@@ -976,7 +1028,7 @@ object SparkEntry {
     // surface NULL for the added column and both generations aggregate
     // in a single scan.
     "schema_evolution" -> ((s, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft-evo").toString
+      val tmp = graft.TempDirs.create("graft-evo")
       val orders = Tables.orders(s, dir)
       orders.where(col("o_orderkey") % 2 === 0)
         .select(col("o_orderkey"), col("o_totalprice"))
@@ -993,7 +1045,7 @@ object SparkEntry {
     // JSON-lines source roundtrip: events written as JSON, read back with
     // an explicit schema, aggregated.
     "json_roundtrip" -> ((s, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft-json").toString
+      val tmp = graft.TempDirs.create("graft-json")
       Tables.events(s, dir)
         .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
         .write.mode("overwrite").json(tmp)
@@ -1067,7 +1119,10 @@ object SparkEntry {
           array_sort(collect_list(struct(col("event_type"), col("n"))))).as("m"))
         .select(col("user_id"),
           size(map_keys(col("m"))).as("n_types"),
-          element_at(col("m"), "click").as("n_click"),
+          // try_element_at: NULL on a missing key (a user with zero
+          // clicks) — plain element_at throws under ANSI mode where the
+          // DuckDB oracle yields NULL
+          try_element_at(col("m"), lit("click")).as("n_click"),
           aggregate(map_values(col("m")), lit(0L), (a, x) => a + x).as("total"),
           nullif(concat_ws(",",
             transform(map_entries(map_filter(col("m"), (_, v) => v >= 5)),
@@ -1253,7 +1308,7 @@ object SparkEntry {
     // of (user_id, value), read back with a 2-D range predicate — both
     // dimensions prune row groups, not just a leading key.
     "zorder_prune" -> ((s, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft-z").toString
+      val tmp = graft.TempDirs.create("graft-z")
       graft.sources.Layout.zorderWrite(
         Tables.events(s, dir)
           .select(col("event_id"), col("user_id"), col("value"), col("event_type")),
@@ -1560,7 +1615,7 @@ object SparkEntry {
     // ORC source/sink roundtrip: the third columnar/text format next to
     // csv_roundtrip and json_roundtrip.
     "orc_roundtrip" -> ((s, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft-orc").toString
+      val tmp = graft.TempDirs.create("graft-orc")
       Tables.events(s, dir)
         .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
         .write.mode("overwrite").orc(tmp)
@@ -1588,7 +1643,7 @@ object SparkEntry {
     // scan never opens the other partitions' files (PartitionPruningSpec
     // asserts selectedPartitions on this layout).
     "partitioned_scan" -> ((s, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft-part").toString
+      val tmp = graft.TempDirs.create("graft-part")
       Tables.events(s, dir)
         .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
         .write.mode("overwrite").partitionBy("event_type").parquet(tmp)
@@ -1767,6 +1822,13 @@ object SparkEntry {
         |SELECT s_suppkey, s_name, register_date, round(sum(total), 2) AS total
         |FROM p GROUP BY 1, 2, 3
         |ORDER BY s_suppkey, register_date""".stripMargin,
+
+    // warehouse state after every batch was delivered twice through the
+    // ledger sink == the aggregate computed once from parquet
+    "stream_ledger_sink" ->
+      """SELECT event_type, count(*) AS n, round(sum(value), 2) AS total
+        |FROM events GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
 
     // final warehouse state after load + deduplicated redelivery == the
     // report computed once straight from parquet

@@ -38,7 +38,10 @@ object Patterns {
                       id: Column = col("event_id"),
                       typ: Column = col("event_type")): DataFrame = {
     require(pattern.size >= 2)
-    val w = Window.partitionBy(user).orderBy(tsSec, id)
+    // the window is applied AFTER the canonicalizing select below, so it
+    // must reference the renamed columns — building it from the caller's
+    // Columns would fail analysis for any non-default input columns
+    val w = Window.partitionBy(col("user_id")).orderBy(col("tss"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, -1) // strictly preceding
     // stage 0: the chain start is the event's own ts at pattern head rows
     val base = events.select(user.as("user_id"), tsSec.as("tss"),

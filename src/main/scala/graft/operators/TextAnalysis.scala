@@ -281,7 +281,8 @@ object TextAnalysis {
       .where(size(col("toks")) >= 2)
       .localCheckpoint(false)
     val learned = Seq.newBuilder[(Int, String, String, Long, Long)]
-    for (round <- 1 to rounds) {
+    var exhausted = false
+    for (round <- 1 to rounds if !exhausted) {
       val pairs = state
         .select(explode(zip_with(
           slice(col("toks"), lit(1), size(col("toks")) - 1),
@@ -289,7 +290,13 @@ object TextAnalysis {
           (x, y) => struct(x.as("a"), y.as("b")))).as("p"))
         .groupBy(col("p.a").as("a"), col("p.b").as("b"))
         .agg(count(lit(1)).as("n"))
-      val top = pairs.orderBy(col("n").desc, col("a"), col("b")).limit(1).head()
+      // the corpus can run out of adjacent pairs before `rounds` (every
+      // doc reduced to one token): terminate with the merges learned so far
+      val topOpt = pairs.orderBy(col("n").desc, col("a"), col("b")).limit(1)
+        .collect().headOption
+      if (topOpt.isEmpty) { exhausted = true }
+      else {
+      val top = topOpt.get
       val (ta, tb, tn) = (top.getString(0), top.getString(1), top.getLong(2))
       val merged = ta + " " + tb
       // leftmost-non-overlapping rewrite via gaps-and-islands on match
@@ -323,6 +330,7 @@ object TextAnalysis {
         .localCheckpoint(false)
       val corpusTokens = state.select(sum(size(col("toks")))).head().getLong(0)
       learned += ((round, ta, tb, tn, corpusTokens))
+      }
     }
     val rows = learned.result().map { case (r, a, b, n, t) => Row(r, a, b, n, t) }
     spark.createDataFrame(

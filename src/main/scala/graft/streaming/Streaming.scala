@@ -133,7 +133,7 @@ object Streaming {
         .outputMode(mode)
         .trigger(Trigger.AvailableNow())
         .option("checkpointLocation",
-          java.nio.file.Files.createTempDirectory("graft-ckpt").toString)
+          graft.TempDirs.create("graft-ckpt"))
         .start()
       q.awaitTermination()
     } finally {
@@ -196,7 +196,7 @@ object Streaming {
                                 event_type: String, tss: Long)
   final case class PatternMatch(user_id: Long, end_sec: Long, end_event: Long,
                                 span: Long)
-  final case class ChainState(starts: Array[Long])
+  final case class ChainState(starts: Array[Long], maxSeen: Long = Long.MinValue)
 
   /** Streaming CEP: the exact tightest-chain semantics of
     * [[graft.operators.Patterns.sequenceMatches]] as bounded per-key
@@ -209,6 +209,16 @@ object Streaming {
     * depend on shuffle order; chain starts are monotonically
     * non-decreasing, which is what makes single-slot state equal the
     * batch running-last window.
+    *
+    * ORDERING CONTRACT: sorting is per micro-batch only — the operator
+    * assumes events arrive in event-time order ACROSS batches per key
+    * (an in-order source, e.g. a time-ordered file drop or a partitioned
+    * log with per-key ordering). An event older than its key's last seen
+    * time in a LATER batch would chain against newer state and silently
+    * diverge from [[graft.operators.Patterns.sequenceMatches]]; the
+    * state therefore tracks each key's max seen tss and such regressions
+    * fail fast rather than emit wrong matches. Out-of-order deploys
+    * should pre-sort per watermark window or use the batch operator.
     */
   def matchPattern(events: Dataset[PatternEvent], pattern: Seq[String],
                    withinSec: Long): Dataset[PatternMatch] = {
@@ -219,10 +229,19 @@ object Streaming {
       .flatMapGroupsWithState[ChainState, PatternMatch](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (user: Long, it: Iterator[PatternEvent], state: GroupState[ChainState]) =>
-          val starts = state.getOption.map(_.starts)
-            .getOrElse(Array.fill(k - 1)(-1L))
+          val prev = state.getOption
+          val starts = prev.map(_.starts).getOrElse(Array.fill(k - 1)(-1L))
+          var maxSeen = prev.map(_.maxSeen).getOrElse(Long.MinValue)
           val out = Seq.newBuilder[PatternMatch]
           it.toSeq.sortBy(e => (e.tss, e.event_id)).foreach { e =>
+            // ordering-contract guard (see scaladoc): an event-time
+            // regression across micro-batches would chain against newer
+            // state — fail fast instead of silently diverging
+            if (e.tss < maxSeen) throw new IllegalStateException(
+              s"matchPattern: out-of-order arrival across micro-batches for " +
+                s"user $user (event ${e.event_id} at ${e.tss} < max seen " +
+                s"$maxSeen); pre-sort the source or use the batch operator")
+            maxSeen = e.tss
             pattern.indexOf(e.event_type) match {
               case 0 => starts(0) = e.tss
               case i if i > 0 && i < k - 1 =>
@@ -233,7 +252,7 @@ object Streaming {
               case _ => ()
             }
           }
-          state.update(ChainState(starts))
+          state.update(ChainState(starts, maxSeen))
           out.result().iterator
       }
   }

@@ -39,6 +39,17 @@ class PatternsSpec extends SparkSuite {
       Seq("click", "view", "purchase"), 3600).count() == 0)
   }
 
+  test("custom input column names resolve (windows built over canonical names)") {
+    val ev = trace((1L, 1L, "click", 0L), (1L, 2L, "view", 10L),
+        (1L, 3L, "purchase", 20L))
+      .toDF("uid", "eid", "etype", "sec")
+    val got = Patterns.sequenceMatches(ev, Seq("click", "view", "purchase"),
+        withinSec = 3600, user = col("uid"), tsSec = col("sec"),
+        id = col("eid"), typ = col("etype"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 1L, 20L, 20L)))
+  }
+
   test("whole pattern plans as one exchange (as-of-join shape)") {
     val ev = trace((1L, 1L, "click", 0L), (1L, 2L, "view", 1L),
       (1L, 3L, "purchase", 2L))
