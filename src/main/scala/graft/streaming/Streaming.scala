@@ -46,11 +46,17 @@ object Streaming {
       .parquet(s"$sfDir/events.parque*")
       .withColumn("event_ts", timestamp_seconds(expr("ts DIV 1000000000")))
 
-  /** Tumbling 1-day windows per event_type: count + sum(value), 1-day
-    * watermark. Complete output mode so a bounded run emits every window.
+  /** Tumbling 1-day windows per event_type: count + sum(value). Complete
+    * output mode so a bounded run emits every window.
+    *
+    * The watermark delay covers input DISORDER only (the window itself
+    * already scopes state retention to window + delay): a looser delay
+    * holds every window's state proportionally longer for zero semantic
+    * gain — the same sizing rule as [[clickToPurchase]].
     */
-  def dailyTypeCounts(stream: DataFrame): DataFrame = stream
-    .withWatermark("event_ts", "1 day")
+  def dailyTypeCounts(stream: DataFrame,
+                      disorder: String = "30 minutes"): DataFrame = stream
+    .withWatermark("event_ts", disorder)
     .groupBy(window(col("event_ts"), "1 day").as("w"), col("event_type"))
     .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("total_value"))
     .select(unix_timestamp(col("w.start")).as("day_start"),
@@ -60,8 +66,9 @@ object Streaming {
     * session_window event-time aggregation (integer aggregates only, so the
     * result is order-insensitive and exactly oracle-replayable).
     */
-  def userSessions(stream: DataFrame, gap: String = "30 minutes"): DataFrame = stream
-    .withWatermark("event_ts", "1 day")
+  def userSessions(stream: DataFrame, gap: String = "30 minutes",
+                   disorder: String = "30 minutes"): DataFrame = stream
+    .withWatermark("event_ts", disorder)
     .groupBy(session_window(col("event_ts"), gap).as("s"), col("user_id"))
     .agg(count(lit(1)).as("n_events"),
       min(col("event_id")).as("first_event"), max(col("event_id")).as("last_event"))
@@ -75,8 +82,9 @@ object Streaming {
     * event exactly once — the streaming fix for the reference's
     * duplicate-reload failure mode (medium/..._messed.jpeg).
     */
-  def dedupEvents(stream: DataFrame): DataFrame = stream
-    .withWatermark("event_ts", "1 day")
+  def dedupEvents(stream: DataFrame,
+                  disorder: String = "30 minutes"): DataFrame = stream
+    .withWatermark("event_ts", disorder)
     .dropDuplicates("event_id")
     .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
 
@@ -101,8 +109,9 @@ object Streaming {
     * regardless of stream volume, where a window+rank formulation would
     * have to buffer every event of the day.
     */
-  def dailyTopK(stream: DataFrame, k: Int): DataFrame = stream
-    .withWatermark("event_ts", "1 day")
+  def dailyTopK(stream: DataFrame, k: Int,
+                disorder: String = "30 minutes"): DataFrame = stream
+    .withWatermark("event_ts", disorder)
     .groupBy(window(col("event_ts"), "1 day").as("w"))
     .agg(graft.functions.GraftFunctions.top_k(col("event_id"), col("value"), k).as("topk"))
     .select(unix_timestamp(col("w.start")).as("day_start"), posexplode(col("topk")))
@@ -270,10 +279,11 @@ object Streaming {
     * event-time timeout at `gapSec` past the last event once the watermark
     * passes it.
     */
-  def sessionize(events: Dataset[Event], gapSec: Long): Dataset[Session] = {
+  def sessionize(events: Dataset[Event], gapSec: Long,
+                 disorder: String = "30 minutes"): Dataset[Session] = {
     import events.sparkSession.implicits._
     events
-      .withWatermark("event_ts", "1 day")
+      .withWatermark("event_ts", disorder)
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, Session](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {

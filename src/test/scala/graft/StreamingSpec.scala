@@ -39,6 +39,32 @@ class StreamingSpec extends SparkSuite {
     assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty)
   }
 
+  test("windowed-agg state is bounded by window + disorder, not stream length") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Double)]
+    val stream = mem.toDF().toDF("sec", "event_type", "value")
+      .withColumn("event_ts", timestamp_seconds(col("sec")))
+    val q = Streaming.dailyTypeCounts(stream)
+      .writeStream.format("memory").queryName("wm_state")
+      .outputMode("update")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-wm-ckpt").toString)
+      .start()
+    try {
+      mem.addData((0L, "click", 1.0), (3600L, "view", 2.0)) // day 0, 2 groups
+      q.processAllAvailable()
+      // 40 days later: the 30-min-disorder watermark passes day 0 + delay,
+      // so both day-0 window rows must leave the state store
+      mem.addData((86400L * 40, "click", 1.0))
+      q.processAllAvailable()
+      mem.addData((86400L * 40 + 60, "view", 1.0))
+      q.processAllAvailable()
+      val stateRows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      assert(stateRows <= 2, s"day-0 window state must be evicted, got $stateRows")
+      assert(spark.table("wm_state").count() >= 4, "every window was still emitted")
+    } finally q.stop()
+  }
+
   test("streaming dedup of a doubled stream emits each event exactly once") {
     val doubled = Streaming.events(spark, sf).union(Streaming.events(spark, sf))
     val got = Streaming.runToCompletion(Streaming.dedupEvents(doubled), OutputMode.Append())
@@ -146,7 +172,7 @@ class StreamingSpec extends SparkSuite {
       mem.addData(ev(1, 3, 2500))
       q.processAllAvailable()
       // batch 3: far-future event for user 1 -> starts session B, and its
-      // watermark (ts - 1 day) passes session A's timeout
+      // watermark (ts - 30 min disorder) passes session A's timeout
       mem.addData(ev(1, 4, 1000000))
       q.processAllAvailable()
       // batch 4: sentinel advances the watermark past session B's timeout
