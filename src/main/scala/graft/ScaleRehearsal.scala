@@ -1,0 +1,181 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Similarity}
+
+/** Scale rehearsal for the dedup/similarity family (r3 VERDICT item 7).
+  *
+  * Builds an sf1-equivalent corpus (`SPARK_GRAFT_FACTOR`× the input, default
+  * 10×) by replication with structure-preserving perturbation, then measures
+  * LSH candidate-pair counts and verified outputs at both scales. The point:
+  * candidate volume must track corpus growth (sub-quadratic), which
+  * correctness gates cannot see — exactly the measurement that caught the
+  * r3 degenerate-hyperplane bug.
+  *
+  * Perturbation design — each copy must preserve the ORIGINAL similarity
+  * distribution within itself while decorrelating from other copies, or the
+  * rehearsal measures a different corpus than it claims:
+  * - documents: copy 0 is verbatim; copy c applies a Caesar substitution
+  *   (letters shifted by c, case-preserving) — a bijection on characters
+  *   and therefore on the CHARACTER n-gram shingles `ShingleHashesExpr`
+  *   hashes, so pairwise Jaccard within a copy is EXACTLY the original
+  *   corpus's while cross-copy shingle overlap is ~zero (digits/punctuation
+  *   only). Two earlier designs failed instructively: tag tokens BETWEEN
+  *   words turned trigram overlap into unigram overlap (inflated
+  *   similarity), and tag PREFIXES on tokens preserved token shingles but
+  *   the operator shingles characters — most char 3-grams were untouched,
+  *   so copies stayed near-dups of each other and the pair count exploded
+  *   two orders beyond linear. A rehearsal corpus must be validated against
+  *   the operator's actual feature space.
+  * - embeddings: copy c rotates each vector's dimensions by c positions —
+  *   an isometry, so intra-copy cosine structure is EXACTLY the original's,
+  *   while cross-copy vectors decorrelate to ~N(0, 1/sqrt(d)) cosines.
+  *
+  * Prints one JSON line per (family, factor) with corpus size, candidate
+  * count, verified count, and elapsed seconds; results and the sizing rules
+  * they demonstrate are recorded in BASELINE.md.
+  */
+object ScaleRehearsal {
+
+  private def timed[T](f: => T): (T, Double) = {
+    val t0 = System.nanoTime()
+    val r = f
+    (r, (System.nanoTime() - t0) / 1e9)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val opts = JobArgs.resolve(args.toSeq, required = Nil,
+      defaults = Map("SPARK_GRAFT_SF_DIR" -> "/root/testdata/sf0.1",
+        "SPARK_GRAFT_CPUS" -> "32",
+        "SPARK_GRAFT_FACTOR" -> "10"))
+    val sfDir = opts("SPARK_GRAFT_SF_DIR")
+    val factor = opts("SPARK_GRAFT_FACTOR").toInt
+    val spark = GraftSession.builder(s"local[${opts("SPARK_GRAFT_CPUS")}]",
+      opts("SPARK_GRAFT_CPUS").toInt).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val docs1 = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val emb1 = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
+
+    val lower = "abcdefghijklmnopqrstuvwxyz"
+    val upper = lower.toUpperCase
+    def replicateDocs(f: Int): DataFrame =
+      (0 until f).map { c =>
+        val s = c % 26
+        val text =
+          if (c == 0) col("text")
+          else translate(col("text"), lower + upper,
+            lower.drop(s) + lower.take(s) + upper.drop(s) + upper.take(s))
+        docs1.select((col("doc_id") + lit(c * 10000000L)).as("doc_id"),
+          text.as("text"))
+      }.reduce(_ unionAll _)
+
+    def replicateEmb(f: Int): DataFrame =
+      (0 until f).map { c =>
+        val e =
+          if (c == 0) col("embedding")
+          else concat(slice(col("embedding"), c + 1, 64 - c),
+            slice(col("embedding"), 1, c))
+        emb1.select((col("vec_id") + lit(c * 10000000L)).as("vec_id"),
+          e.as("embedding"))
+      }.reduce(_ unionAll _)
+
+    def emit(family: String, f: Int, n: Long, candidates: Long,
+             verified: Long, sec: Double): Unit =
+      println(s"""{"family":"$family","factor":$f,"n":$n,""" +
+        s""""candidates":$candidates,"verified":$verified,"sec":$sec}""")
+
+    Seq(1, factor).foreach { f =>
+      // materialize the scaled corpus so generation cost stays out of the
+      // operator timings
+      val dDir = TempDirs.create(s"graft-scale-docs$f")
+      val eDir = TempDirs.create(s"graft-scale-emb$f")
+      replicateDocs(f).write.mode("overwrite").parquet(dDir)
+      replicateEmb(f).write.mode("overwrite").parquet(eDir)
+      val docs = spark.read.parquet(dDir)
+      val emb = spark.read.parquet(eDir)
+      val nd = docs.count()
+      val ne = emb.count()
+
+      // MinHash-LSH (k=16 sigs, 4 bands of 4): candidates = distinct pairs
+      // sharing any band bucket (the operator's own first stage), verified
+      // = exact-Jaccard >= 0.5 survivors
+      val bands = Dedup.minhashBands(docs, n = 3, k = 16, bands = 4)
+        .localCheckpoint()
+      val (candMh, tCandMh) = timed {
+        bands.as("x").join(bands.as("y"),
+            col("x.band") === col("y.band") &&
+              col("x.band_key") === col("y.band_key") &&
+              col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id"), col("y.doc_id")).distinct().count()
+      }
+      val (verMh, tVerMh) = timed {
+        Dedup.minhashLshPairs(docs, n = 3, k = 16, bands = 4, threshold = 0.5).count()
+      }
+      emit("minhash_lsh", f, nd, candMh, verMh, tCandMh + tVerMh)
+
+      // SimHash bucket space is FIXED by `bits` (hamming<=2 → 3 chunks of
+      // bits/3 key bits): a family sized for 5k docs saturates at 50k and
+      // candidate volume goes quadratic no matter how good the data is.
+      // The scaling knob is bits ~ log2(n): measure the 16-bit family at
+      // 1× only, and the 30-bit family (PolyHash values are 31-bit) at
+      // both factors — the latter is the 100 TB sizing rule.
+      if (f == 1) {
+        val (v16, t16) = timed { Dedup.simhashPairs(docs, 16, 2).count() }
+        emit("simhash16", f, nd, -1, v16, t16)
+      }
+      val (v30, t30) = timed { Dedup.simhashPairs(docs, 30, 2).count() }
+      emit("simhash30", f, nd, -1, v30, t30)
+
+      // Embedding LSH (8 tables x 8 bits): candidates from the packed
+      // first-collision join. Verified at two thresholds: 0.3 sits at
+      // ~2.4σ of the random-cosine distribution for d=64 (so the OUTPUT
+      // itself grows quadratically — a threshold-choice property, not an
+      // operator defect), while 0.6 (~4.8σ) is outside it and must stay
+      // ~linear in corpus size.
+      val (candE, tCandE) = timed {
+        Similarity.hyperplaneCandidates(emb, tables = 8, bits = 8).count()
+      }
+      val (verE3, tVerE3) = timed {
+        Dedup.embeddingPairs(emb, 0.3, bucketed = true).count()
+      }
+      emit("embedding_lsh_t03", f, ne, candE, verE3, tCandE + tVerE3)
+      val (verE6, tVerE6) = timed {
+        Dedup.embeddingPairs(emb, 0.6, bucketed = true).count()
+      }
+      emit("embedding_lsh_t06", f, ne, candE, verE6, tVerE6)
+      // the 8x8 family's random-collision floor is n²/2 · tables · 2^-bits
+      // — quadratic once n outgrows 2^bits. The sizing rule is
+      // bits ~ log2(n): at 10x, 11-bit keys (5 tables fit the 64-bit pack)
+      // pull candidates back to ~linear.
+      if (f > 1) {
+        val (candE11, tCandE11) = timed {
+          Similarity.hyperplaneCandidates(emb, tables = 5, bits = 11).count()
+        }
+        emit("embedding_lsh_11bit", f, ne, candE11, -1, tCandE11)
+      }
+
+      // ANN top-5 recall vs brute force for 8 broadcast queries (the
+      // sim_ann_topk shape). On weakly-clustered embeddings the per-table
+      // hit probability for a ~0.3-cosine neighbor is (1 - θ/π)^bits ≈ 2%,
+      // so recall scales with the TABLES knob: measure 4 and 8 tables
+      // (the packed first-collision filter caps tables*bits at 64).
+      val queries = emb.filter(col("vec_id") < 8)
+      val brute = Similarity.bruteForceTopK(emb, queries, 5)
+        .select(col("query_id"), col("neighbor_id")).localCheckpoint()
+      val nBrute = brute.count()
+      Seq(4, 8).foreach { tables =>
+        val (recall, tAnn) = timed {
+          val ann = Similarity.hyperplaneTopK(emb, queries, 5,
+            tables = tables, bits = 8)
+            .select(col("query_id"), col("neighbor_id"))
+          ann.intersect(brute).count().toDouble / nBrute
+        }
+        println(s"""{"family":"ann_topk_${tables}t","factor":$f,"n":$ne,""" +
+          s""""recall_vs_brute":$recall,"sec":$tAnn}""")
+      }
+    }
+    spark.stop()
+  }
+}
