@@ -307,8 +307,10 @@ object SparkEntry {
 
     "sim_ann_topk" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
+      // 8 tables (recall ≈ 1-(1-p)^T doubles vs 4 at linear cost — the
+      // ScaleRehearsal measurement that picked this default)
       Similarity.hyperplaneTopK(emb, emb.filter(col("vec_id") < 8), 5,
-        tables = 4, bits = 8)
+        tables = 8, bits = 8)
         .orderBy(col("query_id"), col("rank"))
     }),
 
@@ -2019,10 +2021,10 @@ object SparkEntry {
 
     "sim_ann_topk" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         |bk AS (SELECT vec_id, v, ${Oracles.hyperplaneBits("v", 32, 64)} AS bits FROM e),
+         |bk AS (SELECT vec_id, v, ${Oracles.hyperplaneBits("v", 64, 64)} AS bits FROM e),
          |keyed AS (
          |  SELECT vec_id, v, t.tbl AS tbl, ${Oracles.bucketFromBits("bits", "t.tbl", 8)} AS bucket
-         |  FROM bk CROSS JOIN (SELECT unnest(range(0, 4)) AS tbl) t),
+         |  FROM bk CROSS JOIN (SELECT unnest(range(0, 8)) AS tbl) t),
          |cand AS (
          |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id,
          |    q.v AS qv, c.v AS cv
