@@ -175,6 +175,16 @@ object ScaleRehearsal {
         println(s"""{"family":"ann_topk_${tables}t","factor":$f,"n":$ne,""" +
           s""""recall_vs_brute":$recall,"sec":$tAnn}""")
       }
+      // multi-probe: 4 tables + 1-bit-flip probes — recall bought on the
+      // broadcast query side instead of corpus-side table replication
+      val (recallMp, tMp) = timed {
+        val ann = Similarity.hyperplaneTopKMultiProbe(emb, queries, 5,
+          tables = 4, bits = 8)
+          .select(col("query_id"), col("neighbor_id"))
+        ann.intersect(brute).count().toDouble / nBrute
+      }
+      println(s"""{"family":"ann_multiprobe_4t","factor":$f,"n":$ne,""" +
+        s""""recall_vs_brute":$recallMp,"sec":$tMp}""")
     }
     spark.stop()
   }

@@ -314,6 +314,16 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // Multi-probe ANN: 1-bit-flip probes buy recall on the QUERY side only
+    // (9 probes/table here) — half the tables of sim_ann_topk with corpus
+    // state halved, the production trade for 100 TB corpora.
+    "sim_ann_multiprobe" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.hyperplaneTopKMultiProbe(emb, emb.filter(col("vec_id") < 8), 5,
+        tables = 4, bits = 8)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // Sparse TF-IDF cosine top-5 over word-bigram terms: df-pruned
     // inverted-index join, integer-quantized weights (exact dot products
     // under any shuffle order), cosine defined over the pruned space.
@@ -2031,6 +2041,32 @@ object SparkEntry {
          |  FROM keyed c JOIN keyed q
          |    ON c.tbl = q.tbl AND c.bucket = q.bucket
          |    AND q.vec_id < 8 AND q.vec_id != c.vec_id)
+         |SELECT * FROM (
+         |  SELECT query_id, neighbor_id,
+         |    round(${Oracles.cosine("qv", "cv", 64)}, 6) AS cosine,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY round(${Oracles.cosine("qv", "cv", 64)}, 6) DESC, neighbor_id) AS rank
+         |  FROM cand)
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // same hyperplane family, 4 tables; query buckets additionally probe
+    // every 1-bit flip (xor with 0 and each power of two)
+    "sim_ann_multiprobe" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |bk AS (SELECT vec_id, v, ${Oracles.hyperplaneBits("v", 32, 64)} AS bits FROM e),
+         |keyed AS (
+         |  SELECT vec_id, v, t.tbl AS tbl, ${Oracles.bucketFromBits("bits", "t.tbl", 8)} AS bucket
+         |  FROM bk CROSS JOIN (SELECT unnest(range(0, 4)) AS tbl) t),
+         |qprobe AS (
+         |  SELECT vec_id, v, tbl, xor(bucket, m.m) AS bucket
+         |  FROM keyed CROSS JOIN (SELECT unnest([0, 1, 2, 4, 8, 16, 32, 64, 128]) AS m) m
+         |  WHERE vec_id < 8),
+         |cand AS (
+         |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    q.v AS qv, c.v AS cv
+         |  FROM keyed c JOIN qprobe q
+         |    ON c.tbl = q.tbl AND c.bucket = q.bucket
+         |    AND q.vec_id != c.vec_id)
          |SELECT * FROM (
          |  SELECT query_id, neighbor_id,
          |    round(${Oracles.cosine("qv", "cv", 64)}, 6) AS cosine,

@@ -289,4 +289,45 @@ object Similarity {
       .orderBy(col("cosine").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
+
+  /** Multi-probe variant of [[hyperplaneTopK]]: each QUERY probes its
+    * exact bucket plus every 1-bit-flip neighbor bucket in each table
+    * (`bits + 1` probes/table). A near neighbor that lands one sign-bit
+    * away — the most likely miss, since each bit is a marginal hyperplane
+    * decision — is still found, so recall rises without adding tables.
+    *
+    * The 100 TB trade: tables multiply CORPUS-side state (every vector is
+    * keyed+shuffled per table) while probes multiply only the QUERY side
+    * (tiny, broadcast) — multi-probe buys recall with ~zero corpus cost,
+    * which is why production ANN (FAISS/Zoekt-style) probes rather than
+    * replicates. Candidate dedup across tables×probes happens AFTER the
+    * inline cosine projection, so the shuffle that dedups carries narrow
+    * (query, neighbor, cosine) rows, never embeddings.
+    */
+  def hyperplaneTopKMultiProbe(corpus: DataFrame, queries: DataFrame, k: Int,
+                               tables: Int = 4, bits: Int = 8): DataFrame = {
+    def keyed(df: DataFrame, idName: String) = df.select(
+      col("vec_id").as(idName), col("embedding").as(s"${idName}_emb"),
+      hyperplaneBucketKeys(col("embedding"), tables, bits).as("bks"))
+      .select(col(idName), col(s"${idName}_emb"), posexplode(col("bks")))
+      .withColumnRenamed("pos", "tbl").withColumnRenamed("col", "bucket")
+    // probe masks: 0 (exact bucket) then one per flipped bit
+    val masks = array((0L +: (0 until bits).map(1L << _)).map(lit(_)): _*)
+    val queryProbes = keyed(queries, "query_id")
+      .withColumn("m", explode(masks))
+      .select(col("query_id"), col("query_id_emb"), col("tbl"),
+        col("bucket").bitwiseXOR(col("m")).as("bucket"))
+    val scored = keyed(corpus, "neighbor_id")
+      .join(broadcast(queryProbes), Seq("tbl", "bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosineSimilarity(col("query_id_emb"), col("neighbor_id_emb")), 6).as("cosine"))
+      // dedup across tables AND probes on narrow rows (cosine is identical
+      // for every duplicate, so max() is just the dedup verb)
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(max(col("cosine")).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
 }

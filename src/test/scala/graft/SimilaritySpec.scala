@@ -33,6 +33,25 @@ class SimilaritySpec extends SparkSuite {
     ann.foreach { case (q, n, c) => assert(brute((q, n)) == c) }
   }
 
+  test("multi-probe candidates are a superset: per-query top-1 cosine never drops, scores match brute") {
+    val brute = Similarity.bruteForceTopK(corpus, queries, 1000)
+      .select("query_id", "neighbor_id", "cosine").as[(Long, Long, Double)].collect()
+      .map { case (q, n, c) => (q, n) -> c }.toMap
+    def top1(df: org.apache.spark.sql.DataFrame): Map[Long, Double] = df
+      .filter(col("rank") === 1).select("query_id", "cosine")
+      .as[(Long, Double)].collect().toMap
+    val single = top1(Similarity.hyperplaneTopK(corpus, queries, 5, tables = 4, bits = 8))
+    val multiDf = Similarity.hyperplaneTopKMultiProbe(corpus, queries, 5, tables = 4, bits = 8)
+    val multi = top1(multiDf)
+    assert(multi.nonEmpty)
+    // probing 1-bit flips only ADDS candidates over the same tables
+    single.foreach { case (q, c) => assert(multi.getOrElse(q, -2.0) >= c, s"query $q") }
+    assert(single.keySet.subsetOf(multi.keySet))
+    // re-rank scores are the true cosines
+    multiDf.select("query_id", "neighbor_id", "cosine").as[(Long, Long, Double)]
+      .collect().foreach { case (q, n, c) => assert(brute((q, n)) == c) }
+  }
+
   test("hyperplane bucket key is deterministic and bounded by bit width") {
     val keys = corpus.limit(50)
       .select(Similarity.bucketKey(col("embedding"), 0, 8).as("k")).as[Long].collect()
