@@ -185,6 +185,15 @@ object ScaleRehearsal {
       }
       println(s"""{"family":"ann_multiprobe_4t","factor":$f,"n":$ne,""" +
         s""""recall_vs_brute":$recallMp,"sec":$tMp}""")
+      // IVF: nprobe/nlist is the recall dial; cells shrink as n grows for
+      // fixed nlist, so nlist must scale with n (same log-rule family)
+      val (recallIvf, tIvf) = timed {
+        val ann = Similarity.ivfTopK(emb, queries, 5, nlist = 16, nprobe = 4)
+          .select(col("query_id"), col("neighbor_id"))
+        ann.intersect(brute).count().toDouble / nBrute
+      }
+      println(s"""{"family":"ann_ivf_16c4p","factor":$f,"n":$ne,""" +
+        s""""recall_vs_brute":$recallIvf,"sec":$tIvf}""")
     }
     spark.stop()
   }

@@ -1257,20 +1257,29 @@ object SparkEntry {
     // bounds at spec level). hll_ok uses 3× the default HLL rsd (0.05);
     // median_ok brackets approx_percentile(0.5) by the exact 0.45/0.55
     // quantiles.
-    "approx_sketches" -> ((s, dir) =>
-      Tables.events(s, dir)
-        .groupBy(col("event_type"))
+    // Plan note: the exact distinct-count runs as its OWN codegen'd
+    // hash aggregate and broadcast-joins the 5-row sketch aggregate —
+    // putting countDistinct in the same agg forces Catalyst's
+    // distinct-rewrite to carry the HLL + percentile OBJECT buffers per
+    // (event_type, user_id) group through three ObjectHashAggregate
+    // passes and two exchanges (measured 4.2 s warm; this shape ~1 s).
+    "approx_sketches" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val sketches = ev.groupBy(col("event_type"))
         .agg(
-          countDistinct(col("user_id")).as("exact_users"),
           approx_count_distinct(col("user_id")).as("au"),
           expr("approx_percentile(value, 0.5)").as("am"),
           expr("percentile(value, 0.45)").as("q45"),
           expr("percentile(value, 0.55)").as("q55"))
+      val exact = ev.select(col("event_type"), col("user_id")).distinct()
+        .groupBy(col("event_type")).agg(count(lit(1)).as("exact_users"))
+      exact.join(broadcast(sketches), Seq("event_type"))
         .select(col("event_type"), col("exact_users"),
           (abs(col("au") - col("exact_users")) <= col("exact_users") * 3 * 0.05)
             .as("hll_ok"),
           (col("am") >= col("q45") && col("am") <= col("q55")).as("median_ok"))
-        .orderBy(col("event_type"))),
+        .orderBy(col("event_type"))
+    }),
 
     // Custom native aggregate: exact mergeable top-k with k-bounded heap
     // partial state (never collects a group's full value set). The
