@@ -44,6 +44,19 @@ class QueryPlanSpec extends SparkSuite {
     assert(exchanges == 0, s"expected no hash exchange:\n$plan")
   }
 
+  test("approx_sketches keeps the exact distinct count off the distinct-rewrite path") {
+    // countDistinct in the SAME aggregate as the sketches makes Catalyst
+    // carry the HLL + percentile object buffers per (event_type, user_id)
+    // partial group through three ObjectHashAggregate passes (measured
+    // 6x slower) — the exact count must stay a separate codegen'd hash
+    // aggregate broadcast-joined to the 5-row sketch aggregate
+    val plan = planOf("approx_sketches")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!"ObjectHashAggregate\\(keys=\\[event_type#\\d+, user_id".r
+      .findFirstIn(plan).isDefined,
+      s"sketch buffers must never be keyed per user:\n$plan")
+  }
+
   test("window top-k pushes the rank filter into the sort (WindowGroupLimit)") {
     // Spark's WindowGroupLimit keeps only k rows per group through the
     // sort instead of ranking everything and filtering after — the
