@@ -1,23 +1,82 @@
 package graft
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main. Prints TWO JSON lines (full report first, then a compact
+  * totals-only summary as the very last line, sized to survive any bounded
+  * stdout tail capture) and writes the full per-query report to a committed
+  * file so cross-round per-query diffs are a `jq` call, not a log exercise.
+  *
+  * Timing semantics: `value` is the best-WARM total (cold totals carried
+  * alongside as `value_cold`) — one-shot timings on deep pipelines are
+  * 60-70% codegen/JIT warm-up, so warm is the cross-round comparable
+  * number. `stream_*` queries report the MEDIAN of >= 3 warm runs (their
+  * state-store setup carries ±3x session noise, so a single best-of is not
+  * signal) plus the final micro-batch's state-store row counts.
+  *
+  * A query that throws is never reported as a healthy fast time: every
+  * failed run records its exception class, failed runs are excluded from
+  * the warm statistic, and the summary line carries the failure count.
+  */
 object Bench {
+
+  private def jstr(s: String): String =
+    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+
+  private def jnum(d: Double): String = {
+    val r = math.rint(d * 1000) / 1000 // 1 ms resolution keeps lines compact
+    if (r.isNaN || r.isInfinite) "null" else BigDecimal(r).underlying.toPlainString
+  }
+
+  /** One timed execution: noop sink consumes every row and column, so the
+    * timing includes all expression work (count() lets Catalyst prune the
+    * projection and under-measures map-only queries). Failures are timed
+    * too, but carry their exception class.
+    */
+  private final case class Run(sec: Double, err: Option[String])
+
+  /** Per-query aggregate over cold + warm runs. */
+  private final case class QueryResult(name: String, cold: Run, warm: Seq[Run],
+                                       stateRows: Option[(Long, Long)]) {
+    def isStream: Boolean = name.startsWith("stream_")
+    private def okWarm: Seq[Double] = warm.filter(_.err.isEmpty).map(_.sec)
+    /** Best warm (batch) / median warm (stream); falls back to cold when no
+      * warm run succeeded — but then `err` is set, so the number is visibly
+      * untrustworthy rather than silently "fast".
+      */
+    def warmStat: Double = {
+      val ok = okWarm
+      if (ok.isEmpty) cold.sec
+      else if (isStream) { val s = ok.sorted; s(s.size / 2) }
+      else ok.min
+    }
+    def err: Option[String] = (cold.err.toSeq ++ warm.flatMap(_.err)).headOption
+    def failedRuns: Int = (cold.err.toSeq ++ warm.flatMap(_.err)).size
+  }
+
   def main(args: Array[String]): Unit = {
-    // S12 job-argument resolution: --SPARK_GRAFT_SF_DIR on the CLI beats
-    // the env var beats the default (JobArgs mirrors getResolvedOptions)
+    // S12 job-argument resolution: --KEY on the CLI beats the env var beats
+    // the default (JobArgs mirrors getResolvedOptions)
     val opts = JobArgs.resolve(args.toSeq, required = Nil,
-      defaults = Map("SPARK_GRAFT_SF_DIR" -> "/root/testdata/sf0.1",
+      defaults = Map(
+        "SPARK_GRAFT_SF_DIR" -> "/root/testdata/sf0.1",
         "SPARK_GRAFT_CPUS" -> "4",
         // comma-separated query-name filter for A/B timing a subset
         "SPARK_GRAFT_ONLY" -> "",
-        // extra timed runs per query after the cold one; one-shot timings
-        // carry 60-70% codegen/JIT warm-up on deep pipelines, so the
-        // reported number is the best warm run (cold kept alongside)
-        "SPARK_GRAFT_WARM" -> "1"))
+        // extra timed runs per query after the cold one; 0 = cold-only
+        // quick mode (streams then skip their median protocol too)
+        "SPARK_GRAFT_WARM" -> "1",
+        // where the full per-query report lands (committed to the repo)
+        "SPARK_GRAFT_BENCH_OUT" -> "BENCH_LOCAL_r5.json"))
     val sfDir = opts("SPARK_GRAFT_SF_DIR")
     val cpus = opts("SPARK_GRAFT_CPUS")
     val warmRuns = opts("SPARK_GRAFT_WARM").toInt.max(0)
+    val benchOut = opts("SPARK_GRAFT_BENCH_OUT")
     val only = Option(opts("SPARK_GRAFT_ONLY")).filter(_.nonEmpty)
       .map(_.split(",").map(_.trim).toSet)
+    val streamMinWarm = 3 // median needs >= 3 samples to mean anything
     val spark = graft.GraftSession.builder(s"local[$cpus]", cpus.toInt)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -26,33 +85,71 @@ object Bench {
     Tables.all.foreach { t =>
       try Tables.load(spark, sfDir, t).count() catch { case _: Throwable => () }
     }
-    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+
+    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Run = {
       val t0 = System.nanoTime()
-      // noop sink: consumes every row and every column, so the timing
-      // includes all expression work (count() lets Catalyst prune the
-      // projection and under-measures map-only queries)
-      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
-      catch { case _: Throwable => () }
-      (System.nanoTime() - t0) / 1e9
+      val err =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); None }
+        catch { case t: Throwable => Some(t.getClass.getSimpleName) }
+      Run((System.nanoTime() - t0) / 1e9, err)
     }
-    // (name, cold, warm): cold is the first run; warm is the best of the
-    // repeat runs (== cold when SPARK_GRAFT_WARM=0)
-    val results = SparkEntry.queries
+
+    val results: Seq[QueryResult] = SparkEntry.queries.toSeq
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
+        graft.streaming.Streaming.lastStateRows = None
         val cold = timeOnce(fn)
-        val warm = if (warmRuns == 0) cold
-                   else (1 to warmRuns).map(_ => timeOnce(fn)).min
-        (name, cold, warm)
+        val n =
+          if (warmRuns == 0) 0
+          else if (name.startsWith("stream_")) warmRuns.max(streamMinWarm)
+          else warmRuns
+        val warm = (1 to n).map(_ => timeOnce(fn))
+        QueryResult(name, cold, warm, graft.streaming.Streaming.lastStateRows)
       }
-    def jsonMap(sel: ((String, Double, Double)) => Double): String =
-      results.map { case t @ (k, _, _) => s"\"" + k + "\":" + sel(t) }
-        .mkString("{", ",", "}")
-    val qs = jsonMap(_._3)
-    val qsCold = jsonMap(_._2)
-    val total = results.map(_._3).sum
-    val totalCold = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_cold":$qsCold,"total_cold":$totalCold,"warm_runs":$warmRuns,"sf":"$sfDir"}""")
+
+    val totalWarm = results.map(_.warmStat).sum
+    val totalCold = results.map(_.cold.sec).sum
+    val failures = results.filter(_.err.isDefined)
+
+    // ---- full per-query report: one committed file + one stdout line ----
+    val queriesJson = results.map { r =>
+      val fields = Seq(
+        Some("\"cold\":" + jnum(r.cold.sec)),
+        Some("\"warm\":" + jnum(r.warmStat)),
+        Some("\"runs\":" + r.warm.map(w => jnum(w.sec)).mkString("[", ",", "]")),
+        r.err.map(e => "\"err\":" + jstr(e) + ",\"failed_runs\":" + r.failedRuns),
+        r.stateRows.map { case (t, u) =>
+          s""""state_rows_total":$t,"state_rows_updated":$u""" }
+      ).flatten
+      jstr(r.name) + ":" + fields.mkString("{", ",", "}")
+    }.mkString("{", ",", "}")
+    val fullJson =
+      s"""{"metric":"total_warm","value":${jnum(totalWarm)},"unit":"sec",""" +
+      s""""value_cold":${jnum(totalCold)},"warm_runs":$warmRuns,""" +
+      s""""stream_min_warm":$streamMinWarm,"cpus":$cpus,"sf":${jstr(sfDir)},""" +
+      s""""n_queries":${results.size},"n_failed":${failures.size},""" +
+      s""""queries":$queriesJson}"""
+    Files.write(Paths.get(benchOut), (fullJson + "\n").getBytes(StandardCharsets.UTF_8))
+    println(fullJson)
+
+    // ---- compact summary: LAST line, < 1 KB, survives tail capture ----
+    // A small stable headline subset keeps the driver-contract "queries"
+    // field present without blowing the line past the capture window.
+    val headline = Seq("q1_agg", "star_denorm", "q5_region_revenue",
+      "parallel_reports", "incr_star_e2e", "dedup_minhash_lsh", "sim_topk",
+      "stream_window_agg")
+    val byName = results.map(r => r.name -> r).toMap
+    val headJson = headline.flatMap(n => byName.get(n))
+      .map(r => jstr(r.name) + ":" + jnum(r.warmStat)).mkString("{", ",", "}")
+    val errJson = failures.take(5)
+      .map(r => jstr(r.name) + ":" + jstr(r.err.get)).mkString("{", ",", "}")
+    println(
+      s"""{"metric":"total_warm","value":${jnum(totalWarm)},"unit":"sec",""" +
+      s""""value_cold":${jnum(totalCold)},"n_queries":${results.size},""" +
+      s""""n_failed":${failures.size},"errors":$errJson,""" +
+      s""""queries":$headJson,"sf":${jstr(sfDir)},""" +
+      s""""bench_file":${jstr(benchOut)},""" +
+      """"note":"value=best-warm total (median-of-3+ for stream_*); full per-query warm/cold/err in bench_file"}""")
     spark.stop()
   }
 }

@@ -58,6 +58,22 @@ object ScaleRehearsal {
     val docs1 = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
     val emb1 = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
 
+    // Perturbation validity bounds (silent degeneration otherwise):
+    // - copy c's Caesar shift is c mod 26, so factor > 26 would emit a
+    //   VERBATIM copy (shift 0) and exact cross-copy duplicates would
+    //   explode pair counts — the rehearsal would measure its own artifact;
+    // - the embedding rotation slices [c+1, Dim-c], which is only an
+    //   isometry while c < Dim;
+    // - replica ids are offset by c*idOffset, so source ids must stay below
+    //   the offset or replicas alias each other.
+    val idOffset = 10000000L
+    require(factor <= 26 && factor < Similarity.Dim,
+      s"rehearsal factor $factor exceeds the perturbation family " +
+        s"(<= 26 Caesar shifts, < ${Similarity.Dim} rotations)")
+    require(docs1.agg(max(col("doc_id"))).head.getLong(0) < idOffset &&
+        emb1.agg(max(col("vec_id"))).head.getLong(0) < idOffset,
+      s"source ids must be < $idOffset or replica ids alias")
+
     val lower = "abcdefghijklmnopqrstuvwxyz"
     val upper = lower.toUpperCase
     def replicateDocs(f: Int): DataFrame =
@@ -67,7 +83,7 @@ object ScaleRehearsal {
           if (c == 0) col("text")
           else translate(col("text"), lower + upper,
             lower.drop(s) + lower.take(s) + upper.drop(s) + upper.take(s))
-        docs1.select((col("doc_id") + lit(c * 10000000L)).as("doc_id"),
+        docs1.select((col("doc_id") + lit(c * idOffset)).as("doc_id"),
           text.as("text"))
       }.reduce(_ unionAll _)
 
@@ -75,9 +91,9 @@ object ScaleRehearsal {
       (0 until f).map { c =>
         val e =
           if (c == 0) col("embedding")
-          else concat(slice(col("embedding"), c + 1, 64 - c),
+          else concat(slice(col("embedding"), c + 1, Similarity.Dim - c),
             slice(col("embedding"), 1, c))
-        emb1.select((col("vec_id") + lit(c * 10000000L)).as("vec_id"),
+        emb1.select((col("vec_id") + lit(c * idOffset)).as("vec_id"),
           e.as("embedding"))
       }.reduce(_ unionAll _)
 

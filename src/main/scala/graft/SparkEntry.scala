@@ -132,13 +132,16 @@ object SparkEntry {
       val loaded = graft.sources.JdbcSink.stagedBulkLoadExactlyOnce(
         report, url, "rpt", s"$tmp/stage1", derbyCopy,
         runId = "run-1", preactions = ddl)
-      assert(loaded > 0, "first delivery must load")
+      // require, not assert: the redelivery check IS the exactly-once
+      // proof, and JVM assertions vanish under -Xdisable-assertions while
+      // the oracle would still pass on final state alone
+      require(loaded > 0, "first delivery must load")
       // redelivery: same runId, fresh staging dir, no preactions (Derby
       // lacks IF NOT EXISTS; on Redshift the same DDL would rerun) —
       // must be a no-op
       val redelivered = graft.sources.JdbcSink.stagedBulkLoadExactlyOnce(
         report, url, "rpt", s"$tmp/stage2", derbyCopy, runId = "run-1")
-      assert(redelivered == 0, "redelivery must be deduplicated by the ledger")
+      require(redelivered == 0, "redelivery must be deduplicated by the ledger")
       s.read.format("jdbc").option("url", url).option("dbtable", "rpt").load()
         .select(col("o_orderpriority").as("o_orderpriority"),
           col("n").cast("long").as("n"), col("total").as("total"))
@@ -373,8 +376,15 @@ object SparkEntry {
         .select(col("id_b").as("doc_id")).distinct()
       sole.join(dupIds, Seq("doc_id"), "left_anti")
         .groupBy(col("lang_pred"), col("source"))
+        // quality_score is already a 4-decimal value, so summing it as a
+        // x10000 integer is exact AND order-independent — a plain
+        // avg(double) sums in shuffle order and can land either side of a
+        // 0.00005 rounding boundary vs the oracle (bit-level flake seen at
+        // sf0.001); the single division afterwards is the same IEEE op on
+        // identical inputs in both engines
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("tok_total"),
-          round(avg(col("quality_score")), 4).as("avg_quality"))
+          round(sum(round(col("quality_score") * 10000, 0).cast("long"))
+            .cast("double") / count(lit(1)) / 10000.0, 4).as("avg_quality"))
         .orderBy(col("lang_pred"), col("source"))
     }),
 
@@ -2207,7 +2217,8 @@ object SparkEntry {
          |  WHERE round(CAST(inter AS DOUBLE) / (la + lb - inter), 6) >= 0.8),
          |final AS (SELECT * FROM sole WHERE doc_id NOT IN (SELECT id_b FROM pairs))
          |SELECT lang_pred, source, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS tok_total,
-         |  round(avg(quality_score), 4) AS avg_quality
+         |  round(CAST(sum(CAST(round(quality_score * 10000) AS BIGINT)) AS DOUBLE)
+         |    / count(*) / 10000.0, 4) AS avg_quality
          |FROM final GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
     },
 

@@ -20,6 +20,13 @@ object TempDirs {
   private val registry = new java.util.concurrent.ConcurrentLinkedQueue[Path]()
 
   Runtime.getRuntime.addShutdownHook(new Thread(() => {
+    // Embedded Derby holds db.lck + open file handles until the ENGINE is
+    // shut down, so deleting a live database dir silently leaves the lock
+    // and data files behind (per-file failures are swallowed below) and
+    // repeated runs leak scratch. Shut the whole engine down first; Derby
+    // signals a successful full shutdown by THROWING SQLException XJ015.
+    try java.sql.DriverManager.getConnection("jdbc:derby:;shutdown=true")
+    catch { case _: Throwable => () }
     var p = registry.poll()
     while (p != null) { deleteRecursively(p); p = registry.poll() }
   }, "graft-tempdir-cleanup"))

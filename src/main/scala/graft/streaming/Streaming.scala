@@ -118,6 +118,16 @@ object Streaming {
     .select(col("day_start"), (col("pos") + 1).cast("int").as("rank"),
       col("col.id").as("event_id"), round(col("col.value"), 2).as("value"))
 
+  /** State-store footprint of the most recent [[runToCompletion]] run:
+    * (numRowsTotal, numRowsUpdated) summed over the state operators of the
+    * final micro-batch that touched state. Bench reports this next to
+    * stream timings — wall-clock on bounded streams carries ±3x state-store
+    * setup noise, while state row counts are deterministic and are the
+    * number that actually predicts 100 TB behavior (state growth, not
+    * micro-batch latency). None when the last run had no stateful operator.
+    */
+  @volatile var lastStateRows: Option[(Long, Long)] = None
+
   /** Run a (bounded) streaming frame to completion through a memory sink
     * and return the materialized result. AvailableNow processes all
     * available input in (possibly many) micro-batches, then stops.
@@ -145,6 +155,10 @@ object Streaming {
           graft.TempDirs.create("graft-ckpt"))
         .start()
       q.awaitTermination()
+      lastStateRows = q.recentProgress.reverseIterator
+        .find(_.stateOperators.nonEmpty)
+        .map(p => (p.stateOperators.map(_.numRowsTotal).sum,
+          p.stateOperators.map(_.numRowsUpdated).sum))
     } finally {
       statePartitions.foreach(_ => spark.conf.set(key, prev))
     }
