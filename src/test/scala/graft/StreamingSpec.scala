@@ -65,6 +65,67 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("events later than the disorder bound are dropped — pinned across batches") {
+    // The 30-min default watermark is a DROP bound, not just a state bound:
+    // an event arriving >30 min behind the stream's high-water mark is
+    // silently discarded by every watermarked stateful operator. Bounded
+    // single-batch AvailableNow runs can never observe this (the watermark
+    // only advances BETWEEN micro-batches), so this test pins the
+    // documented semantics the way production would hit them: late data
+    // delivered in a later micro-batch.
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    // windowed agg (update mode): the late row must not reopen its window
+    val aggMem = MemoryStream[(Long, String, Double)]
+    val aggStream = aggMem.toDF().toDF("sec", "event_type", "value")
+      .withColumn("event_ts", timestamp_seconds(col("sec")))
+    val aggQ = Streaming.dailyTypeCounts(aggStream)
+      .writeStream.format("memory").queryName("late_agg")
+      .outputMode("update")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-late-agg-ckpt").toString)
+      .start()
+    try {
+      aggMem.addData((1000L, "click", 1.0))
+      aggQ.processAllAvailable()
+      // advance the watermark far past day 0 + 30 min
+      aggMem.addData((86400L * 40, "click", 1.0))
+      aggQ.processAllAvailable()
+      // >30-min-late arrival for day 0: dropped, no update emitted
+      aggMem.addData((2000L, "click", 5.0))
+      aggQ.processAllAvailable()
+      assert(aggQ.lastProgress.stateOperators.map(_.numRowsUpdated).sum == 0,
+        "late row must not update any window")
+      val day0 = spark.table("late_agg").filter(col("day_start") === 0)
+        .agg(max(col("n_events"))).head.getLong(0)
+      assert(day0 == 1, s"day-0 window must still count only the on-time row, got $day0")
+    } finally aggQ.stop()
+
+    // within-watermark dedup: a late event vanishes entirely (that is the
+    // bounded-state trade-off dedupEventsWithinWatermark documents)
+    val ddMem = MemoryStream[(Long, Long, String, Double, Long)]
+    val ddStream = ddMem.toDF().toDF("event_id", "user_id", "event_type", "value", "sec")
+      .withColumn("event_ts", timestamp_seconds(col("sec")))
+    val ddQ = Streaming.dedupEventsWithinWatermark(ddStream, disorder = "30 minutes")
+      .writeStream.format("memory").queryName("late_dd")
+      .outputMode("append")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-late-dd-ckpt").toString)
+      .start()
+    try {
+      ddMem.addData((1L, 1L, "click", 1.0, 1000L))
+      ddQ.processAllAvailable()
+      ddMem.addData((2L, 1L, "click", 1.0, 86400L)) // watermark -> 86400-1800
+      ddQ.processAllAvailable()
+      ddMem.addData((3L, 1L, "click", 1.0, 1001L)) // NOT a duplicate, just late
+      ddQ.processAllAvailable()
+      val ids = spark.table("late_dd").select("event_id")
+        .as[Long].collect().toSet
+      assert(ids == Set(1L, 2L),
+        s"late event 3 must be dropped by the watermark, got $ids")
+    } finally ddQ.stop()
+  }
+
   test("streaming dedup of a doubled stream emits each event exactly once") {
     val doubled = Streaming.events(spark, sf).union(Streaming.events(spark, sf))
     val got = Streaming.runToCompletion(Streaming.dedupEvents(doubled), OutputMode.Append())
