@@ -209,6 +209,26 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    // S1's JDBC half (the reference's actual source is RDS over JDBC,
+    // glue_rds_to_redshift.py:28-40): events loaded into an embedded Derby
+    // warehouse, bookmark committed at max/2, then an incremental JDBC
+    // read — the bookmark predicate compiles into the remote WHERE clause
+    // (pushdown pinned in BookmarkSpec) and the delta is range-partitioned
+    // on the key across 4 parallel queries (Glue's hashpartitions).
+    "incremental_scan_jdbc" -> ((s, dir) => {
+      val tmp = graft.TempDirs.create("graft-jdbc-src")
+      val url = s"jdbc:derby:$tmp/db;create=true"
+      val events = Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      events.write.jdbc(url, "events_src", new java.util.Properties())
+      val store = new BookmarkStore(graft.TempDirs.create("graft-bm-jdbc"))
+      val reader = new IncrementalReader(s, dir, store)
+      val firstRunMax = reader.maxKey(events, "event_id").getOrElse(0L)
+      store.commit("events_src", "incr_jdbc", firstRunMax / 2)
+      reader.readJdbc(url, "events_src", "event_id", "incr_jdbc", numPartitions = 4)
+        .orderBy(col("event_id"))
+    }),
+
     // ===== Training-data pipeline extensions (SURVEY.md §7.2 step 5) =====
 
     // Exact dedup: corpus unioned with a re-ingested copy (the reference's
@@ -1834,6 +1854,14 @@ object SparkEntry {
         |) ORDER BY report, report_key, register_date""".stripMargin,
 
     "incremental_scan" ->
+      """SELECT event_id, user_id, event_type, value
+        |FROM events
+        |WHERE event_id > (SELECT CAST(floor(max(event_id) / 2) AS BIGINT) FROM events)
+        |ORDER BY event_id""".stripMargin,
+
+    // same delta as incremental_scan: the JDBC round trip (parquet -> Derby
+    // -> incremental JDBC read) must be value-transparent
+    "incremental_scan_jdbc" ->
       """SELECT event_id, user_id, event_type, value
         |FROM events
         |WHERE event_id > (SELECT CAST(floor(max(event_id) / 2) AS BIGINT) FROM events)

@@ -87,6 +87,33 @@ class BookmarkSpec extends SparkSuite {
     assert(store.get("events", "x").nonEmpty)
   }
 
+  test("bookmark predicate is pushed into the JDBC source (remote WHERE)") {
+    val store = freshStore()
+    val tmp = Files.createTempDirectory("bm-jdbc").toString
+    val url = s"jdbc:derby:$tmp/db;create=true"
+    (1L to 10L).map(i => (i, s"p$i"))
+      .toDF("event_id", "payload")
+      .write.jdbc(url, "t", new java.util.Properties())
+    store.commit("t", "j", 2L)
+    val reader = new IncrementalReader(spark, sf, store)
+    val delta = reader.readJdbc(url, "t", "event_id", "j")
+    val plan = delta.queryExecution.executedPlan.toString
+    // '*' marks the filter as evaluated BY the source: the predicate became
+    // the remote WHERE clause, not a post-transfer Spark filter
+    assert(plan.contains("PushedFilters") && plan.contains("*GreaterThan(event_id,2)"),
+      s"expected source-evaluated JDBC pushdown in plan:\n$plan")
+    assert(delta.select($"event_id").as[Long].collect().sorted.toSeq == (3L to 10L))
+
+    // range-parallel delta read: same rows, one partition per key stride,
+    // lower bound starting at the bookmark (not dead key space below it)
+    val par = reader.readJdbc(url, "t", "event_id", "j", numPartitions = 2)
+    assert(par.rdd.getNumPartitions == 2, "delta must split into range partitions")
+    assert(par.select($"event_id").as[Long].collect().sorted.toSeq == (3L to 10L))
+
+    // full refresh bypasses the bookmark over JDBC too
+    assert(reader.readJdbc(url, "t", "event_id", "j", fullRefresh = true).count() == 10)
+  }
+
   test("bookmark predicate is pushed to the parquet scan") {
     val store = freshStore()
     store.commit("events", "p", 500L)
