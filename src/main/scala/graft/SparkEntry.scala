@@ -1154,7 +1154,12 @@ object SparkEntry {
     // canonicalize to sorted k=v strings for the cross-engine compare.
     "map_functions" -> ((s, dir) => {
       val counts = Tables.events(s, dir)
-        .groupBy(col("user_id"), col("event_type"))
+        // a NULL event_type is a legal input row but an illegal map key
+        // (Spark throws NULL_MAP_KEY): canonicalize to '' BEFORE grouping
+        // so the row keeps counting toward n_types/total instead of either
+        // crashing the query or silently vanishing; the oracle applies the
+        // identical coalesce
+        .groupBy(col("user_id"), coalesce(col("event_type"), lit("")).as("event_type"))
         .agg(count(lit(1)).as("n"))
       counts.groupBy(col("user_id"))
         .agg(map_from_entries(
@@ -2524,7 +2529,9 @@ object SparkEntry {
 
     "map_functions" ->
       """WITH c AS (
-        |  SELECT user_id, event_type, count(*) AS n FROM events GROUP BY 1, 2)
+        |  SELECT user_id, coalesce(event_type, '') AS event_type,
+        |    count(*) AS n
+        |  FROM events GROUP BY 1, 2)
         |SELECT user_id,
         |  CAST(count(*) AS INT) AS n_types,
         |  max(CASE WHEN event_type = 'click' THEN n END) AS n_click,
