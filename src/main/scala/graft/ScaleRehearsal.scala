@@ -171,6 +171,17 @@ object ScaleRehearsal {
         }
         emit("embedding_lsh_11bit", f, ne, candE11, -1, tCandE11)
       }
+      // DEFAULT-parameter families (r4 verdict item 7): the sizing rules
+      // above now ARE the defaults — bits/tables/nlist derived from
+      // corpus.count() — so the linearity claim is measured with no
+      // hand-tuning at all. Candidates must track corpus growth at both
+      // factors or the derivation is wrong.
+      val (candAuto, tCandAuto) = timed {
+        Similarity.hyperplaneCandidatesAuto(emb).count()
+      }
+      emit("embedding_lsh_auto", f, ne, candAuto, -1, tCandAuto)
+      val (vSimAuto, tSimAuto) = timed { Dedup.simhashPairsAuto(docs).count() }
+      emit("simhash_auto", f, nd, -1, vSimAuto, tSimAuto)
 
       // ANN top-5 recall vs brute force for 8 broadcast queries (the
       // sim_ann_topk shape). On weakly-clustered embeddings the per-table

@@ -186,6 +186,16 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** [[simhashPairs]] with the key width derived from the corpus size
+    * ([[Similarity.Sizing.simhashBits]]): the hamming trick's collision
+    * unit is the CHUNK (bits/(maxHamming+1) wide), so chunk width tracks
+    * log2(n) — a fixed 16-bit family's ~5-bit chunks saturate past ~10^5
+    * docs and candidates go quadratic no matter how clean the data is.
+    */
+  def simhashPairsAuto(docs: DataFrame, maxHamming: Int = 2): DataFrame =
+    simhashPairs(docs,
+      Similarity.Sizing.simhashBits(docs.count(), maxHamming), maxHamming)
+
   /** Connected components over near-dup pairs: every doc that appears in
     * a pair gets `cluster_id` = min doc_id of its component (the cluster
     * representative a dedup pipeline keeps). Iterative min-label

@@ -22,6 +22,60 @@ object Similarity {
 
   val Dim = 64
 
+  /** Scale-aware knob derivation — the round-4 rehearsal's measured
+    * operating rules (BASELINE.md) turned into defaults instead of prose.
+    * Fixed knobs stay available (and the declared oracle queries keep
+    * them, so results remain replayable); these derive the knobs from the
+    * corpus size when the caller doesn't know it at authoring time.
+    */
+  object Sizing {
+
+    private def log2(x: Double): Double = math.log(x) / math.log(2.0)
+
+    /** Hash-key width for an n-row corpus: enough bits that expected
+      * bucket occupancy stays ~`perBucket` rows — bits =
+      * ceil(log2(n / perBucket)), the bits~log2(n) rule the rehearsal
+      * measured (a fixed 8-bit family went 101x on a 10x corpus; 11 bits
+      * pulled it back to linear). Clamped to [8, 30]: PolyHash values are
+      * 31-bit, and below 8 bits any real corpus saturates the key space.
+      */
+    def lshBits(n: Long, perBucket: Int = 16): Int = {
+      require(perBucket >= 1, s"perBucket must be positive, got $perBucket")
+      val target = math.ceil(log2(math.max(n, 1L).toDouble / perBucket)).toInt
+      math.min(30, math.max(8, target))
+    }
+
+    /** SimHash width for an n-row corpus at a given hamming budget. The
+      * load-bearing key is the CHUNK (bits / (maxHamming+1) wide — the
+      * hamming trick's collision unit), so the chunk width is what must
+      * track log2(n); total bits = (maxHamming+1) · lshBits(n). The first
+      * auto derivation reused lshBits directly and a 9-bit simhash made
+      * hamming<=2 nearly vacuous — 5.9M "near-dup" pairs at 5k docs where
+      * the 30-bit family verifies 482k (measured, ScaleRehearsal). Floor
+      * 16 keeps the hamming test meaningful on small corpora; cap 30
+      * because PolyHash token hashes are 31-bit.
+      */
+    def simhashBits(n: Long, maxHamming: Int = 2, perBucket: Int = 16): Int =
+      math.min(30, math.max(16, (maxHamming + 1) * lshBits(n, perBucket)))
+
+    /** Table count that keeps the packed first-collision fingerprint in
+      * one 64-bit word: min(requested, 64/bits). Past that point recall
+      * is bought with multi-probe (query-side-only cost,
+      * [[hyperplaneTopKMultiProbe]]) — never with more corpus state.
+      */
+    def lshTables(bits: Int, requested: Int = 8): Int =
+      math.max(1, math.min(requested, 64 / bits))
+
+    /** IVF cell count for an n-row corpus: nlist ≈ n/cellBudget keeps the
+      * probed candidate set ~cellBudget·nprobe rows independent of corpus
+      * size (a fixed nlist makes every cell — and so every probe — grow
+      * linearly with n). Clamped to [2, 4096]: the seed set is collected
+      * to the driver and must stay O(metadata).
+      */
+    def ivfNlist(n: Long, cellBudget: Int = 256): Int =
+      math.max(2, math.min(4096, (math.max(n, 1L) / math.max(cellBudget, 1)).toInt))
+  }
+
   /** Deterministic ±1 hyperplane component for plane j, dimension d
     * (Achlioptas-style sign random projection). Signs — not arbitrary
     * doubles — keep every bucket computation exactly replayable in
@@ -129,6 +183,17 @@ object Similarity {
         col("x.embedding").as("ea"), col("y.embedding").as("eb"))
   }
 
+  /** [[hyperplaneCandidates]] with knobs derived from the corpus size
+    * ([[Sizing]]): one count (metadata-cheap over parquet — row counts
+    * come from footers, no data pages) buys a key space that tracks n,
+    * keeping candidate volume linear where a fixed family would go
+    * quadratic past 2^bits rows.
+    */
+  def hyperplaneCandidatesAuto(emb: DataFrame, requestedTables: Int = 8): DataFrame = {
+    val bits = Sizing.lshBits(emb.count())
+    hyperplaneCandidates(emb, Sizing.lshTables(bits, requestedTables), bits)
+  }
+
   /** IVF-style ANN top-k — the inverted-file complement to the LSH path.
     *
     * Cells are `nlist` deterministic seed centroids (the lowest vec_ids:
@@ -173,6 +238,16 @@ object Similarity {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
     cand.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** [[ivfTopK]] with nlist derived from the corpus size ([[Sizing]]):
+    * cell population stays ~cellBudget rows as the corpus grows, so probe
+    * cost is a constant per query instead of a linear function of n.
+    */
+  def ivfTopKAuto(corpus: DataFrame, queries: DataFrame, k: Int,
+                  nprobe: Int = 4): DataFrame = {
+    val nlist = Sizing.ivfNlist(corpus.count())
+    ivfTopK(corpus, queries, k, nlist, math.min(nprobe, nlist))
   }
 
   /** Hard-negative mining for contrastive training: for each query
