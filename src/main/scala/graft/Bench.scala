@@ -73,9 +73,17 @@ object Bench {
     val sfDir = opts("SPARK_GRAFT_SF_DIR")
     val cpus = opts("SPARK_GRAFT_CPUS")
     val warmRuns = opts("SPARK_GRAFT_WARM").toInt.max(0)
-    val benchOut = opts("SPARK_GRAFT_BENCH_OUT")
     val only = Option(opts("SPARK_GRAFT_ONLY")).filter(_.nonEmpty)
       .map(_.split(",").map(_.trim).toSet)
+    // A filtered A/B run must not clobber the committed full-suite report:
+    // unless the caller picked an output path explicitly, partial runs land
+    // in an uncommitted scratch file.
+    val benchOutExplicit =
+      JobArgs.parse(args.toSeq).contains("SPARK_GRAFT_BENCH_OUT") ||
+        sys.env.contains("SPARK_GRAFT_BENCH_OUT")
+    val benchOut =
+      if (only.isDefined && !benchOutExplicit) "BENCH_LOCAL_partial.json"
+      else opts("SPARK_GRAFT_BENCH_OUT")
     val streamMinWarm = 3 // median needs >= 3 samples to mean anything
     val spark = graft.GraftSession.builder(s"local[$cpus]", cpus.toInt)
       .getOrCreate()

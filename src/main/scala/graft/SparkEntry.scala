@@ -303,6 +303,15 @@ object SparkEntry {
       Dedup.embeddingPairs(Tables.embeddings(s, dir), 0.3, bucketed = true)
         .orderBy(col("id_a"), col("id_b"))),
 
+    // SemDeDup-style semantic near-dup pairs: k-means clusters as the
+    // candidate prefilter (same deterministic 2-round/8-centroid family as
+    // kmeans_assign), exact cosine only within a cluster — the published
+    // alternative to dedup_embedding's LSH buckets. One shuffle on the
+    // cluster id; quadratic work bounded per-cluster.
+    "dedup_semantic" -> ((s, dir) =>
+      Dedup.semanticPairs(Tables.embeddings(s, dir), 0.3, k = 8, iters = 2)
+        .orderBy(col("id_a"), col("id_b"))),
+
     // Deterministic Lloyd k-means (2 rounds, 8 seed centroids): map-only
     // argmax assignment against driver-literal centroids; the mean update
     // shuffles k×d partial sums per partition, never vectors.
@@ -2013,6 +2022,14 @@ object SparkEntry {
       s"""WITH $kmeansCtes
          |SELECT vec_id, c AS cluster, round(cs, 6) AS cosine FROM a2
          |ORDER BY vec_id""".stripMargin,
+
+    "dedup_semantic" ->
+      s"""WITH $kmeansCtes
+         |SELECT * FROM (
+         |  SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+         |    round(${Oracles.cosine("x.v", "y.v", 64)}, 6) AS cosine
+         |  FROM a2 x JOIN a2 y ON x.c = y.c AND x.vec_id < y.vec_id)
+         |WHERE cosine >= 0.3 ORDER BY id_a, id_b""".stripMargin,
 
     "hard_negatives" ->
       s"""WITH $kmeansCtes,

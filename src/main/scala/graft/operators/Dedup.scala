@@ -266,6 +266,48 @@ object Dedup {
     }
   }
 
+  /** Semantic near-dup pairs, SemDeDup-style (Abbas et al. 2023,
+    * arXiv:2303.09540): k-means-cluster the embeddings, then compare pairs
+    * only WITHIN a cluster — the clustering is the candidate prefilter, the
+    * published alternative to [[embeddingPairs]]'s LSH buckets for
+    * embedding-space dedup.
+    *
+    * Scale shape: assignment is [[KMeans]]'s map-only argmax against
+    * driver-literal centroids; the pair join shuffles once on the cluster
+    * id, and the only quadratic work is within-cluster, bounded at
+    * sum(|cluster|^2). With k ~ n / cellBudget (the [[Similarity.Sizing]]
+    * IVF rule — centroids stay O(k*d) driver metadata) expected cluster
+    * population is constant, so candidate pairs stay LINEAR in corpus
+    * size. The recall trade vs LSH is structural, not a tuning knob: a
+    * near-dup pair straddling a cluster boundary is invisible here (LSH
+    * gives each pair `tables` independent chances), in exchange for
+    * candidates that never degenerate on key-family saturation — the
+    * failure mode the round-4 rehearsal measured for under-sized LSH bits.
+    * Skewed clusters (one topic dominating the corpus) re-quadratize the
+    * within-cluster term: raise k, or sub-split hot cells (IVF's nlist
+    * rule), before reaching for AQE skew handling — the skew here is
+    * semantic, known before the join runs.
+    *
+    * Output matches [[embeddingPairs]]: (id_a, id_b, cosine-rounded-6),
+    * pairs with cosine >= `threshold`; id_a < id_b.
+    */
+  def semanticPairs(emb: DataFrame, threshold: Double, k: Int = 8,
+                    iters: Int = 2): DataFrame = {
+    // norms hoisted out of the within-cluster pair loop, as in the brute
+    // path of embeddingPairs (bit-identical fold order to cosineSimilarity)
+    val a = KMeans.assignFull(emb, k, iters)
+      .select(col("cluster"), col("vec_id"), col("embedding"),
+        l2_fast(col("embedding")).as("nrm"))
+    a.as("x").join(a.as("y"),
+        col("x.cluster") === col("y.cluster") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"),
+        round(when(col("x.nrm") * col("y.nrm") === 0.0, lit(0.0))
+          .otherwise(dot_fast(col("x.embedding"), col("y.embedding"))
+            / (col("x.nrm") * col("y.nrm"))), 6).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
   /** Train/eval contamination pairs: (train doc, benchmark doc) sharing
     * at least `minShared` distinct hashed character `n`-grams — the
     * decontamination sweep a training pipeline runs so eval-set text is

@@ -134,6 +134,41 @@ class DedupSpec extends SparkSuite {
     assert(brutePlan.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("semantic pairs: subset of brute force with identical cosines; co-clustered planted dup found") {
+    // 10 vectors in two well-separated directions plus one orthogonal-ish
+    // outlier, so 2-means puts the planted near-dups in one cluster
+    val emb = ((1 to 4).map(i => (i.toLong, Seq.fill(64)(1.0f - i * 0.001f))) ++
+      (5 to 8).map(i => (i.toLong, (0 until 64).map(d => if (d % 2 == 0) 1.0f else -1.0f + i * 0.001f))) :+
+      (9L, (0 until 64).map(_.toFloat / 64))
+    ).toDF("vec_id", "embedding")
+    val sem = Dedup.semanticPairs(emb, 0.99, k = 2, iters = 2)
+      .as[(Long, Long, Double)].collect().toSet
+    val brute = Dedup.embeddingPairs(emb, 0.99)
+      .as[(Long, Long, Double)].collect().toSet
+    // precision is exact (same cosine kernel, same rounding): sem <= brute,
+    // and the only misses are cross-cluster pairs
+    assert(sem.subsetOf(brute))
+    assert(sem.exists { case (a, b, _) => a == 1L && b == 2L })
+    val cluster = graft.operators.KMeans.assign(emb, 2, 2)
+      .select("vec_id", "cluster").as[(Long, Int)].collect().toMap
+    val missed = brute -- sem
+    assert(missed.forall { case (a, b, _) => cluster(a) != cluster(b) },
+      s"a within-cluster pair was missed: $missed")
+  }
+
+  test("semantic pairs plan: no nested-loop join — the pair join is an equi-join on cluster") {
+    val emb = Seq(
+      (1L, Seq.fill(64)(1.0f)),
+      (2L, Seq.fill(64)(0.5f)),
+      (3L, (0 until 64).map(_.toFloat / 64))
+    ).toDF("vec_id", "embedding")
+    val plan = Dedup.semanticPairs(emb, 0.3, k = 2, iters = 1)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      "cluster prefilter must make the pair join an equi-join")
+  }
+
   test("crossOverlapPairs: contaminated train doc found, clean ones not") {
     val train = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"), // contains bench text
