@@ -312,6 +312,14 @@ object SparkEntry {
       Dedup.semanticPairs(Tables.embeddings(s, dir), 0.3, k = 8, iters = 2)
         .orderBy(col("id_a"), col("id_b"))),
 
+    // Window-hash exact-substring dedup signal (Lee et al. 2022): per-doc
+    // fraction of tokens inside an 8-token window whose rolling hash occurs
+    // in >= 2 distinct docs. Codegen'd O(n) span hashing, one span-hash
+    // shuffle, interval-merged coverage (never explodes span positions).
+    "dedup_spans" -> ((s, dir) =>
+      Dedup.duplicatedSpanCoverage(Tables.documents(s, dir), spanLen = 8)
+        .orderBy(col("doc_id"))),
+
     // Deterministic Lloyd k-means (2 rounds, 8 seed centroids): map-only
     // argmax assignment against driver-literal centroids; the mean update
     // shuffles k×d partial sums per partition, never vectors.
@@ -2030,6 +2038,35 @@ object SparkEntry {
          |    round(${Oracles.cosine("x.v", "y.v", 64)}, 6) AS cosine
          |  FROM a2 x JOIN a2 y ON x.c = y.c AND x.vec_id < y.vec_id)
          |WHERE cosine >= 0.3 ORDER BY id_a, id_b""".stripMargin,
+
+    "dedup_spans" -> {
+      val L = 8
+      s"""WITH toks AS (
+         |  SELECT doc_id, list_transform(${Oracles.tokens("text")}, w -> ${Oracles.polyHash("w")}) AS th
+         |  FROM documents),
+         |sp0 AS (
+         |  SELECT doc_id, len(th) AS n_tokens, th,
+         |    unnest(range(1, len(th) - ${L - 2})) AS i
+         |  FROM toks),
+         |sp AS (
+         |  SELECT doc_id, n_tokens, i,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_slice(th, i, i + ${L - 1})),
+         |      (acc, h) -> (acc*31 + h) % ${Oracles.P}) AS span_hash
+         |  FROM sp0),
+         |dup AS (SELECT span_hash FROM sp GROUP BY span_hash HAVING count(DISTINCT doc_id) >= 2),
+         |ds AS (SELECT sp.doc_id, sp.n_tokens, sp.i AS s, sp.i + ${L - 1} AS e
+         |       FROM sp JOIN dup USING (span_hash)),
+         |m AS (SELECT doc_id, n_tokens, s, e,
+         |        max(e) OVER (PARTITION BY doc_id ORDER BY s
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_e
+         |      FROM ds),
+         |cov AS (SELECT doc_id, n_tokens,
+         |          sum(greatest(0, e - greatest(s - 1, coalesce(prev_e, 0)))) AS dup_tokens
+         |        FROM m GROUP BY doc_id, n_tokens)
+         |SELECT doc_id, n_tokens, CAST(dup_tokens AS BIGINT) AS dup_tokens,
+         |  round(CAST(dup_tokens AS DOUBLE) / n_tokens, 6) AS dup_frac
+         |FROM cov ORDER BY doc_id""".stripMargin
+    },
 
     "hard_negatives" ->
       s"""WITH $kmeansCtes,

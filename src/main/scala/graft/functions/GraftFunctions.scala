@@ -149,6 +149,20 @@ object GraftFunctions {
   def tokenHashes(c: Column): Column =
     Bridge.column(TokenHashesExpr(Bridge.expression(c.cast(StringType))))
 
+  /** Rolling hash of every `spanLen`-token window of a token-hash array
+    * ([[SpanHashesExpr]]): one codegen'd O(n) pass; composed O(n*L)
+    * cross-check below.
+    */
+  def spanHashes(th: Column, spanLen: Int): Column =
+    Bridge.column(SpanHashesExpr(Bridge.expression(th), spanLen))
+
+  def spanHashesComposed(th: Column, spanLen: Int): Column =
+    when(size(th) >= spanLen,
+      transform(sequence(lit(1), size(th) - (spanLen - 1)),
+        i => aggregate(slice(th, i, lit(spanLen)), lit(0L),
+          (acc, h) => (acc * 31 + h) % PolyHash.P)))
+      .otherwise(array().cast(ArrayType(LongType, containsNull = false)))
+
   /** SimHash of a text column: [[TokenHashesExpr]] -> [[SimHashExpr]] in
     * one codegen'd pipeline.
     */

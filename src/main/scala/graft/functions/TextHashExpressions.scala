@@ -172,6 +172,54 @@ object TokenNgramsExpr {
   }
 }
 
+/** [[PolyHash]]-style rolling hash of every `spanLen`-token window of a
+  * token-hash array, stride 1 (== transform(sequence(1, n-spanLen+1),
+  * i => aggregate(slice(th, i, spanLen), 0L, (acc,h) => (acc*31+h) % P))).
+  * Fewer than `spanLen` tokens yields an empty array.
+  *
+  * One O(n) pass: window i+1 drops token i via the precomputed
+  * 31^(spanLen-1) mod P term instead of re-folding the slice, so the cost
+  * is independent of the span length — the composed HOF form is O(n*L)
+  * AND CodegenFallback. All intermediates stay below 2^62 (P = 2^31-1).
+  */
+case class SpanHashesExpr(child: Expression, spanLen: Int) extends UnaryExpression {
+  require(spanLen >= 1)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    SpanHashesExpr.compute(input.asInstanceOf[ArrayData], spanLen)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SpanHashesExpr.compute($c, $spanLen)")
+  override protected def withNewChildInternal(newChild: Expression): SpanHashesExpr =
+    copy(child = newChild)
+  override def prettyName: String = "span_hashes"
+}
+
+object SpanHashesExpr {
+  def compute(tokenHashes: ArrayData, spanLen: Int): ArrayData = {
+    val p = PolyHash.P
+    val n = tokenHashes.numElements()
+    val m = n - spanLen + 1
+    if (m <= 0) return new GenericArrayData(Array.empty[Any])
+    // 31^(spanLen-1) mod P: the weight of the departing leading token
+    var pow = 1L
+    var i = 1
+    while (i < spanLen) { pow = (pow * 31) % p; i += 1 }
+    val out = new Array[Any](m)
+    var h = 0L
+    var j = 0
+    while (j < spanLen) { h = (h * 31 + tokenHashes.getLong(j)) % p; j += 1 }
+    out(0) = h
+    var s = 1
+    while (s < m) {
+      val drop = (tokenHashes.getLong(s - 1) * pow) % p
+      h = (((h - drop + p) % p) * 31 + tokenHashes.getLong(s + spanLen - 1)) % p
+      out(s) = h
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
 /** SimHash over a token-hash array (== GraftFunctions.simhash composed
   * column): bit b set iff sum over tokens of (2*((h>>b)&1) - 1) > 0.
   */

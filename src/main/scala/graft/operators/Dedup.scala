@@ -308,6 +308,52 @@ object Dedup {
       .filter(col("cosine") >= threshold)
   }
 
+  /** Per-document duplicated-span coverage — the window-hash approximation
+    * of exact-substring dedup (Lee et al. 2022, arXiv:2107.06499): a token
+    * window of length `spanLen` is "duplicated" when its rolling hash
+    * occurs in >= 2 DISTINCT documents, and a document's coverage is the
+    * number of its token positions inside at least one duplicated window.
+    * Output: (doc_id, n_tokens, dup_tokens, dup_frac), docs with
+    * dup_tokens > 0 — the per-doc signal the paper thresholds on to drop
+    * or trim boilerplate-heavy documents.
+    *
+    * Scale shape: span hashing is a map-only codegen'd O(n_tokens) pass
+    * ([[graft.functions.SpanHashesExpr]] — rolling removal, not a re-fold
+    * per window); the duplicated-hash set is one partial-aggregated
+    * groupBy shuffle of O(total tokens) narrow (hash, doc) rows; the join
+    * back is an equi-join on the span hash (AQE-skew-safe: a boilerplate
+    * span shared by millions of docs is one hot key, not a cross
+    * product). Coverage NEVER explodes the spanLen positions per span:
+    * overlapping windows are union-merged with the interval trick (running
+    * max of span end over a per-doc window ordered by start — the
+    * [[graft.SparkEntry]] interval_merge pattern), so the post-join state
+    * is one row per duplicated window, not spanLen.
+    */
+  def duplicatedSpanCoverage(docs: DataFrame, spanLen: Int): DataFrame = {
+    require(spanLen >= 2)
+    import org.apache.spark.sql.expressions.Window
+    val spans = docs
+      .select(col("doc_id"), tokenHashes(col("text")).as("th"))
+      .select(col("doc_id"), size(col("th")).cast("long").as("n_tokens"),
+        posexplode(spanHashes(col("th"), spanLen)).as(Seq("pos", "span_hash")))
+    val dupHashes = spans.groupBy(col("span_hash"))
+      .agg(count_distinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2).select("span_hash")
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    spans.join(dupHashes, Seq("span_hash"))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("pos") + 1).as("s"), (col("pos") + spanLen).as("e"))
+      .withColumn("prev_e", max(col("e")).over(w))
+      .groupBy(col("doc_id"), col("n_tokens"))
+      .agg(sum(greatest(lit(0), col("e") -
+        greatest(col("s") - 1, coalesce(col("prev_e"), lit(0)))))
+        .as("dup_tokens"))
+      .select(col("doc_id"), col("n_tokens"), col("dup_tokens"),
+        round(col("dup_tokens").cast("double") / col("n_tokens"), 6)
+          .as("dup_frac"))
+  }
+
   /** Train/eval contamination pairs: (train doc, benchmark doc) sharing
     * at least `minShared` distinct hashed character `n`-grams — the
     * decontamination sweep a training pipeline runs so eval-set text is

@@ -169,6 +169,25 @@ class DedupSpec extends SparkSuite {
       "cluster prefilter must make the pair join an equi-join")
   }
 
+  test("duplicated span coverage: cross-doc runs found and merged; within-doc repeats ignored") {
+    val docs = Seq(
+      (1L, "a1 a2 a3 a4 a5 x1 x2 x3 x4 x5 x6 x7 x8 b1 b2"), // shared 8-run mid-doc
+      (2L, "c1 c2 x1 x2 x3 x4 x5 x6 x7 x8 d1"),
+      (3L, "e1 e2 e3 e4 e5 e6 e7 e8 e9"), // unique -> absent
+      (4L, "f1 f2 f3 f4 f5 f6 f7 f8 f1 f2 f3 f4 f5 f6 f7 f8"), // repeats only within one doc -> absent
+      (5L, "y1 y2 y3 y4 y5 y6 y7 y8 y9 z1"), // 9-run shared with doc 6:
+      (6L, "w1 y1 y2 y3 y4 y5 y6 y7 y8 y9")  // two overlapping windows merge, not double-count
+    ).toDF("doc_id", "text")
+    val out = Dedup.duplicatedSpanCoverage(docs, 8)
+      .orderBy("doc_id").as[(Long, Long, Long, Double)].collect()
+    assert(out.map(_._1).toSeq == Seq(1L, 2L, 5L, 6L))
+    val m = out.map(r => r._1 -> r).toMap
+    assert(m(1L)._2 == 15L && m(1L)._3 == 8L)
+    assert(m(2L)._2 == 11L && m(2L)._3 == 8L)
+    assert(m(2L)._4 == math.rint(8.0 / 11 * 1e6) / 1e6)
+    assert(m(5L)._3 == 9L && m(6L)._3 == 9L)
+  }
+
   test("crossOverlapPairs: contaminated train doc found, clean ones not") {
     val train = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"), // contains bench text

@@ -92,6 +92,23 @@ class FunctionsSpec extends SparkSuite {
     assert(mismatch == 0)
   }
 
+  test("codegen'd span_hashes equals the composed formulation; edge cases") {
+    val docs = Tables.documents(spark, sf).limit(100)
+    for (l <- Seq(2, 5, 8)) {
+      val mismatch = docs.select(
+        spanHashes(tokenHashes(col("text")), l).as("fast"),
+        spanHashesComposed(tokenHashes(col("text")), l).as("ref"))
+        .filter(col("fast") =!= col("ref")).count()
+      assert(mismatch == 0, s"spanLen=$l")
+    }
+    // fewer tokens than the span -> empty; exactly the span -> one hash,
+    // equal to the full-array poly fold
+    val rows = Seq("a b", "a b c").toDF("text")
+      .select(spanHashes(tokenHashes(col("text")), 3).as("g"))
+      .as[Seq[Long]].collect()
+    assert(rows(0).isEmpty && rows(1).size == 1)
+  }
+
   test("codegen'd token_ngrams equals the composed formulation; edge cases") {
     val docs = Tables.documents(spark, sf).limit(100)
     for (n <- Seq(1, 2, 3)) {
