@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{Dedup, KMeans, Similarity}
 
 /** Scale rehearsal for the dedup/similarity family (r3 VERDICT item 7).
   *
@@ -221,6 +221,55 @@ object ScaleRehearsal {
       }
       println(s"""{"family":"ann_ivf_16c4p","factor":$f,"n":$ne,""" +
         s""""recall_vs_brute":$recallIvf,"sec":$tIvf}""")
+
+      // Duplicated-span coverage (dedup_spans): the span-hash pass is
+      // O(total tokens) by construction, so the scale question is the
+      // join back to the >=2-doc hash set. The Caesar copies are
+      // bijections on token hashes — cross-copy span collisions are
+      // ~zero — so BOTH candidate rows (span occurrences landing in
+      // duplicated hashes) and output docs must track corpus growth
+      // linearly; a super-linear candidate count would mean the span
+      // key space is saturating (same failure mode as the 8-bit LSH).
+      import graft.functions.GraftFunctions.{tokenHashes, spanHashes}
+      val spanRows = docs.select(col("doc_id"),
+        explode(spanHashes(tokenHashes(col("text")), 8)).as("span_hash"))
+      val (candSpan, tCandSpan) = timed {
+        val dupHashes = spanRows.groupBy(col("span_hash"))
+          .agg(count_distinct(col("doc_id")).as("nd"))
+          .filter(col("nd") >= 2).select("span_hash")
+        spanRows.join(dupHashes, Seq("span_hash")).count()
+      }
+      val (spanDocs, tSpan) = timed {
+        Dedup.duplicatedSpanCoverage(docs, 8).count()
+      }
+      emit("span_coverage", f, nd, candSpan, spanDocs, tCandSpan + tSpan)
+
+      // Semantic dedup (SemDeDup-style k-means prefilter): candidates are
+      // within-cluster pairs, sum over clusters of C(sz,2). With FIXED k
+      // the cells grow with n and candidates go quadratic — k is the
+      // nlist-family sizing knob and must scale ~n/cellBudget. Measure
+      // fixed k=8 at both factors (documents the failure) and a scaled k
+      // at 10x (the operating rule). Threshold 0.6 (~4.8 sigma at d=64)
+      // keeps the verified output itself off the random-cosine floor.
+      def semCandidates(k: Int): Long =
+        KMeans.assignFull(emb, k, iters = 2)
+          .groupBy(col("cluster")).count()
+          .agg(sum(col("count") * (col("count") - 1)).cast("long"))
+          .head.getLong(0) / 2
+      val (candSemF, tCandSemF) = timed(semCandidates(8))
+      val (verSemF, tVerSemF) = timed {
+        Dedup.semanticPairs(emb, 0.6, k = 8, iters = 2).count()
+      }
+      emit("semantic_k8_t06", f, ne, candSemF, verSemF, tCandSemF + tVerSemF)
+      if (f > 1) {
+        val kScaled = 8 * f
+        val (candSemS, tCandSemS) = timed(semCandidates(kScaled))
+        val (verSemS, tVerSemS) = timed {
+          Dedup.semanticPairs(emb, 0.6, k = kScaled, iters = 2).count()
+        }
+        emit(s"semantic_k${kScaled}_t06", f, ne, candSemS, verSemS,
+          tCandSemS + tVerSemS)
+      }
     }
     spark.stop()
   }
