@@ -320,6 +320,15 @@ object SparkEntry {
       Dedup.duplicatedSpanCoverage(Tables.documents(s, dir), spanLen = 8)
         .orderBy(col("doc_id"))),
 
+    // Winnowing fingerprints (MOSS, Schleimer et al. 2003): min-of-window
+    // selection over the same span-hash kernel as dedup_spans keeps
+    // ~2/(window+1) of spans; df-pruned fingerprint equi-join; overlap =
+    // shared / min(|fp_a|, |fp_b|) over the pruned sets.
+    "dedup_winnow" -> ((s, dir) =>
+      Dedup.winnowPairs(Tables.documents(s, dir), spanLen = 8, window = 4,
+        minShared = 2, maxDf = 50)
+        .orderBy(col("id_a"), col("id_b"))),
+
     // Deterministic Lloyd k-means (2 rounds, 8 seed centroids): map-only
     // argmax assignment against driver-literal centroids; the mean update
     // shuffles k×d partial sums per partition, never vectors.
@@ -730,6 +739,18 @@ object SparkEntry {
         .groupBy(col("event_type"), col("split"))
         .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"))
         .orderBy(col("event_type"), col("split"))),
+
+    // Leakage-safe split: the split key is the near-dup cluster
+    // representative (min-label propagation over the LSH pairs), so a
+    // test doc's near-duplicates can never land in train — cross-split
+    // near-dup pairs are zero by construction, not by luck.
+    "leakage_split" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).filter(col("doc_id") % 10 === 0)
+      Sampling.leakageSafeSplit(docs,
+        Dedup.minhashLshPairs(docs, n = 3, k = 16, bands = 4, threshold = 0.6),
+        trainPct = 0.8)
+        .orderBy(col("doc_id"))
+    }),
 
     // Stratified sampling: per-class keep rates off the same portable
     // hash (downsample dominant classes, keep rare ones whole).

@@ -354,6 +354,61 @@ object Dedup {
           .as("dup_frac"))
   }
 
+  /** Winnowing fingerprint near-dup pairs (Schleimer/Wilkerson/Aiken 2003,
+    * the MOSS local fingerprinting algorithm): every token window of
+    * `spanLen` gets a rolling hash (the [[duplicatedSpanCoverage]] kernel),
+    * and from each run of `window` consecutive span hashes the MINIMUM is
+    * selected as a fingerprint — the winnowing guarantee is that any shared
+    * substring of `spanLen + window - 1` tokens contributes at least one
+    * shared fingerprint, while only ~2/(window+1) of spans are kept.
+    * Output: (id_a, id_b, shared_fps, overlap) for pairs sharing at least
+    * `minShared` distinct fingerprints, `overlap` = shared / min fingerprint
+    * count of the pair (the MOSS containment score), rounded to 6.
+    *
+    * Scale shape: span hashing is the same map-only codegen'd O(n_tokens)
+    * pass as [[duplicatedSpanCoverage]]; the min-select is a per-doc sliding
+    * window (one shuffle on doc_id, O(window) work per position); the
+    * fingerprint set is ~2/(window+1) the span count, so the join shuffle
+    * moves a FRACTION of the token volume. Fingerprints in more than
+    * `maxDf` docs (boilerplate) are dropped before the pair join — the same
+    * df-bound that keeps [[ngramJaccardPairsPruned]]'s fan-out linear: the
+    * pair count is bounded by sum(df^2) <= maxDf * total_fps. Overlap is
+    * computed over the PRUNED fingerprint sets.
+    */
+  def winnowPairs(docs: DataFrame, spanLen: Int, window: Int,
+                  minShared: Int, maxDf: Int): DataFrame = {
+    require(spanLen >= 2 && window >= 1 && minShared >= 1 && maxDf >= 1)
+    val spans = docs
+      .select(col("doc_id"),
+        spanHashes(tokenHashes(col("text")), spanLen).as("sh"))
+      .select(col("doc_id"), size(col("sh")).as("n_spans"),
+        posexplode(col("sh")).as(Seq("pos", "span_hash")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(0, window - 1)
+    // trailing positions with fewer than `window` spans ahead are not
+    // window starts — drop them so every fingerprint is a full-window min
+    val fps = spans
+      .withColumn("fp", min(col("span_hash")).over(w))
+      .filter(col("pos") <= col("n_spans") - window)
+      .select(col("doc_id"), col("fp")).distinct()
+    val kept = fps.join(
+      fps.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+        .filter(col("df") <= maxDf).select("fp"),
+      Seq("fp"))
+    val nfp = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("n_fp"))
+    kept.as("x").join(kept.as("y"),
+        col("x.fp") === col("y.fp") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("shared_fps"))
+      .filter(col("shared_fps") >= minShared)
+      .join(nfp.select(col("doc_id").as("id_a"), col("n_fp").as("n_fp_a")), "id_a")
+      .join(nfp.select(col("doc_id").as("id_b"), col("n_fp").as("n_fp_b")), "id_b")
+      .select(col("id_a"), col("id_b"), col("shared_fps"),
+        round(col("shared_fps").cast("double") /
+          least(col("n_fp_a"), col("n_fp_b")), 6).as("overlap"))
+  }
+
   /** Train/eval contamination pairs: (train doc, benchmark doc) sharing
     * at least `minShared` distinct hashed character `n`-grams — the
     * decontamination sweep a training pipeline runs so eval-set text is

@@ -50,6 +50,30 @@ object Sampling {
       when(hashBucket(key, buckets) < math.round(trainPct * buckets), lit("train"))
         .otherwise(lit("test")))
 
+  /** Leakage-safe train/test split: near-dup cluster members ALWAYS land
+    * in the same split. A plain per-doc hash split leaks evaluation data —
+    * a near-duplicate of a test document lands in train with probability
+    * trainPct, so the model has effectively seen the test set. Here the
+    * split key is the CLUSTER representative ([[Dedup.nearDupClusters]]'s
+    * min-doc-id label over the near-dup `pairs`; singleton docs are their
+    * own representative), so the whole component moves together and
+    * cross-split near-dup pairs are zero by construction.
+    *
+    * Scale shape: clustering is the label-propagation already bounded in
+    * [[Dedup.nearDupClusters]] (node-sized state, O(log diameter) rounds);
+    * the label join is one equi-join shuffle on doc_id (the pairs side
+    * only has rows for docs IN a pair — the 100 TB corpus's singleton
+    * majority short-circuits through the coalesce); the split itself is
+    * the same map-only portable hash as [[trainTestSplit]].
+    */
+  def leakageSafeSplit(docs: DataFrame, pairs: DataFrame, trainPct: Double,
+                       buckets: Int = 1000): DataFrame =
+    trainTestSplit(
+      docs.select(col("doc_id"))
+        .join(Dedup.nearDupClusters(pairs), Seq("doc_id"), "left")
+        .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id"))),
+      col("cluster_id"), trainPct, buckets)
+
   /** Deterministic fixed-k per-group sample (a "frozen reservoir"):
     * rank each group's rows by the mixed portable hash of `key` (ties
     * broken by the key) and keep the first `k`. Distributionally a
