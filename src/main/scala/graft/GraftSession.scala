@@ -11,9 +11,11 @@ import graft.operators.ParallelReports
   *  - AQE on: runtime shuffle-partition coalescing + skew-join splitting
   *  - FAIR scheduler + the reference-equivalent pool allocation file, so
   *    [[graft.operators.ParallelReports]] pool pinning is live (SURVEY §2 S11)
-  *  - nanosAsLong: the testdata `events.ts` column is parquet
-  *    TIMESTAMP(NANOS), which Spark 4 only reads as a long; event-time ops
-  *    convert explicitly (see [[graft.operators]] users)
+  *  - UTC session timezone: the testdata `events.ts` column is parquet
+  *    TIMESTAMP(MICROS) without timezone (read as TIMESTAMP_NTZ); pinning
+  *    UTC makes `unix_timestamp` epoch math agree with the DuckDB oracle's
+  *    `epoch(ts)` regardless of host timezone. All second-derivation goes
+  *    through [[Tables.eventSeconds]].
   */
 object GraftSession {
   def builder(master: String, shufflePartitions: Int): SparkSession.Builder = {
@@ -25,7 +27,6 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     ParallelReports.fairConfig.foldLeft(b) { case (bb, (k, v)) => bb.config(k, v) }
   }
 }

@@ -645,7 +645,7 @@ object SparkEntry {
       import s.implicits._
       val ev = Streaming.events(s, dir)
         .select(col("user_id"), col("event_id"), col("event_type"),
-          expr("ts DIV 1000000000").as("tss"))
+          Tables.eventSeconds.as("tss"))
         .as[Streaming.PatternEvent]
       Streaming.runToCompletion(
         Streaming.matchPattern(ev, Seq("click", "view", "purchase"), 86400).toDF(),
@@ -686,7 +686,7 @@ object SparkEntry {
     // and aggregation; same session semantics as stream_sessions.
     "session_stats" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
-        .select(col("user_id"), col("event_id"), expr("ts DIV 1000000000").as("tss"))
+        .select(col("user_id"), col("event_id"), Tables.eventSeconds.as("tss"))
       Sessionize.batch(ev, 1800)
         .groupBy(col("n_events"))
         .agg(count(lit(1)).as("n_sessions"),
@@ -700,7 +700,7 @@ object SparkEntry {
     // no window sort over the full log.
     "cdc_latest" -> ((s, dir) => {
       val ch = Tables.events(s, dir)
-        .select(col("user_id"), expr("ts DIV 1000000000").as("tss"),
+        .select(col("user_id"), Tables.eventSeconds.as("tss"),
           col("event_id"), col("event_type"), col("value"))
       Cdc.latest(ch, Seq("user_id"), Seq("tss", "event_id"),
           isDelete = Some(col("event_type") === "error"))
@@ -714,7 +714,7 @@ object SparkEntry {
     // consecutive duplicates collapsed; one shuffle on the key.
     "scd2_build" -> ((s, dir) => {
       val ch = Tables.events(s, dir)
-        .select(col("user_id"), expr("ts DIV 1000000000").as("tss"),
+        .select(col("user_id"), Tables.eventSeconds.as("tss"),
           col("event_id"), col("event_type"))
       Cdc.scd2(ch, Seq("user_id"), "tss", "event_id", Seq("event_type"))
         .orderBy(col("user_id"), col("valid_from"))
@@ -726,7 +726,7 @@ object SparkEntry {
     // driver calendar loop.
     "gap_fill" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
-        .select(col("user_id"), expr("ts DIV 1000000000").as("tss"), col("value"))
+        .select(col("user_id"), Tables.eventSeconds.as("tss"), col("value"))
       Resample.gapFill(ev, "user_id", "tss", "value", 86400L)
         .orderBy(col("user_id"), col("bucket"))
     }),
@@ -769,7 +769,7 @@ object SparkEntry {
     // never a nested-loop; exact containment post-filter; per-incident agg.
     "range_join" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
-        .select(col("event_id"), expr("ts DIV 1000000000").as("sec"), col("value"))
+        .select(col("event_id"), Tables.eventSeconds.as("sec"), col("value"))
       val incidents = ev
         .orderBy(col("value").desc, col("event_id"))
         .limit(50)
@@ -786,15 +786,15 @@ object SparkEntry {
     // cross-join).
     "asof_join" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
-        .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
-      val signups = ev.filter(col("event_type") === "signup")
-      AsOfJoin.asOf(ev, signups, "user_id", "ts", "ts",
-        payload = Seq("event_id", "ts"), prefix = "signup_")
         .select(col("event_id"), col("user_id"), col("event_type"),
-          col("signup_event_id"),
-          // joined on full nanos; emitted at micros, the precision DuckDB
-          // reads TIMESTAMP(NANOS) parquet at
-          expr("signup_ts DIV 1000").as("signup_ts_us"))
+          // join at the full stored precision (micros), matching the
+          // oracle's epoch_us(ts)
+          Tables.eventMicros.as("ts_us"))
+      val signups = ev.filter(col("event_type") === "signup")
+      AsOfJoin.asOf(ev, signups, "user_id", "ts_us", "ts_us",
+        payload = Seq("event_id", "ts_us"), prefix = "signup_")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("signup_event_id"), col("signup_ts_us"))
         .orderBy(col("event_id"))
     }),
 
@@ -913,13 +913,13 @@ object SparkEntry {
     "pattern_funnel" -> ((s, dir) =>
       graft.operators.Patterns.sequenceMatches(
         Tables.events(s, dir).select(col("user_id"), col("event_id"),
-          col("event_type"), expr("ts DIV 1000000000").as("tss")),
+          col("event_type"), Tables.eventSeconds.as("tss")),
         pattern = Seq("click", "view", "purchase"), withinSec = 86400)
         .orderBy(col("user_id"))),
 
     "funnel_steps" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
-        .select(col("user_id"), col("event_type"), expr("ts DIV 1000000000").as("tss"))
+        .select(col("user_id"), col("event_type"), Tables.eventSeconds.as("tss"))
       ev.groupBy(col("user_id"))
         .agg(min(when(col("event_type") === "view", col("tss"))).as("t_view"),
           min(when(col("event_type") === "click", col("tss"))).as("t_click"),
@@ -963,7 +963,7 @@ object SparkEntry {
     "retention_cohorts" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
         .select(col("user_id"), col("event_type"),
-          expr("(ts DIV 1000000000) DIV 604800").as("week"))
+          floor(Tables.eventSeconds / 604800L).cast("long").as("week"))
       val cohort = ev.where(col("event_type") === "signup")
         .groupBy(col("user_id")).agg(min(col("week")).as("cohort_week"))
       val active = ev.select(col("user_id"), col("week")).distinct()
@@ -1142,7 +1142,7 @@ object SparkEntry {
     "window_range" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
         .select(col("event_id"), col("user_id"),
-          expr("ts DIV 1000000000").as("tss"), col("value"))
+          Tables.eventSeconds.as("tss"), col("value"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("user_id")).orderBy(col("tss"))
         .rangeBetween(-604800L, 0L)
@@ -1238,7 +1238,7 @@ object SparkEntry {
       val hopSec = 1800L
       Tables.events(s, dir)
         .select(col("event_type"), col("value"),
-          expr("ts DIV 1000000000").as("tss"))
+          Tables.eventSeconds.as("tss"))
         .withColumn("w_start", explode(sequence(
           (col("tss") - (winSec - hopSec)).cast("long") -
             pmod(col("tss") - (winSec - hopSec), lit(hopSec)),
@@ -1614,7 +1614,7 @@ object SparkEntry {
     // maximal disjoint busy intervals (gaps-and-islands, one shuffle).
     "interval_merge" -> ((s, dir) => {
       val iv = Tables.events(s, dir)
-        .select(col("user_id"), expr("ts DIV 1000000000").as("start_sec"))
+        .select(col("user_id"), Tables.eventSeconds.as("start_sec"))
         .withColumn("end_sec", col("start_sec") + 1800)
       Intervals.coalesce(iv, "user_id", "start_sec", "end_sec")
         .orderBy(col("user_id"), col("start_sec"))
@@ -1626,7 +1626,7 @@ object SparkEntry {
     "markov_transitions" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
         .select(col("user_id"), col("event_type"),
-          expr("ts DIV 1000000000").as("tss"), col("event_id"))
+          Tables.eventSeconds.as("tss"), col("event_id"))
       Transitions.matrix(ev, "user_id", Seq("tss", "event_id"), "event_type")
         .orderBy(col("state"), col("next_state"))
     }),
@@ -2032,6 +2032,32 @@ object SparkEntry {
          |SELECT a AS doc_id, min(b) AS cluster_id
          |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin,
 
+    // replays leakageSafeSplit: the dedup_clusters representative as the
+    // split key (singletons are their own rep), then the sample_split
+    // hash-threshold — hash-comparing every (doc_id, cluster_id, split)
+    // row checks the zero-cross-split-leakage invariant by construction,
+    // since any near-dup pair shares cluster_id and therefore split
+    "leakage_split" ->
+      s"""WITH RECURSIVE $minhashPairsCtes,
+         |edges AS (
+         |  SELECT id_a AS a, id_b AS b FROM mh_pairs
+         |  UNION SELECT id_b, id_a FROM mh_pairs
+         |  UNION SELECT id_a, id_a FROM mh_pairs
+         |  UNION SELECT id_b, id_b FROM mh_pairs),
+         |reach(a, b) AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         |cl AS (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a),
+         |d AS (
+         |  SELECT d0.doc_id, coalesce(cl.cluster_id, d0.doc_id) AS cluster_id
+         |  FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) d0
+         |  LEFT JOIN cl ON cl.doc_id = d0.doc_id)
+         |SELECT doc_id, cluster_id,
+         |  CASE WHEN ${Oracles.sampleBucket("CAST(cluster_id AS VARCHAR)", 1000)} < 800
+         |    THEN 'train' ELSE 'test' END AS split
+         |FROM d ORDER BY doc_id""".stripMargin,
+
     "dedup_simhash" ->
       s"""WITH toks AS (
          |  SELECT doc_id, list_transform(${Oracles.tokens("text")}, w -> ${Oracles.polyHash("w")}) AS th
@@ -2087,6 +2113,46 @@ object SparkEntry {
          |SELECT doc_id, n_tokens, CAST(dup_tokens AS BIGINT) AS dup_tokens,
          |  round(CAST(dup_tokens AS DOUBLE) / n_tokens, 6) AS dup_frac
          |FROM cov ORDER BY doc_id""".stripMargin
+    },
+
+    // replays winnowPairs end-to-end: the dedup_spans span-hash kernel,
+    // min-of-4-window fingerprint selection (full windows only), distinct
+    // per-doc fps, df <= 50 pruning, pair join with shared >= 2, overlap
+    // over the PRUNED per-doc fingerprint counts
+    "dedup_winnow" -> {
+      val L = 8  // spanLen — must match the queries() call
+      val W = 4  // window
+      s"""WITH toks AS (
+         |  SELECT doc_id, list_transform(${Oracles.tokens("text")}, w -> ${Oracles.polyHash("w")}) AS th
+         |  FROM documents),
+         |sp0 AS (
+         |  SELECT doc_id, th,
+         |    unnest(range(1, len(th) - ${L - 2})) AS i
+         |  FROM toks),
+         |sp AS (
+         |  SELECT doc_id, i, count(*) OVER (PARTITION BY doc_id) AS n_spans,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_slice(th, i, i + ${L - 1})),
+         |      (acc, h) -> (acc*31 + h) % ${Oracles.P}) AS span_hash
+         |  FROM sp0),
+         |fp0 AS (
+         |  SELECT doc_id, i, n_spans,
+         |    min(span_hash) OVER (PARTITION BY doc_id ORDER BY i
+         |      ROWS BETWEEN CURRENT ROW AND ${W - 1} FOLLOWING) AS fp
+         |  FROM sp),
+         |fps AS (SELECT DISTINCT doc_id, fp FROM fp0 WHERE i <= n_spans - ${W - 1}),
+         |dffp AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 50),
+         |kept AS (SELECT f.doc_id, f.fp FROM fps f JOIN dffp USING (fp)),
+         |nfp AS (SELECT doc_id, count(*) AS n_fp FROM kept GROUP BY doc_id),
+         |pairs AS (
+         |  SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS shared_fps
+         |  FROM kept x JOIN kept y ON x.fp = y.fp AND x.doc_id < y.doc_id
+         |  GROUP BY 1, 2 HAVING count(*) >= 2)
+         |SELECT p.id_a, p.id_b, CAST(p.shared_fps AS BIGINT) AS shared_fps,
+         |  round(CAST(p.shared_fps AS DOUBLE) / least(a.n_fp, b.n_fp), 6) AS overlap
+         |FROM pairs p
+         |JOIN nfp a ON a.doc_id = p.id_a
+         |JOIN nfp b ON b.doc_id = p.id_b
+         |ORDER BY id_a, id_b""".stripMargin
     },
 
     "hard_negatives" ->

@@ -1,7 +1,8 @@
 package graft
 
 import java.util.concurrent.ConcurrentHashMap
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, unix_micros, unix_timestamp}
 import org.apache.spark.sql.types.StructType
 
 /** Per-table catalog metadata (SURVEY.md §1.1): where the table lives
@@ -69,6 +70,25 @@ object Tables {
   def nation(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "nation")
   def region(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "region")
   def events(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "events")
+
+  /** Epoch-second event time from `events.ts` — the ONE place the engine
+    * derives seconds from the driver's timestamp encoding, so a driver-side
+    * schema change is a one-line fix here instead of a sweep of call sites
+    * (the r5 regression: 13 sites each pinned the old nanos-as-long
+    * encoding). `ts` is parquet TIMESTAMP(MICROS) read as TIMESTAMP_NTZ;
+    * the session timezone is pinned UTC (GraftSession), so
+    * `unix_timestamp` floors to the same epoch seconds DuckDB's
+    * `floor(epoch(ts))` yields in the oracle.
+    */
+  def eventSeconds: Column = unix_timestamp(col("ts"))
+
+  /** Epoch-microsecond event time (full stored precision) — for operators
+    * that order within a second (as-of joins). NTZ has no `unix_micros`
+    * overload, so up-cast to the instant type first; under the UTC session
+    * timezone the wall-clock is preserved and this equals DuckDB's
+    * `epoch_us(ts)`.
+    */
+  def eventMicros: Column = unix_micros(col("ts").cast("timestamp"))
   def documents(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "embeddings")
 }

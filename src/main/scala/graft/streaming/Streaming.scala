@@ -19,16 +19,18 @@ import org.apache.spark.sql.types._
   * Scale notes: event-time operators shuffle once on their grouping keys
   * into the state store; watermarks bound state size (without one, a
   * 100 TB stream accumulates unbounded session/window state). All
-  * timestamps are second-truncated via integer arithmetic (`ts DIV 1e9`)
+  * timestamps are second-truncated (`unix_timestamp`, floor semantics)
   * so results replay exactly in the DuckDB oracle — the raw column is
-  * parquet TIMESTAMP(NANOS) read as a nanosecond long
-  * (spark.sql.legacy.parquet.nanosAsLong, see GraftSession).
+  * parquet TIMESTAMP(MICROS) without timezone, declared TIMESTAMP_NTZ
+  * here to match what the batch reader infers from the footer (the
+  * session timezone is pinned UTC, see GraftSession, so epoch math
+  * agrees with DuckDB's epoch()).
   */
 object Streaming {
 
   val eventsSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType), // nanos since epoch (nanosAsLong)
+    StructField("ts", TimestampNTZType), // micros-precision wall clock (UTC)
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
@@ -44,7 +46,10 @@ object Streaming {
       // FileStreamSource force basePath to the file itself, which the file
       // index rejects — a glob keeps basePath at the parent directory
       .parquet(s"$sfDir/events.parque*")
-      .withColumn("event_ts", timestamp_seconds(expr("ts DIV 1000000000")))
+      // second-truncate through the same floor the batch side and the
+      // oracle use (graft.Tables.eventSeconds); the result is an instant
+      // (TimestampType), which the watermark/window operators expect
+      .withColumn("event_ts", timestamp_seconds(unix_timestamp(col("ts"))))
 
   /** Tumbling 1-day windows per event_type: count + sum(value). Complete
     * output mode so a bounded run emits every window.

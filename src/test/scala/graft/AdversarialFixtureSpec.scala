@@ -47,6 +47,11 @@ class AdversarialFixtureSpec extends SparkSuite {
       (15L, 2L * day + 9000000000L, 4L, "signup", 4.0, """{"k": 15}"""),
       (16L, 3L * day + 1000000000L, 4L, "error", 5.0, """{"k": 16}"""))
       .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      // write ts at the REAL testdata encoding — TIMESTAMP_NTZ micros —
+      // so these fixtures exercise the production schema (the r5 break:
+      // fixtures kept Long nanos and stayed green while production broke)
+      .withColumn("ts",
+        timestamp_micros(expr("ts DIV 1000")).cast("timestamp_ntz"))
     events.repartition(1).write.parquet(s"$d/events.parquet")
 
     val near1 = "the quick brown fox jumps over the lazy dog while the " +

@@ -23,7 +23,8 @@ class AsOfJoinSpec extends SparkSuite {
 
   test("as-of join plans exactly one shuffle on the key") {
     val ev = Tables.events(spark, sf)
-      .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        Tables.eventMicros.as("ts"))
     val signups = ev.filter(col("event_type") === "signup")
     val plan = AsOfJoin.asOf(ev, signups, "user_id", "ts", "ts", Seq("event_id"), "s_")
       .queryExecution.executedPlan.toString
@@ -33,7 +34,8 @@ class AsOfJoinSpec extends SparkSuite {
 
   test("as-of over events matches a per-user scan check") {
     val ev = Tables.events(spark, sf)
-      .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        Tables.eventMicros.as("ts"))
     val signups = ev.filter(col("event_type") === "signup")
     val got = AsOfJoin.asOf(ev, signups, "user_id", "ts", "ts", Seq("event_id"), "s_")
       .select("event_id", "user_id", "ts", "s_event_id")

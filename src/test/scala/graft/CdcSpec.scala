@@ -8,7 +8,7 @@ class CdcSpec extends SparkSuite {
   import spark.implicits._
 
   private def changelog = Tables.events(spark, sf)
-    .select(col("user_id"), expr("ts DIV 1000000000").as("tss"),
+    .select(col("user_id"), Tables.eventSeconds.as("tss"),
       col("event_id"), col("event_type"), col("value"))
 
   test("latest equals the row_number window formulation") {

@@ -25,7 +25,7 @@ class ResampleSpec extends SparkSuite {
 
   test("every key's grid is dense from first to last bucket, never null") {
     val ev = Tables.events(spark, sf)
-      .select(col("user_id"), expr("ts DIV 1000000000").as("tss"), col("value"))
+      .select(col("user_id"), Tables.eventSeconds.as("tss"), col("value"))
     val out = Resample.gapFill(ev, "user_id", "tss", "value", 86400L).cache()
     try {
       assert(out.where(col("v_filled").isNull).count() == 0)
@@ -39,7 +39,7 @@ class ResampleSpec extends SparkSuite {
 
   test("raw rows are compacted by a partial agg before any exchange; no nested loop") {
     val ev = Tables.events(spark, sf)
-      .select(col("user_id"), expr("ts DIV 1000000000").as("tss"), col("value"))
+      .select(col("user_id"), Tables.eventSeconds.as("tss"), col("value"))
     val plan = Resample.gapFill(ev, "user_id", "tss", "value", 86400L)
       .queryExecution.executedPlan.toString
     assert(plan.contains("partial_sum") || plan.contains("partial_"),

@@ -9,7 +9,7 @@ class SessionizeSpec extends SparkSuite {
 
   test("batch sessionize equals the streaming session_window results exactly") {
     val ev = Tables.events(spark, sf)
-      .select(col("user_id"), col("event_id"), expr("ts DIV 1000000000").as("tss"))
+      .select(col("user_id"), col("event_id"), Tables.eventSeconds.as("tss"))
     val batch = Sessionize.batch(ev, 1800)
       .select("user_id", "session_start", "session_end", "n_events",
         "first_event", "last_event")
@@ -36,7 +36,7 @@ class SessionizeSpec extends SparkSuite {
 
   test("one shuffle serves windows and aggregation") {
     val ev = Tables.events(spark, sf)
-      .select(col("user_id"), col("event_id"), expr("ts DIV 1000000000").as("tss"))
+      .select(col("user_id"), col("event_id"), Tables.eventSeconds.as("tss"))
     val plan = Sessionize.batch(ev, 1800).queryExecution.executedPlan.toString
     val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
     assert(shuffles == 1, s"expected exactly one hash exchange, plan:\n$plan")

@@ -14,7 +14,8 @@ class StreamingSpec extends SparkSuite {
     val streamed = Streaming.runToCompletion(
       Streaming.dailyTypeCounts(Streaming.events(spark, sf)), OutputMode.Complete())
     val batch = Tables.events(spark, sf)
-      .withColumn("day_start", expr("(ts DIV 1000000000) - ((ts DIV 1000000000) % 86400)"))
+      .withColumn("day_start",
+        Tables.eventSeconds - (Tables.eventSeconds % 86400))
       .groupBy(col("day_start"), col("event_type"))
       .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("total_value"))
     assert(streamed.count() > 0)
@@ -26,7 +27,7 @@ class StreamingSpec extends SparkSuite {
       Streaming.userSessions(Streaming.events(spark, sf)), OutputMode.Complete())
     val w = Window.partitionBy("user_id").orderBy("tss", "event_id")
     val batch = Tables.events(spark, sf)
-      .select(col("user_id"), col("event_id"), expr("ts DIV 1000000000").as("tss"))
+      .select(col("user_id"), col("event_id"), Tables.eventSeconds.as("tss"))
       .withColumn("prev", lag(col("tss"), 1).over(w))
       .withColumn("new_s", when(col("prev").isNull || col("tss") - col("prev") > 1800, 1).otherwise(0))
       .withColumn("sid", sum(col("new_s")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
@@ -251,7 +252,7 @@ class StreamingSpec extends SparkSuite {
     val pattern = Seq("click", "view", "purchase")
     val evStream = Streaming.events(spark, sf)
       .select(col("user_id"), col("event_id"), col("event_type"),
-        expr("ts DIV 1000000000").as("tss"))
+        Tables.eventSeconds.as("tss"))
       .as[Streaming.PatternEvent]
     val streamed = Streaming.runToCompletion(
         Streaming.matchPattern(evStream, pattern, 86400).toDF(),
@@ -263,7 +264,7 @@ class StreamingSpec extends SparkSuite {
     // per-match set it aggregates from
     val batch = graft.operators.Patterns.sequenceMatches(
         Tables.events(spark, sf).select(col("user_id"), col("event_id"),
-          col("event_type"), expr("ts DIV 1000000000").as("tss")),
+          col("event_type"), Tables.eventSeconds.as("tss")),
         pattern, 86400)
       .as[(Long, Long, Long, Long)].collect()
     assert(streamed.nonEmpty)
