@@ -70,14 +70,23 @@ object SparkEntry {
           StarPipeline.partBrandReport(df)
             .select(col("p_brand").as("report_key"), col("register_date"), col("total"))
             .withColumn("report", lit("part_brand"))))
-      // localCheckpoint (eager) runs each report exactly once on its pool
-      // thread and leaves the (small) result in block storage — one
-      // materialization, no second cache layer on top of `shared`, and the
-      // returned union stays valid after shared.unpersist()
-      val results = ParallelReports.run(s, shared, specs)(_.localCheckpoint())
+      // each report materializes exactly once on its pool thread by
+      // writing to its (temp parquet) sink — the reference's shape: every
+      // report lands in a store (S10). Unlike the previous localCheckpoint,
+      // this leaves NO block-manager residue: checkpoint blocks have no
+      // public unpersist and accumulate across runs (r5: warm runs
+      // degraded 4.4s -> 8s -> 11.6s from exactly that), while the
+      // read-back union is a dimension-sized scan independent of `shared`
+      val results = ParallelReports.run(s, shared, specs) { df =>
+        val sink = java.nio.file.Files.createTempDirectory("graft-report").toString
+        df.write.mode("overwrite").parquet(sink)
+        s.read.parquet(sink)
+      }
       val out = results.map(_._2).reduce(_ union _)
         .orderBy(col("report"), col("report_key"), col("register_date"))
-      shared.unpersist()
+      // synchronous: an async unpersist races the next run's cache() of
+      // the same plan and forces eviction churn mid-query
+      shared.unpersist(blocking = true)
       out
     }),
 

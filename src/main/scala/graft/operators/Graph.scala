@@ -36,26 +36,51 @@ object Graph {
     * list — the node-iterator++ formulation as two equi-joins, never a
     * cross product.
     *
-    * Edges canonicalize to `a < b` and dedupe, wedges pair two edges on
-    * their shared LOW vertex with `b < c` (each candidate triangle
-    * enumerated exactly once, from its smallest vertex), and the closing
-    * `(b, c)` edge joins once more. Both joins shuffle on a single
-    * vertex key; fan-out per key is bounded by max degree (the classic
-    * skew dial for triangle counting — degree-cap or split hot vertices
-    * at the extreme). Each found triangle credits all three corners via
-    * one explode + count.
+    * Edges canonicalize, dedupe, and then orient toward the HIGHER
+    * (degree, id) endpoint — the degree-ordering that makes triangle
+    * counting skew-proof while staying exact: every triangle {x,y,z}
+    * with rank(x) < rank(y) < rank(z) is enumerated exactly once as the
+    * wedge (x→y, x→z) closed by the oriented edge y→z, and a node's
+    * out-degree under this orientation is O(sqrt(m)) regardless of its
+    * raw degree (a vertex only points at neighbors at least as high in
+    * the degree order). r5's min-ID orientation let one near-dup hub
+    * with raw degree d fan out d²/2 wedges (7.6 s warm on a denser
+    * corpus); degree-ordering caps the same hub's wedge fan-out at
+    * O(m) total. Both joins shuffle on a single vertex key; each found
+    * triangle credits all three corners via one explode + count.
+    *
+    * The oriented edge list is lazily checkpointed: the two self-join
+    * arms and the closing join would otherwise re-derive the candidate
+    * pairs (here: a whole MinHash-LSH pipeline) three times per action.
     */
   def triangleCounts(edges: DataFrame, src: String = "id_a",
                      dst: String = "id_b"): DataFrame = {
-    val e = edges
+    val und = edges
       .select(least(col(src), col(dst)).as("a"), greatest(col(src), col(dst)).as("b"))
       .where(col("a") =!= col("b") && col("a").isNotNull && col("b").isNotNull)
       .distinct()
+    val deg = und.select(explode(array(col("a"), col("b"))).as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("d"))
+    // orient a--b toward the higher (degree, id); carry the head's rank
+    // so the wedge join can order its two endpoints without re-joining
+    // the degree table
+    val e = und
+      .join(deg.select(col("v").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("v").as("b"), col("d").as("db")), "b")
+      .select(
+        when(struct(col("da"), col("a")) < struct(col("db"), col("b")),
+          struct(col("a").as("u"), col("b").as("w"), col("db").as("dw")))
+          .otherwise(
+            struct(col("b").as("u"), col("a").as("w"), col("da").as("dw")))
+          .as("o"))
+      .select(col("o.u").as("u"), col("o.w").as("w"), col("o.dw").as("dw"))
+      .localCheckpoint(false)
     val wedges = e.as("e1").join(e.as("e2"),
-        col("e1.a") === col("e2.a") && col("e1.b") < col("e2.b"))
-      .select(col("e1.a").as("wa"), col("e1.b").as("wb"), col("e2.b").as("wc"))
+        col("e1.u") === col("e2.u") &&
+          struct(col("e1.dw"), col("e1.w")) < struct(col("e2.dw"), col("e2.w")))
+      .select(col("e1.u").as("wa"), col("e1.w").as("wb"), col("e2.w").as("wc"))
     val tri = wedges.join(e.as("e3"),
-        col("wb") === col("e3.a") && col("wc") === col("e3.b"))
+        col("wb") === col("e3.u") && col("wc") === col("e3.w"))
       .select(col("wa"), col("wb"), col("wc"))
     tri.select(explode(array(col("wa"), col("wb"), col("wc"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))

@@ -62,4 +62,24 @@ class GraphSpec extends SparkSuite {
     val got = Graph.triangleCounts(k4).as[(Long, Long)].collect().toMap
     assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
   }
+
+  test("triangle counts: star hub with no triangles yields empty, not a wedge blow-up") {
+    // a 200-leaf star has 19 900 wedges under min-ID orientation but ZERO
+    // under degree-ordering (the hub ranks highest, so it has out-degree
+    // 0 and every leaf points only at the hub) — and no triangles either
+    val star = (1L to 200L).map(l => (0L, l)).toDF("id_a", "id_b")
+    assert(Graph.triangleCounts(star).isEmpty)
+  }
+
+  test("triangle counts: candidate pairs materialize once, not once per join arm") {
+    // the expensive pairs input (production: a full MinHash-LSH pipeline)
+    // must appear in the executed plan only as the checkpointed RDD —
+    // three references, zero re-derivations of the upstream source
+    val docs = Tables.documents(spark, sf)
+    val plan = Graph.triangleCounts(
+        graft.operators.Dedup.minhashLshPairs(docs, 3, 16, 4, 0.6))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Scan parquet"), plan.take(2000))
+    assert("Scan ExistingRDD".r.findAllIn(plan).length == 3, plan.take(2000))
+  }
 }
