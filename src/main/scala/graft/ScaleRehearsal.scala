@@ -244,6 +244,26 @@ object ScaleRehearsal {
       }
       emit("span_coverage", f, nd, candSpan, spanDocs, tCandSpan + tSpan)
 
+      // Winnowing fingerprints (dedup_winnow): min-of-window selection
+      // keeps ~2/(window+1) of span hashes, and the df<=50 prune bounds
+      // any fingerprint's pair fan-out. Caesar copies are token-hash
+      // bijections, so cross-copy fingerprint collisions are ~zero and
+      // candidate pair rows (the operator's own equi-join input) must
+      // track corpus growth linearly — super-linear growth would mean
+      // fingerprint-space saturation or a df bound that stopped binding.
+      val (candWin, tCandWin) = timed {
+        val kept = Dedup.winnowFingerprints(docs, spanLen = 8, window = 4,
+          maxDf = 50).localCheckpoint()
+        kept.as("x").join(kept.as("y"),
+            col("x.fp") === col("y.fp") && col("x.doc_id") < col("y.doc_id"))
+          .count()
+      }
+      val (verWin, tVerWin) = timed {
+        Dedup.winnowPairs(docs, spanLen = 8, window = 4,
+          minShared = 2, maxDf = 50).count()
+      }
+      emit("winnow", f, nd, candWin, verWin, tCandWin + tVerWin)
+
       // Semantic dedup (SemDeDup-style k-means prefilter): candidates are
       // within-cluster pairs, sum over clusters of C(sz,2). With FIXED k
       // the cells grow with n and candidates go quadratic — k is the

@@ -375,9 +375,13 @@ object Dedup {
     * pair count is bounded by sum(df^2) <= maxDf * total_fps. Overlap is
     * computed over the PRUNED fingerprint sets.
     */
-  def winnowPairs(docs: DataFrame, spanLen: Int, window: Int,
-                  minShared: Int, maxDf: Int): DataFrame = {
-    require(spanLen >= 2 && window >= 1 && minShared >= 1 && maxDf >= 1)
+  /** The winnowing fingerprint stage of [[winnowPairs]], exposed so the
+    * scale rehearsal can measure the candidate join on the operator's own
+    * intermediate: distinct df-pruned (doc_id, fp) rows.
+    */
+  def winnowFingerprints(docs: DataFrame, spanLen: Int, window: Int,
+                         maxDf: Int): DataFrame = {
+    require(spanLen >= 2 && window >= 1 && maxDf >= 1)
     val spans = docs
       .select(col("doc_id"),
         spanHashes(tokenHashes(col("text")), spanLen).as("sh"))
@@ -392,10 +396,16 @@ object Dedup {
       .withColumn("fp", min(col("span_hash")).over(w))
       .filter(col("pos") <= col("n_spans") - window)
       .select(col("doc_id"), col("fp")).distinct()
-    val kept = fps.join(
+    fps.join(
       fps.groupBy(col("fp")).agg(count(lit(1)).as("df"))
         .filter(col("df") <= maxDf).select("fp"),
       Seq("fp"))
+  }
+
+  def winnowPairs(docs: DataFrame, spanLen: Int, window: Int,
+                  minShared: Int, maxDf: Int): DataFrame = {
+    require(minShared >= 1)
+    val kept = winnowFingerprints(docs, spanLen, window, maxDf)
     val nfp = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("n_fp"))
     kept.as("x").join(kept.as("y"),
         col("x.fp") === col("y.fp") && col("x.doc_id") < col("y.doc_id"))
