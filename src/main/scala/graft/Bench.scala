@@ -69,7 +69,7 @@ object Bench {
         // quick mode (streams then skip their median protocol too)
         "SPARK_GRAFT_WARM" -> "1",
         // where the full per-query report lands (committed to the repo)
-        "SPARK_GRAFT_BENCH_OUT" -> "BENCH_LOCAL_r5.json"))
+        "SPARK_GRAFT_BENCH_OUT" -> "BENCH_LOCAL_r6.json"))
     val sfDir = opts("SPARK_GRAFT_SF_DIR")
     val cpus = opts("SPARK_GRAFT_CPUS")
     val warmRuns = opts("SPARK_GRAFT_WARM").toInt.max(0)
