@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import graft.operators.{Dedup, KMeans, Similarity}
+import graft.operators.{Dedup, Graph, KMeans, Similarity}
 
 /** Scale rehearsal for the dedup/similarity family (r3 VERDICT item 7).
   *
@@ -263,6 +263,35 @@ object ScaleRehearsal {
           minShared = 2, maxDf = 50).count()
       }
       emit("winnow", f, nd, candWin, verWin, tCandWin + tVerWin)
+
+      // Triangle counting (graph_triangles): wedge volume is the join's
+      // fan-out and the cost driver. Computed WITHOUT running the join —
+      // wedges = sum over oriented heads of C(out_deg, 2) on the
+      // operator's own orientation stage. Threshold 0.6 matches the
+      // declared query: at 0.5 this corpus's template clusters form
+      // 1000+-doc cliques where the triangle OUTPUT itself is cubic in
+      // clique size (measured: 347M wedges / 313M triangles on 5k docs —
+      // a property of the graph, no orientation can fix an output that
+      // size; the dedup pipeline collapses such cliques BEFORE any
+      // triangle pass at scale). At 0.6 cliques are genuine near-dups:
+      // wedges and triangles must track corpus growth ~linearly, and
+      // super-linear wedge growth would mean degree-ordering stopped
+      // bounding a hub (the r5 failure mode under min-ID orientation).
+      val (wedges, tWedge) = timed {
+        val o = Graph.orientByDegree(
+          Dedup.minhashLshPairs(docs, n = 3, k = 16, bands = 4,
+            threshold = 0.6), "id_a", "id_b")
+        o.groupBy(col("u")).agg(count(lit(1)).as("od"))
+          .agg(sum(col("od") * (col("od") - 1) / 2).cast("long"))
+          .head.getLong(0)
+      }
+      val (triCorners, tTri) = timed {
+        Dedup.minhashLshPairs(docs, n = 3, k = 16, bands = 4, threshold = 0.6)
+          .transform(Graph.triangleCounts(_))
+          .agg(coalesce(sum(col("n_triangles")), lit(0L)).cast("long"))
+          .head.getLong(0)
+      }
+      emit("triangles", f, nd, wedges, triCorners / 3, tWedge + tTri)
 
       // Semantic dedup (SemDeDup-style k-means prefilter): candidates are
       // within-cluster pairs, sum over clusters of C(sz,2). With FIXED k

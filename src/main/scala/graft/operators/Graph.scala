@@ -53,18 +53,21 @@ object Graph {
     * arms and the closing join would otherwise re-derive the candidate
     * pairs (here: a whole MinHash-LSH pipeline) three times per action.
     */
-  def triangleCounts(edges: DataFrame, src: String = "id_a",
-                     dst: String = "id_b"): DataFrame = {
+  /** The orientation stage of [[triangleCounts]], exposed so the scale
+    * rehearsal can measure wedge volume (the join's true fan-out) on the
+    * operator's own intermediate: undirected edges canonicalized, deduped,
+    * and oriented toward the higher (degree, id) endpoint. Returns
+    * (u, w, dw) with `dw` the head's degree so downstream can order heads
+    * without re-joining the degree table.
+    */
+  def orientByDegree(edges: DataFrame, src: String, dst: String): DataFrame = {
     val und = edges
       .select(least(col(src), col(dst)).as("a"), greatest(col(src), col(dst)).as("b"))
       .where(col("a") =!= col("b") && col("a").isNotNull && col("b").isNotNull)
       .distinct()
     val deg = und.select(explode(array(col("a"), col("b"))).as("v"))
       .groupBy(col("v")).agg(count(lit(1)).as("d"))
-    // orient a--b toward the higher (degree, id); carry the head's rank
-    // so the wedge join can order its two endpoints without re-joining
-    // the degree table
-    val e = und
+    und
       .join(deg.select(col("v").as("a"), col("d").as("da")), "a")
       .join(deg.select(col("v").as("b"), col("d").as("db")), "b")
       .select(
@@ -74,7 +77,11 @@ object Graph {
             struct(col("b").as("u"), col("a").as("w"), col("da").as("dw")))
           .as("o"))
       .select(col("o.u").as("u"), col("o.w").as("w"), col("o.dw").as("dw"))
-      .localCheckpoint(false)
+  }
+
+  def triangleCounts(edges: DataFrame, src: String = "id_a",
+                     dst: String = "id_b"): DataFrame = {
+    val e = orientByDegree(edges, src, dst).localCheckpoint(false)
     val wedges = e.as("e1").join(e.as("e2"),
         col("e1.u") === col("e2.u") &&
           struct(col("e1.dw"), col("e1.w")) < struct(col("e2.dw"), col("e2.w")))

@@ -45,7 +45,16 @@ class AdversarialFixtureSpec extends SparkSuite {
       (13L, 2L * day + 7000000000L, 4L, "view", 2.0, """{"k": 13}"""),
       (14L, 2L * day + 8000000000L, 4L, "purchase", 3.0, """{"k": 14}"""),
       (15L, 2L * day + 9000000000L, 4L, "signup", 4.0, """{"k": 15}"""),
-      (16L, 3L * day + 1000000000L, 4L, "error", 5.0, """{"k": 16}"""))
+      (16L, 3L * day + 1000000000L, 4L, "error", 5.0, """{"k": 16}"""),
+      // user 5: timestamp TIES — the user's LAST three events share one
+      // identical instant (changelog orderings must break on event_id,
+      // never on shuffle arrival), one of them a signup (as-of <= must
+      // include the tied instant); the earlier lone purchase pins
+      // left-outer NULL before the first signup
+      (17L, 3L * day + 2000000000L, 5L, "purchase", 4.0, """{"k": 17}"""),
+      (18L, 3L * day + 3000000000L, 5L, "view", 1.0, """{"k": 18}"""),
+      (19L, 3L * day + 3000000000L, 5L, "signup", 3.0, """{"k": 19}"""),
+      (20L, 3L * day + 3000000000L, 5L, "click", 2.0, """{"k": 20}"""))
       .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
       // write ts at the REAL testdata encoding — TIMESTAMP_NTZ micros —
       // so these fixtures exercise the production schema (the r5 break:
@@ -140,6 +149,27 @@ class AdversarialFixtureSpec extends SparkSuite {
     // it) and its count lands in the total
     assert(rows(3L).getInt(1) == 2, "null event_type must stay a key")
     assert(rows(3L).getLong(3) == 2L, "null-key count must reach the total")
+  }
+
+  test("timestamp ties resolve on event_id, and as-of <= includes the tied instant") {
+    // cdc_latest: user 5's last three events share ONE identical
+    // timestamp — the (tss, event_id) changelog order must pick event 20,
+    // not whichever arrived last in shuffle order
+    val cdc = SparkEntry.queries("cdc_latest")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(cdc(5L).getLong(2) == 20L && cdc(5L).getString(3) == "click",
+      s"tied-timestamp CDC must break on event_id: ${cdc(5L)}")
+    // asof_join: events 18/19/20 share the signup's exact micros — all
+    // three must match signup 19 (<= semantics); the earlier purchase 17
+    // precedes every signup and must stay NULL (left outer)
+    val asof = SparkEntry.queries("asof_join")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    Seq(18L, 19L, 20L).foreach { eid =>
+      assert(!asof(eid).isNullAt(3) && asof(eid).getLong(3) == 19L,
+        s"event $eid must as-of-match the tied-instant signup: ${asof(eid)}")
+    }
+    assert(asof(17L).isNullAt(3),
+      s"pre-signup event must keep a NULL as-of payload: ${asof(17L)}")
   }
 
   test("text stats are total on empty and whitespace-only documents") {
