@@ -132,4 +132,53 @@ class PropertySpec extends AnyFunSuite {
         row.getLong(4 + markers.size) == PolyHash.hash(s)
     }
   }
+
+  // --- winnowing guarantee (Schleimer et al. 2003, theorem 1) -----------
+  // Any two token sequences sharing a contiguous run of >= spanLen +
+  // window - 1 tokens MUST share at least one winnow fingerprint: the run
+  // contains >= `window` consecutive spans, that full window occurs in
+  // both sequences, and its minimum — identical on both sides — is
+  // selected on both sides. This is the property that makes winnowPairs a
+  // sound (no-false-negative) near-dup CANDIDATE stage above the length
+  // threshold; the df prune is the only stage allowed to drop a true pair.
+
+  /** Winnow fingerprint set per the operator's definition: min over each
+    * full window of `w` consecutive span hashes (spans via the production
+    * kernel `SpanHashesExpr.compute`).
+    */
+  private def winnowFps(tokenHashes: Seq[Long], spanLen: Int, w: Int): Set[Long] = {
+    val spans = graft.functions.SpanHashesExpr.compute(
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(tokenHashes.toArray),
+      spanLen).toLongArray()
+    (0 to spans.length - w).map(i => spans.slice(i, i + w).min).toSet
+  }
+
+  private val tokGen = Gen.chooseNum(0L, PolyHash.P - 1)
+
+  check("winnowing guarantee: a shared run of spanLen+window-1 tokens shares a fingerprint") {
+    val L = 4
+    val W = 3
+    forAll(
+      Gen.nonEmptyListOf(tokGen), // shared run, padded to L+W-1 below
+      Gen.listOf(tokGen), Gen.listOf(tokGen), // doc A prefix/suffix
+      Gen.listOf(tokGen), Gen.listOf(tokGen)  // doc B prefix/suffix
+    ) { (run0, ap, as, bp, bs) =>
+      val run = (run0 ++ List.fill(L + W - 1)(7L)).take(math.max(run0.size, L + W - 1))
+      val a = ap ++ run ++ as
+      val b = bp ++ run ++ bs
+      (winnowFps(a, L, W) intersect winnowFps(b, L, W)).nonEmpty
+    }
+  }
+
+  check("winnow fingerprints are a subset of span hashes, ~bounded by span count") {
+    val L = 4
+    val W = 3
+    forAll(Gen.listOfN(40, tokGen)) { toks =>
+      val spans = graft.functions.SpanHashesExpr.compute(
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(toks.toArray),
+        L).toLongArray().toSet
+      val fps = winnowFps(toks, L, W)
+      fps.subsetOf(spans) && fps.size <= math.max(spans.size, 1)
+    }
+  }
 }
