@@ -111,7 +111,8 @@ class AdversarialFixtureSpec extends SparkSuite {
     "bpe_merges", "cdc_latest", "compact_files", "corpus_clean",
     "csv_roundtrip", "decontam_overlap", "dedup_clusters", "dedup_embedding",
     "dedup_exact", "dedup_incremental", "dedup_minhash_lsh",
-    "dedup_ngram_jaccard", "dedup_ngram_pruned", "dedup_simhash",
+    "dedup_ngram_jaccard", "dedup_ngram_pruned", "dedup_semantic",
+    "dedup_simhash", "dedup_spans", "dedup_winnow", "leakage_split",
     "distinct_agg", "doc_chunks", "doc_repetition", "embed_quantize",
     "funnel_steps", "fuzzy_match", "gap_fill", "graph_triangles",
     "hard_negatives", "heavy_hitters", "hopping_windows", "incr_agg_merge",
