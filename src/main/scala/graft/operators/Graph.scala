@@ -32,27 +32,6 @@ object Graph {
     * fall back to shuffles that reuse the same src-key partitioning
     * every round.
     */
-  /** Per-node triangle participation counts over an undirected edge
-    * list — the node-iterator++ formulation as two equi-joins, never a
-    * cross product.
-    *
-    * Edges canonicalize, dedupe, and then orient toward the HIGHER
-    * (degree, id) endpoint — the degree-ordering that makes triangle
-    * counting skew-proof while staying exact: every triangle {x,y,z}
-    * with rank(x) < rank(y) < rank(z) is enumerated exactly once as the
-    * wedge (x→y, x→z) closed by the oriented edge y→z, and a node's
-    * out-degree under this orientation is O(sqrt(m)) regardless of its
-    * raw degree (a vertex only points at neighbors at least as high in
-    * the degree order). r5's min-ID orientation let one near-dup hub
-    * with raw degree d fan out d²/2 wedges (7.6 s warm on a denser
-    * corpus); degree-ordering caps the same hub's wedge fan-out at
-    * O(m) total. Both joins shuffle on a single vertex key; each found
-    * triangle credits all three corners via one explode + count.
-    *
-    * The oriented edge list is lazily checkpointed: the two self-join
-    * arms and the closing join would otherwise re-derive the candidate
-    * pairs (here: a whole MinHash-LSH pipeline) three times per action.
-    */
   /** The orientation stage of [[triangleCounts]], exposed so the scale
     * rehearsal can measure wedge volume (the join's true fan-out) on the
     * operator's own intermediate: undirected edges canonicalized, deduped,
@@ -79,6 +58,27 @@ object Graph {
       .select(col("o.u").as("u"), col("o.w").as("w"), col("o.dw").as("dw"))
   }
 
+  /** Per-node triangle participation counts over an undirected edge
+    * list — the node-iterator++ formulation as two equi-joins, never a
+    * cross product.
+    *
+    * Edges canonicalize, dedupe, and then orient toward the HIGHER
+    * (degree, id) endpoint ([[orientByDegree]]) — the degree-ordering
+    * that makes triangle counting skew-proof while staying exact: every
+    * triangle {x,y,z} with rank(x) < rank(y) < rank(z) is enumerated
+    * exactly once as the wedge (x→y, x→z) closed by the oriented edge
+    * y→z, and a node's out-degree under this orientation is O(sqrt(m))
+    * regardless of its raw degree (a vertex only points at neighbors at
+    * least as high in the degree order). r5's min-ID orientation let one
+    * near-dup hub with raw degree d fan out d²/2 wedges (7.6 s warm on a
+    * denser corpus); degree-ordering caps the same hub's wedge fan-out
+    * at O(m) total. Both joins shuffle on a single vertex key; each
+    * found triangle credits all three corners via one explode + count.
+    *
+    * The oriented edge list is lazily checkpointed: the two self-join
+    * arms and the closing join would otherwise re-derive the candidate
+    * pairs (here: a whole MinHash-LSH pipeline) three times per action.
+    */
   def triangleCounts(edges: DataFrame, src: String = "id_a",
                      dst: String = "id_b"): DataFrame = {
     val e = orientByDegree(edges, src, dst).localCheckpoint(false)
