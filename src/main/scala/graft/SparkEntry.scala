@@ -288,6 +288,19 @@ object SparkEntry {
         n = 3, k = 16, bands = 4, threshold = 0.6)
         .orderBy(col("id_a"), col("id_b"))),
 
+    // Incremental near-dup sweep: ONLY the delta (doc_id % 50 == 0) is
+    // banded; it probes the existing corpus's band index. Emits exactly
+    // the full sweep's pairs that involve a delta doc — the invariant the
+    // oracle hashes (full mh_pairs filtered to delta-involved rows).
+    "dedup_incr_lsh" -> ((s, dir) => {
+      val universe = Tables.documents(s, dir).filter(col("doc_id") % 10 === 0)
+      Dedup.minhashLshPairsIncremental(
+        universe.filter(col("doc_id") % 50 =!= 0),
+        universe.filter(col("doc_id") % 50 === 0),
+        n = 3, k = 16, bands = 4, threshold = 0.6)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // Near-dup connected components over the LSH pairs: cluster_id = the
     // representative each dedup cluster keeps (min-label propagation).
     "dedup_clusters" -> ((s, dir) =>
@@ -2011,6 +2024,14 @@ object SparkEntry {
     "dedup_minhash_lsh" ->
       s"""WITH $minhashPairsCtes
          |SELECT * FROM mh_pairs ORDER BY id_a, id_b""".stripMargin,
+
+    // the incremental sweep's contract IS this filter: banding only the
+    // delta and probing the corpus index must emit exactly the full
+    // sweep's delta-involved pairs
+    "dedup_incr_lsh" ->
+      s"""WITH $minhashPairsCtes
+         |SELECT * FROM mh_pairs WHERE id_a % 50 = 0 OR id_b % 50 = 0
+         |ORDER BY id_a, id_b""".stripMargin,
 
     "graph_triangles" ->
       s"""WITH $minhashPairsCtes,

@@ -154,6 +154,52 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Incremental MinHash-LSH sweep: the near-dup pairs INVOLVING at least
+    * one delta doc, computed by banding ONLY the delta and probing the
+    * band index of the existing corpus — the incrementality discipline of
+    * the reference's bookmark scans (SURVEY §2 S1) applied to near-dup
+    * detection. A 100 TB corpus is never re-shingled on ingest: its band
+    * table is an append-only index (rebuilt here from `oldDocs` so the
+    * oracle can replay it; in production it is a persisted table the
+    * delta's bands are appended to after the sweep). Output equals
+    * exactly `minhashLshPairs(old ∪ delta)` restricted to rows where
+    * id_a or id_b is a delta doc — the invariant the oracle hashes.
+    *
+    * Scale shape: the probe join shuffles on (band, band_key); with the
+    * index bucketed on that key (LayoutSpec's discipline) only the
+    * delta-sized side moves. Verification re-shingles only docs that
+    * appear in some candidate pair (semi-join pruning), so old-corpus
+    * text is read only for matched docs — the delta sweep's cost tracks
+    * the DELTA size plus its match set, not the corpus.
+    */
+  def minhashLshPairsIncremental(oldDocs: DataFrame, deltaDocs: DataFrame,
+                                 n: Int = 3, k: Int = 16, bands: Int = 4,
+                                 threshold: Double = 0.5): DataFrame = {
+    val idx = minhashBands(oldDocs, n, k, bands)
+    val dBands = minhashBands(deltaDocs, n, k, bands)
+    // probe the union so delta-delta pairs are found too; least/greatest
+    // + distinct dedupes the delta-delta collisions seen in both orders
+    val cand = dBands.as("x")
+      .join(idx.unionByName(dBands).as("y"),
+        col("x.band") === col("y.band") && col("x.band_key") === col("y.band_key") &&
+          col("x.doc_id") =!= col("y.doc_id"))
+      .select(least(col("x.doc_id"), col("y.doc_id")).as("id_a"),
+        greatest(col("x.doc_id"), col("y.doc_id")).as("id_b"))
+      .distinct()
+    val involved = cand.select(col("id_a").as("doc_id"))
+      .union(cand.select(col("id_b").as("doc_id"))).distinct()
+    val grams = oldDocs.unionByName(deltaDocs)
+      .join(involved, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), shingleHashes(col("text"), n).as("gs"))
+    cand
+      .join(grams.as("ga"), col("id_a") === col("ga.doc_id"))
+      .join(grams.as("gb"), col("id_b") === col("gb.doc_id"))
+      .select(col("id_a"), col("id_b"),
+        round(size(array_intersect(col("ga.gs"), col("gb.gs"))).cast("double") /
+          size(array_union(col("ga.gs"), col("gb.gs"))), 6).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** SimHash near-dup pairs: `bits`-bit simhash over whitespace-token
     * hashes; candidates share the full simhash bucket (hamming distance 0
     * prefilter via one shuffle), verified at <= `maxHamming` by popcount.

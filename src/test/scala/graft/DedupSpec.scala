@@ -235,4 +235,27 @@ class DedupSpec extends SparkSuite {
       .select("train_id", "bench_id").as[(Long, Long)].collect().toSet
     assert(got == Set((1L, 100L)))
   }
+
+  test("incremental LSH sweep equals the full sweep filtered to delta-involved pairs") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    val delta = docs.filter(col("doc_id") % 5 === 0)
+    val old = docs.filter(col("doc_id") % 5 =!= 0)
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double)] =
+      df.select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect().toSet
+    val incr = rows(Dedup.minhashLshPairsIncremental(old, delta,
+      n = 3, k = 16, bands = 4, threshold = 0.5))
+    val full = rows(Dedup.minhashLshPairs(docs,
+      n = 3, k = 16, bands = 4, threshold = 0.5))
+      .filter { case (a, b, _) => a % 5 == 0 || b % 5 == 0 }
+    assert(incr == full && incr.nonEmpty)
+  }
+
+  test("incremental LSH sweep with an empty delta emits nothing") {
+    val docs = Tables.documents(spark, sf)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text"))
+    assert(Dedup.minhashLshPairsIncremental(docs, docs.limit(0)).isEmpty)
+  }
 }
