@@ -244,6 +244,36 @@ object ScaleRehearsal {
       }
       emit("span_coverage", f, nd, candSpan, spanDocs, tCandSpan + tSpan)
 
+      // Incremental LSH (dedup_incr_lsh): a FIXED delta — the unreplicated
+      // copy's %10 sample, identical at both factors — swept against the
+      // growing corpus. The scale claim is that per-ingest cost tracks the
+      // DELTA and its match set, never the corpus: the Caesar copies are
+      // shingle bijections that cannot collide with the unshifted delta,
+      // so candidate pairs must stay ~FLAT as the corpus grows 10x. Growth
+      // here would mean the probe join is secretly corpus-shaped (the
+      // failure the full-resweep design has by construction).
+      val delta = docs.filter(col("doc_id") < idOffset && col("doc_id") % 10 === 0)
+      val oldDocs = docs.filter(!(col("doc_id") < idOffset && col("doc_id") % 10 === 0))
+      val (candIncr, tCandIncr) = timed {
+        val dB = Dedup.minhashBands(delta, n = 3, k = 16, bands = 4)
+          .localCheckpoint()
+        val aB = Dedup.minhashBands(oldDocs, n = 3, k = 16, bands = 4)
+          .unionByName(dB)
+        dB.as("x").join(aB.as("y"),
+            col("x.band") === col("y.band") &&
+              col("x.band_key") === col("y.band_key") &&
+              col("x.doc_id") =!= col("y.doc_id"))
+          .select(least(col("x.doc_id"), col("y.doc_id")),
+            greatest(col("x.doc_id"), col("y.doc_id")))
+          .distinct().count()
+      }
+      val (verIncr, tVerIncr) = timed {
+        Dedup.minhashLshPairsIncremental(oldDocs, delta,
+          n = 3, k = 16, bands = 4, threshold = 0.5).count()
+      }
+      emit("incr_lsh_fixed_delta", f, nd, candIncr, verIncr,
+        tCandIncr + tVerIncr)
+
       // Winnowing fingerprints (dedup_winnow): min-of-window selection
       // keeps ~2/(window+1) of span hashes, and the df<=50 prune bounds
       // any fingerprint's pair fan-out. Caesar copies are token-hash
