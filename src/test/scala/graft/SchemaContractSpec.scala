@@ -37,6 +37,16 @@ class SchemaContractSpec extends SparkSuite {
     assert(bad == 0L)
   }
 
+  test("documents/embeddings carry the dtypes the text and vector kernels assume") {
+    // the codegen'd vector kernels (CosineSimilarity, HyperplaneBuckets)
+    // and the Float-typed quantizer are compiled against array<float>; a
+    // driver-side regeneration to array<double> must fail here, not in
+    // 20 similarity queries
+    assert(Tables.embeddings(spark, sf).schema("embedding").dataType ==
+      ArrayType(FloatType, containsNull = true))
+    assert(Tables.documents(spark, sf).schema("text").dataType == StringType)
+  }
+
   test("bookmark keys in the catalog exist with an orderable integral type") {
     Seq("orders", "lineitem", "events", "documents", "embeddings").foreach { t =>
       val key = Tables.bookmarkKey(t)
