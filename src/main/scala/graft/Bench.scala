@@ -33,9 +33,14 @@ object Bench {
   /** One timed execution: noop sink consumes every row and column, so the
     * timing includes all expression work (count() lets Catalyst prune the
     * projection and under-measures map-only queries). Failures are timed
-    * too, but carry their exception class.
+    * too, but carry their exception class. `leaks` is the post-run residue
+    * sweep: persisted RDDs the query left behind AFTER the engine's own
+    * [[Residue.drain]] released everything tracked — r5/r6 spent two
+    * rounds forensically attributing warm>cold inversions to exactly this
+    * class of leak, so now every run names its leaker immediately.
     */
-  private final case class Run(sec: Double, err: Option[String])
+  private final case class Run(sec: Double, err: Option[String],
+                               leaks: Seq[String])
 
   /** Per-query aggregate over cold + warm runs. */
   private final case class QueryResult(name: String, cold: Run, warm: Seq[Run],
@@ -54,6 +59,7 @@ object Bench {
     }
     def err: Option[String] = (cold.err.toSeq ++ warm.flatMap(_.err)).headOption
     def failedRuns: Int = (cold.err.toSeq ++ warm.flatMap(_.err)).size
+    def leaks: Seq[String] = (cold.leaks ++ warm.flatMap(_.leaks)).distinct
   }
 
   def main(args: Array[String]): Unit = {
@@ -69,7 +75,7 @@ object Bench {
         // quick mode (streams then skip their median protocol too)
         "SPARK_GRAFT_WARM" -> "1",
         // where the full per-query report lands (committed to the repo)
-        "SPARK_GRAFT_BENCH_OUT" -> "BENCH_LOCAL_r6.json"))
+        "SPARK_GRAFT_BENCH_OUT" -> "BENCH_LOCAL_r7.json"))
     val sfDir = opts("SPARK_GRAFT_SF_DIR")
     val cpus = opts("SPARK_GRAFT_CPUS")
     val warmRuns = opts("SPARK_GRAFT_WARM").toInt.max(0)
@@ -99,7 +105,14 @@ object Bench {
       val err =
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); None }
         catch { case t: Throwable => Some(t.getClass.getSimpleName) }
-      Run((System.nanoTime() - t0) / 1e9, err)
+      val sec = (System.nanoTime() - t0) / 1e9
+      // leak guard (outside the timed region): release every tracked
+      // materialization, then name any persisted RDD still standing. The
+      // drain runs between COLD and WARM too — a cache surviving into the
+      // next run would let "warm" read the previous run's blocks instead
+      // of recomputing, and residue would contaminate every later query.
+      val leaks = Residue.drain(spark)
+      Run(sec, err, leaks)
     }
 
     val results: Seq[QueryResult] = SparkEntry.queries.toSeq
@@ -126,6 +139,9 @@ object Bench {
         Some("\"warm\":" + jnum(r.warmStat)),
         Some("\"runs\":" + r.warm.map(w => jnum(w.sec)).mkString("[", ",", "]")),
         r.err.map(e => "\"err\":" + jstr(e) + ",\"failed_runs\":" + r.failedRuns),
+        if (r.leaks.nonEmpty)
+          Some("\"leaks\":" + r.leaks.map(jstr).mkString("[", ",", "]"))
+        else None,
         r.stateRows.map { case (t, u) =>
           s""""state_rows_total":$t,"state_rows_updated":$u""" }
       ).flatten
@@ -136,6 +152,7 @@ object Bench {
       s""""value_cold":${jnum(totalCold)},"warm_runs":$warmRuns,""" +
       s""""stream_min_warm":$streamMinWarm,"cpus":$cpus,"sf":${jstr(sfDir)},""" +
       s""""n_queries":${results.size},"n_failed":${failures.size},""" +
+      s""""n_leaking":${results.count(_.leaks.nonEmpty)},""" +
       s""""queries":$queriesJson}"""
     Files.write(Paths.get(benchOut), (fullJson + "\n").getBytes(StandardCharsets.UTF_8))
     println(fullJson)
@@ -155,6 +172,7 @@ object Bench {
       s"""{"metric":"total_warm","value":${jnum(totalWarm)},"unit":"sec",""" +
       s""""value_cold":${jnum(totalCold)},"n_queries":${results.size},""" +
       s""""n_failed":${failures.size},"errors":$errJson,""" +
+      s""""n_leaking":${results.count(_.leaks.nonEmpty)},""" +
       s""""queries":$headJson,"sf":${jstr(sfDir)},""" +
       s""""bench_file":${jstr(benchOut)},""" +
       """"note":"value=best-warm total (median-of-3+ for stream_*); full per-query warm/cold/err in bench_file"}""")

@@ -117,8 +117,8 @@ object ScaleRehearsal {
       // MinHash-LSH (k=16 sigs, 4 bands of 4): candidates = distinct pairs
       // sharing any band bucket (the operator's own first stage), verified
       // = exact-Jaccard >= 0.5 survivors
-      val bands = Dedup.minhashBands(docs, n = 3, k = 16, bands = 4)
-        .localCheckpoint()
+      val bands = Residue.cut(
+        Dedup.minhashBands(docs, n = 3, k = 16, bands = 4)).df
       val (candMh, tCandMh) = timed {
         bands.as("x").join(bands.as("y"),
             col("x.band") === col("y.band") &&
@@ -189,8 +189,8 @@ object ScaleRehearsal {
       // so recall scales with the TABLES knob: measure 4 and 8 tables
       // (the packed first-collision filter caps tables*bits at 64).
       val queries = emb.filter(col("vec_id") < 8)
-      val brute = Similarity.bruteForceTopK(emb, queries, 5)
-        .select(col("query_id"), col("neighbor_id")).localCheckpoint()
+      val brute = Residue.cut(Similarity.bruteForceTopK(emb, queries, 5)
+        .select(col("query_id"), col("neighbor_id"))).df
       val nBrute = brute.count()
       Seq(4, 8).foreach { tables =>
         val (recall, tAnn) = timed {
@@ -255,8 +255,8 @@ object ScaleRehearsal {
       val delta = docs.filter(col("doc_id") < idOffset && col("doc_id") % 10 === 0)
       val oldDocs = docs.filter(!(col("doc_id") < idOffset && col("doc_id") % 10 === 0))
       val (candIncr, tCandIncr) = timed {
-        val dB = Dedup.minhashBands(delta, n = 3, k = 16, bands = 4)
-          .localCheckpoint()
+        val dB = Residue.cut(
+          Dedup.minhashBands(delta, n = 3, k = 16, bands = 4)).df
         val aB = Dedup.minhashBands(oldDocs, n = 3, k = 16, bands = 4)
           .unionByName(dB)
         dB.as("x").join(aB.as("y"),
@@ -282,8 +282,8 @@ object ScaleRehearsal {
       // track corpus growth linearly — super-linear growth would mean
       // fingerprint-space saturation or a df bound that stopped binding.
       val (candWin, tCandWin) = timed {
-        val kept = Dedup.winnowFingerprints(docs, spanLen = 8, window = 4,
-          maxDf = 50).localCheckpoint()
+        val kept = Residue.cut(Dedup.winnowFingerprints(docs, spanLen = 8,
+          window = 4, maxDf = 50)).df
         kept.as("x").join(kept.as("y"),
             col("x.fp") === col("y.fp") && col("x.doc_id") < col("y.doc_id"))
           .count()
@@ -349,6 +349,9 @@ object ScaleRehearsal {
         emit(s"semantic_k${kScaled}_t06", f, ne, candSemS, verSemS,
           tCandSemS + tVerSemS)
       }
+      // one factor's materializations must not contaminate the next
+      // factor's timings — same per-run hygiene as Bench
+      Residue.drain(spark)
     }
     spark.stop()
   }

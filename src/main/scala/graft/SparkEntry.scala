@@ -71,14 +71,18 @@ object SparkEntry {
             .select(col("p_brand").as("report_key"), col("register_date"), col("total"))
             .withColumn("report", lit("part_brand"))))
       // each report materializes exactly once on its pool thread by
-      // writing to its (temp parquet) sink — the reference's shape: every
-      // report lands in a store (S10). Unlike the previous localCheckpoint,
+      // writing to its (scratch parquet) sink — the reference's shape:
+      // every report lands in a store (S10). Unlike a localCheckpoint,
       // this leaves NO block-manager residue: checkpoint blocks have no
       // public unpersist and accumulate across runs (r5: warm runs
       // degraded 4.4s -> 8s -> 11.6s from exactly that), while the
-      // read-back union is a dimension-sized scan independent of `shared`
+      // read-back union is a dimension-sized scan independent of `shared`.
+      // Sinks live under the spark-visible Scratch root (r6 ADVICE: a
+      // java.io.tmpdir sink is driver-local and leaks across runs) and are
+      // deleted at JVM exit — the returned frame still reads them lazily,
+      // so eager deletion inside the query would be wrong
       val results = ParallelReports.run(s, shared, specs) { df =>
-        val sink = java.nio.file.Files.createTempDirectory("graft-report").toString
+        val sink = Scratch.create(s, "graft-report")
         df.write.mode("overwrite").parquet(sink)
         s.read.parquet(sink)
       }
@@ -301,6 +305,26 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // The PERSISTED-index production shape of the same sweep: run 0
+    // bootstraps the corpus band index as a stored parquet table, run 1
+    // bands ONLY the delta, probes the stored index (the old corpus is
+    // never re-shingled), sinks the verified pairs, then appends the
+    // delta's bands commit-after-sink (bookmark discipline). Same output
+    // contract — the oracle is identical to dedup_incr_lsh.
+    "dedup_incr_lsh_indexed" -> ((s, dir) => {
+      val universe = Tables.documents(s, dir).filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id"), col("text"))
+      val idx = new graft.sources.LshBandIndex(
+        s, TempDirs.create("graft-lsh-idx"), n = 3, k = 16, bands = 4)
+      idx.bootstrap(universe.filter(col("doc_id") % 50 =!= 0))
+      val out = Scratch.create(s, "graft-lsh-sweep")
+      idx.sweepAndAppend(universe, universe.filter(col("doc_id") % 50 === 0),
+        threshold = 0.6) { pairs =>
+        pairs.write.mode("overwrite").parquet(out)
+      }
+      s.read.parquet(out).orderBy(col("id_a"), col("id_b"))
+    }),
+
     // Near-dup connected components over the LSH pairs: cluster_id = the
     // representative each dedup cluster keeps (min-label propagation).
     "dedup_clusters" -> ((s, dir) =>
@@ -428,17 +452,17 @@ object SparkEntry {
       val kept = stats.where(col("quality_score") >= 0.55 &&
         col("lang_pred") =!= "und" && col("n_tokens").between(5, 5000))
       // the near-dup stage consumes its input several times (grams, stop
-      // set, both verify sides) and the anti-join reads it again — a lazy
-      // localCheckpoint materializes the expensive stats+dedup pipeline
-      // ONCE instead of re-deriving it per consumer (5 scans otherwise)
-      val sole = kept.groupBy(col("fingerprint"))
+      // set, both verify sides) and the anti-join reads it again — the
+      // tracked pin materializes the expensive stats+dedup pipeline ONCE
+      // instead of re-deriving it per consumer (5 scans otherwise), and is
+      // freed at the end-of-query drain
+      val sole = Residue.pin(kept.groupBy(col("fingerprint"))
         .agg(min(struct(col("doc_id"), col("text"), col("source"),
           col("n_tokens"), col("quality_score"), col("lang_pred"))).as("_r"))
         .select(col("_r.doc_id").as("doc_id"), col("_r.text").as("text"),
           col("_r.source").as("source"), col("_r.n_tokens").as("n_tokens"),
           col("_r.quality_score").as("quality_score"),
-          col("_r.lang_pred").as("lang_pred"))
-        .localCheckpoint(false)
+          col("_r.lang_pred").as("lang_pred")))
       val dupIds = Dedup.ngramJaccardPairsPruned(
           sole.select(col("doc_id"), col("text")), 3, 0.8, maxDf = 40)
         .select(col("id_b").as("doc_id")).distinct()
@@ -1055,14 +1079,14 @@ object SparkEntry {
         .withColumn("k",
           from_json(col("raw"), org.apache.spark.sql.types.StructType.fromDDL("k INT"))
             .getField("k"))
-      val valid = parsed.where(col("k").isNotNull)
-        .groupBy((col("k") % 10).as("k_bucket"))
+      // single pass (r6 verdict item 4): the quarantine rows ARE a group —
+      // bucket NULL parses to -1 and min/max over an all-NULL k yield NULL
+      // for free, so one scan + one from_json + one hash agg replaces the
+      // former two-aggregation union that parsed the corpus twice
+      parsed.groupBy(when(col("k").isNull, lit(-1))
+          .otherwise(col("k") % 10).as("k_bucket"))
         .agg(count(lit(1)).as("n"), min(col("k")).as("min_k"), max(col("k")).as("max_k"))
-      val quarantined = parsed.where(col("k").isNull)
-        .agg(count(lit(1)).as("n"))
-        .select(lit(-1).as("k_bucket"), col("n"),
-          lit(null).cast("int").as("min_k"), lit(null).cast("int").as("max_k"))
-      valid.unionByName(quarantined).orderBy(col("k_bucket"))
+        .orderBy(col("k_bucket"))
     }),
 
     // Salted skew join: per-user totals joined back to events with the hot
@@ -2029,6 +2053,13 @@ object SparkEntry {
     // delta and probing the corpus index must emit exactly the full
     // sweep's delta-involved pairs
     "dedup_incr_lsh" ->
+      s"""WITH $minhashPairsCtes
+         |SELECT * FROM mh_pairs WHERE id_a % 50 = 0 OR id_b % 50 = 0
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    // the persisted-index path must emit the SAME delta-involved pairs as
+    // the recompute path — one oracle pins both implementations
+    "dedup_incr_lsh_indexed" ->
       s"""WITH $minhashPairsCtes
          |SELECT * FROM mh_pairs WHERE id_a % 50 = 0 OR id_b % 50 = 0
          |ORDER BY id_a, id_b""".stripMargin,

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.Residue
 import graft.functions.GraftFunctions._
 import graft.functions.PolyHash
 
@@ -252,35 +253,41 @@ object Dedup {
     */
   def nearDupClusters(pairs: DataFrame): DataFrame = {
     val fwd = pairs.select(col("id_a").as("a"), col("id_b").as("b"))
-    // localCheckpoint (not cache): iterative plans otherwise embed the
-    // whole upstream pair-generation lineage every round, and each round's
-    // plan grows on the last — analysis time, not data, becomes the cost
-    val edges = fwd
+    // Residue.cut (not cache, not localCheckpoint): iterative plans
+    // otherwise embed the whole upstream pair-generation lineage every
+    // round — analysis time, not data, becomes the cost — and checkpoint
+    // blocks can never be freed, contaminating every query that runs after
+    // this one in the same session (the r6 suite-bench failure mode). Each
+    // generation is released as soon as its successor is materialized by
+    // the convergence count, so peak in-loop state is two node-sized tables.
+    val edges = Residue.cut(fwd
       .union(fwd.select(col("b"), col("a")))
       .union(fwd.select(col("a"), col("a")))
       .union(fwd.select(col("b"), col("b")))
-      .distinct().localCheckpoint()
-    var labels = edges.groupBy(col("a").as("doc_id"))
-      .agg(min(col("b")).as("cluster_id")).localCheckpoint()
+      .distinct())
+    var labels = Residue.cut(edges.df.groupBy(col("a").as("doc_id"))
+      .agg(min(col("b")).as("cluster_id")))
     var changed = 1L
     while (changed > 0) {
       // one hop: label(x) = min over neighbors of label(neighbor)
-      val hop = edges.join(labels, edges("b") === labels("doc_id"))
-        .groupBy(edges("a").as("doc_id"))
-        .agg(min(col("cluster_id")).as("cluster_id"))
-        .localCheckpoint()
+      val hop = Residue.cut(
+        edges.df.join(labels.df, edges.df("b") === labels.df("doc_id"))
+          .groupBy(edges.df("a").as("doc_id"))
+          .agg(min(col("cluster_id")).as("cluster_id")))
       // path halving: label(x) = label(label(x)) — labels are doc ids in
       // the same graph, so the inner self-join always hits; this turns
       // O(diameter) rounds into O(log diameter)
-      val prop = hop.as("p1")
-        .join(hop.as("p2"), col("p1.cluster_id") === col("p2.doc_id"))
-        .select(col("p1.doc_id").as("doc_id"), col("p2.cluster_id").as("cluster_id"))
-        .localCheckpoint()
-      changed = prop.join(labels.withColumnRenamed("cluster_id", "prev"), "doc_id")
+      val prop = Residue.cut(hop.df.as("p1")
+        .join(hop.df.as("p2"), col("p1.cluster_id") === col("p2.doc_id"))
+        .select(col("p1.doc_id").as("doc_id"), col("p2.cluster_id").as("cluster_id")))
+      changed = prop.df
+        .join(labels.df.withColumnRenamed("cluster_id", "prev"), "doc_id")
         .filter(col("cluster_id") =!= col("prev")).count()
+      hop.free(); labels.free()
       labels = prop
     }
-    labels
+    edges.free()
+    labels.df
   }
 
   /** Embedding near-dup pairs: cosine similarity >= `threshold` between
@@ -503,7 +510,7 @@ object Dedup {
     def grams(df: DataFrame, idAs: String) =
       df.select(col("doc_id").as(idAs),
         explode(shingleHashes(col("text"), n)).as("g"))
-    val benchGrams = grams(bench, "bench_id").localCheckpoint(false)
+    val benchGrams = Residue.pin(grams(bench, "bench_id"))
     val distinctG = benchGrams.select(col("g")).distinct()
     // O(1)-result driver scalars, like the bookmark max-key scan
     val nGrams = math.max(1L, distinctG.count())

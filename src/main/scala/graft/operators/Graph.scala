@@ -75,13 +75,14 @@ object Graph {
     * at O(m) total. Both joins shuffle on a single vertex key; each
     * found triangle credits all three corners via one explode + count.
     *
-    * The oriented edge list is lazily checkpointed: the two self-join
-    * arms and the closing join would otherwise re-derive the candidate
-    * pairs (here: a whole MinHash-LSH pipeline) three times per action.
+    * The oriented edge list is pinned ([[graft.Residue.pin]]): the two
+    * self-join arms and the closing join would otherwise re-derive the
+    * candidate pairs (here: a whole MinHash-LSH pipeline) three times per
+    * action; the pin is freed at the end-of-query drain.
     */
   def triangleCounts(edges: DataFrame, src: String = "id_a",
                      dst: String = "id_b"): DataFrame = {
-    val e = orientByDegree(edges, src, dst).localCheckpoint(false)
+    val e = graft.Residue.pin(orientByDegree(edges, src, dst))
     val wedges = e.as("e1").join(e.as("e2"),
         col("e1.u") === col("e2.u") &&
           struct(col("e1.dw"), col("e1.w")) < struct(col("e2.dw"), col("e2.w")))
@@ -96,12 +97,13 @@ object Graph {
   def pagerank(edges: DataFrame, iters: Int, damping: Double = 0.85,
                teleport: Double = 0.15, roundTo: Int = 9,
                broadcastNodes: Boolean = true): DataFrame = {
-    // materialize the edge list and degree table ONCE: without the lazy
-    // checkpoint each iteration's join re-derives them from source (at
-    // 100 TB that is `iters` full scans of the input instead of one)
-    val e = edges.select(col("src"), col("dst")).localCheckpoint(false)
-    val deg = e.groupBy("src").agg(count(lit(1)).as("out_deg"))
-      .localCheckpoint(false)
+    // materialize the edge list and degree table ONCE: without the tracked
+    // pin each iteration's join re-derives them from source (at 100 TB that
+    // is `iters` full scans of the input instead of one); both pins are
+    // freed by the end-of-query drain, unlike checkpoint blocks
+    val e = graft.Residue.pin(edges.select(col("src"), col("dst")))
+    val deg = graft.Residue.pin(
+      e.groupBy("src").agg(count(lit(1)).as("out_deg")))
     val bc: DataFrame => DataFrame =
       if (broadcastNodes) broadcast(_) else identity
     val nodes = deg.select(col("src").as("node"), col("out_deg"))

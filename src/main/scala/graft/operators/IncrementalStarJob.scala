@@ -50,6 +50,6 @@ object IncrementalStarJob {
       // both sinks succeeded -> safe to advance the bookmark
       newMax.foreach(store.commit("lineitem", ctx, _))
       RunResult(delta.count(), newMax, results.map(_._1))
-    } finally denorm.unpersist()
+    } finally denorm.unpersist(blocking = true)
   }
 }

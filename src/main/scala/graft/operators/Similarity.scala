@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.Residue
 import graft.functions.GraftFunctions._
 
 /** Similarity search over an embedding column (`Array[Float]`).
@@ -305,10 +306,10 @@ object Similarity {
   def sparseTopK(docs: DataFrame, nDocs: Long, isQuery: Column, k: Int,
                  maxDf: Long, scale: Int = 1000,
                  terms: Column = tokens(lower(col("text")))): DataFrame = {
-    // tf feeds postings AND document frequency — checkpoint tokenizes once
-    val tf = docs.select(col("doc_id"), explode(terms).as("term"))
-      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      .localCheckpoint(false)
+    // tf feeds postings AND document frequency — the tracked pin tokenizes
+    // once and is freed at the end-of-query drain
+    val tf = Residue.pin(docs.select(col("doc_id"), explode(terms).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf")))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
       .where(col("df") <= maxDf)
     // each posting carries its document's squared norm (one window pass

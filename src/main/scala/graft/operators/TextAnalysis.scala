@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.Residue
 import graft.functions.GraftFunctions._
 
 /** Text-analysis operators for a training-data pipeline, over the
@@ -89,12 +90,12 @@ object TextAnalysis {
     */
   def tfIdfTopTerms(docs: DataFrame, nDocs: Long, k: Int,
                     text: Column = col("text")): DataFrame = {
-    // tf feeds both the scored main side and dfreq — the lazy checkpoint
-    // tokenizes the corpus once instead of once per consumer
-    val tf = docs
+    // tf feeds both the scored main side and dfreq — the tracked pin
+    // tokenizes the corpus once instead of once per consumer, and unlike a
+    // localCheckpoint its blocks are freed at the end-of-query drain
+    val tf = Residue.pin(docs
       .select(col("doc_id"), explode(tokens(lower(text))).as("term"))
-      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      .localCheckpoint(false)
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf")))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val scored = tf.join(broadcast(dfreq), "term")
       .withColumn("tfidf", round(col("tf") * log(lit(nDocs.toDouble) / col("df")), 4))
@@ -277,13 +278,17 @@ object TextAnalysis {
     val spark = docs.sparkSession
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
-    var state = docs.select(col("doc_id"), tokens(lower(text)).as("toks"))
-      .where(size(col("toks")) >= 2)
-      .localCheckpoint(false)
+    // Residue.cut: each round's rewrite would otherwise nest the previous
+    // round's plan (analysis blow-up), and the generation just rewritten is
+    // freed as soon as its successor is materialized by the token count —
+    // peak state is two tokenized-corpus generations, zero session residue
+    var state = Residue.cut(docs
+      .select(col("doc_id"), tokens(lower(text)).as("toks"))
+      .where(size(col("toks")) >= 2))
     val learned = Seq.newBuilder[(Int, String, String, Long, Long)]
     var exhausted = false
     for (round <- 1 to rounds if !exhausted) {
-      val pairs = state
+      val pairs = state.df
         .select(explode(zip_with(
           slice(col("toks"), lit(1), size(col("toks")) - 1),
           slice(col("toks"), lit(2), size(col("toks")) - 1),
@@ -302,7 +307,7 @@ object TextAnalysis {
       // leftmost-non-overlapping rewrite via gaps-and-islands on match
       // positions: a position matches when (tok, next) == (a, b); within
       // a consecutive run of matches only even offsets merge
-      val pos = state.select(col("doc_id"), posexplode(col("toks")))
+      val pos = state.df.select(col("doc_id"), posexplode(col("toks")))
         .withColumnRenamed("pos", "p").withColumnRenamed("col", "tok")
       val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("p"))
       val flagged = pos
@@ -320,18 +325,22 @@ object TextAnalysis {
           when(col("m"), col("p") - min(col("p")).over(wMatch)))
         .withColumn("do_merge", col("m") && col("offset") % 2 === 0)
         .withColumn("prev_merged", lag(col("do_merge"), 1, false).over(wDoc))
-      state = keepFlags
+      val next = Residue.cut(keepFlags
         .where(!col("prev_merged"))
         .select(col("doc_id"), col("p"),
           when(col("do_merge"), lit(merged)).otherwise(col("tok")).as("tok"))
         .groupBy(col("doc_id"))
         .agg(sort_array(collect_list(struct(col("p"), col("tok")))).as("s"))
-        .select(col("doc_id"), expr("transform(s, x -> x.tok)").as("toks"))
-        .localCheckpoint(false)
-      val corpusTokens = state.select(sum(size(col("toks")))).head().getLong(0)
+        .select(col("doc_id"), expr("transform(s, x -> x.tok)").as("toks")))
+      val corpusTokens = next.df.select(sum(size(col("toks")))).head().getLong(0)
+      state.free()
+      state = next
       learned += ((round, ta, tb, tn, corpusTokens))
       }
     }
+    // the result is built from the driver-side merge table, so the last
+    // tokenized generation is dead the moment the loop exits
+    state.free()
     val rows = learned.result().map { case (r, a, b, n, t) => Row(r, a, b, n, t) }
     spark.createDataFrame(
       spark.sparkContext.parallelize(rows, 1),
@@ -386,14 +395,14 @@ object TextAnalysis {
     * given the corpus") a training pipeline runs before mixing.
     *
     * Two consumers read the same bigram stream (LM training and
-    * scoring), so it is lazily checkpointed and tokenized once. The LM
+    * scoring), so it is pinned and tokenized once. The LM
     * table is vocab²-bounded; the scoring join keys on (w1, w2) and the
     * per-doc reduction is one partial-aggregated shuffle on doc_id.
     * Scoring the corpus under its own LM means no unseen bigrams — a
     * held-out scorer would add the usual add-k smoothing term.
     */
   def perplexity(docs: DataFrame, text: Column = col("text")): DataFrame = {
-    val pairs = bigramPairs(docs, text).localCheckpoint(false)
+    val pairs = Residue.pin(bigramPairs(docs, text))
     pairs.join(lmProbs(pairs), Seq("w1", "w2"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"),

@@ -57,6 +57,24 @@ class QueryPlanSpec extends SparkSuite {
       s"sketch buffers must never be keyed per user:\n$plan")
   }
 
+  test("json_quarantine parses the corpus exactly once") {
+    // one scan of events, one from_json, one hash agg — the quarantine
+    // bucket rides the same aggregation as the valid buckets (the former
+    // two-aggregation union parsed and scanned the corpus twice)
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    def fileScans(p: org.apache.spark.sql.execution.SparkPlan): Int =
+      p.collect {
+        case f: FileSourceScanExec => 1
+        case a: AdaptiveSparkPlanExec => fileScans(a.executedPlan)
+      }.sum
+    val exec = SparkEntry.queries("json_quarantine")(spark, sf)
+      .queryExecution.executedPlan
+    assert(fileScans(exec) == 1, exec.toString.take(2000))
+    val plan = planOf("json_quarantine")
+    assert("from_json".r.findAllIn(plan).length <= 1, plan.take(2000))
+  }
+
   test("window top-k pushes the rank filter into the sort (WindowGroupLimit)") {
     // Spark's WindowGroupLimit keeps only k rows per group through the
     // sort instead of ranking everything and filtering after — the
