@@ -274,6 +274,39 @@ object ScaleRehearsal {
       emit("incr_lsh_fixed_delta", f, nd, candIncr, verIncr,
         tCandIncr + tVerIncr)
 
+      // Persisted-index sweep (dedup_incr_lsh_indexed): the same fixed
+      // delta, but the corpus's bands come from the STORED index — built
+      // OUTSIDE the timed region, exactly the production state where the
+      // corpus was shingled once at ingest. The timed section is the whole
+      // per-ingest cost (band delta + probe + verify + append-commit);
+      // with the old-side re-banding gone it must grow far slower than
+      // the corpus, and verified pairs must equal the recompute path's.
+      val idx = new graft.sources.LshBandIndex(spark,
+        TempDirs.create(s"graft-scale-lshidx$f"), n = 3, k = 16, bands = 4)
+      idx.bootstrap(oldDocs)
+      // probe-only row: the candidate stage against the STORED bands vs
+      // the recompute path's tCandIncr (which re-bands the corpus every
+      // run) — isolates the banding saving, since the end-to-end sweep's
+      // wall is dominated by verifying this delta's 251k-pair match set
+      val (candIdx, tCandIdx) = timed {
+        val dB = Residue.cut(
+          Dedup.minhashBands(delta, n = 3, k = 16, bands = 4)).df
+        dB.as("x").join(idx.bandsDf.unionByName(dB).as("y"),
+            col("x.band") === col("y.band") &&
+              col("x.band_key") === col("y.band_key") &&
+              col("x.doc_id") =!= col("y.doc_id"))
+          .select(least(col("x.doc_id"), col("y.doc_id")),
+            greatest(col("x.doc_id"), col("y.doc_id")))
+          .distinct().count()
+      }
+      emit("incr_lsh_indexed_probe", f, nd, candIdx, -1, tCandIdx)
+      val (verIdx, tIdx) = timed {
+        var got = 0L
+        idx.sweepAndAppend(docs, delta, threshold = 0.5) { p => got = p.count() }
+        got
+      }
+      emit("incr_lsh_indexed", f, nd, candIncr, verIdx, tIdx)
+
       // Winnowing fingerprints (dedup_winnow): min-of-window selection
       // keeps ~2/(window+1) of span hashes, and the df<=50 prune bounds
       // any fingerprint's pair fan-out. Caesar copies are token-hash

@@ -400,6 +400,18 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // The Sizing-derived variant AS a declared query (r6 verdict item 7):
+    // nlist comes from corpus.count()/cellBudget — and the ORACLE replays
+    // the same derivation in SQL (count -> clamp -> seed limit), so the
+    // 100 TB operating rule itself is oracle-checked, not just the fixed-
+    // knob replay.
+    "sim_ivf_auto" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.ivfTopKAuto(emb, emb.filter(col("vec_id") < 8), 5,
+        nprobe = 4, cellBudget = 64)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     "sim_ann_topk" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       // 8 tables (recall ≈ 1-(1-p)^T doubles vs 4 at linear cost — the
@@ -2273,6 +2285,41 @@ object SparkEntry {
          |    SELECT vec_id, v, cell_id,
          |      row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cell_id) AS rnk
          |    FROM scored WHERE vec_id < 8) WHERE rnk <= 4),
+         |cand AS (
+         |  SELECT p.query_id, a.vec_id AS neighbor_id,
+         |    round(${Oracles.cosine("p.qv", "a.v", 64)}, 6) AS cosine
+         |  FROM assign a JOIN probes p ON a.cell_id = p.cell_id AND p.query_id != a.vec_id)
+         |SELECT * FROM (
+         |  SELECT query_id, neighbor_id, cosine,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+         |  FROM cand)
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // nlist is DERIVED inside the oracle — greatest(2, least(4096,
+    // count/64)) mirrors Sizing.ivfNlist exactly, then gates the seed set
+    // and probe fan-out, so a drifted derivation breaks the hash
+    "sim_ivf_auto" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |nl AS (SELECT GREATEST(2, LEAST(4096, CAST(count(*) AS BIGINT) // 64)) AS nlist FROM e),
+         |seeds AS (
+         |  SELECT cell_id, cv FROM (
+         |    SELECT vec_id AS cell_id, v AS cv,
+         |      row_number() OVER (ORDER BY vec_id) AS rn FROM e)
+         |  WHERE rn <= (SELECT nlist FROM nl)),
+         |scored AS (
+         |  SELECT e.vec_id, e.v, s.cell_id, ${Oracles.cosine("e.v", "s.cv", 64)} AS cs
+         |  FROM e CROSS JOIN seeds s),
+         |assign AS (
+         |  SELECT vec_id, v, cell_id FROM (
+         |    SELECT vec_id, v, cell_id,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cell_id) AS rnk
+         |    FROM scored) WHERE rnk = 1),
+         |probes AS (
+         |  SELECT vec_id AS query_id, v AS qv, cell_id FROM (
+         |    SELECT vec_id, v, cell_id,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cell_id) AS rnk
+         |    FROM scored WHERE vec_id < 8)
+         |  WHERE rnk <= LEAST(4, (SELECT nlist FROM nl))),
          |cand AS (
          |  SELECT p.query_id, a.vec_id AS neighbor_id,
          |    round(${Oracles.cosine("p.qv", "a.v", 64)}, 6) AS cosine

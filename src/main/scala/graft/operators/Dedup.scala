@@ -161,8 +161,10 @@ object Dedup {
     * the reference's bookmark scans (SURVEY §2 S1) applied to near-dup
     * detection. A 100 TB corpus is never re-shingled on ingest: its band
     * table is an append-only index (rebuilt here from `oldDocs` so the
-    * oracle can replay it; in production it is a persisted table the
-    * delta's bands are appended to after the sweep). Output equals
+    * oracle can replay it; the persisted production shape — a stored
+    * parquet band table with bookmark-style commit-after-sink appends —
+    * is [[graft.sources.LshBandIndex]], oracle-checked to emit identical
+    * pairs by `dedup_incr_lsh_indexed`). Output equals
     * exactly `minhashLshPairs(old ∪ delta)` restricted to rows where
     * id_a or id_b is a delta doc — the invariant the oracle hashes.
     *

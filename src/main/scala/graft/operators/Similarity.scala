@@ -246,8 +246,8 @@ object Similarity {
     * cost is a constant per query instead of a linear function of n.
     */
   def ivfTopKAuto(corpus: DataFrame, queries: DataFrame, k: Int,
-                  nprobe: Int = 4): DataFrame = {
-    val nlist = Sizing.ivfNlist(corpus.count())
+                  nprobe: Int = 4, cellBudget: Int = 256): DataFrame = {
+    val nlist = Sizing.ivfNlist(corpus.count(), cellBudget)
     ivfTopK(corpus, queries, k, nlist, math.min(nprobe, nlist))
   }
 
