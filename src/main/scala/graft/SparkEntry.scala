@@ -317,6 +317,10 @@ object SparkEntry {
       val idx = new graft.sources.LshBandIndex(
         s, TempDirs.create("graft-lsh-idx"), n = 3, k = 16, bands = 4)
       idx.bootstrap(universe.filter(col("doc_id") % 50 =!= 0))
+      // compacted = the steady-state production layout: the stored side of
+      // the probe is a bucketed scan with NO exchange (LshBandIndexSpec);
+      // output is spec-identical to the generation layout
+      idx.compact(buckets = 8)
       val out = Scratch.create(s, "graft-lsh-sweep")
       idx.sweepAndAppend(universe, universe.filter(col("doc_id") % 50 === 0),
         threshold = 0.6) { pairs =>

@@ -27,11 +27,14 @@ import graft.operators.Dedup
   * window as [[graft.operators.IncrementalStarJob]], closed by idempotent
   * sinks.
   *
-  * Scale shape: the probe join shuffles on (band, band_key); generation
-  * dirs are plain parquet, so with the store bucketed on that key only the
-  * delta-sized side moves. The per-ingest cost is band(delta) + probe +
-  * verify(matched docs) — nothing is proportional to the corpus, and the
-  * r7 rehearsal row (`incr_lsh_indexed`) measures exactly that claim.
+  * Scale shape: the probe join keys on (band, band_key); the per-ingest
+  * cost is band(delta) + probe + verify(matched docs) — nothing is
+  * proportional to the corpus, and the r7 rehearsal row
+  * (`incr_lsh_indexed`) measures exactly that claim. [[compact]] folds the
+  * generations into ONE bucketed+sorted table on the probe key, after
+  * which the stored side joins with NO exchange at all (spec-asserted) —
+  * only delta-sized data ever crosses the network, the co-located-join
+  * discipline of [[Bucketing]] applied to index maintenance.
   */
 final class LshBandIndex(spark: SparkSession, dir: String,
                          n: Int = 3, k: Int = 16, bands: Int = 4) {
@@ -43,17 +46,95 @@ final class LshBandIndex(spark: SparkSession, dir: String,
   /** Highest committed generation; -1 = empty index. */
   def committedGen: Long = store.get("bands", ctx).getOrElse(-1L)
 
+  /** Highest generation folded into the bucketed compaction; -1 = none. */
+  def compactedThrough: Long = store.get("compacted", ctx).getOrElse(-1L)
+
+  private def compactedBuckets: Int =
+    store.get("compacted_buckets", ctx).getOrElse(8L).toInt
+
+  // catalog identity for the compacted bucketed table — deterministic from
+  // the index location so a fresh session re-finds it
+  private[graft] def tableName: String =
+    "graft_lsh_idx_" + java.lang.Integer.toHexString(dir.hashCode)
+  private def compactDir(g: Long) = s"$dir/compacted-$g"
+
   private val bandSchema = StructType(Seq(
     StructField("doc_id", LongType), StructField("band", IntegerType),
     StructField("band_key", LongType)))
 
-  /** Every committed band row (doc_id, band, band_key). */
+  private def emptyBands: DataFrame = spark.createDataFrame(
+    spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], bandSchema)
+
+  /** The compacted bucketed table as a catalog-backed frame, re-registering
+    * the external table if this session's catalog has not seen it (the
+    * bucket spec lives in the table metadata — a plain parquet read of the
+    * same files would lose the co-location and re-shuffle the stored side).
+    */
+  private def compactedDf(g: Long): DataFrame = {
+    if (!spark.catalog.tableExists(tableName)) {
+      spark.sql(
+        s"""CREATE TABLE $tableName (doc_id BIGINT, band INT, band_key BIGINT)
+           |USING parquet
+           |CLUSTERED BY (band, band_key) SORTED BY (band, band_key)
+           |INTO $compactedBuckets BUCKETS
+           |LOCATION '${compactDir(g)}'""".stripMargin)
+    }
+    spark.table(tableName)
+  }
+
+  /** Every committed band row (doc_id, band, band_key): the bucketed
+    * compaction (if any) plus the parquet tail generations appended since.
+    */
   def bandsDf: DataFrame = {
     val g = committedGen
-    if (g < 0) spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], bandSchema)
-    else spark.read.schema(bandSchema)
-      .parquet((0L to g).map(genDir): _*)
+    val c = compactedThrough
+    if (c < 0 && g < 0) emptyBands
+    else if (c < 0)
+      spark.read.schema(bandSchema).parquet((0L to g).map(genDir): _*)
+    // no union when there is no tail: even a union with an EMPTY frame
+    // erases the scan's bucket spec and reintroduces the stored-side
+    // exchange the compaction exists to remove (spec-pinned)
+    else if (g <= c) compactedDf(c)
+    else compactedDf(c).unionByName(
+      spark.read.schema(bandSchema).parquet(((c + 1) to g).map(genDir): _*))
+  }
+
+  /** Fold every committed generation into ONE bucketed+sorted table on
+    * (band, band_key) — the probe join's key — so the stored side of every
+    * subsequent sweep reads co-located buckets and shuffles NOTHING; only
+    * the delta moves (the [[Bucketing]] discipline applied to the index).
+    * At 100 TB this is the maintenance operation that keeps per-ingest
+    * probe cost delta-shaped forever: run it when the parquet tail has
+    * grown past a few generations. Commit-ordering mirrors the appends —
+    * table written first, watermark advanced after, so a crash mid-compact
+    * leaves an invisible orphan and readers keep the generation view; the
+    * superseded generation dirs are removed only after the commit.
+    */
+  def compact(buckets: Int = 8): Unit = {
+    val g = committedGen
+    require(g >= 0, "nothing to compact: the index is empty")
+    if (compactedThrough == g) return // already fully compacted — no-op
+    val all = bandsDf
+    spark.sql(s"DROP TABLE IF EXISTS $tableName")
+    val target = new org.apache.hadoop.fs.Path(compactDir(g))
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(target)) fs.delete(target, true)
+    all.write.mode("overwrite").format("parquet")
+      .option("path", compactDir(g))
+      .bucketBy(buckets, "band", "band_key").sortBy("band", "band_key")
+      .saveAsTable(tableName)
+    val prevCompacted = compactedThrough
+    store.commit("compacted_buckets", ctx, buckets.toLong)
+    store.commit("compacted", ctx, g)
+    // best-effort cleanup of superseded storage (never read again)
+    (math.max(prevCompacted + 1, 0L) to g).foreach { i =>
+      val p = new org.apache.hadoop.fs.Path(genDir(i))
+      try { if (fs.exists(p)) fs.delete(p, true) } catch { case _: Throwable => () }
+    }
+    if (prevCompacted >= 0) {
+      val p = new org.apache.hadoop.fs.Path(compactDir(prevCompacted))
+      try { if (fs.exists(p)) fs.delete(p, true) } catch { case _: Throwable => () }
+    }
   }
 
   private def writeGen(g: Long, rows: DataFrame): Unit =
@@ -83,14 +164,19 @@ final class LshBandIndex(spark: SparkSession, dir: String,
     // the delta's bands feed the probe AND the post-sink append — pin so
     // the delta is shingled once; freed by the caller's end-of-query drain
     val dBands = Residue.pin(Dedup.minhashBands(delta, n, k, bands))
-    val cand = dBands.as("x")
-      .join(bandsDf.unionByName(dBands).as("y"),
+    // two separate probes (index, delta-delta) rather than one probe of
+    // their union: unioning onto the stored side would erase its bucket
+    // spec, and with a compacted index the whole point is that the stored
+    // side joins WITHOUT an exchange — join distributes over union, so the
+    // result set is identical and the distinct merges both directions
+    def probe(y: DataFrame): DataFrame = dBands.as("x")
+      .join(y.as("y"),
         col("x.band") === col("y.band") &&
           col("x.band_key") === col("y.band_key") &&
           col("x.doc_id") =!= col("y.doc_id"))
       .select(least(col("x.doc_id"), col("y.doc_id")).as("id_a"),
         greatest(col("x.doc_id"), col("y.doc_id")).as("id_b"))
-      .distinct()
+    val cand = probe(bandsDf).unionByName(probe(dBands)).distinct()
     val involved = cand.select(col("id_a").as("doc_id"))
       .union(cand.select(col("id_b").as("doc_id"))).distinct()
     val grams = corpusText

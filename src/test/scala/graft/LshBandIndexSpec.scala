@@ -69,6 +69,62 @@ class LshBandIndexSpec extends SparkSuite {
     assert(idx.committedGen === 1L)
   }
 
+  test("compact: same sweep output, appends keep working, catalog survives a re-registration") {
+    val idx = new LshBandIndex(spark, TempDirs.create("lsh-idx-spec5"))
+    idx.bootstrap(oldDocs)
+    val before = Dedup.minhashLshPairsIncremental(oldDocs, delta,
+        n = 3, k = 16, bands = 4, threshold = 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSeq.sorted
+    val preCompactRows = idx.bandsDf.count()
+    idx.compact(buckets = 4)
+    assert(idx.compactedThrough === 0L)
+    assert(idx.bandsDf.count() === preCompactRows) // nothing lost or doubled
+    assert(sweepVia(idx) === before) // sweep against the bucketed table
+    assert(idx.committedGen === 1L) // the post-sweep append landed as a tail gen
+    assert(idx.bandsDf.count() ===
+      Dedup.minhashBands(universe, 3, 16, 4).count())
+    // a fresh session's catalog would not know the table: simulate by
+    // dropping the catalog entry (files stay — external table) and assert
+    // the index re-registers it from its own committed metadata
+    spark.sql(s"DROP TABLE IF EXISTS ${idx.tableName}")
+    assert(idx.bandsDf.count() ===
+      Dedup.minhashBands(universe, 3, 16, 4).count())
+  }
+
+  test("compacted probe joins the stored side with zero exchange") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val idx = new LshBandIndex(spark, TempDirs.create("lsh-idx-spec6"))
+    idx.bootstrap(universe)
+    idx.compact(buckets = 4)
+    val dBands = Dedup.minhashBands(delta, 3, 16, 4)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val probe = dBands.as("x").join(idx.bandsDf.as("y"),
+        col("x.band") === col("y.band") &&
+          col("x.band_key") === col("y.band_key"))
+      probe.write.format("noop").mode("overwrite").save() // let AQE finalize
+      def collectRec[T](p: SparkPlan)(f: PartialFunction[SparkPlan, T]): Seq[T] =
+        p.collect {
+          case a: AdaptiveSparkPlanExec => collectRec(a.executedPlan)(f)
+          case n if f.isDefinedAt(n) => Seq(f(n))
+        }.flatten
+      val plan = probe.queryExecution.executedPlan
+      val exchanges = collectRec(plan) { case e: ShuffleExchangeLike => e }
+      val bucketedScans = collectRec(plan) {
+        case s: FileSourceScanExec if s.bucketedScan => s
+      }
+      // exactly ONE exchange — the delta side moving to the index's bucket
+      // layout; the stored side is a bucketed scan with no exchange above it
+      assert(exchanges.size === 1, plan.toString.take(3000))
+      assert(bucketedScans.size === 1, plan.toString.take(3000))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("bootstrap is idempotent") {
     val idx = new LshBandIndex(spark, TempDirs.create("lsh-idx-spec4"))
     idx.bootstrap(oldDocs)
