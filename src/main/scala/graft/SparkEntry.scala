@@ -314,8 +314,11 @@ object SparkEntry {
     "dedup_incr_lsh_indexed" -> ((s, dir) => {
       val universe = Tables.documents(s, dir).filter(col("doc_id") % 10 === 0)
         .select(col("doc_id"), col("text"))
+      // index storage under the spark-visible scratch root (executors
+      // write/read it; the watermark properties file is driver-side O(1)
+      // state on shared storage, same contract as the job bookmark)
       val idx = new graft.sources.LshBandIndex(
-        s, TempDirs.create("graft-lsh-idx"), n = 3, k = 16, bands = 4)
+        s, Scratch.create(s, "graft-lsh-idx"), n = 3, k = 16, bands = 4)
       idx.bootstrap(universe.filter(col("doc_id") % 50 =!= 0))
       // compacted = the steady-state production layout: the stored side of
       // the probe is a bucketed scan with NO exchange (LshBandIndexSpec);

@@ -49,8 +49,12 @@ final class LshBandIndex(spark: SparkSession, dir: String,
   /** Highest generation folded into the bucketed compaction; -1 = none. */
   def compactedThrough: Long = store.get("compacted", ctx).getOrElse(-1L)
 
-  private def compactedBuckets: Int =
-    store.get("compacted_buckets", ctx).getOrElse(8L).toInt
+  // bucket count is keyed BY GENERATION: a crashed later compact() must
+  // not leave a bucket count that pairs with an older compaction's files —
+  // re-registering old files under a new bucket count would silently
+  // mis-bucket the join (each watermark reads only its own slot)
+  private def compactedBuckets(g: Long): Int =
+    store.get(s"compacted_buckets_$g", ctx).getOrElse(8L).toInt
 
   // catalog identity for the compacted bucketed table — deterministic from
   // the index location so a fresh session re-finds it
@@ -76,7 +80,7 @@ final class LshBandIndex(spark: SparkSession, dir: String,
         s"""CREATE TABLE $tableName (doc_id BIGINT, band INT, band_key BIGINT)
            |USING parquet
            |CLUSTERED BY (band, band_key) SORTED BY (band, band_key)
-           |INTO $compactedBuckets BUCKETS
+           |INTO ${compactedBuckets(g)} BUCKETS
            |LOCATION '${compactDir(g)}'""".stripMargin)
     }
     spark.table(tableName)
@@ -124,7 +128,7 @@ final class LshBandIndex(spark: SparkSession, dir: String,
       .bucketBy(buckets, "band", "band_key").sortBy("band", "band_key")
       .saveAsTable(tableName)
     val prevCompacted = compactedThrough
-    store.commit("compacted_buckets", ctx, buckets.toLong)
+    store.commit(s"compacted_buckets_$g", ctx, buckets.toLong)
     store.commit("compacted", ctx, g)
     // best-effort cleanup of superseded storage (never read again)
     (math.max(prevCompacted + 1, 0L) to g).foreach { i =>

@@ -125,6 +125,26 @@ class LshBandIndexSpec extends SparkSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("a crashed re-compaction cannot re-register old files under a new bucket count") {
+    import org.apache.spark.sql.catalyst.TableIdentifier
+    val dir = TempDirs.create("lsh-idx-spec7")
+    val idx = new LshBandIndex(spark, dir)
+    idx.bootstrap(oldDocs)
+    idx.compact(buckets = 4)
+    val rows = idx.bandsDf.count()
+    // simulate a later compact(8) that crashed AFTER committing its bucket
+    // count but BEFORE advancing the compaction watermark
+    new graft.sources.BookmarkStore(dir)
+      .commit("compacted_buckets_1", "lsh_band_index", 8L)
+    // the reader must still pair generation 0's files with generation 0's
+    // bucket count — re-register from scratch and check the catalog
+    spark.sql(s"DROP TABLE IF EXISTS ${idx.tableName}")
+    assert(idx.bandsDf.count() === rows)
+    val spec = spark.sessionState.catalog
+      .getTableMetadata(TableIdentifier(idx.tableName)).bucketSpec
+    assert(spec.map(_.numBuckets) === Some(4))
+  }
+
   test("bootstrap is idempotent") {
     val idx = new LshBandIndex(spark, TempDirs.create("lsh-idx-spec4"))
     idx.bootstrap(oldDocs)
