@@ -22,6 +22,9 @@ object Explain {
         case e: Throwable =>
           Files.writeString(Paths.get(s"$outDir/$name.txt"), s"ERROR: ${e.getMessage}")
       }
+      // per-query hygiene, same as Bench/Verify: plan construction pins
+      // materializations that must not leak into the next query's plan
+      Residue.drain(spark)
     }
     spark.stop()
   }

@@ -79,6 +79,14 @@ object Residue {
   /** Blocking-release everything tracked, then sweep the session for ANY
     * persisted RDD that remains. Returns one description per stray (empty =
     * clean); strays are force-freed after being named.
+    *
+    * A BETWEEN-JOBS operation: call it when no query is in flight (as
+    * Bench/Verify/the specs do, between queries). Draining while another
+    * thread's query is mid-execution would release that query's pins —
+    * harmless for correctness (persist is a cache, lineage recomputes) but
+    * it would silently re-derive work. Intra-query thread fan-out
+    * (ParallelReports) is fine: the fan-out completes before the caller
+    * returns, so its pins are quiescent by drain time.
     */
   def drain(spark: SparkSession): Seq[String] = {
     var ds = pinned.poll()
