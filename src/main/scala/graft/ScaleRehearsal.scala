@@ -244,6 +244,23 @@ object ScaleRehearsal {
       }
       emit("span_coverage", f, nd, candSpan, spanDocs, tCandSpan + tSpan)
 
+      // Chunk-level dedup (dedup_lines): chunk assembly is map-only, so
+      // the scale driver is the min(struct)-per-chunk aggregation keyed
+      // by chunk content. Caesar copies are character bijections, so
+      // chunk strings map bijectively: intra-copy duplicate structure is
+      // exactly the original's and cross-copy chunk collisions are ~zero
+      // — dropped chunk instances and affected docs must both track
+      // corpus growth linearly, or the chunk key space is saturating.
+      val (chunkDropped, tChunk) = timed {
+        Dedup.chunkDedup(docs, 8)
+          .agg(sum(col("total_chunks") - col("kept_chunks")))
+          .head.getLong(0)
+      }
+      val (chunkDocs, tChunkDocs) = timed {
+        Dedup.chunkDedup(docs, 8).filter(col("kept_frac") < 1.0).count()
+      }
+      emit("chunk_dedup", f, nd, chunkDropped, chunkDocs, tChunk + tChunkDocs)
+
       // Incremental LSH (dedup_incr_lsh): a FIXED delta — the unreplicated
       // copy's %10 sample, identical at both factors — swept against the
       // growing corpus. The scale claim is that per-ingest cost tracks the

@@ -271,6 +271,13 @@ object SparkEntry {
       Dedup.exact(corpus).orderBy(col("keep_id"))
     }),
 
+    // C4-style sub-document dedup: 8-token chunk instances survive only as
+    // their global first occurrence; per-doc kept/total + kept fraction.
+    "dedup_lines" -> ((s, dir) =>
+      Dedup.chunkDedup(
+        Tables.documents(s, dir).select(col("doc_id"), col("text")), 8)
+        .orderBy(col("doc_id"))),
+
     // Near-dup by 3-gram Jaccard >= 0.6 via shingle-key join (no cross join).
     "dedup_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(
@@ -782,6 +789,25 @@ object SparkEntry {
         .select(col("user_id"), Tables.eventSeconds.as("tss"),
           col("event_id"), col("event_type"))
       Cdc.scd2(ch, Seq("user_id"), "tss", "event_id", Seq("event_type"))
+        .orderBy(col("user_id"), col("valid_from"))
+    }),
+
+    // Incremental SCD2: the dimension is built from the first ~90% of the
+    // changelog (one discrete run), then the bookmark-delta tail is MERGED
+    // — closed versions pass through a map-only broadcast-anti scan, the
+    // window re-runs only over open-rows-of-touched-keys + delta. The
+    // oracle is the full-recompute SQL: merge(old→dim, delta) must be
+    // row-identical to scd2(everything).
+    "scd2_merge" -> ((s, dir) => {
+      val ch = Tables.events(s, dir)
+        .select(col("user_id"), Tables.eventSeconds.as("tss"),
+          col("event_id"), col("event_type"))
+      val r = ch.agg(min(col("tss")), max(col("tss"))).head()
+      val cut = r.getLong(0) + (r.getLong(1) - r.getLong(0)) * 9 / 10
+      val dim = Cdc.scd2(ch.filter(col("tss") <= cut), Seq("user_id"),
+        "tss", "event_id", Seq("event_type"), keepTie = true)
+      Cdc.scd2Merge(dim, ch.filter(col("tss") > cut), Seq("user_id"),
+        "tss", "event_id", Seq("event_type"))
         .orderBy(col("user_id"), col("valid_from"))
     }),
 
@@ -2013,6 +2039,37 @@ object SparkEntry {
         |SELECT min(doc_id) AS keep_id, count(*) AS n_dupes
         |FROM corpus GROUP BY text ORDER BY keep_id""".stripMargin,
 
+    "dedup_lines" -> {
+      val W = 8 // chunkWords — must match the queries() call
+      s"""WITH toks AS (
+         |  SELECT doc_id, ${Oracles.tokens("text")} AS tk FROM documents),
+         |c0 AS (
+         |  SELECT doc_id, tk,
+         |    unnest(range(0, CAST(ceil(len(tk) / $W.0) AS BIGINT))) AS cpos
+         |  FROM toks),
+         |c AS (
+         |  SELECT doc_id, cpos,
+         |    array_to_string(list_slice(tk, cpos*$W + 1, cpos*$W + $W), ' ') AS chunk
+         |  FROM c0),
+         |r AS (
+         |  SELECT doc_id, cpos,
+         |    row_number() OVER (PARTITION BY chunk ORDER BY doc_id, cpos) AS rn
+         |  FROM c),
+         |own AS (
+         |  SELECT doc_id, count(*) AS kept_chunks FROM r WHERE rn = 1
+         |  GROUP BY doc_id),
+         |tot AS (
+         |  SELECT doc_id, CAST(ceil(len(tk) / $W.0) AS BIGINT) AS total_chunks
+         |  FROM toks)
+         |SELECT t.doc_id, t.total_chunks,
+         |  coalesce(o.kept_chunks, 0) AS kept_chunks,
+         |  CASE WHEN t.total_chunks = 0 THEN 0.0
+         |    ELSE round(CAST(coalesce(o.kept_chunks, 0) AS DOUBLE)
+         |      / t.total_chunks, 6) END AS kept_frac
+         |FROM tot t LEFT JOIN own o USING (doc_id)
+         |ORDER BY t.doc_id""".stripMargin
+    },
+
     "dedup_incremental" ->
       s"""WITH mx AS (SELECT max(doc_id) // 2 AS mid FROM documents),
          |hist AS (
@@ -2985,6 +3042,27 @@ object SparkEntry {
         |ORDER BY user_id""".stripMargin,
 
     "scd2_build" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS tss, event_id,
+        |    event_type FROM events),
+        |c AS (
+        |  SELECT *, lag(event_type) OVER (
+        |    PARTITION BY user_id ORDER BY tss, event_id) AS prev
+        |  FROM e),
+        |f AS (
+        |  SELECT user_id, tss, event_id, event_type FROM c
+        |  WHERE prev IS NULL OR prev <> event_type),
+        |v AS (
+        |  SELECT user_id, event_type, tss AS valid_from,
+        |    lead(tss) OVER (PARTITION BY user_id ORDER BY tss, event_id) AS valid_to
+        |  FROM f)
+        |SELECT user_id, event_type, valid_from, valid_to,
+        |  CAST(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_current
+        |FROM v ORDER BY user_id, valid_from""".stripMargin,
+
+    // the incremental merge's oracle IS the batch recompute: the merged
+    // dimension must be row-identical to scd2 over the whole changelog
+    "scd2_merge" ->
       """WITH e AS (
         |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS tss, event_id,
         |    event_type FROM events),

@@ -53,6 +53,59 @@ object Dedup {
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dupes"))
       .select(col("fingerprint"), col("keep_id"), col("n_dupes"))
 
+  /** Sub-document exact dedup at fixed token-window ("line") granularity —
+    * the C4/RefinedWeb-style pass that strips boilerplate repeated ACROSS
+    * documents (navigation chrome, license headers, templated paragraphs)
+    * that document-level [[exact]] can never see. The corpus has no
+    * newline structure, so "lines" are consecutive runs of `chunkWords`
+    * whitespace tokens; a chunk instance survives iff it is the globally
+    * FIRST occurrence of its content (smallest (doc_id, cpos)). Output is
+    * one row per document: total chunks, surviving chunks, and the kept
+    * fraction — the per-doc signal a quality gate thresholds on.
+    *
+    * Scale shape: chunking is map-only (`transform`+`slice` over the token
+    * array — no explode-regroup shuffle to assemble chunks), and per-doc
+    * totals come straight off the array length, before any explode. The
+    * global first-occurrence winner is `min(struct(doc_id, cpos))` per
+    * chunk — same partial-before-exchange rationale as
+    * [[graft.operators.Cdc.latest]]: the shuffle carries at most one
+    * candidate owner per chunk per input partition, where the equivalent
+    * `row_number()` window would shuffle and sort EVERY chunk instance in
+    * the corpus. The fingerprint leads the group key so hash probes
+    * compare 8 bytes before touching chunk text ([[exact]]'s trick);
+    * grouping keeps the text alongside, so hash collisions cannot merge
+    * distinct chunks. Owner rows (one per distinct chunk) then re-key by
+    * owning doc — a second, much smaller shuffle.
+    */
+  def chunkDedup(docs: DataFrame, chunkWords: Int): DataFrame = {
+    require(chunkWords >= 1)
+    val withTok = docs
+      .select(col("doc_id"), tokens(col("text")).as("tk"))
+      .withColumn("total_chunks",
+        ceil(size(col("tk")) / lit(chunkWords.toDouble)).cast("long"))
+    val chunks = withTok
+      .select(col("doc_id"), explode(when(col("total_chunks") === 0, array())
+        .otherwise(transform(
+          sequence(lit(0), (col("total_chunks") - 1).cast("int")),
+          i => struct(i.cast("long").as("cpos"),
+            array_join(slice(col("tk"), i * chunkWords + 1, lit(chunkWords)), " ")
+              .as("chunk"))))).as("c"))
+      .select(col("doc_id"), col("c.cpos").as("cpos"), col("c.chunk").as("chunk"))
+    val owners = chunks
+      .groupBy(poly_hash(col("chunk")).as("chunk_fp"), col("chunk"))
+      .agg(min(struct(col("doc_id"), col("cpos"))).as("owner"))
+    val kept = owners
+      .groupBy(col("owner.doc_id").as("doc_id"))
+      .agg(count(lit(1)).as("kept_chunks"))
+    withTok.select(col("doc_id"), col("total_chunks"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("total_chunks"),
+        coalesce(col("kept_chunks"), lit(0L)).as("kept_chunks"),
+        when(col("total_chunks") === 0, lit(0.0))
+          .otherwise(round(coalesce(col("kept_chunks"), lit(0L)) /
+            col("total_chunks"), 6)).as("kept_frac"))
+  }
+
   /** Candidate near-dup pairs by n-gram Jaccard >= `threshold`, computed
     * set-theoretically: explode distinct shingle hashes, join on shingle,
     * count intersections per pair, derive the union from per-doc set sizes.
@@ -513,10 +566,14 @@ object Dedup {
       df.select(col("doc_id").as(idAs),
         explode(shingleHashes(col("text"), n)).as("g"))
     val benchGrams = Residue.pin(grams(bench, "bench_id"))
-    val distinctG = benchGrams.select(col("g")).distinct()
-    // O(1)-result driver scalars, like the bookmark max-key scan
-    val nGrams = math.max(1L, distinctG.count())
-    val bloom = distinctG.stat.bloomFilter("g", nGrams, fpp)
+    // Size by the INSTANCE count and feed non-distinct grams: Bloom
+    // insertion is idempotent, so a distinct() exchange before the build
+    // buys nothing, and over-provisioning by the duplication factor only
+    // widens the (eval-suite-sized) filter while tightening its fpp. One
+    // cheap count over the pinned rows + one shuffle-free aggregate
+    // replaces distinct + count + build.
+    val nGrams = math.max(1L, benchGrams.count())
+    val bloom = benchGrams.stat.bloomFilter("g", nGrams, fpp)
     grams(train, "train_id")
       .filter(bloom_might_contain(col("g"), bloom))
       .join(broadcast(benchGrams), "g")

@@ -55,6 +55,56 @@ class CdcSpec extends SparkSuite {
       s"expected partial+final aggregate, plan:\n$plan")
   }
 
+  test("scd2Merge over a ts-split changelog is row-identical to batch recompute") {
+    val all = changelog.select("user_id", "tss", "event_id", "event_type")
+    val r = all.agg(min(col("tss")), max(col("tss"))).head()
+    val cut = r.getLong(0) + (r.getLong(1) - r.getLong(0)) * 9 / 10
+    val dim = Cdc.scd2(all.filter(col("tss") <= cut), Seq("user_id"),
+      "tss", "event_id", Seq("event_type"), keepTie = true)
+    val merged = Cdc.scd2Merge(dim, all.filter(col("tss") > cut),
+      Seq("user_id"), "tss", "event_id", Seq("event_type"))
+    val batch = Cdc.scd2(all, Seq("user_id"), "tss", "event_id", Seq("event_type"))
+    assert(merged.count() == batch.count())
+    assert(merged.except(batch).isEmpty && batch.except(merged).isEmpty)
+  }
+
+  test("scd2Merge: pure redelivery of the open state leaves the dimension bit-identical") {
+    val old = Seq(
+      (1L, 10L, 100L, "a"), (1L, 20L, 101L, "b"),
+      (2L, 10L, 102L, "x")
+    ).toDF("k", "tss", "id", "attr")
+    val dim = Cdc.scd2(old, Seq("k"), "tss", "id", Seq("attr"), keepTie = true)
+    // delta redelivers each key's current state at a later ts
+    val delta = Seq((1L, 30L, 103L, "b"), (2L, 30L, 104L, "x"))
+      .toDF("k", "tss", "id", "attr")
+    val got = Cdc.scd2Merge(dim, delta, Seq("k"), "tss", "id", Seq("attr"))
+    val want = dim.drop("_tie")
+    assert(got.except(want).isEmpty && want.except(got).isEmpty)
+  }
+
+  test("scd2Merge: the stored dimension side is map-only broadcast semi/anti, never shuffle-joined") {
+    val all = changelog.select("user_id", "tss", "event_id", "event_type")
+    val r = all.agg(min(col("tss")), max(col("tss"))).head()
+    val cut = r.getLong(0) + (r.getLong(1) - r.getLong(0)) * 9 / 10
+    // write + re-read so the dim side is a real stored table, not a
+    // reused in-session plan
+    val dir = s"${graft.TempDirs.create("scd2dim")}/dim"
+    Cdc.scd2(all.filter(col("tss") <= cut), Seq("user_id"),
+      "tss", "event_id", Seq("event_type"), keepTie = true)
+      .write.mode("overwrite").parquet(dir)
+    val stored = spark.read.parquet(dir)
+    val merged = Cdc.scd2Merge(stored, all.filter(col("tss") > cut),
+      Seq("user_id"), "tss", "event_id", Seq("event_type"))
+    val plan = merged.queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin".r.findAllIn(plan).length == 2,
+      s"dim side must meet the touched-key set in broadcast joins:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"dimension history must never be shuffle-joined:\n$plan")
+    // and the merge agrees with batch recompute over the stored round-trip
+    val batch = Cdc.scd2(all, Seq("user_id"), "tss", "event_id", Seq("event_type"))
+    assert(merged.except(batch).isEmpty && batch.except(merged).isEmpty)
+  }
+
   test("scd2 collapses redelivered states and closes intervals at the next change") {
     val ch = Seq(
       (1L, 10L, 100L, "a"), (1L, 20L, 101L, "a"),   // redelivery: same state

@@ -40,6 +40,30 @@ class DedupSpec extends SparkSuite {
     assert(plan.contains("LeftAnti"), plan)
   }
 
+  test("chunk dedup: global first occurrence wins across and within docs; ragged tails and empty docs handled") {
+    val corpus = Seq(
+      (1L, "a b c d e f"),   // owns "a b c" and "d e f"
+      (2L, "a b c x y z"),   // loses "a b c" to doc 1, keeps "x y z"
+      (3L, "d e f"),         // loses its only chunk to doc 1
+      (4L, "a b c d e f"),   // exact dup of 1 -> keeps nothing
+      (5L, "p q"),           // ragged single partial chunk, globally unique
+      (6L, "m m m m m m"),   // intra-doc repeat: second instance dropped
+      (7L, "")               // zero tokens -> zero chunks, frac 0.0
+    ).toDF("doc_id", "text")
+    val got = Dedup.chunkDedup(corpus, 3).orderBy("doc_id")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq(
+      (1L, 2L, 2L, 1.0), (2L, 2L, 1L, 0.5), (3L, 1L, 0L, 0.0),
+      (4L, 2L, 0L, 0.0), (5L, 1L, 1L, 1.0), (6L, 2L, 1L, 0.5),
+      (7L, 0L, 0L, 0.0)))
+    // the winner is an aggregation (partial min(struct) before the
+    // exchange), never a row_number window over every chunk instance
+    val plan = Dedup.chunkDedup(corpus, 3).queryExecution.executedPlan
+    assert(plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty, plan.toString)
+  }
+
   test("ngram jaccard finds the exact pair at 1.0 and the near pair above 0.5") {
     val pairs = Dedup.ngramJaccardPairs(docs, 3, 0.5)
       .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect()
