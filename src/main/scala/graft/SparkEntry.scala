@@ -348,6 +348,20 @@ object SparkEntry {
           n = 3, k = 16, bands = 4, threshold = 0.6))
         .orderBy(col("doc_id"))),
 
+    // Quality-aware retention: in each LSH near-dup cluster keep the
+    // longest member (ties to smallest doc_id) — the retention policy a
+    // production pipeline ships, as a partial-aggregating argmax, never a
+    // per-cluster sort.
+    "dedup_keep_best" -> ((s, dir) => {
+      val sub = Tables.documents(s, dir).filter(col("doc_id") % 10 === 0)
+      Dedup.keepBestPerCluster(
+        Dedup.nearDupClusters(Dedup.minhashLshPairs(
+          sub.select(col("doc_id"), col("text")), n = 3, k = 16, bands = 4,
+          threshold = 0.6)),
+        sub, col("n_chars"))
+        .orderBy(col("cluster_id"))
+    }),
+
     // 16-bit SimHash, hamming <= 3 via the chunk-key candidate trick.
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(
@@ -674,6 +688,27 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    // Streaming incremental dedup: the bookmark-delta dedup as a
+    // continuous pipeline — arriving docs check a STORED fingerprint
+    // store (stream-static join, store parquet written then re-read) and
+    // dedupe within the stream via fingerprint state. Emits each novel
+    // fingerprint exactly once; oracle = batch set algebra.
+    "stream_incr_dedup" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val mid = docs.agg(max(col("doc_id"))).head().getLong(0) / 2
+      val storeDir = graft.TempDirs.create("graft-fpstore")
+      docs.filter(col("doc_id") <= mid)
+        .select(GraftFunctions.poly_hash(col("text")).as("fingerprint"))
+        .distinct()
+        .write.mode("overwrite").parquet(storeDir)
+      Streaming.runToCompletion(
+        Streaming.incrementalDedup(
+          Streaming.documents(s, dir).filter(col("doc_id") > mid),
+          s.read.parquet(storeDir)),
+        OutputMode.Append(), statePartitions = Some(8))
+        .orderBy(col("fingerprint"))
+    }),
+
     // Stream-static enrichment: stateless broadcast join to the customer
     // dimension, per-segment aggregate in complete mode.
     "stream_enrich" -> ((s, dir) =>
@@ -804,10 +839,16 @@ object SparkEntry {
           col("event_id"), col("event_type"))
       val r = ch.agg(min(col("tss")), max(col("tss"))).head()
       val cut = r.getLong(0) + (r.getLong(1) - r.getLong(0)) * 9 / 10
-      val dim = Cdc.scd2(ch.filter(col("tss") <= cut), Seq("user_id"),
-        "tss", "event_id", Seq("event_type"), keepTie = true)
-      Cdc.scd2Merge(dim, ch.filter(col("tss") > cut), Seq("user_id"),
-        "tss", "event_id", Seq("event_type"))
+      // the dimension is a STORED table between runs (that is the whole
+      // point of the merge) — materialize it, so the merge's three
+      // pass-through branches are cheap parquet scans, not three
+      // recomputations of the historical window
+      val dimDir = graft.TempDirs.create("graft-scd2dim")
+      Cdc.scd2(ch.filter(col("tss") <= cut), Seq("user_id"),
+          "tss", "event_id", Seq("event_type"), keepTie = true)
+        .write.mode("overwrite").parquet(dimDir)
+      Cdc.scd2Merge(s.read.parquet(dimDir), ch.filter(col("tss") > cut),
+        Seq("user_id"), "tss", "event_id", Seq("event_type"))
         .orderBy(col("user_id"), col("valid_from"))
     }),
 
@@ -2169,6 +2210,32 @@ object SparkEntry {
          |SELECT a AS doc_id, min(b) AS cluster_id
          |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin,
 
+    // replays the cluster CTE, then keep-best = row_number over
+    // (n_chars DESC, doc_id) per cluster
+    "dedup_keep_best" ->
+      s"""WITH RECURSIVE $minhashPairsCtes,
+         |edges AS (
+         |  SELECT id_a AS a, id_b AS b FROM mh_pairs
+         |  UNION SELECT id_b, id_a FROM mh_pairs
+         |  UNION SELECT id_a, id_a FROM mh_pairs
+         |  UNION SELECT id_b, id_b FROM mh_pairs),
+         |reach(a, b) AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         |clu AS (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a),
+         |j AS (
+         |  SELECT c.cluster_id, c.doc_id, d.n_chars
+         |  FROM clu c JOIN documents d USING (doc_id)),
+         |r AS (
+         |  SELECT cluster_id, doc_id, n_chars,
+         |    row_number() OVER (
+         |      PARTITION BY cluster_id ORDER BY n_chars DESC, doc_id) AS rn,
+         |    count(*) OVER (PARTITION BY cluster_id) AS n_docs
+         |  FROM j)
+         |SELECT cluster_id, doc_id AS keep_id, n_chars AS keep_quality, n_docs
+         |FROM r WHERE rn = 1 AND n_docs >= 2 ORDER BY cluster_id""".stripMargin,
+
     // replays leakageSafeSplit: the dedup_clusters representative as the
     // split key (singletons are their own rep), then the sample_split
     // hash-threshold — hash-comparing every (doc_id, cluster_id, split)
@@ -2774,6 +2841,18 @@ object SparkEntry {
     "stream_dedup" ->
       """SELECT event_id, user_id, event_type, value
         |FROM events ORDER BY event_id""".stripMargin,
+
+    "stream_incr_dedup" ->
+      s"""WITH mx AS (SELECT max(doc_id) // 2 AS mid FROM documents),
+         |hist AS (
+         |  SELECT DISTINCT ${Oracles.polyHash("text")} AS fingerprint
+         |  FROM documents WHERE doc_id <= (SELECT mid FROM mx)),
+         |delta AS (
+         |  SELECT DISTINCT ${Oracles.polyHash("text")} AS fingerprint
+         |  FROM documents WHERE doc_id > (SELECT mid FROM mx))
+         |SELECT fingerprint FROM delta
+         |WHERE fingerprint NOT IN (SELECT fingerprint FROM hist)
+         |ORDER BY fingerprint""".stripMargin,
 
     "stream_topk" ->
       """WITH e AS (

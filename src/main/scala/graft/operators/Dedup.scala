@@ -345,6 +345,32 @@ object Dedup {
     labels.df
   }
 
+  /** Quality-aware retention: from each near-dup cluster keep the BEST
+    * document, not the smallest id — the policy production pipelines
+    * actually ship (keep the longest / highest-quality member, drop the
+    * rest). `clusters` is [[nearDupClusters]] output; `quality` is any
+    * numeric column of `docs` (higher wins, ties to the smallest doc_id
+    * for determinism). Emits one row per multi-member cluster with the
+    * winner and the member count; singletons never enter `clusters` and
+    * are trivially kept by the caller.
+    *
+    * One broadcast-or-shuffle join clusters→docs (cluster rows are
+    * near-dup members only — a small fraction of the corpus) and one
+    * aggregation whose winner is `min(struct(-quality, doc_id))`: the
+    * partial-before-exchange shape of [[Cdc.latest]], so the shuffle
+    * carries one candidate per cluster per partition, never the member
+    * list.
+    */
+  def keepBestPerCluster(clusters: DataFrame, docs: DataFrame,
+                         quality: Column): DataFrame =
+    clusters.join(docs.select(col("doc_id"), (-quality).as("_nq")), "doc_id")
+      .groupBy(col("cluster_id"))
+      .agg(min(struct(col("_nq"), col("doc_id"))).as("_m"),
+        count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= 2)
+      .select(col("cluster_id"), col("_m.doc_id").as("keep_id"),
+        (-col("_m._nq")).as("keep_quality"), col("n_docs"))
+
   /** Embedding near-dup pairs: cosine similarity >= `threshold` between
     * embedding vectors. `bucketed = true` (the scale path, and the declared
     * query) routes through the random-hyperplane LSH prefilter in

@@ -82,6 +82,44 @@ object Streaming {
       unix_timestamp(col("s.end")).as("session_end"),
       col("n_events"), col("first_event"), col("last_event"))
 
+  val documentsSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  /** Document stream — the delta side of a streaming ingest pipeline. */
+  def documents(spark: SparkSession, sfDir: String): DataFrame =
+    spark.readStream.schema(documentsSchema)
+      .parquet(s"$sfDir/documents.parque*")
+
+  /** Streaming incremental dedup against a STORED fingerprint store —
+    * [[graft.operators.Dedup.incrementalExact]] as a continuous pipeline:
+    * each arriving document's content fingerprint is checked against the
+    * historical store (a stream-static join: the store ships per
+    * micro-batch, the stream is never shuffled for it — left-outer +
+    * null-filter, since stream-static LEFT ANTI isn't a supported join
+    * type), then deduped WITHIN the stream by state-store fingerprint
+    * state. Emits each novel fingerprint exactly once.
+    *
+    * Output is the fingerprint set, not a winner doc_id: streaming
+    * "first arrival" inside a micro-batch is partition-order dependent,
+    * so a doc_id choice would be nondeterministic where the batch
+    * operator's min(doc_id) is not — the fingerprint SET is identical to
+    * the batch path's and oracle-checkable. State is one 8-byte key per
+    * novel fingerprint (the store handles history; for bounded-disorder
+    * redelivery use dropDuplicatesWithinWatermark, as in
+    * [[dedupEventsWithinWatermark]]).
+    */
+  def incrementalDedup(stream: DataFrame, storeFps: DataFrame): DataFrame = stream
+    .withColumn("fingerprint", graft.functions.GraftFunctions.poly_hash(col("text")))
+    .join(storeFps.select(col("fingerprint"), lit(1).as("_hit")),
+      Seq("fingerprint"), "left_outer")
+    .filter(col("_hit").isNull)
+    .dropDuplicates("fingerprint")
+    .select(col("fingerprint"))
+
   /** Streaming exact dedup: drop duplicate event_ids across the stream
     * (state-store keyed by event_id). Fed a doubled stream, output is each
     * event exactly once — the streaming fix for the reference's

@@ -64,6 +64,55 @@ class DedupSpec extends SparkSuite {
     }.isEmpty, plan.toString)
   }
 
+  test("chunk dedup agrees with an in-memory reference on a high-collision randomized corpus") {
+    val rnd = new scala.util.Random(42)
+    val vocab = Vector("a", "b", "c", "d", "e")
+    val corpus = (1L to 60L).map { id =>
+      val n = rnd.nextInt(20)
+      (id, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val W = 3
+    def chunksOf(t: String): Vector[String] =
+      t.split("\\s+").filter(_.nonEmpty).grouped(W).map(_.mkString(" ")).toVector
+    val inst = corpus.flatMap { case (id, t) =>
+      chunksOf(t).zipWithIndex.map { case (c, i) => (c, id, i.toLong) } }
+    val owner = inst.groupBy(_._1).map { case (c, xs) =>
+      c -> xs.map(x => (x._2, x._3)).min }
+    val keptRef = inst.groupBy(_._2).view
+      .mapValues(xs => xs.count(x => owner(x._1) == (x._2, x._3)).toLong).toMap
+    val totRef = corpus.map { case (id, t) => id -> chunksOf(t).size.toLong }.toMap
+    val got = Dedup.chunkDedup(corpus.toDF("doc_id", "text"), W)
+      .select("doc_id", "total_chunks", "kept_chunks")
+      .as[(Long, Long, Long)].collect()
+    assert(got.length == corpus.length)
+    got.foreach { case (id, tot, kept) =>
+      assert(tot == totRef(id), s"doc $id total")
+      assert(kept == keptRef.getOrElse(id, 0L), s"doc $id kept")
+    }
+    // global invariant: every distinct chunk is kept exactly once
+    assert(got.map(_._3).sum == inst.map(_._1).distinct.size)
+  }
+
+  test("keepBestPerCluster: highest quality wins, ties to smallest id, one aggregation without window") {
+    val clusters = Seq(
+      (1L, 1L), (2L, 1L), (3L, 1L),   // cluster 1
+      (10L, 10L), (11L, 10L)          // cluster 10
+    ).toDF("doc_id", "cluster_id")
+    val docs = Seq(
+      (1L, 5L), (2L, 9L), (3L, 9L),   // 2 and 3 tie on quality -> keep 2
+      (10L, 7L), (11L, 4L)
+    ).toDF("doc_id", "n_chars")
+    val got = Dedup.keepBestPerCluster(clusters, docs, col("n_chars"))
+      .orderBy("cluster_id")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L, 9L, 3L), (10L, 10L, 7L, 2L)))
+    val plan = Dedup.keepBestPerCluster(clusters, docs, col("n_chars"))
+      .queryExecution.executedPlan
+    assert(plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty, "winner must be a partial-aggregating argmax, not a window")
+  }
+
   test("ngram jaccard finds the exact pair at 1.0 and the near pair above 0.5") {
     val pairs = Dedup.ngramJaccardPairs(docs, 3, 0.5)
       .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect()

@@ -144,6 +144,25 @@ class StreamingSpec extends SparkSuite {
     assert(got.select("event_id").distinct().count() == n)
   }
 
+  test("streaming incremental dedup: store blocks re-ingests, stream self-dedupes, matches batch set algebra") {
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    val mid = docs.agg(max(col("doc_id"))).head().getLong(0) / 2
+    val fp = graft.functions.GraftFunctions.poly_hash(col("text"))
+    val store = docs.filter(col("doc_id") <= mid)
+      .select(fp.as("fingerprint")).distinct()
+    val got = Streaming.runToCompletion(
+      Streaming.incrementalDedup(
+        // double the delta: intra-stream duplicates must emit once
+        Streaming.documents(spark, sf).filter(col("doc_id") > mid)
+          .union(Streaming.documents(spark, sf).filter(col("doc_id") > mid)),
+        store),
+      OutputMode.Append())
+    val want = docs.filter(col("doc_id") > mid).select(fp.as("fingerprint"))
+      .distinct().join(store, Seq("fingerprint"), "left_anti")
+    assert(got.count() == want.count())
+    assert(got.join(want, Seq("fingerprint"), "left_anti").isEmpty)
+  }
+
   test("stream-static enrichment: broadcast join, no join state, equals batch") {
     val enriched = Streaming.enrichedSegments(
       Streaming.events(spark, sf), Tables.customer(spark, sf))
