@@ -90,6 +90,16 @@ object Oracles {
       s"$v[d+1] * ${mixedSign(s"CAST(j*$dim + d AS BIGINT)")})), " +
       s"(a, x) -> a + x) >= 0 THEN 1 ELSE 0 END)"
 
+  /** JL sign random projection list (graft.functions.RandomProjection):
+    * element j+1 = strict left-fold Σ_d v[d]·sign(first+j, d) over the
+    * same mixed ±1 family as the hyperplane buckets.
+    */
+  def projections(v: String, outDims: Int, dim: Int, first: Int = 0): String =
+    s"list_transform(range(0, $outDims), j -> " +
+      s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(0, $dim), d -> " +
+      s"$v[d+1] * ${mixedSign(s"CAST((j+$first)*$dim + d AS BIGINT)")})), " +
+      s"(a, x) -> a + x))"
+
   /** Sampling bucket in [0, buckets): mixed PolyHash of `e`
     * (graft.operators.Sampling.hashBucket — identical constant and
     * modulus, 64-bit-safe).

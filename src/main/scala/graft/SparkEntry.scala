@@ -459,6 +459,27 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // JL sign random projection to 8 dims: the map-only codegen'd kernel
+    // that shrinks every downstream candidate scan/shuffle 8x. Raw sums
+    // (no 1/sqrt(d) scale) so each double is exactly oracle-replayable.
+    "embed_project" -> ((s, dir) => {
+      val pr = Similarity.randomProject(Tables.embeddings(s, dir), 8)
+      pr.select(col("vec_id") +:
+        (0 until 8).map(j => round(element_at(col("proj"), j + 1), 6).as(s"p$j")): _*)
+        .orderBy(col("vec_id"))
+    }),
+
+    // ANN top-5 via the JL projection: whole-corpus scoring in 16-dim
+    // projected space (narrow rows; the 64-float embedding never enters a
+    // shuffle), top-30 candidates per query, exact re-rank re-fetches full
+    // vectors for candidates only. The index-free one-shot ANN path.
+    "sim_ann_projected" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.projectedTopK(emb, emb.filter(col("vec_id") < 8), 5,
+        projDims = 16, candFactor = 6)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // Sparse TF-IDF cosine top-5 over word-bigram terms: df-pruned
     // inverted-index join, integer-quantized weights (exact dot products
     // under any shuffle order), cosine defined over the pruned space.
@@ -2459,6 +2480,37 @@ object SparkEntry {
          |  SELECT query_id, neighbor_id, cosine,
          |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
          |  FROM cand)
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "embed_project" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |pr AS (SELECT vec_id, ${Oracles.projections("v", 8, 64)} AS pv FROM e)
+         |SELECT vec_id, ${(0 until 8).map(j => s"round(pv[${j + 1}], 6) AS p$j").mkString(", ")}
+         |FROM pr ORDER BY vec_id""".stripMargin,
+
+    // two-stage replay: projected-space candidate rank (crank <= 30 with
+    // the engine's exact tie-break), then full-space exact re-rank —
+    // identical doubles at both stages by the shared left-fold arithmetic
+    "sim_ann_projected" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |pr AS (SELECT vec_id, ${Oracles.projections("v", 16, 64)} AS pv FROM e),
+         |cand AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY ${Oracles.cosine("q.pv", "c.pv", 16)} DESC, c.vec_id) AS crank
+         |    FROM pr q JOIN pr c ON q.vec_id < 8 AND c.vec_id != q.vec_id)
+         |  WHERE crank <= 30),
+         |rer AS (
+         |  SELECT cand.query_id, cand.neighbor_id,
+         |    round(${Oracles.cosine("qe.v", "ne.v", 64)}, 6) AS cosine
+         |  FROM cand
+         |  JOIN e qe ON qe.vec_id = cand.query_id
+         |  JOIN e ne ON ne.vec_id = cand.neighbor_id)
+         |SELECT query_id, neighbor_id, cosine, rank FROM (
+         |  SELECT query_id, neighbor_id, cosine,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+         |  FROM rer)
          |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
     "sim_ann_topk" ->

@@ -182,6 +182,66 @@ case class HyperplaneBuckets(child: Expression, tables: Int, bits: Int)
   override def prettyName: String = "hyperplane_buckets"
 }
 
+/** Johnson–Lindenstrauss sign random projection of a float-array vector:
+  * element j of the result is the strict left-fold sum
+  * Σ_d v[d] · sign(first + j, d) over the SAME deterministic ±1 family as
+  * the LSH planes ([[graft.operators.Similarity.hyperplaneSign]] — one
+  * sign source of truth for buckets, projections, and the oracle SQL).
+  *
+  * The 1/√outDims JL scale factor is deliberately omitted: it cancels in
+  * every cosine/ratio downstream, and leaving the sums raw keeps each
+  * output the exact double the oracle's left-fold replays. Output is
+  * DOUBLE — projecting 64 floats loses nothing, and a float round-trip
+  * would force the oracle to replay REAL rounding.
+  *
+  * Scale role: an 8-dim projected vector is 1/8 the bytes of the 64-float
+  * embedding, so candidate-generation scans and shuffles carry narrow
+  * rows; the full vectors are re-fetched only for the per-query candidate
+  * set at re-rank ([[graft.operators.Similarity.projectedTopK]]).
+  */
+case class RandomProjection(child: Expression, outDims: Int, first: Int)
+  extends UnaryExpression {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    RandomProjection.compute(input.asInstanceOf[ArrayData], outDims, first)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.RandomProjection.compute($c, $outDims, $first)")
+
+  override protected def withNewChildInternal(newChild: Expression): RandomProjection =
+    copy(child = newChild)
+  override def prettyName: String = "random_projection"
+}
+
+object RandomProjection {
+  /** Lockstep with Similarity.hyperplaneSign / Oracles.projections. */
+  def compute(arr: ArrayData, outDims: Int, first: Int): ArrayData = {
+    val dim = graft.operators.Similarity.Dim
+    val n = math.min(arr.numElements(), dim)
+    val out = new Array[Double](outDims)
+    var j = 0
+    while (j < outDims) {
+      val plane = (first + j).toLong
+      var acc = 0.0
+      var d = 0
+      while (d < n) {
+        // xor-shift multiply mixer — lockstep with Similarity.hyperplaneSign
+        var h = ((plane * dim + d) * 2654435761L) % 2147483648L
+        h ^= h >> 13
+        h = (h * 2246822519L) % 2147483648L
+        h ^= h >> 16
+        acc += arr.getFloat(d).toDouble * (if (h % 2 == 0) 1.0 else -1.0)
+        d += 1
+      }
+      out(j) = acc
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
 object HyperplaneBuckets {
   /** Must stay in lockstep with graft.operators.Similarity.hyperplaneSign
     * and Oracles.hyperplaneBits (plane j = table*bits + bit, dim taken as

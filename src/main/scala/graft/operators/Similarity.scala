@@ -406,4 +406,73 @@ object Similarity {
       .orderBy(col("cosine").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
+
+  /** JL sign random projection: adds a `proj` column of `outDims` doubles
+    * (planes `first..first+outDims-1` of the shared ±1 family,
+    * [[graft.functions.RandomProjection]]). Map-only and codegen'd; no
+    * shuffle, no state. The unscaled sums preserve cosine ordering in
+    * expectation (the 1/√outDims JL factor cancels in every ratio), and
+    * every output double is exactly replayable by the oracle's left-fold.
+    */
+  def randomProject(emb: DataFrame, outDims: Int, first: Int = 0): DataFrame =
+    emb.withColumn("proj", randomProjection(col("embedding"), outDims, first))
+
+  /** Strict left-fold cosine over two small DOUBLE-array columns of known
+    * length `dim` — the projected-space scoring kernel. Expanded to `dim`
+    * codegen'd terms per fold (tiny by construction: `dim` is the
+    * projected width, ≤ 16), same fold order as the oracle SQL.
+    */
+  private[graft] def cosineD(a: Column, b: Column, dim: Int): Column = {
+    def dotD(x: Column, y: Column) = (0 until dim).foldLeft(lit(0.0)) { (acc, i) =>
+      acc + element_at(x, i + 1) * element_at(y, i + 1)
+    }
+    val denom = sqrt(dotD(a, a)) * sqrt(dotD(b, b))
+    when(denom === 0.0, lit(0.0)).otherwise(dotD(a, b) / denom)
+  }
+
+  /** ANN top-k via JL projection: score the WHOLE corpus in `projDims`-dim
+    * projected space (8 multiplies/row instead of 3×64), keep each query's
+    * `candFactor`·k projected-space best as candidates, then re-fetch full
+    * vectors for exactly those rows and re-rank by exact cosine.
+    *
+    * The complement to the LSH/IVF paths: no index, no corpus-side state,
+    * ONE narrow scan — right when queries are ad-hoc one-shots against a
+    * corpus nobody pre-keyed. Scale shape: the scan and the per-query
+    * top-candFactor·k reduction carry (query, neighbor, pcos) rows — the
+    * 64-float embedding never enters a shuffle; the exact re-rank joins
+    * the candidate ids (per-query-bounded, broadcastable) back to the
+    * corpus, so full vectors are read for candidates only, in place.
+    * Recall comes from the JL distortion bound, bought with candFactor —
+    * measured in SimilaritySpec rather than assumed. On THIS corpus's
+    * near-random synthetic vectors neighbor margins are tiny, so recall
+    * is inherently modest (sf0.01 grid: 0.21 at 16 dims/cf 3, 0.36 at
+    * cf 6, 0.49 at cf 10; 24 dims/cf 10 reaches 0.60) — real text
+    * embeddings cluster far more sharply and sit well above these floors.
+    */
+  def projectedTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                    projDims: Int = 16, candFactor: Int = 6): DataFrame = {
+    require(projDims >= 1 && candFactor >= 1)
+    val c = corpus.select(col("vec_id"),
+      randomProjection(col("embedding"), projDims).as("pv"))
+    val q = queries.select(col("vec_id").as("query_id"),
+      randomProjection(col("embedding"), projDims).as("qpv"))
+    val wc = Window.partitionBy(col("query_id"))
+      .orderBy(col("pcos").desc, col("neighbor_id"))
+    val cand = c.join(broadcast(q), col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosineD(col("qpv"), col("pv"), projDims).as("pcos"))
+      .withColumn("crank", row_number().over(wc))
+      .filter(col("crank") <= k * candFactor)
+      .select(col("query_id"), col("neighbor_id"))
+    val rer = cand
+      .join(corpus.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("nv")), Seq("neighbor_id"))
+      .join(broadcast(queries.select(col("vec_id").as("query_id"),
+        col("embedding").as("qv"))), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosineSimilarity(col("qv"), col("nv")), 6).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    rer.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
 }

@@ -11,8 +11,12 @@ class QueryPlanSpec extends SparkSuite {
   test("global plan sweep: no cartesian product in ANY declared query; " +
       "nested-loop joins only in the declared brute-force baselines") {
     // the exact-scan baselines broadcast a tiny query side through a
-    // non-equi join by design — everything else must plan equi-joins
-    val bruteForceBaselines = Set("sim_topk", "hard_negatives")
+    // non-equi join by design — everything else must plan equi-joins.
+    // sim_ann_projected's candidate stage is the same shape deliberately:
+    // a whole-corpus scan against the broadcast query set (linear in
+    // corpus × queries, never corpus²) — just over 16-double projected
+    // rows instead of 64-float embeddings.
+    val bruteForceBaselines = Set("sim_topk", "hard_negatives", "sim_ann_projected")
     val skip = (name: String) => name.startsWith("stream_") // execute on declaration
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(skip)

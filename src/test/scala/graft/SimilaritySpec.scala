@@ -71,6 +71,50 @@ class SimilaritySpec extends SparkSuite {
     assert(composed.map(_.toSeq).toSeq == fast.map(_.toSeq).toSeq)
   }
 
+  test("codegen'd random projection equals the composed sign-fold bit-for-bit") {
+    val composed = corpus.limit(100).select(
+      array((0 until 8).map { j =>
+        (0 until Similarity.Dim).foldLeft(lit(0.0)) { (acc, d) =>
+          acc + element_at(col("embedding"), d + 1).cast("double") *
+            lit(Similarity.hyperplaneSign(j, d))
+        }
+      }: _*).as("p")).as[Seq[Double]].collect()
+    val fast = corpus.limit(100).select(
+      graft.functions.GraftFunctions.randomProjection(col("embedding"), 8).as("p"))
+      .as[Seq[Double]].collect()
+    assert(composed.map(_.toSeq).toSeq == fast.map(_.toSeq).toSeq)
+  }
+
+  test("projected ANN: exact cosines, bounded output, measured recall vs brute force") {
+    val k = 5
+    val brute = Similarity.bruteForceTopK(corpus, queries, 1000)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+      .as[(Long, Long, Double, Int)].collect()
+    val bruteScore = brute.map { case (q, n, c, _) => (q, n) -> c }.toMap
+    val bruteTop = brute.filter(_._4 <= k).groupBy(_._1)
+      .map { case (q, rs) => q -> rs.map(_._2).toSet }
+    val got = Similarity.projectedTopK(corpus, queries, k, projDims = 16, candFactor = 6)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+      .as[(Long, Long, Double, Int)].collect()
+    assert(got.nonEmpty)
+    // re-rank scores are the true full-space cosines
+    got.foreach { case (q, n, c, _) => assert(bruteScore((q, n)) == c) }
+    got.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.length <= k)
+      assert(rows.map(_._4).sorted.toSeq == (1 to rows.length))
+    }
+    // recall@5 of the 16-dim projection with candFactor 6 — measured, not
+    // assumed. On these near-random synthetic vectors (tiny neighbor
+    // margins) recall is inherently modest (~0.36 at sf0.01); the floor is
+    // set so a sign-family regression (correlated planes, r3's LCG
+    // lesson — which collapses recall toward the random-candidate rate)
+    // trips it loudly without flaking on corpus noise.
+    val hits = got.filter { case (q, n, _, _) => bruteTop(q).contains(n) }.length
+    val recall = hits.toDouble / bruteTop.values.map(_.size).sum
+    info(f"projected-ANN recall@$k = $recall%.2f")
+    assert(recall >= 0.2, f"recall collapsed: $recall%.2f")
+  }
+
   test("IVF top-k: subset of brute force with identical cosines; seed queries find their own cell") {
     val brute = Similarity.bruteForceTopK(corpus, queries, 1000)
       .select("query_id", "neighbor_id", "cosine").as[(Long, Long, Double)].collect()
