@@ -440,6 +440,23 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // The PERSISTED-index production shape of IVF ANN: run 0 bootstraps
+    // frozen centroids + corpus cell assignments as a stored parquet
+    // table, run 1 assigns ONLY the delta (vec_id % 50 == 0) against the
+    // frozen centroids and appends a generation; queries probe the stored
+    // assignments (the corpus-wide argmax is never recomputed). Seeds =
+    // the 16 lowest vec_ids of the BOOTSTRAP corpus, which the oracle
+    // replays.
+    "sim_ivf_indexed" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val idx = new graft.sources.IvfIndex(
+        s, Scratch.create(s, "graft-ivf-idx"), nlist = 16)
+      idx.bootstrap(emb.filter(col("vec_id") % 50 =!= 0))
+      idx.append(emb.filter(col("vec_id") % 50 === 0))
+      idx.topK(emb, emb.filter(col("vec_id") < 8), 5, nprobe = 4)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     "sim_ann_topk" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       // 8 tables (recall ≈ 1-(1-p)^T doubles vs 4 at linear cost — the
@@ -2472,6 +2489,37 @@ object SparkEntry {
          |      row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cell_id) AS rnk
          |    FROM scored WHERE vec_id < 8)
          |  WHERE rnk <= LEAST(4, (SELECT nlist FROM nl))),
+         |cand AS (
+         |  SELECT p.query_id, a.vec_id AS neighbor_id,
+         |    round(${Oracles.cosine("p.qv", "a.v", 64)}, 6) AS cosine
+         |  FROM assign a JOIN probes p ON a.cell_id = p.cell_id AND p.query_id != a.vec_id)
+         |SELECT * FROM (
+         |  SELECT query_id, neighbor_id, cosine,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+         |  FROM cand)
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // identical to sim_ivf_topk except the seed set: centroids come from
+    // the BOOTSTRAP corpus (vec_id % 50 != 0) and are frozen across the
+    // delta append — the assignment formula itself is unchanged, which is
+    // exactly the frozen-centroid invariant the oracle pins
+    "sim_ivf_indexed" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |seeds AS (SELECT vec_id AS cell_id, v AS cv FROM e
+         |  WHERE vec_id % 50 != 0 ORDER BY vec_id LIMIT 16),
+         |scored AS (
+         |  SELECT e.vec_id, e.v, s.cell_id, ${Oracles.cosine("e.v", "s.cv", 64)} AS cs
+         |  FROM e CROSS JOIN seeds s),
+         |assign AS (
+         |  SELECT vec_id, v, cell_id FROM (
+         |    SELECT vec_id, v, cell_id,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cell_id) AS rnk
+         |    FROM scored) WHERE rnk = 1),
+         |probes AS (
+         |  SELECT vec_id AS query_id, v AS qv, cell_id FROM (
+         |    SELECT vec_id, v, cell_id,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cell_id) AS rnk
+         |    FROM scored WHERE vec_id < 8) WHERE rnk <= 4),
          |cand AS (
          |  SELECT p.query_id, a.vec_id AS neighbor_id,
          |    round(${Oracles.cosine("p.qv", "a.v", 64)}, 6) AS cosine

@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Similarity
+import graft.sources.IvfIndex
+
+/** The persisted IVF index must answer exactly like the recompute path
+  * with the same seeds, keep old assignments frozen across appends, and
+  * never expose an uncommitted generation.
+  */
+class IvfIndexSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def corpus = Tables.embeddings(spark, sf)
+  private def oldVecs = corpus.filter(col("vec_id") % 50 =!= 0)
+  private def delta = corpus.filter(col("vec_id") % 50 === 0)
+  private def queries = corpus.filter(col("vec_id") < 8)
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Double, Int)] =
+    df.select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+      .as[(Long, Long, Double, Int)].collect().toSeq.sorted
+
+  test("full-corpus bootstrap answers identically to the recompute path") {
+    val idx = new IvfIndex(spark, TempDirs.create("ivf-idx-spec"), nlist = 16)
+    idx.bootstrap(corpus) // seeds = 16 lowest vec_ids overall, like ivfTopK
+    val got = rows(idx.topK(corpus, queries, 5, nprobe = 4))
+    val expected = rows(Similarity.ivfTopK(corpus, queries, 5, nlist = 16, nprobe = 4))
+    assert(expected.nonEmpty)
+    assert(got === expected)
+  }
+
+  test("append assigns only the delta; frozen centroids keep old assignments byte-stable") {
+    val idx = new IvfIndex(spark, TempDirs.create("ivf-idx-spec2"), nlist = 16)
+    idx.bootstrap(oldVecs)
+    assert(idx.committedGen === 0L)
+    val before = idx.assignmentsDf.as[(Long, Long)].collect().toSeq.sorted
+    idx.append(delta)
+    assert(idx.committedGen === 1L)
+    val after = idx.assignmentsDf.as[(Long, Long)].collect().toSeq.sorted
+    // every vector assigned exactly once, old rows unchanged
+    assert(after.map(_._1).distinct.length === after.length)
+    assert(after.length === corpus.count())
+    val afterOld = after.filter { case (id, _) => id % 50 != 0 }
+    assert(afterOld === before)
+  }
+
+  test("an uncommitted generation directory is invisible to readers") {
+    val dir = TempDirs.create("ivf-idx-spec3")
+    val idx = new IvfIndex(spark, dir, nlist = 16)
+    idx.bootstrap(oldVecs)
+    val committed = idx.assignmentsDf.count()
+    // simulate a crash mid-append: gen-1 parquet exists, watermark doesn't
+    Seq((999999L, 0L)).toDF("vec_id", "cell")
+      .write.mode("overwrite").parquet(s"$dir/gen-1")
+    assert(idx.committedGen === 0L)
+    assert(idx.assignmentsDf.count() === committed)
+    // the next append overwrites the orphan and commits atomically
+    idx.append(delta)
+    assert(idx.committedGen === 1L)
+    assert(idx.assignmentsDf.count() === corpus.count())
+    assert(idx.assignmentsDf.filter(col("vec_id") === 999999L).count() === 0L)
+  }
+
+  test("bootstrap is idempotent; append before bootstrap refuses") {
+    val idx = new IvfIndex(spark, TempDirs.create("ivf-idx-spec4"), nlist = 16)
+    intercept[IllegalArgumentException] { idx.append(delta) }
+    idx.bootstrap(oldVecs)
+    val n = idx.assignmentsDf.count()
+    idx.bootstrap(corpus) // second bootstrap must be a no-op
+    assert(idx.committedGen === 0L)
+    assert(idx.assignmentsDf.count() === n)
+  }
+
+  test("probe plan broadcasts the query side: stored assignments never shuffle") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    val idx = new IvfIndex(spark, TempDirs.create("ivf-idx-spec5"), nlist = 16)
+    idx.bootstrap(corpus)
+    def collectRec[T](p: SparkPlan)(f: PartialFunction[SparkPlan, T]): Seq[T] =
+      p.collect {
+        case a: AdaptiveSparkPlanExec => collectRec(a.executedPlan)(f)
+        case n if f.isDefinedAt(n) => Seq(f(n))
+      }.flatten
+    val df = idx.topK(corpus, queries, 5, nprobe = 4)
+    df.write.format("noop").mode("overwrite").save() // let AQE finalize
+    val bhj = collectRec(df.queryExecution.executedPlan) {
+      case b: BroadcastHashJoinExec => b
+    }
+    assert(bhj.nonEmpty, df.queryExecution.executedPlan.toString.take(3000))
+  }
+}
