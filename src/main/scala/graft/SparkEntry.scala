@@ -922,6 +922,18 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Quality-weighted sampling: each document survives with probability
+    // proportional to a per-row score (length-normalized here) off the
+    // same portable hash — importance resampling as a map-only filter,
+    // monotone under re-scoring.
+    "weighted_sample" -> ((s, dir) =>
+      Sampling.weightedSample(Tables.documents(s, dir), col("doc_id"),
+        col("n_chars") / lit(600.0))
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_kept"),
+          min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+        .orderBy(col("lang"), col("source"))),
+
     // Stratified sampling: per-class keep rates off the same portable
     // hash (downsample dominant classes, keep rare ones whole).
     "sample_stratified" -> ((s, dir) =>
@@ -3292,6 +3304,17 @@ object SparkEntry {
          |  FROM events)
          |SELECT event_type, split, count(*) AS n, count(DISTINCT user_id) AS n_users
          |FROM t GROUP BY event_type, split ORDER BY event_type, split""".stripMargin,
+
+    "weighted_sample" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, lang, source,
+         |    ${Oracles.sampleBucket("CAST(doc_id AS VARCHAR)", 1000)} AS b,
+         |    CAST(floor(least(1.0, greatest(0.0, n_chars / 600.0)) * 1000) AS BIGINT) AS thr
+         |  FROM documents)
+         |SELECT lang, source, count(*) AS n_kept,
+         |  min(doc_id) AS min_id, max(doc_id) AS max_id
+         |FROM t WHERE b < thr
+         |GROUP BY lang, source ORDER BY lang, source""".stripMargin,
 
     "sample_stratified" ->
       s"""WITH t AS (

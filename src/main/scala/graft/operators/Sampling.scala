@@ -50,6 +50,23 @@ object Sampling {
       when(hashBucket(key, buckets) < math.round(trainPct * buckets), lit("train"))
         .otherwise(lit("test")))
 
+  /** Per-row WEIGHTED deterministic sampling — the importance/quality
+    * resampling verb ("keep each document with probability ∝ its quality
+    * score"): a row survives iff `hashBucket(key) < floor(w · buckets)`,
+    * with `w` any column clamped to [0,1]. Still map-only and a pure
+    * function of (key, weight), so re-runs, repartitions, engine swaps,
+    * and incremental appends reproduce the identical sample. The
+    * threshold form also gives MONOTONICITY a per-row RNG can't: if a
+    * re-score raises a row's weight the row can only enter the sample
+    * (its fixed bucket falls under a higher threshold) — no other row's
+    * membership moves, so curriculum re-weighting between training runs
+    * perturbs the corpus minimally instead of resampling it wholesale.
+    */
+  def weightedSample(df: DataFrame, key: Column, weight: Column,
+                     buckets: Int = 1000): DataFrame =
+    df.filter(hashBucket(key, buckets) <
+      floor(least(lit(1.0), greatest(lit(0.0), weight.cast("double"))) * buckets))
+
   /** Leakage-safe train/test split: near-dup cluster members ALWAYS land
     * in the same split. A plain per-doc hash split leaks evaluation data —
     * a near-duplicate of a test document lands in train with probability

@@ -48,6 +48,25 @@ class SamplingSpec extends SparkSuite {
     assert(byType("view") < nView / 2, "rate 0.1 downsamples")
   }
 
+  test("weighted sampling: kept fraction tracks mean weight, bounds behave, monotone under re-score") {
+    val docs = Tables.documents(spark, sf)
+    val n = docs.count().toDouble
+    val kept = Sampling.weightedSample(docs, col("doc_id"), col("n_chars") / lit(600.0))
+    val meanW = docs.select(avg(least(lit(1.0), col("n_chars") / lit(600.0))))
+      .as[Double].head()
+    val frac = kept.count() / n
+    assert(math.abs(frac - meanW) < 0.1, s"kept $frac vs mean weight $meanW")
+    // weight 0 drops everything, weight 1 (and clamped >1) keeps everything
+    assert(Sampling.weightedSample(docs, col("doc_id"), lit(0.0)).count() == 0L)
+    assert(Sampling.weightedSample(docs, col("doc_id"), lit(1.0)).count() == n.toLong)
+    assert(Sampling.weightedSample(docs, col("doc_id"), lit(7.5)).count() == n.toLong)
+    // monotone: raising every weight only ADDS members
+    val low = Sampling.weightedSample(docs, col("doc_id"), col("n_chars") / lit(1200.0))
+      .select("doc_id").as[Long].collect().toSet
+    val high = kept.select("doc_id").as[Long].collect().toSet
+    assert(low.subsetOf(high), "a raised weight must never evict a member")
+  }
+
   test("sampling plans are map-only: no shuffle exchange") {
     val plan = Sampling.deterministicSample(ev, col("event_id"), 0.5)
       .queryExecution.executedPlan.toString
