@@ -328,6 +328,28 @@ object ScaleRehearsal {
       }
       emit("incr_lsh_indexed", f, nd, candIncr, verIdx, tIdx)
 
+      // Persisted IVF index (sim_ivf_indexed): the per-ingest append
+      // assigns a FIXED base-corpus delta against frozen centroids —
+      // cost is delta × nlist multiplies and must stay ~flat as the
+      // corpus grows, while a full bootstrap (the recompute shape the
+      // index exists to avoid re-running) scales with the corpus. The
+      // frozen seeds are the 16 lowest old vec_ids, which are base-copy
+      // ids at every factor, so both factors append against identical
+      // centroids. candidates = rows assigned in the timed region.
+      val ivfDelta = emb.filter(col("vec_id") < idOffset &&
+        col("vec_id") % 50 === 0)
+      val ivfOld = emb.filter(!(col("vec_id") < idOffset &&
+        col("vec_id") % 50 === 0))
+      val ivfIdx = new graft.sources.IvfIndex(spark,
+        TempDirs.create(s"graft-scale-ivfidx$f"), nlist = 16)
+      val (_, tIvfBoot) = timed { ivfIdx.bootstrap(ivfOld) }
+      emit("ivf_indexed_bootstrap", f, ne, ne - ivfDelta.count(), -1, tIvfBoot)
+      val (nAppended, tIvfAppend) = timed {
+        ivfIdx.append(ivfDelta)
+        ivfIdx.assignmentsDf.count() - (ne - ivfDelta.count())
+      }
+      emit("ivf_indexed_append", f, ne, nAppended, -1, tIvfAppend)
+
       // Winnowing fingerprints (dedup_winnow): min-of-window selection
       // keeps ~2/(window+1) of span hashes, and the df<=50 prune bounds
       // any fingerprint's pair fan-out. Caesar copies are token-hash
