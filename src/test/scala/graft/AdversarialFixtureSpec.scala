@@ -111,9 +111,11 @@ class AdversarialFixtureSpec extends SparkSuite {
     "bpe_merges", "cdc_latest", "compact_files", "corpus_clean",
     "csv_roundtrip", "decontam_overlap", "dedup_clusters", "dedup_embedding",
     "dedup_exact", "dedup_incr_lsh", "dedup_incremental", "dedup_minhash_lsh",
-    "dedup_ngram_jaccard", "dedup_ngram_pruned", "dedup_semantic",
+    "dedup_incr_lsh_indexed", "dedup_ngram_jaccard", "dedup_ngram_pruned",
+    "dedup_semantic",
     "dedup_simhash", "dedup_spans", "dedup_winnow", "leakage_split",
-    "distinct_agg", "doc_chunks", "doc_repetition", "embed_quantize",
+    "distinct_agg", "doc_chunks", "doc_repetition", "embed_project",
+    "embed_quantize",
     "funnel_steps", "fuzzy_match", "gap_fill", "graph_triangles",
     "hard_negatives", "heavy_hitters", "hopping_windows", "incr_agg_merge",
     "incremental_scan", "incremental_scan_jdbc", "interval_merge",
@@ -123,11 +125,13 @@ class AdversarialFixtureSpec extends SparkSuite {
     "pii_scrub", "pivot_events", "range_join", "regex_numbers",
     "reservoir_group", "retention_cohorts", "sample_split",
     "sample_stratified", "scd2_build", "session_stats", "sim_ann_multiprobe",
-    "sim_ann_topk", "sim_ivf_topk", "sim_sparse_topk", "sim_topk",
+    "sim_ann_projected", "sim_ann_topk", "sim_ivf_auto", "sim_ivf_indexed",
+    "sim_ivf_topk", "sim_sparse_topk", "sim_topk",
     "skew_distinct", "skew_join", "skyline_users", "sql_kernels",
     "table_diff", "temperature_mix", "text_normalize", "text_stats",
     "tfidf_terms", "token_shards", "train_mix", "value_histogram",
-    "vocab_oov", "window_range", "window_ranks", "zorder_prune")
+    "vocab_oov", "weighted_sample", "window_range", "window_ranks",
+    "zorder_prune")
 
   test("every function-breadth query is total on adversarial rows") {
     val failures = swept.flatMap { name =>
