@@ -574,6 +574,19 @@ object SparkEntry {
         .orderBy(col("shard_id"))
     }),
 
+    // Concat-and-chunk sequence packing: cut the corpus token stream
+    // into 512-token training sequences, documents split at boundaries —
+    // one piece row per (doc, overlapped seq), two-level prefix sum,
+    // never a single-partition global window, never per-token rows.
+    "pack_sequences" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          GraftFunctions.textStats(col("text"))
+            .getField("n_tokens").cast("long").as("n_tok"))
+      Packing.packSequences(docs, "doc_id", "n_tok", 512L)
+        .orderBy(col("doc_id"), col("seq_id"))
+    }),
+
     // Top TF-IDF terms per document: map-side-combined (doc, term)
     // counts, broadcast vocabulary join, per-doc top-k window.
     "tfidf_terms" -> ((s, dir) => {
@@ -2759,6 +2772,24 @@ object SparkEntry {
          |SELECT pre // 4096 AS shard_id, count(*) AS n_docs,
          |  CAST(sum(n_tok) AS BIGINT) AS n_tokens, min(doc_id) AS first_doc, max(doc_id) AS last_doc
          |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "pack_sequences" ->
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |    CAST(len(${Oracles.tokens("lower(text)")}) AS BIGINT) AS n_tok
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, n_tok, CAST(coalesce(sum(n_tok) OVER (
+         |    ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS s
+         |  FROM d),
+         |p AS (
+         |  SELECT doc_id, n_tok, s,
+         |    unnest(generate_series(s // 512, (s + n_tok - 1) // 512)) AS seq_id
+         |  FROM c WHERE n_tok > 0)
+         |SELECT doc_id, seq_id,
+         |  GREATEST(s, seq_id * 512) - seq_id * 512 AS off_in_seq,
+         |  LEAST((seq_id + 1) * 512, s + n_tok) - GREATEST(s, seq_id * 512) AS piece_len
+         |FROM p ORDER BY doc_id, seq_id""".stripMargin,
 
     "sql_kernels" -> {
       val th = s"list_transform(${Oracles.tokens("text")}, t -> ${Oracles.polyHash("t")})"

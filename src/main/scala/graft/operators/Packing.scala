@@ -28,11 +28,15 @@ import org.apache.spark.sql.functions._
   */
 object Packing {
 
-  def tokenShards(docs: DataFrame, idCol: String, nTokCol: String,
-                  budget: Long, ranges: Int = 32): DataFrame = {
-    require(budget >= 1 && ranges >= 1)
+  /** The two-level global EXCLUSIVE prefix sum of `nTokCol` in `idCol`
+    * order, added as column `_start`. O(ranges) driver metadata; every
+    * heavy step parallel per range. Shared by [[tokenShards]] and
+    * [[packSequences]].
+    */
+  private def withGlobalPrefix(docs: DataFrame, idCol: String,
+                               nTokCol: String, ranges: Int): DataFrame = {
     val bounds = docs.agg(min(col(idCol)).as("lo"), max(col(idCol)).as("hi")).head()
-    if (bounds.isNullAt(0)) return docs.withColumn("shard_id", lit(0L))
+    if (bounds.isNullAt(0)) return docs.withColumn("_start", lit(0L))
     val lo = bounds.getLong(0)
     val hi = bounds.getLong(1)
     val width = math.max(1L, (hi - lo) / ranges + 1)
@@ -53,7 +57,50 @@ object Packing {
     withRange
       .withColumn("_off", element_at(typedlit(offsets), col("_rid")))
       .withColumn("_pre", coalesce(sum(col(nTokCol)).over(w), lit(0L)))
-      .withColumn("shard_id", expr(s"(_off + _pre) DIV $budget"))
+      .withColumn("_start", expr("_off + _pre"))
       .drop("_rid", "_off", "_pre")
+  }
+
+  def tokenShards(docs: DataFrame, idCol: String, nTokCol: String,
+                  budget: Long, ranges: Int = 32): DataFrame = {
+    require(budget >= 1 && ranges >= 1)
+    withGlobalPrefix(docs, idCol, nTokCol, ranges)
+      .withColumn("shard_id", expr(s"_start DIV $budget"))
+      .drop("_start")
+  }
+
+  /** Concat-and-chunk sequence packing — the other pretraining layout:
+    * concatenate the corpus's token stream in id order and cut it into
+    * fixed `seqLen`-token training sequences, documents SPLIT at
+    * sequence boundaries (vs [[tokenShards]], which keeps documents
+    * whole and packs them into budget-sized files).
+    *
+    * Each document occupies the global token interval
+    * `[start, start + n)` (`start` = the same two-level exclusive prefix
+    * sum) and emits one PIECE row per sequence it overlaps:
+    * `(doc_id, seq_id, off_in_seq, piece_len)` — enough for a trainer to
+    * materialize any sequence exactly, or to build attention-mask /
+    * boundary tensors, without this operator ever materializing token
+    * arrays. Per-doc fan-out is `n/seqLen + 1` rows (never per-token),
+    * so output size tracks corpus tokens / seqLen plus one row per doc.
+    * Zero-token documents occupy an empty interval and contribute no
+    * pieces. All arithmetic is exact integer math — replayable by the
+    * SQL oracle and invariant under repartitioning.
+    */
+  def packSequences(docs: DataFrame, idCol: String, nTokCol: String,
+                    seqLen: Long, ranges: Int = 32): DataFrame = {
+    require(seqLen >= 1 && ranges >= 1)
+    val sl = lit(seqLen)
+    withGlobalPrefix(docs, idCol, nTokCol, ranges)
+      .filter(col(nTokCol) > 0)
+      .withColumn("seq_id", explode(sequence(
+        expr(s"_start DIV $seqLen"),
+        expr(s"(_start + $nTokCol - 1) DIV $seqLen"))))
+      .withColumn("off_in_seq",
+        greatest(col("_start"), col("seq_id") * sl) - col("seq_id") * sl)
+      .withColumn("piece_len",
+        least((col("seq_id") + 1) * sl, col("_start") + col(nTokCol)) -
+          greatest(col("_start"), col("seq_id") * sl))
+      .select(col(idCol), col("seq_id"), col("off_in_seq"), col("piece_len"))
   }
 }

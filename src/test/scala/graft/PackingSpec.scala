@@ -49,6 +49,37 @@ class PackingSpec extends SparkSuite {
     assert(under == 0, "a non-final shard fell more than one document short")
   }
 
+  test("sequence packing: pieces tile each document and fill every non-final sequence exactly") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        size(GraftFunctions.tokens(lower(col("text")))).cast("long").as("n_tok"))
+    val seqLen = 128L
+    val pieces = Packing.packSequences(docs, "doc_id", "n_tok", seqLen)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(pieces.nonEmpty)
+    // per-doc piece lengths sum to the doc's token count
+    val perDoc = pieces.groupBy(_._1).view.mapValues(_.map(_._4).sum).toMap
+    val want = docs.filter(col("n_tok") > 0).as[(Long, Long)].collect().toMap
+    assert(perDoc == want)
+    // every sequence except the last is filled to exactly seqLen
+    val perSeq = pieces.groupBy(_._2).view.mapValues(_.map(_._4).sum).toMap
+    val lastSeq = perSeq.keys.max
+    perSeq.foreach { case (s, tot) =>
+      if (s != lastSeq) assert(tot == seqLen, s"sequence $s holds $tot tokens")
+      else assert(tot <= seqLen)
+    }
+    // pieces are within bounds and non-degenerate
+    pieces.foreach { case (d, s, off, len) =>
+      assert(off >= 0 && off < seqLen && len >= 1 && off + len <= seqLen,
+        s"bad piece ($d, $s, $off, $len)")
+    }
+    // a zero-token document contributes nothing
+    val withEmpty = Seq((1L, 3L), (2L, 0L), (3L, 2L)).toDF("doc_id", "n_tok")
+    val p2 = Packing.packSequences(withEmpty, "doc_id", "n_tok", 4L)
+      .as[(Long, Long, Long, Long)].collect().toSeq.sorted
+    assert(p2 == Seq((1L, 0L, 0L, 3L), (3L, 0L, 3L, 1L), (3L, 1L, 0L, 1L)))
+  }
+
   test("the plan never funnels the corpus through a single partition") {
     val docs = Tables.documents(spark, sf)
       .select(col("doc_id"),
