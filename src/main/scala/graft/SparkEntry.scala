@@ -587,6 +587,23 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("seq_id"))
     }),
 
+    // Bookmark-incremental packing: pack ONLY the last-50-doc delta,
+    // continuing from the prior corpus's total token count (an O(1)
+    // watermark) — output must equal the full repack filtered to the
+    // delta docs, which is exactly what the oracle replays.
+    "pack_incremental" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          GraftFunctions.textStats(col("text"))
+            .getField("n_tokens").cast("long").as("n_tok"))
+      val cutoff = docs.agg(max(col("doc_id"))).head().getLong(0) - 49L
+      val prior = docs.filter(col("doc_id") < cutoff)
+        .agg(coalesce(sum(col("n_tok")), lit(0L))).head().getLong(0)
+      Packing.packSequencesIncremental(docs.filter(col("doc_id") >= cutoff),
+        "doc_id", "n_tok", 512L, priorTokens = prior)
+        .orderBy(col("doc_id"), col("seq_id"))
+    }),
+
     // Top TF-IDF terms per document: map-side-combined (doc, term)
     // counts, broadcast vocabulary join, per-doc top-k window.
     "tfidf_terms" -> ((s, dir) => {
@@ -2790,6 +2807,28 @@ object SparkEntry {
          |  GREATEST(s, seq_id * 512) - seq_id * 512 AS off_in_seq,
          |  LEAST((seq_id + 1) * 512, s + n_tok) - GREATEST(s, seq_id * 512) AS piece_len
          |FROM p ORDER BY doc_id, seq_id""".stripMargin,
+
+    // the oracle is the FULL repack filtered to the delta docs — the
+    // incremental path must be indistinguishable from it
+    "pack_incremental" ->
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |    CAST(len(${Oracles.tokens("lower(text)")}) AS BIGINT) AS n_tok
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, n_tok, CAST(coalesce(sum(n_tok) OVER (
+         |    ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS s
+         |  FROM d),
+         |p AS (
+         |  SELECT doc_id, n_tok, s,
+         |    unnest(generate_series(s // 512, (s + n_tok - 1) // 512)) AS seq_id
+         |  FROM c WHERE n_tok > 0)
+         |SELECT doc_id, seq_id,
+         |  GREATEST(s, seq_id * 512) - seq_id * 512 AS off_in_seq,
+         |  LEAST((seq_id + 1) * 512, s + n_tok) - GREATEST(s, seq_id * 512) AS piece_len
+         |FROM p
+         |WHERE doc_id >= (SELECT max(doc_id) - 49 FROM documents)
+         |ORDER BY doc_id, seq_id""".stripMargin,
 
     "sql_kernels" -> {
       val th = s"list_transform(${Oracles.tokens("text")}, t -> ${Oracles.polyHash("t")})"

@@ -90,8 +90,40 @@ object Packing {
   def packSequences(docs: DataFrame, idCol: String, nTokCol: String,
                     seqLen: Long, ranges: Int = 32): DataFrame = {
     require(seqLen >= 1 && ranges >= 1)
+    pieces(withGlobalPrefix(docs, idCol, nTokCol, ranges),
+      idCol, nTokCol, seqLen)
+  }
+
+  /** Incremental continuation of [[packSequences]] — the job-bookmark
+    * discipline (SURVEY §2 S1) applied to the packing layer: pack ONLY
+    * `delta` (documents appended since the last run; the bookmark
+    * contract guarantees their ids sit strictly above every packed id),
+    * given `priorTokens` — the total token count already packed, an O(1)
+    * watermark the caller persists next to the shard sink exactly like a
+    * bookmark value. Every delta start offset is the local prefix shifted
+    * by `priorTokens`, so the output is bit-identical to what a full
+    * repack of (corpus ∪ delta) would emit FOR THE DELTA DOCS — and an
+    * append-only corpus never changes an old document's interval, so old
+    * pieces need no rewrite. Per-ingest packing cost tracks the delta,
+    * never the corpus (the same reason [[graft.sources.LshBandIndex]] and
+    * [[graft.sources.IvfIndex]] exist for their operators).
+    */
+  def packSequencesIncremental(delta: DataFrame, idCol: String, nTokCol: String,
+                               seqLen: Long, priorTokens: Long,
+                               ranges: Int = 32): DataFrame = {
+    require(seqLen >= 1 && ranges >= 1 && priorTokens >= 0)
+    pieces(withGlobalPrefix(delta, idCol, nTokCol, ranges)
+        .withColumn("_start", col("_start") + lit(priorTokens)),
+      idCol, nTokCol, seqLen)
+  }
+
+  /** Piece rows of documents occupying `[_start, _start + nTok)` of the
+    * global token stream: one row per overlapped `seqLen` window.
+    */
+  private def pieces(withStart: DataFrame, idCol: String, nTokCol: String,
+                     seqLen: Long): DataFrame = {
     val sl = lit(seqLen)
-    withGlobalPrefix(docs, idCol, nTokCol, ranges)
+    withStart
       .filter(col(nTokCol) > 0)
       .withColumn("seq_id", explode(sequence(
         expr(s"_start DIV $seqLen"),

@@ -121,8 +121,8 @@ class AdversarialFixtureSpec extends SparkSuite {
     "incremental_scan", "incremental_scan_jdbc", "interval_merge",
     "json_extract", "json_quarantine", "json_roundtrip", "kmeans_assign",
     "lm_perplexity", "map_functions", "markov_transitions", "merge_upsert",
-    "null_handling", "orc_roundtrip", "pack_sequences", "partitioned_scan",
-    "pattern_funnel",
+    "null_handling", "orc_roundtrip", "pack_incremental", "pack_sequences",
+    "partitioned_scan", "pattern_funnel",
     "pii_scrub", "pivot_events", "range_join", "regex_numbers",
     "reservoir_group", "retention_cohorts", "sample_split",
     "sample_stratified", "scd2_build", "session_stats", "sim_ann_multiprobe",

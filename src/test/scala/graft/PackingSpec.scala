@@ -80,6 +80,25 @@ class PackingSpec extends SparkSuite {
     assert(p2 == Seq((1L, 0L, 0L, 3L), (3L, 0L, 3L, 1L), (3L, 1L, 0L, 1L)))
   }
 
+  test("incremental packing is indistinguishable from a full repack, at any split point") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        size(GraftFunctions.tokens(lower(col("text")))).cast("long").as("n_tok"))
+    val full = Packing.packSequences(docs, "doc_id", "n_tok", 128L)
+    Seq(0L, 100L, 490L) foreach { cutoff =>
+      val prior = docs.filter(col("doc_id") < cutoff)
+        .agg(coalesce(sum(col("n_tok")), lit(0L))).head().getLong(0)
+      val incr = Packing.packSequencesIncremental(
+        docs.filter(col("doc_id") >= cutoff), "doc_id", "n_tok", 128L, prior)
+      val want = full.filter(col("doc_id") >= cutoff)
+      assert(incr.except(want).isEmpty && want.except(incr).isEmpty, s"cutoff $cutoff")
+    }
+    // empty delta packs to nothing
+    val allTok = docs.agg(sum(col("n_tok"))).head().getLong(0)
+    assert(Packing.packSequencesIncremental(
+      docs.filter(col("doc_id") < 0), "doc_id", "n_tok", 128L, allTok).count() == 0L)
+  }
+
   test("the plan never funnels the corpus through a single partition") {
     val docs = Tables.documents(spark, sf)
       .select(col("doc_id"),
