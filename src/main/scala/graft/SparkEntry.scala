@@ -292,6 +292,17 @@ object SparkEntry {
         Tables.documents(s, dir).filter(col("doc_id") % 10 === 0), 3, 0.6, maxDf = 40)
         .orderBy(col("id_a"), col("id_b"))),
 
+    // Directed containment |A∩B|/|A| >= 0.5 over the same df-pruned
+    // shingle join — catches a short doc quoted inside a long one, which
+    // Jaccard's union-sized denominator hides. 5-gram shingles: the
+    // 3-gram space saturates on this corpus (80% of pairs over the gate
+    // — measured), 5-grams discriminate (3%).
+    "dedup_containment" -> ((s, dir) =>
+      Dedup.containmentPairs(
+        Tables.documents(s, dir).filter(col("doc_id") % 10 === 0),
+        n = 5, threshold = 0.5, maxDf = 40)
+        .orderBy(col("src_id"), col("dst_id"))),
+
     // MinHash(16) banded into 4 LSH buckets -> candidates -> exact Jaccard.
     "dedup_minhash_lsh" -> ((s, dir) =>
       Dedup.minhashLshPairs(
@@ -2241,6 +2252,32 @@ object SparkEntry {
          |  JOIN sh ga ON c.id_a = ga.doc_id
          |  JOIN sh gb ON c.id_b = gb.doc_id)
          |WHERE jaccard >= 0.6 ORDER BY id_a, id_b""".stripMargin,
+
+    "dedup_containment" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id, ${Oracles.shingleHashes("text", 5)} AS gs
+         |  FROM documents WHERE doc_id % 10 = 0),
+         |g AS (SELECT doc_id, unnest(gs) AS g FROM sh),
+         |rare AS (SELECT g FROM g GROUP BY g HAVING count(*) <= 40),
+         |rg AS (SELECT doc_id, g.g FROM g JOIN rare USING (g)),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM rg a JOIN rg b ON a.g = b.g AND a.doc_id < b.doc_id),
+         |scored AS (
+         |  SELECT c.id_a, c.id_b,
+         |    CAST(len(list_intersect(ga.gs, gb.gs)) AS DOUBLE) AS inter,
+         |    CAST(len(ga.gs) AS DOUBLE) AS na, CAST(len(gb.gs) AS DOUBLE) AS nb
+         |  FROM cand c
+         |  JOIN sh ga ON c.id_a = ga.doc_id
+         |  JOIN sh gb ON c.id_b = gb.doc_id),
+         |directed AS (
+         |  SELECT id_a AS src_id, id_b AS dst_id, round(inter / na, 6) AS containment
+         |  FROM scored
+         |  UNION ALL
+         |  SELECT id_b AS src_id, id_a AS dst_id, round(inter / nb, 6) AS containment
+         |  FROM scored)
+         |SELECT * FROM directed WHERE containment >= 0.5
+         |ORDER BY src_id, dst_id""".stripMargin,
 
     "dedup_minhash_lsh" ->
       s"""WITH $minhashPairsCtes

@@ -167,6 +167,49 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Asymmetric near-dup: document CONTAINMENT `|A∩B| / |A|` over hashed
+    * n-gram shingle sets — the quote/subset-duplicate signal Jaccard
+    * misses. A short document fully quoted inside a long one has
+    * containment 1.0 while its Jaccard stays tiny (the union is
+    * long-doc-sized), so a Jaccard-gated dedup pass keeps the quote as a
+    * "distinct" document. Rows are DIRECTED: (src_id contained-in
+    * dst_id) and its reverse are separate rows with separate scores,
+    * each gated by `threshold` on its own contained side.
+    *
+    * Candidate generation and skew discipline are exactly
+    * [[ngramJaccardPairsPruned]]'s (df-pruned shingle equi-join,
+    * broadcast stop set, map-side-combined df counts): candidates are
+    * symmetric; only the score is directional, so both directions come
+    * from ONE verify join — no second pass over the corpus. A
+    * zero-shingle document never reaches the shingle join, so the
+    * contained-side denominator is always positive.
+    */
+  def containmentPairs(docs: DataFrame, n: Int, threshold: Double,
+                       maxDf: Int): DataFrame = {
+    val sets = docs.select(col("doc_id"), shingleHashes(col("text"), n).as("gs"))
+    val grams = sets.select(col("doc_id"), explode(col("gs")).as("g"))
+    val stop = grams.groupBy(col("g")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf).select(col("g"))
+    val rareGrams = grams.join(broadcast(stop), Seq("g"), "left_anti")
+    val cand = rareGrams.as("a")
+      .join(rareGrams.as("b"),
+        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    val scored = cand
+      .join(sets.as("ga"), col("id_a") === col("ga.doc_id"))
+      .join(sets.as("gb"), col("id_b") === col("gb.doc_id"))
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("ga.gs"), col("gb.gs"))).cast("double").as("inter"),
+        size(col("ga.gs")).cast("double").as("na"),
+        size(col("gb.gs")).cast("double").as("nb"))
+    scored.select(col("id_a").as("src_id"), col("id_b").as("dst_id"),
+        round(col("inter") / col("na"), 6).as("containment"))
+      .unionByName(scored.select(col("id_b").as("src_id"), col("id_a").as("dst_id"),
+        round(col("inter") / col("nb"), 6).as("containment")))
+      .filter(col("containment") >= threshold)
+  }
+
   /** MinHash signatures (k hashes) banded into `bands` LSH buckets of
     * `k / bands` rows each: docs sharing any band bucket are candidates.
     * Returns (doc_id, band, band_key).

@@ -109,7 +109,8 @@ class AdversarialFixtureSpec extends SparkSuite {
     "agg_misc", "agg_topk", "anomaly_zscore", "approx_sketches", "array_agg",
     "array_analytics", "asof_join", "bigram_lm", "bloom_decontam",
     "bpe_merges", "cdc_latest", "compact_files", "corpus_clean",
-    "csv_roundtrip", "decontam_overlap", "dedup_clusters", "dedup_embedding",
+    "csv_roundtrip", "decontam_overlap", "dedup_clusters", "dedup_containment",
+    "dedup_embedding",
     "dedup_exact", "dedup_incr_lsh", "dedup_incremental", "dedup_minhash_lsh",
     "dedup_incr_lsh_indexed", "dedup_ngram_jaccard", "dedup_ngram_pruned",
     "dedup_semantic",

@@ -136,6 +136,25 @@ class DedupSpec extends SparkSuite {
     assert(loose == exact)
   }
 
+  test("containment: a quoted substring scores 1.0 toward its host while jaccard stays low") {
+    val host = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val quote = "delta epsilon zeta eta theta" // verbatim substring of host
+    val corpus = Seq((1L, host), (2L, quote),
+      (3L, "unrelated words entirely disjoint from everything here"))
+      .toDF("doc_id", "text")
+    val rows = Dedup.containmentPairs(corpus, n = 3, threshold = 0.5, maxDf = 100)
+      .as[(Long, Long, Double)].collect().map { case (s, d, c) => (s, d) -> c }.toMap
+    assert(rows((2L, 1L)) == 1.0, "the quote is fully contained in its host")
+    assert(!rows.contains((1L, 2L)), "the host is NOT mostly contained in the quote")
+    assert(!rows.keys.exists { case (s, d) => s == 3L || d == 3L })
+    // the symmetric jaccard on the same pair stays under the near-dup gate
+    val jac = Dedup.ngramJaccardPairs(corpus, 3, 0.0)
+      .as[(Long, Long, Double)].collect()
+      .collectFirst { case (1L, 2L, j) => j }.get
+    assert(jac < 0.5, s"jaccard $jac should hide the quote (union-sized denominator)")
+  }
+
   test("minhash LSH candidates contain exact dups; verified jaccard matches brute force") {
     val lsh = Dedup.minhashLshPairs(docs, n = 3, k = 16, bands = 4, threshold = 0.5)
       .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect()
