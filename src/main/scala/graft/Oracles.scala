@@ -112,4 +112,23 @@ object Oracles {
     s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
       s"list_transform(range(0, $bitsPerTable), b -> " +
       s"CAST($bits[$tblExpr*$bitsPerTable + b + 1] AS BIGINT) << b)), (a, x) -> a + x)"
+
+  /** [[hyperplaneBits]] with a SQL-DERIVED plane count (`planesExpr`, a
+    * scalar subquery over the corpus) — lets the oracle replay the
+    * auto-sized LSH families' bits~log2(n) derivation, not just a fixed
+    * replay of their output.
+    */
+  def hyperplaneBitsDyn(v: String, planesExpr: String, dim: Int): String =
+    s"list_transform(range(0, $planesExpr), j -> CASE WHEN " +
+      s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(0, $dim), d -> " +
+      s"$v[d+1] * ${mixedSign(s"CAST(j*$dim + d AS BIGINT)")})), " +
+      s"(a, x) -> a + x) >= 0 THEN 1 ELSE 0 END)"
+
+  /** [[bucketFromBits]] with a SQL-derived per-table bit width. */
+  def bucketFromBitsDyn(bits: String, tblExpr: String,
+                        bitsPerTableExpr: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"list_transform(range(0, $bitsPerTableExpr), b -> " +
+      s"CAST($bits[$tblExpr*($bitsPerTableExpr) + b + 1] AS BIGINT) << b)), " +
+      s"(a, x) -> a + x)"
 }

@@ -388,6 +388,20 @@ object SparkEntry {
       Dedup.embeddingPairs(Tables.embeddings(s, dir), 0.3, bucketed = true)
         .orderBy(col("id_a"), col("id_b"))),
 
+    // The Sizing-derived LSH family AS a declared query (the LSH twin of
+    // sim_ivf_auto): bits = clamp(ceil(log2 n), 8, 30) and tables =
+    // min(8, 64/bits) come from one corpus count — and the ORACLE replays
+    // the derivation in SQL, so the bits~log2(n) operating rule is itself
+    // oracle-checked. perBucket=1 lands off the clamp floor (9 bits, 7
+    // tables at sf0.01) so the derivation demonstrably gates the keys.
+    "dedup_embedding_auto" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val bits = Similarity.Sizing.lshBits(emb.count(), perBucket = 1)
+      val tables = Similarity.Sizing.lshTables(bits)
+      Dedup.embeddingPairs(emb, 0.3, bucketed = true, tables = tables, bits = bits)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // SemDeDup-style semantic near-dup pairs: k-means clusters as the
     // candidate prefilter (same deterministic 2-round/8-centroid family as
     // kmeans_assign), exact cosine only within a cluster — the published
@@ -2497,6 +2511,33 @@ object SparkEntry {
          |keyed AS (
          |  SELECT vec_id, v, t.tbl AS tbl, ${Oracles.bucketFromBits("bits", "t.tbl", 8)} AS bucket
          |  FROM bk CROSS JOIN (SELECT unnest(range(0, 8)) AS tbl) t),
+         |cand AS (
+         |  SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b, x.v AS va, y.v AS vb
+         |  FROM keyed x JOIN keyed y
+         |    ON x.tbl = y.tbl AND x.bucket = y.bucket AND x.vec_id < y.vec_id)
+         |SELECT * FROM (
+         |  SELECT id_a, id_b, round(${Oracles.cosine("va", "vb", 64)}, 6) AS cosine
+         |  FROM cand)
+         |WHERE cosine >= 0.3 ORDER BY id_a, id_b""".stripMargin,
+
+    // bits and tables are DERIVED inside the oracle from count(*) —
+    // mirrors Sizing.lshBits(n, perBucket=1) / lshTables exactly, then
+    // gates the plane count, the key width, and the table fan-out, so a
+    // drifted derivation breaks the hash
+    "dedup_embedding_auto" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |nl AS (SELECT GREATEST(8, LEAST(30,
+         |  CAST(ceil(log2(CAST(count(*) AS DOUBLE))) AS BIGINT))) AS bits FROM e),
+         |tb AS (SELECT bits, GREATEST(1, LEAST(8, 64 // bits)) AS tables FROM nl),
+         |bk AS (SELECT vec_id, v, bits,
+         |  ${Oracles.hyperplaneBitsDyn("v", "bits*tables", 64)} AS bl
+         |  FROM e CROSS JOIN tb),
+         |ke AS (SELECT vec_id, v, bits, bl,
+         |  unnest(range(0, (SELECT tables FROM tb))) AS tbl FROM bk),
+         |keyed AS (
+         |  SELECT vec_id, v, tbl,
+         |    ${Oracles.bucketFromBitsDyn("bl", "tbl", "bits")} AS bucket
+         |  FROM ke),
          |cand AS (
          |  SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b, x.v AS va, y.v AS vb
          |  FROM keyed x JOIN keyed y

@@ -110,7 +110,7 @@ class AdversarialFixtureSpec extends SparkSuite {
     "array_analytics", "asof_join", "bigram_lm", "bloom_decontam",
     "bpe_merges", "cdc_latest", "compact_files", "corpus_clean",
     "csv_roundtrip", "decontam_overlap", "dedup_clusters", "dedup_containment",
-    "dedup_embedding",
+    "dedup_embedding", "dedup_embedding_auto",
     "dedup_exact", "dedup_incr_lsh", "dedup_incremental", "dedup_minhash_lsh",
     "dedup_incr_lsh_indexed", "dedup_ngram_jaccard", "dedup_ngram_pruned",
     "dedup_semantic",
