@@ -1494,6 +1494,19 @@ object SparkEntry {
         Tables.documents(s, dir).select(col("doc_id"), col("text")), rounds = 3)
         .orderBy(col("round"))),
 
+    // Tokenizer APPLICATION: the corpus re-encoded under the learned
+    // merges (train emits the merge table, encode the encoded stream).
+    // The rewrite is the same codegen'd map-only kernel per round; the
+    // oracle replays training AND re-encoding, gated by an
+    // order-sensitive content hash ('|'-joined — merged tokens contain
+    // spaces, so ' ' would be ambiguous).
+    "bpe_encode" -> ((s, dir) =>
+      TextAnalysis.bpeEncode(
+        Tables.documents(s, dir).select(col("doc_id"), col("text")), rounds = 3)
+        .select(col("doc_id"), size(col("toks")).as("n_tokens"),
+          GraftFunctions.poly_hash(array_join(col("toks"), "|")).as("enc_hash"))
+        .orderBy(col("doc_id"))),
+
     // Temperature-flattened source mixing (targets ∝ n^0.5): the head
     // downsamples toward the tail, deterministic hash membership.
     "temperature_mix" -> ((s, dir) => {
@@ -2080,6 +2093,53 @@ object SparkEntry {
         |  r.tss AS first_end_sec, r.span AS first_span_sec
         |FROM agg a JOIN r ON a.user_id = r.user_id AND r.rn = 1
         |ORDER BY a.user_id""".stripMargin
+
+  /** Shared CTE chain for the BPE oracles: tokenize (tk1), then per round
+    * r pick the winner (top$r: max count, ties (a, b) ascending) and
+    * rewrite leftmost-non-overlapping via gaps-and-islands (tk${r+1}) —
+    * the same semantics the Spark side's codegen'd greedy scan produces
+    * ([[graft.functions.BpeMergePairExpr]]). `bpe_merges` reads the
+    * top$r winners; `bpe_encode` reads the final tk${rounds+1}.
+    */
+  private def bpeOracleCtes(rounds: Int): String = {
+    def roundCtes(r: Int): String =
+      s"""top$r AS (
+         |  SELECT a, b, count(*) AS n FROM (
+         |    SELECT tok AS a,
+         |      lead(tok) OVER (PARTITION BY doc_id ORDER BY p) AS b
+         |    FROM tk$r)
+         |  WHERE b IS NOT NULL GROUP BY a, b
+         |  ORDER BY n DESC, a, b LIMIT 1),
+         |d$r AS (
+         |  SELECT *, (m AND off % 2 = 0) AS do_merge,
+         |    coalesce(lag(m AND off % 2 = 0) OVER (
+         |      PARTITION BY doc_id ORDER BY p), false) AS prev_merged
+         |  FROM (
+         |    SELECT *, CASE WHEN m THEN p - min(p) OVER (
+         |        PARTITION BY doc_id, island ORDER BY p) END AS off
+         |    FROM (
+         |      SELECT *, CASE WHEN m THEN p - count(CASE WHEN m THEN 1 END) OVER (
+         |          PARTITION BY doc_id ORDER BY p ROWS UNBOUNDED PRECEDING) END AS island
+         |      FROM (
+         |        SELECT doc_id, p, tok,
+         |          (lead(tok) OVER (PARTITION BY doc_id ORDER BY p) IS NOT NULL
+         |           AND tok = (SELECT a FROM top$r)
+         |           AND lead(tok) OVER (PARTITION BY doc_id ORDER BY p) =
+         |               (SELECT b FROM top$r)) AS m
+         |        FROM tk$r)))),
+         |tk${r + 1} AS (
+         |  SELECT doc_id,
+         |    row_number() OVER (PARTITION BY doc_id ORDER BY p) - 1 AS p,
+         |    CASE WHEN do_merge THEN (SELECT a || ' ' || b FROM top$r)
+         |         ELSE tok END AS tok
+         |  FROM d$r WHERE NOT prev_merged)""".stripMargin
+    s"""toks0 AS (
+       |  SELECT doc_id, ${Oracles.tokens("lower(text)")} AS t FROM documents),
+       |tk1 AS (
+       |  SELECT doc_id, unnest(t) AS tok, generate_subscripts(t, 1) - 1 AS p
+       |  FROM toks0 WHERE len(t) >= 2),
+       |${(1 to rounds).map(roundCtes).mkString(",\n")}""".stripMargin
+  }
 
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
@@ -3219,50 +3279,24 @@ object SparkEntry {
     // rewrite (leftmost non-overlapping), renumbered positions.
     "bpe_merges" -> {
       val rounds = 3
-      def roundCtes(r: Int): String =
-        s"""top$r AS (
-           |  SELECT a, b, count(*) AS n FROM (
-           |    SELECT tok AS a,
-           |      lead(tok) OVER (PARTITION BY doc_id ORDER BY p) AS b
-           |    FROM tk$r)
-           |  WHERE b IS NOT NULL GROUP BY a, b
-           |  ORDER BY n DESC, a, b LIMIT 1),
-           |d$r AS (
-           |  SELECT *, (m AND off % 2 = 0) AS do_merge,
-           |    coalesce(lag(m AND off % 2 = 0) OVER (
-           |      PARTITION BY doc_id ORDER BY p), false) AS prev_merged
-           |  FROM (
-           |    SELECT *, CASE WHEN m THEN p - min(p) OVER (
-           |        PARTITION BY doc_id, island ORDER BY p) END AS off
-           |    FROM (
-           |      SELECT *, CASE WHEN m THEN p - count(CASE WHEN m THEN 1 END) OVER (
-           |          PARTITION BY doc_id ORDER BY p ROWS UNBOUNDED PRECEDING) END AS island
-           |      FROM (
-           |        SELECT doc_id, p, tok,
-           |          (lead(tok) OVER (PARTITION BY doc_id ORDER BY p) IS NOT NULL
-           |           AND tok = (SELECT a FROM top$r)
-           |           AND lead(tok) OVER (PARTITION BY doc_id ORDER BY p) =
-           |               (SELECT b FROM top$r)) AS m
-           |        FROM tk$r)))),
-           |tk${r + 1} AS (
-           |  SELECT doc_id,
-           |    row_number() OVER (PARTITION BY doc_id ORDER BY p) - 1 AS p,
-           |    CASE WHEN do_merge THEN (SELECT a || ' ' || b FROM top$r)
-           |         ELSE tok END AS tok
-           |  FROM d$r WHERE NOT prev_merged)""".stripMargin
       val outRows = (1 to rounds).map { r =>
         s"""SELECT CAST($r AS INT) AS round, a AS pair_a, b AS pair_b,
            |  n AS n_pair, (SELECT count(*) FROM tk${r + 1}) AS corpus_tokens_after
            |FROM top$r""".stripMargin
       }.mkString("\nUNION ALL\n")
-      s"""WITH toks0 AS (
-         |  SELECT doc_id, ${Oracles.tokens("lower(text)")} AS t FROM documents),
-         |tk1 AS (
-         |  SELECT doc_id, unnest(t) AS tok, generate_subscripts(t, 1) - 1 AS p
-         |  FROM toks0 WHERE len(t) >= 2),
-         |${(1 to rounds).map(roundCtes).mkString(",\n")}
+      s"""WITH ${bpeOracleCtes(rounds)}
          |$outRows
          |ORDER BY round""".stripMargin
+    },
+
+    // Re-encode under the 3 learned merges: per-doc token count plus an
+    // order-sensitive poly_hash of the '|'-joined encoded stream.
+    "bpe_encode" -> {
+      val rounds = 3
+      s"""WITH ${bpeOracleCtes(rounds)}
+         |SELECT doc_id, CAST(count(*) AS INT) AS n_tokens,
+         |  ${Oracles.polyHash(s"string_agg(tok, '|' ORDER BY p)")} AS enc_hash
+         |FROM tk${rounds + 1} GROUP BY doc_id ORDER BY doc_id""".stripMargin
     },
 
     "temperature_mix" -> {

@@ -149,6 +149,14 @@ object GraftFunctions {
   def tokenHashes(c: Column): Column =
     Bridge.column(TokenHashesExpr(Bridge.expression(c.cast(StringType))))
 
+  /** One BPE merge round over a token array ([[BpeMergePairExpr]]): every
+    * leftmost non-overlapping adjacent `(a, b)` becomes the space-joined
+    * merged token. O(n) codegen'd scan — the map-only rewrite step of
+    * [[graft.operators.TextAnalysis.bpeMergeRounds]].
+    */
+  def bpeMergePair(toks: Column, a: String, b: String): Column =
+    Bridge.column(BpeMergePairExpr(Bridge.expression(toks), a, b))
+
   /** Rolling hash of every `spanLen`-token window of a token-hash array
     * ([[SpanHashesExpr]]): one codegen'd O(n) pass; composed O(n*L)
     * cross-check below.

@@ -258,3 +258,65 @@ object SimHashExpr {
     out
   }
 }
+
+/** One BPE merge round applied to a token array: every leftmost
+  * non-overlapping occurrence of the adjacent pair `(a, b)` is replaced by
+  * the space-joined merged token — the per-document rewrite step of BPE
+  * training/encoding ([[graft.operators.TextAnalysis.bpeMergeRounds]]).
+  *
+  * Greedy left-to-right scan with skip-2 on match, which is exactly the
+  * "even offsets within each maximal run of match positions" semantics the
+  * DuckDB oracle replays via gaps-and-islands: with a != b two adjacent
+  * positions can never both match (pos p+1 matching forces b = a), and
+  * with a == b a run of equal tokens merges at even offsets — precisely
+  * what the skip-2 scan produces.
+  *
+  * This is the 100 TB shape for the rewrite: one O(n) pass per document
+  * inside WholeStageCodegen, no posexplode, no per-doc window sort, no
+  * regroup shuffle — the only shuffle a BPE round needs is the pair-count
+  * aggregation that picks the winner.
+  */
+case class BpeMergePairExpr(child: Expression, a: String, b: String)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  @transient private lazy val ua = UTF8String.fromString(a)
+  @transient private lazy val ub = UTF8String.fromString(b)
+  @transient private lazy val um = UTF8String.fromString(a + " " + b)
+  override def nullSafeEval(input: Any): Any =
+    BpeMergePairExpr.compute(input.asInstanceOf[ArrayData], ua, ub, um)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cls = "org.apache.spark.unsafe.types.UTF8String"
+    val aRef = ctx.addReferenceObj("bpeA", ua, cls)
+    val bRef = ctx.addReferenceObj("bpeB", ub, cls)
+    val mRef = ctx.addReferenceObj("bpeMerged", um, cls)
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.BpeMergePairExpr.compute($c, $aRef, $bRef, $mRef)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): BpeMergePairExpr =
+    copy(child = newChild)
+  override def prettyName: String = "bpe_merge_pair"
+}
+
+object BpeMergePairExpr {
+  def compute(arr: ArrayData, a: UTF8String, b: UTF8String,
+              merged: UTF8String): ArrayData = {
+    val n = arr.numElements()
+    val out = new Array[Any](n)
+    var k = 0
+    var i = 0
+    while (i < n) {
+      val t = arr.getUTF8String(i)
+      if (i + 1 < n && a.equals(t) && b.equals(arr.getUTF8String(i + 1))) {
+        out(k) = merged
+        i += 2
+      } else {
+        out(k) = t
+        i += 1
+      }
+      k += 1
+    }
+    if (k == n) new GenericArrayData(out)
+    else new GenericArrayData(
+      java.util.Arrays.copyOfRange(out.asInstanceOf[Array[AnyRef]], 0, k))
+  }
+}

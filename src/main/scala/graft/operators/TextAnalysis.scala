@@ -266,22 +266,59 @@ object TextAnalysis {
     *
     * Scale shape per round: pair counting is one map-side-combined
     * shuffle over distinct (a, b) pairs; the winning pair is O(1)
-    * driver metadata (like a bookmark max-key); the rewrite is one
-    * posexplode + (doc, pos) window + per-doc re-aggregation. BPE
-    * training is inherently iterative full passes — production trainers
-    * bound `docs` by corpus sampling first ([[graft.operators.Sampling]]),
-    * which changes nothing structurally here.
+    * driver metadata (like a bookmark max-key); the rewrite is MAP-ONLY —
+    * one codegen'd O(n) pass per document
+    * ([[graft.functions.BpeMergePairExpr]]), no posexplode, no per-doc
+    * window sort, no regroup shuffle (the r6 formulation paid two full
+    * shuffles of the exploded corpus per round for exactly the same
+    * result). BPE training is inherently iterative full passes —
+    * production trainers bound `docs` by corpus sampling first
+    * ([[graft.operators.Sampling]]), which changes nothing structurally
+    * here.
     */
   def bpeMergeRounds(docs: DataFrame, rounds: Int,
                      text: Column = col("text")): DataFrame = {
-    require(rounds >= 1)
     val spark = docs.sparkSession
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
+    val (learned, state) = bpeTrain(docs, rounds, text)
+    // the result is built from the driver-side merge table, so the last
+    // tokenized generation is dead the moment the loop exits
+    state.free()
+    val rows = learned.map { case (r, a, b, n, t) => Row(r, a, b, n, t) }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1),
+      StructType(Seq(
+        StructField("round", IntegerType, nullable = false),
+        StructField("pair_a", StringType, nullable = false),
+        StructField("pair_b", StringType, nullable = false),
+        StructField("n_pair", LongType, nullable = false),
+        StructField("corpus_tokens_after", LongType, nullable = false))))
+  }
+
+  /** Tokenizer APPLICATION: the corpus re-tokenized under the first
+    * `rounds` learned merges — (doc_id, toks) with merged tokens
+    * space-joined. This is [[bpeMergeRounds]]'s final rewrite generation
+    * exposed as data (train emits the merge table; encode emits the
+    * encoded corpus). Docs with fewer than two tokens never enter
+    * training and are likewise absent here.
+    *
+    * The returned frame reads from a tracked materialization
+    * ([[graft.Residue.cut]]): consume it, then `Residue.drain` frees the
+    * blocks (lineage recomputes any later re-read).
+    */
+  def bpeEncode(docs: DataFrame, rounds: Int,
+                text: Column = col("text")): DataFrame =
+    bpeTrain(docs, rounds, text)._2.df
+
+  private def bpeTrain(docs: DataFrame, rounds: Int, text: Column)
+      : (Seq[(Int, String, String, Long, Long)], Residue.Cut) = {
+    require(rounds >= 1)
     // Residue.cut: each round's rewrite would otherwise nest the previous
-    // round's plan (analysis blow-up), and the generation just rewritten is
-    // freed as soon as its successor is materialized by the token count —
-    // peak state is two tokenized-corpus generations, zero session residue
+    // round's plan (analysis blow-up); a generation is freed as soon as
+    // the action that reads it (the NEXT round's pair aggregation) has
+    // materialized its successor — peak state is two tokenized-corpus
+    // generations, zero session residue.
     var state = Residue.cut(docs
       .select(col("doc_id"), tokens(lower(text)).as("toks"))
       .where(size(col("toks")) >= 2))
@@ -296,60 +333,23 @@ object TextAnalysis {
         .groupBy(col("p.a").as("a"), col("p.b").as("b"))
         .agg(count(lit(1)).as("n"))
       // the corpus can run out of adjacent pairs before `rounds` (every
-      // doc reduced to one token): terminate with the merges learned so far
+      // doc reduced to one token): terminate with the merges learned so far.
+      // orderBy+limit(1) is TakeOrdered: per-partition top-1, driver merge.
       val topOpt = pairs.orderBy(col("n").desc, col("a"), col("b")).limit(1)
         .collect().headOption
       if (topOpt.isEmpty) { exhausted = true }
       else {
-      val top = topOpt.get
-      val (ta, tb, tn) = (top.getString(0), top.getString(1), top.getLong(2))
-      val merged = ta + " " + tb
-      // leftmost-non-overlapping rewrite via gaps-and-islands on match
-      // positions: a position matches when (tok, next) == (a, b); within
-      // a consecutive run of matches only even offsets merge
-      val pos = state.df.select(col("doc_id"), posexplode(col("toks")))
-        .withColumnRenamed("pos", "p").withColumnRenamed("col", "tok")
-      val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("p"))
-      val flagged = pos
-        .withColumn("nxt", lead(col("tok"), 1).over(wDoc))
-        .withColumn("m", // null-safe: the last token's nxt is null
-          col("nxt").isNotNull && col("tok") === ta && col("nxt") === tb)
-      val wMatch = Window.partitionBy(col("doc_id"), col("island"))
-        .orderBy(col("p"))
-      val islands = flagged
-        .withColumn("mrank",
-          count(when(col("m"), 1)).over(wDoc.rowsBetween(Window.unboundedPreceding, 0)))
-        .withColumn("island", when(col("m"), col("p") - col("mrank")))
-      val keepFlags = islands
-        .withColumn("offset",
-          when(col("m"), col("p") - min(col("p")).over(wMatch)))
-        .withColumn("do_merge", col("m") && col("offset") % 2 === 0)
-        .withColumn("prev_merged", lag(col("do_merge"), 1, false).over(wDoc))
-      val next = Residue.cut(keepFlags
-        .where(!col("prev_merged"))
-        .select(col("doc_id"), col("p"),
-          when(col("do_merge"), lit(merged)).otherwise(col("tok")).as("tok"))
-        .groupBy(col("doc_id"))
-        .agg(sort_array(collect_list(struct(col("p"), col("tok")))).as("s"))
-        .select(col("doc_id"), expr("transform(s, x -> x.tok)").as("toks")))
-      val corpusTokens = next.df.select(sum(size(col("toks")))).head().getLong(0)
-      state.free()
-      state = next
-      learned += ((round, ta, tb, tn, corpusTokens))
+        val top = topOpt.get
+        val (ta, tb, tn) = (top.getString(0), top.getString(1), top.getLong(2))
+        val next = Residue.cut(state.df.select(col("doc_id"),
+          bpeMergePair(col("toks"), ta, tb).as("toks")))
+        val corpusTokens = next.df.select(sum(size(col("toks")))).head().getLong(0)
+        state.free()
+        state = next
+        learned += ((round, ta, tb, tn, corpusTokens))
       }
     }
-    // the result is built from the driver-side merge table, so the last
-    // tokenized generation is dead the moment the loop exits
-    state.free()
-    val rows = learned.result().map { case (r, a, b, n, t) => Row(r, a, b, n, t) }
-    spark.createDataFrame(
-      spark.sparkContext.parallelize(rows, 1),
-      StructType(Seq(
-        StructField("round", IntegerType, nullable = false),
-        StructField("pair_a", StringType, nullable = false),
-        StructField("pair_b", StringType, nullable = false),
-        StructField("n_pair", LongType, nullable = false),
-        StructField("corpus_tokens_after", LongType, nullable = false))))
+    (learned.result(), state)
   }
 
   /** First-order token language model: bigram counts and the MLE

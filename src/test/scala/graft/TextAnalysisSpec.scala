@@ -78,6 +78,38 @@ class TextAnalysisSpec extends SparkSuite {
       (3, "a a", "a a", 1L, 6L)))
   }
 
+  test("bpe_merge_pair kernel: greedy scan == leftmost non-overlapping reference") {
+    import graft.functions.GraftFunctions.bpeMergePair
+    def ref(toks: Seq[String], a: String, b: String): Seq[String] = {
+      val out = scala.collection.mutable.ArrayBuffer[String]()
+      var i = 0
+      while (i < toks.length) {
+        if (i + 1 < toks.length && toks(i) == a && toks(i + 1) == b) {
+          out += a + " " + b; i += 2
+        } else { out += toks(i); i += 1 }
+      }
+      out.toSeq
+    }
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("a", "b", "c")
+    val cases: Seq[Seq[String]] =
+      Seq(Seq.empty[String], Seq("a"), Seq("a", "a"), Seq("a", "a", "a"),
+        Seq("a", "a", "a", "a"), Seq("b", "a", "a", "a", "c")) ++
+        (1 to 60).map(_ => Vector.fill(rnd.nextInt(12) + 1)(vocab(rnd.nextInt(3))).toSeq)
+    val df = cases.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "toks")
+    for ((a, b) <- Seq(("a", "a"), ("a", "b"), ("b", "c"), ("z", "z"))) {
+      val got = df.select(col("id"), bpeMergePair(col("toks"), a, b).as("m"))
+        .as[(Long, Seq[String])].collect().toMap
+      cases.zipWithIndex.foreach { case (t, i) =>
+        assert(got(i.toLong) == ref(t, a, b), s"case $i pair ($a,$b)")
+      }
+    }
+    // round 2 shape: a previously-merged (space-joined) token as pair side
+    val chained = Seq((0L, Seq("a b", "c", "a b", "a b"))).toDF("id", "toks")
+      .select(bpeMergePair(col("toks"), "a b", "a b").as("m")).as[Seq[String]].collect()(0)
+    assert(chained == Seq("a b", "c", "a b a b"))
+  }
+
   test("tfidf top terms on a hand-computed corpus") {
     val docs = Seq((1L, "a b b"), (2L, "a c")).toDF("doc_id", "text")
     val got = TextAnalysis.tfIdfTopTerms(docs, 2L, 2)
