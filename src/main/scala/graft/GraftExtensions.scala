@@ -87,6 +87,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "heavy_hitters(item, k) - Misra-Gries frequent items, <= k bounded counters",
       Seq("heavy_hitters", "heavy_hitters_agg"))(
       args => HeavyHittersAgg(Cast(args(0), StringType), foldInt(args(1))))
+
+    register(ext,
+      "bpe_merge_pair(toks, a, b) - one BPE merge round: leftmost non-overlapping (a, b) -> 'a b'",
+      Seq("bpe_merge_pair"))(
+      args => BpeMergePairExpr(args(0), foldString(args(1)), foldString(args(2))))
+  }
+
+  /** Static-string arguments (merge pair sides) must be literals at parse
+    * time, like [[foldInt]]'s k/bits/n.
+    */
+  private def foldString(e: Expression): String = e.eval(null) match {
+    case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+    case other => throw new IllegalArgumentException(
+      s"expected a string literal argument, got $other")
   }
 
   /** Static-int arguments (k, bits, n) must be literals at parse time. */

@@ -19,7 +19,8 @@ class ExtensionsSpec extends SparkSuite {
         |  size(token_hashes('a b  c')) AS nt,
         |  size(minhash_signature(shingle_hashes('abcd', 3), 8)) AS nm,
         |  simhash(token_hashes('a b c a'), 16) AS sh,
-        |  size(hyperplane_buckets(array_repeat(CAST(0.5 AS FLOAT), 64), 4, 8)) AS nb
+        |  size(hyperplane_buckets(array_repeat(CAST(0.5 AS FLOAT), 64), 4, 8)) AS nb,
+        |  bpe_merge_pair(array('a', 'a', 'a'), 'a', 'a') AS bp
         |""".stripMargin).collect()(0)
     assert(row.getLong(0) == PolyHash.hash("hello"))
     assert(row.getDouble(1) == 1.0)
@@ -28,6 +29,7 @@ class ExtensionsSpec extends SparkSuite {
     assert(row.getInt(4) == 8)
     assert(row.getLong(5) >= 0)
     assert(row.getInt(6) == 4)
+    assert(row.getSeq[String](7) == Seq("a a", "a"))
   }
 
   test("the imperative aggregates resolve from SQL, with canonicalizing casts") {
