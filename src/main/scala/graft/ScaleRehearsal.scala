@@ -429,6 +429,21 @@ object ScaleRehearsal {
         emit(s"semantic_k${kScaled}_t06", f, ne, candSemS, verSemS,
           tCandSemS + tVerSemS)
       }
+      // BPE round (bpe_merges/bpe_encode): one full train round — pair
+      // count, winner pick, map-only kernel rewrite, token recount. Cost
+      // must track corpus tokens ~linearly: the rewrite is a per-document
+      // O(n) scan with no shuffle, and the pair aggregation's shuffle
+      // carries distinct pairs, not occurrences. candidates := the
+      // winning pair's count — the Caesar copies shift the top pair into
+      // f disjoint variants that TIE at the 1x count (lexicographic
+      // winner), so this column stays ~flat by design while n and sec
+      // are the growth signals. verified := corpus tokens after.
+      val (bpeRow, tBpe) = timed {
+        graft.operators.TextAnalysis.bpeMergeRounds(docs, rounds = 1)
+          .collect()(0)
+      }
+      emit("bpe_round", f, nd, bpeRow.getLong(3), bpeRow.getLong(4), tBpe)
+
       // one factor's materializations must not contaminate the next
       // factor's timings — same per-run hygiene as Bench
       Residue.drain(spark)
