@@ -629,6 +629,22 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("seq_id"))
     }),
 
+    // Length-bucketed batch assembly for PADDED training: 16-token-wide
+    // length classes, 8-doc batches in id order within each class,
+    // padding waste accounted to the batch max. Within-bucket row
+    // numbering is the two-level prefix trick — a plain
+    // Window.partitionBy(bucket) would funnel the dominant length class
+    // through one task (single-partition window in disguise).
+    "batch_padding" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          GraftFunctions.textStats(col("text"))
+            .getField("n_tokens").cast("long").as("n_tok"))
+      Packing.lengthBucketBatches(docs, "doc_id", "n_tok",
+          bucketWidth = 16, batchSize = 8)
+        .orderBy(col("bucket"))
+    }),
+
     // Top TF-IDF terms per document: map-side-combined (doc, term)
     // counts, broadcast vocabulary join, per-doc top-k window.
     "tfidf_terms" -> ((s, dir) => {
@@ -2967,6 +2983,29 @@ object SparkEntry {
          |FROM p
          |WHERE doc_id >= (SELECT max(doc_id) - 49 FROM documents)
          |ORDER BY doc_id, seq_id""".stripMargin,
+
+    // Length-bucketed batches: rn is the bucket-local row number in id
+    // order (the two-level prefix's single-window equivalent), batches
+    // of 8, waste = per-batch padding to the batch max.
+    "batch_padding" ->
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |    CAST(len(${Oracles.tokens("lower(text)")}) AS BIGINT) AS n_tok
+         |  FROM documents),
+         |b AS (
+         |  SELECT doc_id, n_tok, n_tok // 16 AS bucket,
+         |    row_number() OVER (PARTITION BY n_tok // 16 ORDER BY doc_id) - 1 AS rn
+         |  FROM d),
+         |bt AS (
+         |  SELECT bucket, rn // 8 AS batch, count(*) AS n,
+         |    max(n_tok) AS mx, CAST(sum(n_tok) AS BIGINT) AS s
+         |  FROM b GROUP BY 1, 2)
+         |SELECT bucket, CAST(sum(n) AS BIGINT) AS n_docs,
+         |  count(*) AS n_batches, CAST(sum(s) AS BIGINT) AS tok_total,
+         |  CAST(sum(mx * n - s) AS BIGINT) AS pad_total,
+         |  round(CAST(sum(s) AS DOUBLE) / nullif(sum(s) + sum(mx * n - s), 0), 4)
+         |    AS fill_ratio
+         |FROM bt GROUP BY bucket ORDER BY bucket""".stripMargin,
 
     "sql_kernels" -> {
       val th = s"list_transform(${Oracles.tokens("text")}, t -> ${Oracles.polyHash("t")})"

@@ -117,6 +117,78 @@ object Packing {
       idCol, nTokCol, seqLen)
   }
 
+  /** Length-bucketed batch assembly with padding-waste accounting — the
+    * batching layout for PADDED (non-packed) training: documents of
+    * similar length batch together so per-batch padding to the batch max
+    * stays bounded. Buckets are fixed-width length classes
+    * (`bucket = nTok div bucketWidth` — map-only, deterministic, no
+    * global quantile pass), and within a bucket documents batch
+    * `batchSize` at a time in id order; any order works because bucket
+    * membership already bounds per-row waste below `bucketWidth`.
+    *
+    * Scale shape: the within-bucket row numbering is the SAME two-level
+    * prefix trick as [[withGlobalPrefix]], per (bucket, id-range) cell —
+    * corpora concentrate hard around a typical document length, so a
+    * plain `Window.partitionBy(bucket)` would funnel the dominant length
+    * class through one task (the single-partition window in disguise).
+    * Here the heavy work is parallel per (bucket, range) and the driver
+    * holds O(buckets × ranges) offsets. Output is one row per bucket:
+    * batch count, token totals, padding waste, fill ratio — exact
+    * integer arithmetic, SQL-replayable.
+    */
+  def lengthBucketBatches(docs: DataFrame, idCol: String, nTokCol: String,
+                          bucketWidth: Int, batchSize: Int,
+                          ranges: Int = 32): DataFrame = {
+    require(bucketWidth >= 1 && batchSize >= 1 && ranges >= 1)
+    val bounds = docs.agg(min(col(idCol)).as("lo"), max(col(idCol)).as("hi")).head()
+    val base = docs.withColumn("_bucket", expr(s"$nTokCol DIV $bucketWidth"))
+    val withRn =
+      if (bounds.isNullAt(0)) base.withColumn("_rn", lit(0L))
+      else {
+        val lo = bounds.getLong(0)
+        val hi = bounds.getLong(1)
+        val width = math.max(1L, (hi - lo) / ranges + 1)
+        val wr = base.withColumn("_rid", expr(s"($idCol - $lo) DIV $width"))
+        // O(buckets x ranges) driver metadata: per-cell row counts folded
+        // into bucket-local exclusive row offsets, keyed flat (rid < ranges+1)
+        val counts = wr.groupBy(col("_bucket"), col("_rid"))
+          .agg(count(lit(1)).as("_c"))
+          .orderBy(col("_bucket"), col("_rid")).collect()
+        var curBucket = Long.MinValue
+        var acc = 0L
+        val offsets: Map[Long, Long] = counts.map { r =>
+          val b = r.getLong(0)
+          if (b != curBucket) { curBucket = b; acc = 0L }
+          val e = (b * (ranges + 1L) + r.getLong(1)) -> acc
+          acc += r.getLong(2)
+          e
+        }.toMap
+        val w = Window.partitionBy(col("_bucket"), col("_rid")).orderBy(col(idCol))
+        wr.withColumn("_off", element_at(typedlit(offsets),
+            col("_bucket") * (ranges + 1L) + col("_rid")))
+          .withColumn("_rn", col("_off") + row_number().over(w) - 1)
+          .drop("_rid", "_off")
+      }
+    withRn
+      .withColumn("_batch", expr(s"_rn DIV $batchSize"))
+      .groupBy(col("_bucket"), col("_batch"))
+      .agg(count(lit(1)).as("_n"), max(col(nTokCol)).as("_mx"),
+        sum(col(nTokCol)).as("_sum"))
+      .groupBy(col("_bucket"))
+      .agg(sum(col("_n")).as("n_docs"), count(lit(1)).as("n_batches"),
+        sum(col("_sum")).as("tok_total"),
+        sum(col("_mx") * col("_n") - col("_sum")).as("pad_total"))
+      .select(col("_bucket").as("bucket"), col("n_docs"), col("n_batches"),
+        col("tok_total"), col("pad_total"),
+        // all-empty buckets (n_tok = 0 fixtures) have no meaningful fill;
+        // guard the ANSI division rather than emit 0/0
+        when(col("tok_total") + col("pad_total") === 0,
+          lit(null).cast("double"))
+          .otherwise(
+            round(col("tok_total") / (col("tok_total") + col("pad_total")), 4))
+          .as("fill_ratio"))
+  }
+
   /** Piece rows of documents occupying `[_start, _start + nTok)` of the
     * global token stream: one row per overlapped `seqLen` window.
     */

@@ -122,6 +122,7 @@ class AdversarialFixtureSpec extends SparkSuite {
     "incremental_scan", "incremental_scan_jdbc", "interval_merge",
     "json_extract", "json_quarantine", "json_roundtrip", "kmeans_assign",
     "lm_perplexity", "map_functions", "markov_transitions", "merge_upsert",
+    "batch_padding",
     "null_handling", "orc_roundtrip", "pack_incremental", "pack_sequences",
     "partitioned_scan", "pattern_funnel",
     "pii_scrub", "pivot_events", "range_join", "regex_numbers",

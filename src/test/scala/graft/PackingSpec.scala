@@ -99,6 +99,40 @@ class PackingSpec extends SparkSuite {
       docs.filter(col("doc_id") < 0), "doc_id", "n_tok", 128L, allTok).count() == 0L)
   }
 
+  test("length-bucketed batches equal the single-window formulation; waste bounded") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        size(GraftFunctions.tokens(lower(col("text")))).cast("long").as("n_tok"))
+    val got = Packing.lengthBucketBatches(docs, "doc_id", "n_tok",
+      bucketWidth = 16, batchSize = 8, ranges = 4)
+    val want = docs
+      .withColumn("bucket", expr("n_tok DIV 16"))
+      .withColumn("batch", expr("(row_number() OVER (PARTITION BY bucket ORDER BY doc_id) - 1) DIV 8"))
+      .groupBy(col("bucket"), col("batch"))
+      .agg(count(lit(1)).as("n"), max(col("n_tok")).as("mx"),
+        sum(col("n_tok")).as("s"))
+      .groupBy(col("bucket"))
+      .agg(sum(col("n")).as("n_docs"), count(lit(1)).as("n_batches"),
+        sum(col("s")).as("tok_total"),
+        sum(col("mx") * col("n") - col("s")).as("pad_total"))
+      .withColumn("fill_ratio",
+        round(col("tok_total") / (col("tok_total") + col("pad_total")), 4))
+    assert(got.count() > 0)
+    assert(got.except(want).isEmpty && want.except(got).isEmpty)
+    // bucket membership bounds any batch's per-row padding below the width
+    val worst = got.select(max(col("pad_total") / col("n_docs"))).head().getDouble(0)
+    assert(worst < 16.0, s"per-doc padding $worst >= bucketWidth")
+  }
+
+  test("length-bucketed batches: zero-token docs get a null fill ratio, not 0/0") {
+    val docs = Seq((1L, 0L), (2L, 0L), (3L, 20L)).toDF("doc_id", "n_tok")
+    val got = Packing.lengthBucketBatches(docs, "doc_id", "n_tok", 16, 8, ranges = 2)
+      .orderBy("bucket")
+      .select("bucket", "n_docs", "n_batches", "pad_total")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((0L, 2L, 1L, 0L), (1L, 1L, 1L, 0L)))
+  }
+
   test("the plan never funnels the corpus through a single partition") {
     val docs = Tables.documents(spark, sf)
       .select(col("doc_id"),
