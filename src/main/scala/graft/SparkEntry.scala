@@ -993,6 +993,18 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Leakage-safe K-FOLD: the same cluster-representative key hashed
+    // into 5 folds — no fold's held-out set has a near-dup in another
+    // fold, by construction (spec-asserted cluster-fold functional
+    // dependency).
+    "kfold_split" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).filter(col("doc_id") % 10 === 0)
+      Sampling.kFoldSplit(docs,
+        Dedup.minhashLshPairs(docs, n = 3, k = 16, bands = 4, threshold = 0.6),
+        k = 5)
+        .orderBy(col("doc_id"))
+    }),
+
     // Quality-weighted sampling: each document survives with probability
     // proportional to a per-row score (length-normalized here) off the
     // same portable hash — importance resampling as a map-only filter,
@@ -2467,6 +2479,28 @@ object SparkEntry {
          |SELECT doc_id, cluster_id,
          |  CASE WHEN ${Oracles.sampleBucket("CAST(cluster_id AS VARCHAR)", 1000)} < 800
          |    THEN 'train' ELSE 'test' END AS split
+         |FROM d ORDER BY doc_id""".stripMargin,
+
+    // Same recursive-component chain as leakage_split; the fold is the
+    // cluster representative hashed mod 5.
+    "kfold_split" ->
+      s"""WITH RECURSIVE $minhashPairsCtes,
+         |edges AS (
+         |  SELECT id_a AS a, id_b AS b FROM mh_pairs
+         |  UNION SELECT id_b, id_a FROM mh_pairs
+         |  UNION SELECT id_a, id_a FROM mh_pairs
+         |  UNION SELECT id_b, id_b FROM mh_pairs),
+         |reach(a, b) AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         |cl AS (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a),
+         |d AS (
+         |  SELECT d0.doc_id, coalesce(cl.cluster_id, d0.doc_id) AS cluster_id
+         |  FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) d0
+         |  LEFT JOIN cl ON cl.doc_id = d0.doc_id)
+         |SELECT doc_id, cluster_id,
+         |  ${Oracles.sampleBucket("CAST(cluster_id AS VARCHAR)", 5)} AS fold
          |FROM d ORDER BY doc_id""".stripMargin,
 
     "dedup_simhash" ->

@@ -85,11 +85,29 @@ object Sampling {
     */
   def leakageSafeSplit(docs: DataFrame, pairs: DataFrame, trainPct: Double,
                        buckets: Int = 1000): DataFrame =
-    trainTestSplit(
-      docs.select(col("doc_id"))
-        .join(Dedup.nearDupClusters(pairs), Seq("doc_id"), "left")
-        .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id"))),
-      col("cluster_id"), trainPct, buckets)
+    trainTestSplit(withClusterKey(docs, pairs), col("cluster_id"),
+      trainPct, buckets)
+
+  /** Leakage-safe K-FOLD assignment — [[leakageSafeSplit]]'s invariant
+    * generalized from one train/test cut to cross-validation: the fold is
+    * a pure hash of the near-dup CLUSTER representative, so every member
+    * of a component lands in the same fold and no fold's held-out set has
+    * a near-duplicate in any other fold. Same scale shape: clustering is
+    * the bounded label propagation, the label join is one equi-join, fold
+    * assignment is map-only.
+    */
+  def kFoldSplit(docs: DataFrame, pairs: DataFrame, k: Int): DataFrame = {
+    require(k >= 2)
+    withClusterKey(docs, pairs).withColumn("fold", hashBucket(col("cluster_id"), k))
+  }
+
+  /** (doc_id, cluster_id): each doc keyed by its near-dup component
+    * representative, singletons by themselves.
+    */
+  private def withClusterKey(docs: DataFrame, pairs: DataFrame): DataFrame =
+    docs.select(col("doc_id"))
+      .join(Dedup.nearDupClusters(pairs), Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
 
   /** Deterministic fixed-k per-group sample (a "frozen reservoir"):
     * rank each group's rows by the mixed portable hash of `key` (ties

@@ -120,7 +120,8 @@ class AdversarialFixtureSpec extends SparkSuite {
     "funnel_steps", "fuzzy_match", "gap_fill", "graph_triangles",
     "hard_negatives", "heavy_hitters", "hopping_windows", "incr_agg_merge",
     "incremental_scan", "incremental_scan_jdbc", "interval_merge",
-    "json_extract", "json_quarantine", "json_roundtrip", "kmeans_assign",
+    "json_extract", "json_quarantine", "json_roundtrip", "kfold_split",
+    "kmeans_assign",
     "lm_perplexity", "map_functions", "markov_transitions", "merge_upsert",
     "batch_padding",
     "null_handling", "orc_roundtrip", "pack_incremental", "pack_sequences",

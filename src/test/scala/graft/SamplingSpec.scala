@@ -89,6 +89,24 @@ class SamplingSpec extends SparkSuite {
       s"mix not rebalanced: ${kept.mkString(",")}")
   }
 
+  test("cluster-keyed splits: components never straddle a split or a fold") {
+    val docs = (1L to 20L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val split = Sampling.leakageSafeSplit(docs, pairs, 0.8)
+    assert(split.groupBy("cluster_id").agg(countDistinct(col("split")).as("n"))
+      .filter(col("n") > 1).count() == 0)
+    val folds = Sampling.kFoldSplit(docs, pairs, 5)
+    assert(folds.groupBy("cluster_id").agg(countDistinct(col("fold")).as("n"))
+      .filter(col("n") > 1).count() == 0)
+    assert(folds.count() == 20)
+    val fr = folds.agg(min(col("fold")), max(col("fold"))).as[(Long, Long)].head()
+    assert(fr._1 >= 0 && fr._2 <= 4)
+    // connected components share their assignment transitively
+    val byDoc = folds.select("doc_id", "fold").as[(Long, Long)].collect().toMap
+    assert(byDoc(1L) == byDoc(2L) && byDoc(2L) == byDoc(3L))
+    assert(byDoc(10L) == byDoc(11L))
+  }
+
   test("per-group reservoir keeps exactly k rows per group, deterministically") {
     val got = Sampling.reservoirByGroup(ev, Seq("event_type"), col("event_id"), 3)
     val sizes = got.groupBy("event_type").count().as[(String, Long)].collect()
