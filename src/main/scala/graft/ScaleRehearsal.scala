@@ -429,6 +429,23 @@ object ScaleRehearsal {
         emit(s"semantic_k${kScaled}_t06", f, ne, candSemS, verSemS,
           tCandSemS + tVerSemS)
       }
+      // Connected components (dedup_clusters/leakage_split/kfold_split):
+      // path-halving label propagation over the LSH near-dup graph. The
+      // claim is O(log diameter) rounds with node-sized in-loop state —
+      // Caesar copies are disjoint subgraphs, so components (verified)
+      // must scale ~linearly with the corpus while edges (candidates)
+      // track the pair volume, and wall growth stays far below the
+      // edge-count growth (each round is one edge-sized join).
+      val (compRows, tComp) = timed {
+        val prs = Dedup.minhashLshPairs(docs, n = 3, k = 16, bands = 4,
+          threshold = 0.6)
+        val nEdges = prs.count()
+        val comps = Dedup.nearDupClusters(prs)
+          .select(countDistinct(col("cluster_id"))).head.getLong(0)
+        (nEdges, comps)
+      }
+      emit("components", f, nd, compRows._1, compRows._2, tComp)
+
       // BPE round (bpe_merges/bpe_encode): one full train round — pair
       // count, winner pick, map-only kernel rewrite, token recount. Cost
       // must track corpus tokens ~linearly: the rewrite is a per-document

@@ -443,6 +443,18 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // Int8-quantized retrieval: whole-corpus scan on int8 codes (one
+    // integer dot product per pair + four per-vector scalars), top-20
+    // shortlist, exact float re-rank to top-5. The 100 TB lever is scan
+    // WIDTH — d code bytes + 4 scalars instead of 4d float bytes on the
+    // linear-scan path.
+    "sim_topk_int8" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.int8TopK(emb, emb.filter(col("vec_id") < 8),
+          k = 5, shortlist = 20)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // ANN top-5 via 4x8-bit random-hyperplane LSH, exact re-rank of
     // candidates only.
     // IVF-style ANN: deterministic seed centroids, map-only argmax-cosine
@@ -2667,6 +2679,61 @@ object SparkEntry {
          |      ORDER BY round(${Oracles.cosine("q.v", "c.v", 64)}, 6) DESC, c.vec_id) AS rank
          |  FROM e c JOIN q ON q.vec_id != c.vec_id)
          |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // Replays Quantize.int8 (same CASE scale=0 guard as embed_quantize),
+    // the per-vector integer stats, the fixed-shape double score in the
+    // IDENTICAL operation order as the Spark expression tree, the
+    // shortlist window, and the exact re-rank.
+    "sim_topk_int8" -> {
+      val dotCodes = "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        "list_transform(range(0, 64), i -> q.codes[i+1] * c.codes[i+1]))," +
+        " (a, v) -> a + v)"
+      def norm(p: String) =
+        s"sqrt($p.scale * $p.scale * $p.csq + 2.0 * $p.scale * $p.lo * $p.csum" +
+          s" + $p.d * $p.lo * $p.lo)"
+      val num = s"q.scale * c.scale * CAST($dotCodes AS DOUBLE) + " +
+        "q.scale * c.lo * q.csum + c.scale * q.lo * c.csum + q.d * q.lo * c.lo"
+      val denom = s"${norm("q")} * ${norm("c")}"
+      s"""WITH b AS (
+         |  SELECT vec_id, embedding,
+         |    CAST(list_aggregate(embedding, 'min') AS DOUBLE) AS lo,
+         |    (CAST(list_aggregate(embedding, 'max') AS DOUBLE)
+         |      - CAST(list_aggregate(embedding, 'min') AS DOUBLE)) / 255.0 AS scale
+         |  FROM embeddings),
+         |cd AS (
+         |  SELECT vec_id, embedding, lo, scale,
+         |    CASE WHEN scale = 0 THEN list_transform(embedding, v -> CAST(0 AS BIGINT))
+         |         ELSE list_transform(embedding, v ->
+         |           CAST(round((CAST(v AS DOUBLE) - lo) / scale) AS BIGINT)) END AS codes
+         |  FROM b),
+         |st AS (
+         |  SELECT vec_id, lo, scale, codes,
+         |    CAST(len(codes) AS DOUBLE) AS d,
+         |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), codes),
+         |      (a, c) -> a + c) AS DOUBLE) AS csum,
+         |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(codes, c -> c * c)), (a, c) -> a + c) AS DOUBLE) AS csq
+         |  FROM cd),
+         |sl AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+         |        (CASE WHEN $denom = 0 THEN 0.0 ELSE ($num) / ($denom) END) DESC,
+         |        c.vec_id) AS srank
+         |    FROM st c JOIN st q ON q.vec_id < 8 AND q.vec_id != c.vec_id)
+         |  WHERE srank <= 20),
+         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+         |SELECT * FROM (
+         |  SELECT sl.query_id, sl.neighbor_id,
+         |    round(${Oracles.cosine("qe.v", "ce.v", 64)}, 6) AS cosine,
+         |    row_number() OVER (PARTITION BY sl.query_id
+         |      ORDER BY round(${Oracles.cosine("qe.v", "ce.v", 64)}, 6) DESC,
+         |        sl.neighbor_id) AS rank
+         |  FROM sl
+         |  JOIN e ce ON ce.vec_id = sl.neighbor_id
+         |  JOIN e qe ON qe.vec_id = sl.query_id)
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+    },
 
     "sim_ivf_topk" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -130,7 +130,7 @@ class AdversarialFixtureSpec extends SparkSuite {
     "reservoir_group", "retention_cohorts", "sample_split",
     "sample_stratified", "scd2_build", "session_stats", "sim_ann_multiprobe",
     "sim_ann_projected", "sim_ann_topk", "sim_ivf_auto", "sim_ivf_indexed",
-    "sim_ivf_topk", "sim_sparse_topk", "sim_topk",
+    "sim_ivf_topk", "sim_sparse_topk", "sim_topk", "sim_topk_int8",
     "skew_distinct", "skew_join", "skyline_users", "sql_kernels",
     "table_diff", "temperature_mix", "text_normalize", "text_stats",
     "tfidf_terms", "token_shards", "train_mix", "value_histogram",

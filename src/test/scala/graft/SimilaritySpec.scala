@@ -115,6 +115,34 @@ class SimilaritySpec extends SparkSuite {
     assert(recall >= 0.2, f"recall collapsed: $recall%.2f")
   }
 
+  test("int8 retrieval: true-cosine re-rank scores, measured recall vs brute force") {
+    val k = 5
+    val brute = Similarity.bruteForceTopK(corpus, queries, 1000)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+      .as[(Long, Long, Double, Int)].collect()
+    val bruteScore = brute.map { case (q, n, c, _) => (q, n) -> c }.toMap
+    val bruteTop = brute.filter(_._4 <= k).groupBy(_._1)
+      .map { case (q, rs) => q -> rs.map(_._2).toSet }
+    val got = Similarity.int8TopK(corpus, queries, k, shortlist = 20)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+      .as[(Long, Long, Double, Int)].collect()
+    assert(got.nonEmpty)
+    // the re-rank emits true full-precision cosines, not quantized ones
+    got.foreach { case (q, n, c, _) => assert(bruteScore((q, n)) == c) }
+    got.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.length <= k)
+      assert(rows.map(_._4).sorted.toSeq == (1 to rows.length))
+    }
+    // int8 keeps ~all of the signal the 16-dim projection throws away:
+    // the quantization error is q_err-sized, so the shortlist should
+    // almost always contain the true top-k. The floor is far above the
+    // projection path's (0.2) to catch a scoring-identity regression.
+    val hits = got.filter { case (q, n, _, _) => bruteTop(q).contains(n) }.length
+    val recall = hits.toDouble / bruteTop.values.map(_.size).sum
+    info(f"int8 recall@$k = $recall%.2f")
+    assert(recall >= 0.8, f"int8 recall collapsed: $recall%.2f")
+  }
+
   test("IVF top-k: subset of brute force with identical cosines; seed queries find their own cell") {
     val brute = Similarity.bruteForceTopK(corpus, queries, 1000)
       .select("query_id", "neighbor_id", "cosine").as[(Long, Long, Double)].collect()
