@@ -1298,6 +1298,20 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), min(col("k")).as("min_k"), max(col("k")).as("max_k"))
         .orderBy(col("k_bucket"))),
 
+    // The same extraction through Spark 4's VARIANT type: parse once into
+    // the binary semi-structured encoding, path-extract with variant_get
+    // — schema-on-read without a DDL schema, the modern engine's answer
+    // to evolving JSON payloads (vs json_extract's fixed-struct parse).
+    // try_parse_json, not parse_json: extraction must stay total on
+    // malformed payloads (parse_json is FAILFAST — one bad record kills
+    // the job; the adversarial sweep pins this).
+    "json_variant" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .withColumn("k", expr("variant_get(try_parse_json(props), '$.k', 'int')"))
+        .groupBy((col("k") % 10).as("k_bucket"))
+        .agg(count(lit(1)).as("n"), min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+        .orderBy(col("k_bucket"))),
+
     // Bad-record routing: parse with a schema, aggregate the valid rows,
     // quarantine the rest with a count (k_bucket = -1) — corrupt input
     // never kills the job and never silently drops. Corruption is
@@ -1342,6 +1356,23 @@ object SparkEntry {
       s.read.option("header", "true")
         .schema("event_id LONG, user_id LONG, event_type STRING, value DOUBLE")
         .csv(tmp)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+        .orderBy(col("event_type"))
+    }),
+
+    // Spark 4's built-in XML source, same lossless-roundtrip contract as
+    // the CSV/JSON/ORC twins: write with a rowTag, read back with an
+    // explicit schema, aggregate — the oracle sees only the original
+    // parquet, so any row or value lost in the XML hop fails the hash.
+    "xml_roundtrip" -> ((s, dir) => {
+      val tmp = graft.TempDirs.create("graft-xml")
+      Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+        .write.mode("overwrite").option("rowTag", "event").format("xml").save(tmp)
+      s.read.option("rowTag", "event")
+        .schema("event_id LONG, user_id LONG, event_type STRING, value DOUBLE")
+        .format("xml").load(tmp)
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
         .orderBy(col("event_type"))
@@ -3821,6 +3852,12 @@ object SparkEntry {
         |SELECT k % 10 AS k_bucket, count(*) AS n, min(k) AS min_k, max(k) AS max_k
         |FROM e GROUP BY 1 ORDER BY k_bucket""".stripMargin,
 
+    "json_variant" ->
+      """WITH e AS (
+        |  SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k FROM events)
+        |SELECT k % 10 AS k_bucket, count(*) AS n, min(k) AS min_k, max(k) AS max_k
+        |FROM e GROUP BY 1 ORDER BY k_bucket""".stripMargin,
+
     // TRY_CAST(raw AS JSON), not a json_valid() filter: DuckDB may
     // evaluate a projection before/alongside the filter, so extraction
     // must itself be total on malformed input.
@@ -3868,6 +3905,10 @@ object SparkEntry {
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "json_roundtrip" ->
+      """SELECT event_type, count(*) AS n, round(sum(value), 2) AS total
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "xml_roundtrip" ->
       """SELECT event_type, count(*) AS n, round(sum(value), 2) AS total
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 

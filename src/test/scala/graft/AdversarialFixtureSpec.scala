@@ -120,7 +120,8 @@ class AdversarialFixtureSpec extends SparkSuite {
     "funnel_steps", "fuzzy_match", "gap_fill", "graph_triangles",
     "hard_negatives", "heavy_hitters", "hopping_windows", "incr_agg_merge",
     "incremental_scan", "incremental_scan_jdbc", "interval_merge",
-    "json_extract", "json_quarantine", "json_roundtrip", "kfold_split",
+    "json_extract", "json_quarantine", "json_roundtrip", "json_variant",
+    "kfold_split",
     "kmeans_assign",
     "lm_perplexity", "map_functions", "markov_transitions", "merge_upsert",
     "batch_padding",
@@ -135,7 +136,7 @@ class AdversarialFixtureSpec extends SparkSuite {
     "table_diff", "temperature_mix", "text_normalize", "text_stats",
     "tfidf_terms", "token_shards", "train_mix", "value_histogram",
     "vocab_oov", "weighted_sample", "window_range", "window_ranks",
-    "zorder_prune")
+    "xml_roundtrip", "zorder_prune")
 
   test("every function-breadth query is total on adversarial rows") {
     val failures = swept.flatMap { name =>

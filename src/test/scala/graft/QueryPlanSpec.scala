@@ -15,8 +15,11 @@ class QueryPlanSpec extends SparkSuite {
     // sim_ann_projected's candidate stage is the same shape deliberately:
     // a whole-corpus scan against the broadcast query set (linear in
     // corpus × queries, never corpus²) — just over 16-double projected
-    // rows instead of 64-float embeddings.
-    val bruteForceBaselines = Set("sim_topk", "hard_negatives", "sim_ann_projected")
+    // rows instead of 64-float embeddings. sim_topk_int8 likewise: the
+    // same linear scan over d code BYTES + 4 scalars per row (the
+    // memory-bandwidth variant of the exact path).
+    val bruteForceBaselines =
+      Set("sim_topk", "hard_negatives", "sim_ann_projected", "sim_topk_int8")
     val skip = (name: String) => name.startsWith("stream_") // execute on declaration
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(skip)
