@@ -32,6 +32,38 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  check("int8 score identity: the stats formula IS the reconstructed cosine") {
+    // Similarity.int8TopK scores pairs from four per-vector scalars and one
+    // integer dot product; the property pins the algebra against the naive
+    // path (reconstruct both vectors, take their cosine) on random vectors.
+    val genVec = Gen.listOfN(16, Gen.chooseNum(-1000, 1000).map(_ / 250.0f))
+    forAll(genVec, genVec) { (xs, ys) =>
+      def stats(v: Seq[Float]): (Double, Double, Seq[Long]) = {
+        val lo = v.min.toDouble
+        val scale = (v.max.toDouble - lo) / 255.0
+        val codes =
+          if (scale == 0) v.map(_ => 0L)
+          else v.map(x => math.round((x.toDouble - lo) / scale))
+        (lo, scale, codes)
+      }
+      val (lox, sx, cx) = stats(xs)
+      val (loy, sy, cy) = stats(ys)
+      val d = xs.length.toDouble
+      val dotc = cx.zip(cy).map { case (a, b) => a * b }.sum.toDouble
+      val num = sx * sy * dotc + sx * loy * cx.sum + sy * lox * cy.sum + d * lox * loy
+      def nrm(s: Double, lo: Double, c: Seq[Long]): Double =
+        math.sqrt(s * s * c.map(v => (v * v).toDouble).sum + 2.0 * s * lo * c.sum + d * lo * lo)
+      val denom = nrm(sx, lox, cx) * nrm(sy, loy, cy)
+      val approx = if (denom == 0) 0.0 else num / denom
+      val rx = cx.map(c => c * sx + lox)
+      val ry = cy.map(c => c * sy + loy)
+      val dot = rx.zip(ry).map { case (a, b) => a * b }.sum
+      val nn = math.sqrt(rx.map(v => v * v).sum) * math.sqrt(ry.map(v => v * v).sum)
+      val direct = if (nn == 0) 0.0 else dot / nn
+      math.abs(approx - direct) <= 1e-9
+    }
+  }
+
   check("MinHash signature is permutation-invariant in its input set") {
     forAll(Gen.nonEmptyListOf(Gen.chooseNum(0L, PolyHash.P - 1))) { hs =>
       val a = new org.apache.spark.sql.catalyst.util.GenericArrayData(hs.toArray)
