@@ -143,5 +143,14 @@ class PackingSpec extends SparkSuite {
       s"global-window funnel in plan:\n$plan")
     assert("Exchange hashpartitioning\\(_rid".r.findFirstIn(plan).isDefined,
       s"expected the per-range window exchange:\n$plan")
+    // batch_padding: the within-bucket row numbering must window per
+    // (bucket, range) cell, never per bucket alone (the dominant length
+    // class would be a single task) and never globally
+    val bp = Packing.lengthBucketBatches(docs, "doc_id", "n_tok", 16, 8)
+      .queryExecution.executedPlan.toString
+    assert(!bp.contains("Exchange SinglePartition") || !bp.contains("Window"),
+      s"global-window funnel in batch plan:\n$bp")
+    assert("Exchange hashpartitioning\\(_bucket[#0-9L]*, _rid".r.findFirstIn(bp).isDefined,
+      s"expected the per-(bucket, range) window exchange:\n$bp")
   }
 }
