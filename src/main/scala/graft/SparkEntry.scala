@@ -595,6 +595,50 @@ object SparkEntry {
         .orderBy(col("lang_pred"), col("source"))
     }),
 
+    // corpus_clean in bookmark-delta form — the cleaning pass a
+    // discrete-run ingestion pipeline executes PER RUN: stats + quality
+    // gate over the DELTA only (map-only), exact dedup against the
+    // cleaned history's fingerprint store (anti-join on the 8-byte key,
+    // never history text), near-dup via the incremental LSH probe
+    // (delta-shaped — the history contributes its band index and the
+    // text of candidate partners only), then the same (lang, source)
+    // report over the ADMITTED delta. History ids sit below the
+    // bookmark cutoff, so every near-dup pair's greatest id is the
+    // delta doc to drop (history always wins).
+    "corpus_clean_incr" -> ((s, dir) => {
+      val all = Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"), col("source"))
+      val cutoff = all.agg(max(col("doc_id"))).head().getLong(0) - 99L
+      def gated(df: DataFrame) = TextAnalysis.stats(df)
+        .where(col("quality_score") >= 0.55 && col("lang_pred") =!= "und" &&
+          col("n_tokens").between(5, 5000))
+      val hist = Residue.pin(gated(all.filter(col("doc_id") < cutoff))
+        .groupBy(col("fingerprint"))
+        .agg(min(struct(col("doc_id"), col("text"))).as("_r"))
+        .select(col("fingerprint"), col("_r.doc_id").as("doc_id"),
+          col("_r.text").as("text")))
+      val deltaSole = Residue.pin(gated(all.filter(col("doc_id") >= cutoff))
+        .join(hist.select(col("fingerprint")), Seq("fingerprint"), "left_anti")
+        .groupBy(col("fingerprint"))
+        .agg(min(struct(col("doc_id"), col("text"), col("source"),
+          col("n_tokens"), col("quality_score"), col("lang_pred"))).as("_r"))
+        .select(col("_r.doc_id").as("doc_id"), col("_r.text").as("text"),
+          col("_r.source").as("source"), col("_r.n_tokens").as("n_tokens"),
+          col("_r.quality_score").as("quality_score"),
+          col("_r.lang_pred").as("lang_pred")))
+      val dropIds = Dedup.minhashLshPairsIncremental(
+          hist.select(col("doc_id"), col("text")),
+          deltaSole.select(col("doc_id"), col("text")),
+          n = 3, k = 16, bands = 4, threshold = 0.8)
+        .select(greatest(col("id_a"), col("id_b")).as("doc_id")).distinct()
+      deltaSole.join(dropIds, Seq("doc_id"), "left_anti")
+        .groupBy(col("lang_pred"), col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("tok_total"),
+          round(sum(round(col("quality_score") * 10000, 0).cast("long"))
+            .cast("double") / count(lit(1)) / 10000.0, 4).as("avg_quality"))
+        .orderBy(col("lang_pred"), col("source"))
+    }),
+
     // Token-budgeted training shards via the two-level prefix sum —
     // per-range offsets are O(ranges) driver metadata and each range
     // runs its local window in parallel; never a single-partition
@@ -2110,6 +2154,72 @@ object SparkEntry {
   /** Shared CTE chain producing `mh_pairs` — the MinHash-LSH near-dup
     * pairs the dedup_minhash_lsh and dedup_clusters oracles both consume.
     */
+  /** CTE chain t → f → g → kept replaying TextAnalysis.stats plus the
+    * cleaning quality gate over `documents` — shared by the corpus_clean
+    * and corpus_clean_incr oracles.
+    */
+  private def cleanGateCtes: String = {
+    val markers = graft.operators.TextAnalysis.langMarkers
+    def inList(words: Seq[String]) = words.map(w => s"'$w'").mkString("[", ", ", "]")
+    val counts = markers.map { case (lang, ms) =>
+      s"len(list_filter(ltoks, x -> list_contains(${inList(ms)}, x))) AS c_$lang"
+    }.mkString(",\n    ")
+    val best = s"greatest(${markers.map("c_" + _._1).mkString(", ")})"
+    val langCase = markers.map { case (lang, _) =>
+      s"WHEN c_$lang = $best THEN '$lang'"
+    }.mkString(" ")
+    s"""t AS (
+       |  SELECT doc_id, text, source,
+       |    ${Oracles.tokens("text")} AS toks,
+       |    ${Oracles.tokens("lower(text)")} AS ltoks,
+       |    length(text) AS nc
+       |  FROM documents),
+       |f AS (
+       |  SELECT doc_id, text, source, nc,
+       |    len(toks) AS n_tokens,
+       |    nc - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS punct,
+       |    len(list_filter(ltoks, x -> list_contains(${inList(markers.flatMap(_._2))}, x))) AS stop,
+       |    $counts,
+       |    ${Oracles.polyHash("text")} AS fingerprint
+       |  FROM t),
+       |g AS (
+       |  SELECT doc_id, text, source, n_tokens, fingerprint,
+       |    round(least(1.0, CASE WHEN n_tokens > 0 THEN 0.5 + CAST(stop AS DOUBLE) / n_tokens - CAST(punct AS DOUBLE) / greatest(nc, 1) ELSE 0.0 END), 4) AS quality_score,
+       |    CASE WHEN $best <= 0 THEN 'und' $langCase ELSE 'und' END AS lang_pred
+       |  FROM f),
+       |kept AS (
+       |  SELECT * FROM g WHERE quality_score >= 0.55 AND lang_pred <> 'und'
+       |    AND n_tokens BETWEEN 5 AND 5000)""".stripMargin
+  }
+
+  /** MinHash(16)/4-band LSH pair CTEs over an arbitrary (doc_id, text)
+    * CTE `src`, verified at `threshold` — the parametrized sibling of
+    * [[minhashPairsCtes]] (which stays fixed to the %10 documents sample
+    * its eight consumers replay). Emits sh/sigs/bnd/cand/mh_pairs.
+    */
+  private def minhashPairsCtesOver(src: String, threshold: Double): String = {
+    val bkeys = (0 until 4).map(bi => Oracles.bandKey("sig", bi, 4)).mkString("[", ", ", "]")
+    s"""sh AS (
+       |  SELECT doc_id, ${Oracles.shingleHashes("text", 3)} AS gs FROM $src),
+       |sigs AS (SELECT doc_id, ${Oracles.minhashSignature("gs", 16)} AS sig FROM sh),
+       |bnd AS (
+       |  SELECT doc_id, t.band AS band, $bkeys[t.band + 1] AS band_key
+       |  FROM sigs CROSS JOIN (SELECT unnest(range(0, 4)) AS band) t),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+       |  FROM bnd x JOIN bnd y
+       |    ON x.band = y.band AND x.band_key = y.band_key AND x.doc_id < y.doc_id),
+       |mh_pairs AS (
+       |  SELECT * FROM (
+       |    SELECT c.id_a, c.id_b,
+       |      round(CAST(len(list_intersect(ga.gs, gb.gs)) AS DOUBLE)
+       |        / len(list_distinct(ga.gs || gb.gs)), 6) AS jaccard
+       |    FROM cand c
+       |    JOIN sh ga ON c.id_a = ga.doc_id
+       |    JOIN sh gb ON c.id_b = gb.doc_id)
+       |  WHERE jaccard >= $threshold)""".stripMargin
+  }
+
   private def minhashPairsCtes: String = {
     val bkeys = (0 until 4).map(bi => Oracles.bandKey("sig", bi, 4)).mkString("[", ", ", "]")
     s"""sh AS (
@@ -3008,37 +3118,7 @@ object SparkEntry {
     },
 
     "corpus_clean" -> {
-      val markers = graft.operators.TextAnalysis.langMarkers
-      def inList(words: Seq[String]) = words.map(w => s"'$w'").mkString("[", ", ", "]")
-      val counts = markers.map { case (lang, ms) =>
-        s"len(list_filter(ltoks, x -> list_contains(${inList(ms)}, x))) AS c_$lang"
-      }.mkString(",\n    ")
-      val best = s"greatest(${markers.map("c_" + _._1).mkString(", ")})"
-      val langCase = markers.map { case (lang, _) =>
-        s"WHEN c_$lang = $best THEN '$lang'"
-      }.mkString(" ")
-      s"""WITH t AS (
-         |  SELECT doc_id, text, source,
-         |    ${Oracles.tokens("text")} AS toks,
-         |    ${Oracles.tokens("lower(text)")} AS ltoks,
-         |    length(text) AS nc
-         |  FROM documents),
-         |f AS (
-         |  SELECT doc_id, text, source, nc,
-         |    len(toks) AS n_tokens,
-         |    nc - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS punct,
-         |    len(list_filter(ltoks, x -> list_contains(${inList(markers.flatMap(_._2))}, x))) AS stop,
-         |    $counts,
-         |    ${Oracles.polyHash("text")} AS fingerprint
-         |  FROM t),
-         |g AS (
-         |  SELECT doc_id, text, source, n_tokens, fingerprint,
-         |    round(least(1.0, CASE WHEN n_tokens > 0 THEN 0.5 + CAST(stop AS DOUBLE) / n_tokens - CAST(punct AS DOUBLE) / greatest(nc, 1) ELSE 0.0 END), 4) AS quality_score,
-         |    CASE WHEN $best <= 0 THEN 'und' $langCase ELSE 'und' END AS lang_pred
-         |  FROM f),
-         |kept AS (
-         |  SELECT * FROM g WHERE quality_score >= 0.55 AND lang_pred <> 'und'
-         |    AND n_tokens BETWEEN 5 AND 5000),
+      s"""WITH $cleanGateCtes,
          |sole AS (
          |  SELECT * FROM (
          |    SELECT *, row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) AS rn
@@ -3061,6 +3141,38 @@ object SparkEntry {
          |  round(CAST(sum(CAST(round(quality_score * 10000) AS BIGINT)) AS DOUBLE)
          |    / count(*) / 10000.0, 4) AS avg_quality
          |FROM final GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    },
+
+    // Incremental twin: gate both eras, dedup the delta against the
+    // history fingerprints, near-dup = the full MinHash-LSH sweep over
+    // (history ∪ delta) restricted to delta-involved pairs (id_b is the
+    // greatest id, so delta-involved == id_b above the cutoff — the same
+    // equality dedup_incr_lsh's oracle rests on).
+    "corpus_clean_incr" -> {
+      s"""WITH $cleanGateCtes,
+         |cut AS (SELECT max(doc_id) - 99 AS c FROM documents),
+         |hist AS (
+         |  SELECT doc_id, text, fingerprint FROM (
+         |    SELECT doc_id, text, fingerprint,
+         |      row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) AS rn
+         |    FROM kept WHERE doc_id < (SELECT c FROM cut)) WHERE rn = 1),
+         |dsole AS (
+         |  SELECT doc_id, text, source, n_tokens, quality_score, lang_pred FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) AS rn
+         |    FROM kept
+         |    WHERE doc_id >= (SELECT c FROM cut)
+         |      AND fingerprint NOT IN (SELECT fingerprint FROM hist)) WHERE rn = 1),
+         |u AS (SELECT doc_id, text FROM hist UNION ALL SELECT doc_id, text FROM dsole),
+         |${minhashPairsCtesOver("u", 0.8)},
+         |dropped AS (
+         |  SELECT DISTINCT id_b AS doc_id FROM mh_pairs
+         |  WHERE id_b >= (SELECT c FROM cut))
+         |SELECT lang_pred, source, count(*) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS tok_total,
+         |  round(CAST(sum(CAST(round(quality_score * 10000) AS BIGINT)) AS DOUBLE)
+         |    / count(*) / 10000.0, 4) AS avg_quality
+         |FROM dsole WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
     },
 
     "token_shards" ->

@@ -109,6 +109,7 @@ class AdversarialFixtureSpec extends SparkSuite {
     "agg_misc", "agg_topk", "anomaly_zscore", "approx_sketches", "array_agg",
     "array_analytics", "asof_join", "bigram_lm", "bloom_decontam",
     "bpe_encode", "bpe_merges", "cdc_latest", "compact_files", "corpus_clean",
+    "corpus_clean_incr",
     "csv_roundtrip", "decontam_overlap", "dedup_clusters", "dedup_containment",
     "dedup_embedding", "dedup_embedding_auto",
     "dedup_exact", "dedup_incr_lsh", "dedup_incremental", "dedup_minhash_lsh",
