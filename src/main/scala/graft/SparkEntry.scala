@@ -604,11 +604,21 @@ object SparkEntry {
     // text of candidate partners only), then the same (lang, source)
     // report over the ADMITTED delta. History ids sit below the
     // bookmark cutoff, so every near-dup pair's greatest id is the
-    // delta doc to drop (history always wins).
+    // delta doc to drop (history always wins). The %5 sample keeps the
+    // declared query's history-side minhash REBUILD (an oracle-
+    // replayability compromise — production probes the persisted
+    // LshBandIndex and never re-signs the history) proportionate — the
+    // template corpus's near-dup density makes LSH candidate volume
+    // quadratic in sample size — and the contiguous bookmark delta
+    // lands in the corpus's FRESHEST template clusters, so its match
+    // set is denser than a scattered sample's (verifying that match
+    // set IS the irreducible per-ingest work); the delta is the top 50
+    // sampled ids.
     "corpus_clean_incr" -> ((s, dir) => {
       val all = Tables.documents(s, dir)
+        .filter(col("doc_id") % 10 === 0)
         .select(col("doc_id"), col("text"), col("source"))
-      val cutoff = all.agg(max(col("doc_id"))).head().getLong(0) - 99L
+      val cutoff = all.agg(max(col("doc_id"))).head().getLong(0) - 499L
       def gated(df: DataFrame) = TextAnalysis.stats(df)
         .where(col("quality_score") >= 0.55 && col("lang_pred") =!= "und" &&
           col("n_tokens").between(5, 5000))
@@ -2155,10 +2165,10 @@ object SparkEntry {
     * pairs the dedup_minhash_lsh and dedup_clusters oracles both consume.
     */
   /** CTE chain t → f → g → kept replaying TextAnalysis.stats plus the
-    * cleaning quality gate over `documents` — shared by the corpus_clean
-    * and corpus_clean_incr oracles.
+    * cleaning quality gate over `documents` (optionally filtered) —
+    * shared by the corpus_clean and corpus_clean_incr oracles.
     */
-  private def cleanGateCtes: String = {
+  private def cleanGateCtes(where: String = ""): String = {
     val markers = graft.operators.TextAnalysis.langMarkers
     def inList(words: Seq[String]) = words.map(w => s"'$w'").mkString("[", ", ", "]")
     val counts = markers.map { case (lang, ms) =>
@@ -2173,7 +2183,7 @@ object SparkEntry {
        |    ${Oracles.tokens("text")} AS toks,
        |    ${Oracles.tokens("lower(text)")} AS ltoks,
        |    length(text) AS nc
-       |  FROM documents),
+       |  FROM documents $where),
        |f AS (
        |  SELECT doc_id, text, source, nc,
        |    len(toks) AS n_tokens,
@@ -3118,7 +3128,7 @@ object SparkEntry {
     },
 
     "corpus_clean" -> {
-      s"""WITH $cleanGateCtes,
+      s"""WITH ${cleanGateCtes()},
          |sole AS (
          |  SELECT * FROM (
          |    SELECT *, row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) AS rn
@@ -3149,8 +3159,8 @@ object SparkEntry {
     // greatest id, so delta-involved == id_b above the cutoff — the same
     // equality dedup_incr_lsh's oracle rests on).
     "corpus_clean_incr" -> {
-      s"""WITH $cleanGateCtes,
-         |cut AS (SELECT max(doc_id) - 99 AS c FROM documents),
+      s"""WITH ${cleanGateCtes("WHERE doc_id % 10 = 0")},
+         |cut AS (SELECT max(doc_id) - 499 AS c FROM documents WHERE doc_id % 10 = 0),
          |hist AS (
          |  SELECT doc_id, text, fingerprint FROM (
          |    SELECT doc_id, text, fingerprint,
