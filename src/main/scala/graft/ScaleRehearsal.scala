@@ -429,6 +429,19 @@ object ScaleRehearsal {
         emit(s"semantic_k${kScaled}_t06", f, ne, candSemS, verSemS,
           tCandSemS + tVerSemS)
       }
+      // Int8 vs float linear scan (sim_topk_int8): same 8 broadcast
+      // queries, whole-corpus scoring — the int8 path's per-pair work is
+      // one integer dot over d code bytes vs the float path's 4d bytes.
+      // Both are linear scans, so both walls grow with the corpus; the
+      // claim is the int8 path stays at-or-under the float path while
+      // keeping recall (verified := hits in the brute top-5).
+      val (int8Hits, tInt8) = timed {
+        Similarity.int8TopK(emb, queries, 5, shortlist = 20)
+          .select(col("query_id"), col("neighbor_id"))
+          .intersect(brute).count()
+      }
+      emit("int8_scan", f, ne, nBrute, int8Hits, tInt8)
+
       // Connected components (dedup_clusters/leakage_split/kfold_split):
       // path-halving label propagation over the LSH near-dup graph. The
       // claim is O(log diameter) rounds with node-sized in-loop state —
