@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Keep a runMain's final stdout line as the program's own last line: the
+// "[success] Total time ..." banner otherwise lands AFTER Bench's compact
+// JSON summary and a bounded tail capture parses the banner instead of
+// the summary (r7: BENCH_r07.json "parsed": null).
+ThisBuild / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

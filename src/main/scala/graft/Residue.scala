@@ -88,6 +88,29 @@ object Residue {
     * (ParallelReports) is fine: the fan-out completes before the caller
     * returns, so its pins are quiescent by drain time.
     */
+  /** Post-drain pressure snapshot: (JVM heap live-set MB, block-manager
+    * storage-memory used MB). The drain frees everything THIS registry
+    * tracks, but broadcast blocks, shuffle files, and streaming state
+    * maps are reclaimed only by the GC-driven ContextCleaner — a class of
+    * occupancy the stray sweep cannot see. Bench reports this pair per
+    * query run, so a cross-round timing inversion can be attributed to
+    * accumulating pressure (series climbs) or ruled environmental (series
+    * flat) straight from the committed file. Heap is sampled without
+    * forcing a GC — it is an upper bound on the live set, cheap and
+    * side-effect-free; storage used is exact from the block-manager
+    * master.
+    */
+  def pressure(spark: SparkSession): (Long, Long) = {
+    val rt = Runtime.getRuntime
+    val heapMb = (rt.totalMemory() - rt.freeMemory()) / (1024 * 1024)
+    val storageMb =
+      try {
+        val status = org.apache.spark.SparkEnv.get.blockManager.master.getMemoryStatus
+        status.values.map { case (max, remaining) => max - remaining }.sum / (1024 * 1024)
+      } catch { case _: Throwable => -1L }
+    (heapMb, storageMb)
+  }
+
   def drain(spark: SparkSession): Seq[String] = {
     var ds = pinned.poll()
     while (ds != null) { ds.unpersist(blocking = true); ds = pinned.poll() }

@@ -615,38 +615,43 @@ object SparkEntry {
     // set IS the irreducible per-ingest work); the delta is the top 50
     // sampled ids.
     "corpus_clean_incr" -> ((s, dir) => {
-      val all = Tables.documents(s, dir)
-        .filter(col("doc_id") % 10 === 0)
-        .select(col("doc_id"), col("text"), col("source"))
-      val cutoff = all.agg(max(col("doc_id"))).head().getLong(0) - 499L
-      def gated(df: DataFrame) = TextAnalysis.stats(df)
-        .where(col("quality_score") >= 0.55 && col("lang_pred") =!= "und" &&
-          col("n_tokens").between(5, 5000))
-      val hist = Residue.pin(gated(all.filter(col("doc_id") < cutoff))
-        .groupBy(col("fingerprint"))
-        .agg(min(struct(col("doc_id"), col("text"))).as("_r"))
-        .select(col("fingerprint"), col("_r.doc_id").as("doc_id"),
-          col("_r.text").as("text")))
-      val deltaSole = Residue.pin(gated(all.filter(col("doc_id") >= cutoff))
-        .join(hist.select(col("fingerprint")), Seq("fingerprint"), "left_anti")
-        .groupBy(col("fingerprint"))
-        .agg(min(struct(col("doc_id"), col("text"), col("source"),
-          col("n_tokens"), col("quality_score"), col("lang_pred"))).as("_r"))
-        .select(col("_r.doc_id").as("doc_id"), col("_r.text").as("text"),
-          col("_r.source").as("source"), col("_r.n_tokens").as("n_tokens"),
-          col("_r.quality_score").as("quality_score"),
-          col("_r.lang_pred").as("lang_pred")))
+      val (hist, deltaSole) = corpusCleanIncrSides(s, dir)
       val dropIds = Dedup.minhashLshPairsIncremental(
           hist.select(col("doc_id"), col("text")),
           deltaSole.select(col("doc_id"), col("text")),
           n = 3, k = 16, bands = 4, threshold = 0.8)
         .select(greatest(col("id_a"), col("id_b")).as("doc_id")).distinct()
-      deltaSole.join(dropIds, Seq("doc_id"), "left_anti")
-        .groupBy(col("lang_pred"), col("source"))
-        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("tok_total"),
-          round(sum(round(col("quality_score") * 10000, 0).cast("long"))
-            .cast("double") / count(lit(1)) / 10000.0, 4).as("avg_quality"))
-        .orderBy(col("lang_pred"), col("source"))
+      corpusCleanIncrReport(deltaSole, dropIds)
+    }),
+
+    // The PRODUCTION shape of corpus_clean_incr's near-dup stage (r7
+    // verdict #4): the same cleaning gates and exact-dedup anti-join, but
+    // the LSH sweep probes a PERSISTED, compacted LshBandIndex through
+    // sweepAndAppend — band(delta) + bucketed probe + verify + sink +
+    // commit-after-sink, the composition a discrete-run ingestion
+    // pipeline actually executes. The declared query bootstraps the
+    // index from the history each run so the oracle can replay it
+    // (production bootstraps ONCE, ever — the incr_lsh_indexed rehearsal
+    // family measures that probe staying corpus-independent); the oracle
+    // is byte-identical to corpus_clean_incr's, which IS the claim: the
+    // indexed composition is indistinguishable from the re-signing one.
+    "corpus_clean_incr_indexed" -> ((s, dir) => {
+      val (hist, deltaSole) = corpusCleanIncrSides(s, dir)
+      val idx = new graft.sources.LshBandIndex(
+        s, Scratch.create(s, "graft-cci-idx"), n = 3, k = 16, bands = 4)
+      idx.bootstrap(hist.select(col("doc_id"), col("text")))
+      idx.compact(buckets = 8)
+      val out = Scratch.create(s, "graft-cci-sweep")
+      idx.sweepAndAppend(
+        hist.select(col("doc_id"), col("text"))
+          .unionByName(deltaSole.select(col("doc_id"), col("text"))),
+        deltaSole.select(col("doc_id"), col("text")),
+        threshold = 0.8) { pairs =>
+        pairs.write.mode("overwrite").parquet(out)
+      }
+      val dropIds = s.read.parquet(out)
+        .select(greatest(col("id_a"), col("id_b")).as("doc_id")).distinct()
+      corpusCleanIncrReport(deltaSole, dropIds)
     }),
 
     // Token-budgeted training shards via the two-level prefix sum —
@@ -709,6 +714,23 @@ object SparkEntry {
       Packing.lengthBucketBatches(docs, "doc_id", "n_tok",
           bucketWidth = 16, batchSize = 8)
         .orderBy(col("bucket"))
+    }),
+
+    // The per-document (doc -> batch) map behind batch_padding — what a
+    // trainer actually consumes (r7 verdict #8): each doc's length
+    // bucket and its 8-doc batch within the bucket, id-ordered. Same
+    // two-level prefix numbering as the report, exposed instead of
+    // re-aggregated.
+    "batch_assign" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          GraftFunctions.textStats(col("text"))
+            .getField("n_tokens").cast("long").as("n_tok"))
+      Packing.lengthBucketAssignments(docs, "doc_id", "n_tok",
+          bucketWidth = 16, batchSize = 8)
+        .select(col("doc_id"), col("n_tok"), col("bucket"),
+          col("batch_in_bucket"))
+        .orderBy(col("bucket"), col("batch_in_bucket"), col("doc_id"))
     }),
 
     // Top TF-IDF terms per document: map-side-combined (doc, term)
@@ -1356,12 +1378,15 @@ object SparkEntry {
     // the binary semi-structured encoding, path-extract with variant_get
     // — schema-on-read without a DDL schema, the modern engine's answer
     // to evolving JSON payloads (vs json_extract's fixed-struct parse).
-    // try_parse_json, not parse_json: extraction must stay total on
-    // malformed payloads (parse_json is FAILFAST — one bad record kills
-    // the job; the adversarial sweep pins this).
+    // try_parse_json + try_variant_get, not the strict forms: extraction
+    // must stay total on malformed payloads AND on well-formed payloads
+    // whose $.k is non-numeric — parse_json is FAILFAST (one bad record
+    // kills the job) and strict variant_get throws at the int cast on
+    // {"k":"x"}, unlike json_extract's permissive from_json which yields
+    // null. Both failure classes degrade to NULL here.
     "json_variant" -> ((s, dir) =>
       Tables.events(s, dir)
-        .withColumn("k", expr("variant_get(try_parse_json(props), '$.k', 'int')"))
+        .withColumn("k", expr("try_variant_get(try_parse_json(props), '$.k', 'int')"))
         .groupBy((col("k") % 10).as("k_bucket"))
         .agg(count(lit(1)).as("n"), min(col("k")).as("min_k"), max(col("k")).as("max_k"))
         .orderBy(col("k_bucket"))),
@@ -2130,6 +2155,82 @@ object SparkEntry {
     * each vector with its final cluster and cosine. Consumed by the
     * kmeans_assign and hard_negatives oracles.
     */
+  /** Shared construction for corpus_clean_incr and its persisted-index
+    * twin: (history fingerprint-sole frame, gated exact-deduped delta),
+    * both pinned — the delta era is the top 50 sampled ids, history
+    * everything below the cutoff (scaladoc on the declared queries).
+    */
+  private def corpusCleanIncrSides(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val all = Tables.documents(s, dir)
+      .filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id"), col("text"), col("source"))
+    val cutoff = all.agg(max(col("doc_id"))).head().getLong(0) - 499L
+    def gated(df: DataFrame) = TextAnalysis.stats(df)
+      .where(col("quality_score") >= 0.55 && col("lang_pred") =!= "und" &&
+        col("n_tokens").between(5, 5000))
+    val hist = Residue.pin(gated(all.filter(col("doc_id") < cutoff))
+      .groupBy(col("fingerprint"))
+      .agg(min(struct(col("doc_id"), col("text"))).as("_r"))
+      .select(col("fingerprint"), col("_r.doc_id").as("doc_id"),
+        col("_r.text").as("text")))
+    val deltaSole = Residue.pin(gated(all.filter(col("doc_id") >= cutoff))
+      .join(hist.select(col("fingerprint")), Seq("fingerprint"), "left_anti")
+      .groupBy(col("fingerprint"))
+      .agg(min(struct(col("doc_id"), col("text"), col("source"),
+        col("n_tokens"), col("quality_score"), col("lang_pred"))).as("_r"))
+      .select(col("_r.doc_id").as("doc_id"), col("_r.text").as("text"),
+        col("_r.source").as("source"), col("_r.n_tokens").as("n_tokens"),
+        col("_r.quality_score").as("quality_score"),
+        col("_r.lang_pred").as("lang_pred")))
+    (hist, deltaSole)
+  }
+
+  /** The (lang, source) report over the admitted delta — shared tail of
+    * corpus_clean_incr{,_indexed}. Exact-integer quality sum: see the
+    * corpus_clean scaladoc for the rounding-order rationale.
+    */
+  private def corpusCleanIncrReport(deltaSole: DataFrame, dropIds: DataFrame): DataFrame =
+    deltaSole.join(dropIds, Seq("doc_id"), "left_anti")
+      .groupBy(col("lang_pred"), col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("tok_total"),
+        round(sum(round(col("quality_score") * 10000, 0).cast("long"))
+          .cast("double") / count(lit(1)) / 10000.0, 4).as("avg_quality"))
+      .orderBy(col("lang_pred"), col("source"))
+
+  /** Incremental corpus-clean oracle, shared verbatim by the re-signing
+    * and persisted-index declared queries: gate both eras, dedup the
+    * delta against the history fingerprints, near-dup = the full
+    * MinHash-LSH sweep over (history ∪ delta) restricted to
+    * delta-involved pairs (id_b is the greatest id, so delta-involved ==
+    * id_b above the cutoff — the same equality dedup_incr_lsh's oracle
+    * rests on).
+    */
+  private def corpusCleanIncrOracle: String =
+    s"""WITH ${cleanGateCtes("WHERE doc_id % 10 = 0")},
+       |cut AS (SELECT max(doc_id) - 499 AS c FROM documents WHERE doc_id % 10 = 0),
+       |hist AS (
+       |  SELECT doc_id, text, fingerprint FROM (
+       |    SELECT doc_id, text, fingerprint,
+       |      row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) AS rn
+       |    FROM kept WHERE doc_id < (SELECT c FROM cut)) WHERE rn = 1),
+       |dsole AS (
+       |  SELECT doc_id, text, source, n_tokens, quality_score, lang_pred FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) AS rn
+       |    FROM kept
+       |    WHERE doc_id >= (SELECT c FROM cut)
+       |      AND fingerprint NOT IN (SELECT fingerprint FROM hist)) WHERE rn = 1),
+       |u AS (SELECT doc_id, text FROM hist UNION ALL SELECT doc_id, text FROM dsole),
+       |${minhashPairsCtesOver("u", 0.8)},
+       |dropped AS (
+       |  SELECT DISTINCT id_b AS doc_id FROM mh_pairs
+       |  WHERE id_b >= (SELECT c FROM cut))
+       |SELECT lang_pred, source, count(*) AS n_docs,
+       |  CAST(sum(n_tokens) AS BIGINT) AS tok_total,
+       |  round(CAST(sum(CAST(round(quality_score * 10000) AS BIGINT)) AS DOUBLE)
+       |    / count(*) / 10000.0, 4) AS avg_quality
+       |FROM dsole WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   private def kmeansCtes: String =
     s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |seeds AS (
@@ -3158,32 +3259,11 @@ object SparkEntry {
     // (history ∪ delta) restricted to delta-involved pairs (id_b is the
     // greatest id, so delta-involved == id_b above the cutoff — the same
     // equality dedup_incr_lsh's oracle rests on).
-    "corpus_clean_incr" -> {
-      s"""WITH ${cleanGateCtes("WHERE doc_id % 10 = 0")},
-         |cut AS (SELECT max(doc_id) - 499 AS c FROM documents WHERE doc_id % 10 = 0),
-         |hist AS (
-         |  SELECT doc_id, text, fingerprint FROM (
-         |    SELECT doc_id, text, fingerprint,
-         |      row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) AS rn
-         |    FROM kept WHERE doc_id < (SELECT c FROM cut)) WHERE rn = 1),
-         |dsole AS (
-         |  SELECT doc_id, text, source, n_tokens, quality_score, lang_pred FROM (
-         |    SELECT *, row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) AS rn
-         |    FROM kept
-         |    WHERE doc_id >= (SELECT c FROM cut)
-         |      AND fingerprint NOT IN (SELECT fingerprint FROM hist)) WHERE rn = 1),
-         |u AS (SELECT doc_id, text FROM hist UNION ALL SELECT doc_id, text FROM dsole),
-         |${minhashPairsCtesOver("u", 0.8)},
-         |dropped AS (
-         |  SELECT DISTINCT id_b AS doc_id FROM mh_pairs
-         |  WHERE id_b >= (SELECT c FROM cut))
-         |SELECT lang_pred, source, count(*) AS n_docs,
-         |  CAST(sum(n_tokens) AS BIGINT) AS tok_total,
-         |  round(CAST(sum(CAST(round(quality_score * 10000) AS BIGINT)) AS DOUBLE)
-         |    / count(*) / 10000.0, 4) AS avg_quality
-         |FROM dsole WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
-         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
-    },
+    "corpus_clean_incr" -> corpusCleanIncrOracle,
+
+    // The persisted-index composition must be INDISTINGUISHABLE from the
+    // re-signing one — same oracle, by construction.
+    "corpus_clean_incr_indexed" -> corpusCleanIncrOracle,
 
     "token_shards" ->
       s"""WITH d AS (
@@ -3260,6 +3340,19 @@ object SparkEntry {
          |  round(CAST(sum(s) AS DOUBLE) / nullif(sum(s) + sum(mx * n - s), 0), 4)
          |    AS fill_ratio
          |FROM bt GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    // The assignment frame: bucket-local row number in id order, batch =
+    // rn // 8 — the single-window equivalent of the two-level prefix.
+    "batch_assign" ->
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |    CAST(len(${Oracles.tokens("lower(text)")}) AS BIGINT) AS n_tok
+         |  FROM documents)
+         |SELECT doc_id, n_tok, n_tok // 16 AS bucket,
+         |  (row_number() OVER (PARTITION BY n_tok // 16 ORDER BY doc_id) - 1) // 8
+         |    AS batch_in_bucket
+         |FROM d
+         |ORDER BY bucket, batch_in_bucket, doc_id""".stripMargin,
 
     "sql_kernels" -> {
       val th = s"list_transform(${Oracles.tokens("text")}, t -> ${Oracles.polyHash("t")})"

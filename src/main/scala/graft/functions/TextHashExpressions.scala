@@ -278,7 +278,15 @@ object SimHashExpr {
   */
 case class BpeMergePairExpr(child: Expression, a: String, b: String)
     extends UnaryExpression {
-  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  // containsNull follows the child: compute() passes null input elements
+  // straight through (a.equals(null) is false, so they never match the
+  // pair), and bpe_merge_pair is SQL-registered — a user-supplied
+  // array('a', NULL) must not carry a non-nullable element type into
+  // downstream codegen.
+  override def dataType: DataType = child.dataType match {
+    case ArrayType(_, cn) => ArrayType(StringType, containsNull = cn)
+    case _ => ArrayType(StringType, containsNull = true)
+  }
   @transient private lazy val ua = UTF8String.fromString(a)
   @transient private lazy val ub = UTF8String.fromString(b)
   @transient private lazy val um = UTF8String.fromString(a + " " + b)

@@ -138,7 +138,40 @@ object Packing {
     */
   def lengthBucketBatches(docs: DataFrame, idCol: String, nTokCol: String,
                           bucketWidth: Int, batchSize: Int,
-                          ranges: Int = 32): DataFrame = {
+                          ranges: Int = 32): DataFrame =
+    lengthBucketAssignments(docs, idCol, nTokCol, bucketWidth, batchSize,
+        ranges)
+      .withColumnRenamed("bucket", "_bucket")
+      .withColumnRenamed("batch_in_bucket", "_batch")
+      .groupBy(col("_bucket"), col("_batch"))
+      .agg(count(lit(1)).as("_n"), max(col(nTokCol)).as("_mx"),
+        sum(col(nTokCol)).as("_sum"))
+      .groupBy(col("_bucket"))
+      .agg(sum(col("_n")).as("n_docs"), count(lit(1)).as("n_batches"),
+        sum(col("_sum")).as("tok_total"),
+        sum(col("_mx") * col("_n") - col("_sum")).as("pad_total"))
+      .select(col("_bucket").as("bucket"), col("n_docs"), col("n_batches"),
+        col("tok_total"), col("pad_total"),
+        // all-empty buckets (n_tok = 0 fixtures) have no meaningful fill;
+        // guard the ANSI division rather than emit 0/0
+        when(col("tok_total") + col("pad_total") === 0,
+          lit(null).cast("double"))
+          .otherwise(
+            round(col("tok_total") / (col("tok_total") + col("pad_total")), 4))
+          .as("fill_ratio"))
+
+  /** The per-document (doc → batch) assignment behind
+    * [[lengthBucketBatches]] — what a trainer actually consumes: every
+    * input row mapped to its `(bucket, batch_in_bucket)` cell, in id
+    * order within the bucket. [[lengthBucketBatches]] is exactly this
+    * frame re-aggregated into the per-bucket padding report, so the two
+    * shapes can never drift (r7 verdict #8). Same scale shape: the
+    * within-bucket numbering is the two-level prefix trick per
+    * (bucket, id-range) cell, never a whole-bucket single-task window.
+    */
+  def lengthBucketAssignments(docs: DataFrame, idCol: String, nTokCol: String,
+                              bucketWidth: Int, batchSize: Int,
+                              ranges: Int = 32): DataFrame = {
     require(bucketWidth >= 1 && batchSize >= 1 && ranges >= 1)
     val bounds = docs.agg(min(col(idCol)).as("lo"), max(col(idCol)).as("hi")).head()
     val base = docs.withColumn("_bucket", expr(s"$nTokCol DIV $bucketWidth"))
@@ -170,23 +203,9 @@ object Packing {
           .drop("_rid", "_off")
       }
     withRn
-      .withColumn("_batch", expr(s"_rn DIV $batchSize"))
-      .groupBy(col("_bucket"), col("_batch"))
-      .agg(count(lit(1)).as("_n"), max(col(nTokCol)).as("_mx"),
-        sum(col(nTokCol)).as("_sum"))
-      .groupBy(col("_bucket"))
-      .agg(sum(col("_n")).as("n_docs"), count(lit(1)).as("n_batches"),
-        sum(col("_sum")).as("tok_total"),
-        sum(col("_mx") * col("_n") - col("_sum")).as("pad_total"))
-      .select(col("_bucket").as("bucket"), col("n_docs"), col("n_batches"),
-        col("tok_total"), col("pad_total"),
-        // all-empty buckets (n_tok = 0 fixtures) have no meaningful fill;
-        // guard the ANSI division rather than emit 0/0
-        when(col("tok_total") + col("pad_total") === 0,
-          lit(null).cast("double"))
-          .otherwise(
-            round(col("tok_total") / (col("tok_total") + col("pad_total")), 4))
-          .as("fill_ratio"))
+      .withColumn("batch_in_bucket", expr(s"_rn DIV $batchSize"))
+      .withColumnRenamed("_bucket", "bucket")
+      .drop("_rn")
   }
 
   /** Piece rows of documents occupying `[_start, _start + nTok)` of the

@@ -124,6 +124,44 @@ class PackingSpec extends SparkSuite {
     assert(worst < 16.0, s"per-doc padding $worst >= bucketWidth")
   }
 
+  test("assignment frame: single-window equivalence, batch sizes, and exact re-aggregation to the report") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        size(GraftFunctions.tokens(lower(col("text")))).cast("long").as("n_tok"))
+    val got = Packing.lengthBucketAssignments(docs, "doc_id", "n_tok",
+      bucketWidth = 16, batchSize = 8, ranges = 4)
+      .select(col("doc_id"), col("n_tok"), col("bucket"), col("batch_in_bucket"))
+    // bit-identical to the single-window formulation, per document
+    val want = docs
+      .withColumn("bucket", expr("n_tok DIV 16"))
+      .withColumn("batch_in_bucket",
+        expr("(row_number() OVER (PARTITION BY bucket ORDER BY doc_id) - 1) DIV 8"))
+    assert(got.count() == docs.count())
+    assert(got.except(want).isEmpty && want.except(got).isEmpty)
+    // every batch except a bucket's last is exactly full
+    val sizes = got.groupBy(col("bucket"), col("batch_in_bucket"))
+      .agg(count(lit(1)).as("n"), max(col("batch_in_bucket")).as("b"))
+    val lastPerBucket = got.groupBy(col("bucket"))
+      .agg(max(col("batch_in_bucket")).as("last_b"))
+    val nonLast = sizes.join(lastPerBucket, Seq("bucket"))
+      .filter(col("batch_in_bucket") < col("last_b"))
+    assert(nonLast.filter(col("n") =!= 8).isEmpty, "non-final batch not full")
+    // the padding report IS this frame re-aggregated — they cannot drift
+    val report = Packing.lengthBucketBatches(docs, "doc_id", "n_tok",
+      bucketWidth = 16, batchSize = 8, ranges = 4)
+    val fromAssign = got
+      .groupBy(col("bucket"), col("batch_in_bucket"))
+      .agg(count(lit(1)).as("n"), max(col("n_tok")).as("mx"), sum(col("n_tok")).as("s"))
+      .groupBy(col("bucket"))
+      .agg(sum(col("n")).as("n_docs"), count(lit(1)).as("n_batches"),
+        sum(col("s")).as("tok_total"),
+        sum(col("mx") * col("n") - col("s")).as("pad_total"))
+      .withColumn("fill_ratio",
+        when(col("tok_total") + col("pad_total") === 0, lit(null).cast("double"))
+          .otherwise(round(col("tok_total") / (col("tok_total") + col("pad_total")), 4)))
+    assert(report.except(fromAssign).isEmpty && fromAssign.except(report).isEmpty)
+  }
+
   test("length-bucketed batches: zero-token docs get a null fill ratio, not 0/0") {
     val docs = Seq((1L, 0L), (2L, 0L), (3L, 20L)).toDF("doc_id", "n_tok")
     val got = Packing.lengthBucketBatches(docs, "doc_id", "n_tok", 16, 8, ranges = 2)
