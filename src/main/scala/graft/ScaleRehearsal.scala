@@ -328,6 +328,63 @@ object ScaleRehearsal {
       }
       emit("incr_lsh_indexed", f, nd, candIncr, verIdx, tIdx)
 
+      // The FULL indexed cleaning composition (corpus_clean_incr_indexed,
+      // r7 verdict #4): quality/lang gate over the delta, exact-dedup
+      // anti-join against the history's 8-byte fingerprint store, near-dup
+      // probe of the PERSISTED compacted band index, admitted-docs report.
+      // History-side state — the cleaned/sole'd history text, its
+      // fingerprint store, the band index — is built OUTSIDE the timed
+      // region, exactly the production state where the corpus was ingested
+      // once, ever. The same fixed delta cleans against a 10x history:
+      // verified pairs ("candidates" column) and admitted docs ("verified"
+      // column) must stay ~flat (Caesar copies cannot near-dup or
+      // fingerprint-collide with the unshifted delta), and the wall must
+      // track the delta's match set — the probe stage corpus-independent
+      // INSIDE the composition, not just in the isolated
+      // incr_lsh_indexed_probe row.
+      val srcCol = concat(lit("c"),
+        (col("doc_id") / idOffset).cast("long").cast("string"))
+      def gatedDocs(df: DataFrame) = graft.operators.TextAnalysis.stats(
+          df.select(col("doc_id"), col("text"), srcCol.as("source")))
+        .where(col("quality_score") >= 0.55 && col("lang_pred") =!= "und" &&
+          col("n_tokens").between(5, 5000))
+      val histSole = Residue.pin(gatedDocs(oldDocs)
+        .groupBy(col("fingerprint"))
+        .agg(min(struct(col("doc_id"), col("text"))).as("_r"))
+        .select(col("fingerprint"), col("_r.doc_id").as("doc_id"),
+          col("_r.text").as("text")))
+      val histDir = TempDirs.create(s"graft-scale-cleanhist$f")
+      val fpDir = TempDirs.create(s"graft-scale-cleanfp$f")
+      histSole.select(col("doc_id"), col("text"))
+        .write.mode("overwrite").parquet(histDir)
+      histSole.select(col("fingerprint")).write.mode("overwrite").parquet(fpDir)
+      val cleanIdx = new graft.sources.LshBandIndex(spark,
+        TempDirs.create(s"graft-scale-cleanidx$f"), n = 3, k = 16, bands = 4)
+      cleanIdx.bootstrap(histSole.select(col("doc_id"), col("text")))
+      cleanIdx.compact(buckets = 8)
+      val histCount = histSole.count()
+      val ((admitted, verClean), tCleanIncr) = timed {
+        val deltaSole = Residue.cut(gatedDocs(delta)
+          .join(spark.read.parquet(fpDir), Seq("fingerprint"), "left_anti")
+          .groupBy(col("fingerprint"))
+          .agg(min(struct(col("doc_id"), col("text"))).as("_r"))
+          .select(col("_r.doc_id").as("doc_id"), col("_r.text").as("text"))).df
+        val pairsDir = TempDirs.create(s"graft-scale-cleansweep$f")
+        cleanIdx.sweepAndAppend(
+          spark.read.parquet(histDir).unionByName(deltaSole),
+          deltaSole, threshold = 0.8) { p =>
+          p.write.mode("overwrite").parquet(pairsDir)
+        }
+        val pairs = spark.read.parquet(pairsDir)
+        val nPairs = pairs.count()
+        val adm = deltaSole.join(
+            pairs.select(greatest(col("id_a"), col("id_b")).as("doc_id"))
+              .distinct(),
+            Seq("doc_id"), "left_anti").count()
+        (adm, nPairs)
+      }
+      emit("clean_incr_indexed", f, histCount, verClean, admitted, tCleanIncr)
+
       // Persisted IVF index (sim_ivf_indexed): the per-ingest append
       // assigns a FIXED base-corpus delta against frozen centroids —
       // cost is delta × nlist multiplies and must stay ~flat as the
@@ -353,6 +410,17 @@ object ScaleRehearsal {
       emit("ivf_indexed_bootstrap", f, ne, ne - nDelta, -1, tIvfBoot)
       val (_, tIvfAppend) = timed { ivfIdx.append(ivfDelta) }
       emit("ivf_indexed_append", f, ne, nDelta, -1, tIvfAppend)
+      // Drift guard (ivf_drift): the per-ingest maintenance check that
+      // gates every append — one map-only pass over the DELTA against the
+      // O(nlist) frozen seeds plus a single aggregate row. Cost must be
+      // delta-constant like the append itself ("candidates" = rows below
+      // the floor): a guard that grew with the corpus would never be run,
+      // and an unrun guard is how frozen-centroid indexes rot.
+      val (driftBelow, tDrift) = timed {
+        ivfIdx.driftReport(ivfDelta, cosineFloor = 0.22, maxFracBelow = 0.25)
+          .select(col("n_below")).head.getLong(0)
+      }
+      emit("ivf_drift", f, ne, driftBelow, nDelta.toLong, tDrift)
 
       // Winnowing fingerprints (dedup_winnow): min-of-window selection
       // keeps ~2/(window+1) of span hashes, and the df<=50 prune bounds

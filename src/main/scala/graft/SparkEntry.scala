@@ -494,6 +494,36 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // The IVF index's MAINTENANCE POLICY as a declared query: the drift
+    // guard that gates every ingest of a frozen-centroid index. Best-cell
+    // cosine of each delta vector against the bootstrap centroids, one
+    // report row out (n, n_below floor, fraction, reseed recommendation).
+    // The floor/threshold (0.22 / 0.25) sit inside the fixture's observed
+    // best-cosine range so both branches of the comparison are exercised.
+    "ivf_drift" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val idx = new graft.sources.IvfIndex(
+        s, Scratch.create(s, "graft-ivf-drift"), nlist = 16)
+      idx.bootstrap(emb.filter(col("vec_id") % 50 =!= 0))
+      idx.driftReport(emb.filter(col("vec_id") % 50 === 0),
+        cosineFloor = 0.22, maxFracBelow = 0.25)
+    }),
+
+    // The index's probe-cost telemetry: occupied-cell count, stored rows,
+    // hottest cell, and skew (max/mean occupied cell) over the SAME
+    // bootstrap+append lineage as sim_ivf_indexed — one aggregate over the
+    // stored (vec_id, cell) rows, embeddings never read. Skew is the
+    // probe's tail latency; the reseed rule lives on
+    // IvfIndex.balanceReport.
+    "ivf_balance" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val idx = new graft.sources.IvfIndex(
+        s, Scratch.create(s, "graft-ivf-bal"), nlist = 16)
+      idx.bootstrap(emb.filter(col("vec_id") % 50 =!= 0))
+      idx.append(emb.filter(col("vec_id") % 50 === 0))
+      idx.balanceReport
+    }),
+
     "sim_ann_topk" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       // 8 tables (recall ≈ 1-(1-p)^T doubles vs 4 at linear cost — the
@@ -3078,6 +3108,49 @@ object SparkEntry {
          |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
          |  FROM cand)
          |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // balance replay: assignment is a pure function of the vector against
+    // the frozen bootstrap seeds (the invariant sim_ivf_indexed pins), so
+    // the oracle assigns the WHOLE corpus in one pass and aggregates
+    // per-cell occupancy; integer counts cast to BIGINT for the dtype gate
+    "ivf_balance" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |seeds AS (SELECT vec_id AS cell_id, v AS cv FROM e
+         |  WHERE vec_id % 50 != 0 ORDER BY vec_id LIMIT 16),
+         |scored AS (
+         |  SELECT e.vec_id, s.cell_id, ${Oracles.cosine("e.v", "s.cv", 64)} AS cs
+         |  FROM e CROSS JOIN seeds s),
+         |assign AS (
+         |  SELECT vec_id, cell_id FROM (
+         |    SELECT vec_id, cell_id,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cell_id) AS rnk
+         |    FROM scored) WHERE rnk = 1),
+         |per AS (SELECT cell_id, count(*) AS sz FROM assign GROUP BY cell_id)
+         |SELECT CAST(count(*) AS BIGINT) AS n_cells,
+         |  CAST(sum(sz) AS BIGINT) AS n_rows,
+         |  CAST(max(sz) AS BIGINT) AS max_cell,
+         |  round(CAST(max(sz) AS DOUBLE) * count(*) / sum(sz), 6) + 0 AS skew
+         |FROM per""".stripMargin,
+
+    // drift guard replay: same frozen bootstrap seeds as sim_ivf_indexed,
+    // best-cell cosine via the shared left-fold arithmetic (identical
+    // doubles, so the `< floor` comparison matches bit-for-bit), integer
+    // counts cast to BIGINT for the pandas-hash dtype gate
+    "ivf_drift" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |seeds AS (SELECT vec_id AS cell_id, v AS cv FROM e
+         |  WHERE vec_id % 50 != 0 ORDER BY vec_id LIMIT 16),
+         |best AS (
+         |  SELECT d.vec_id, max(${Oracles.cosine("d.v", "s.cv", 64)}) AS best_cos
+         |  FROM (SELECT vec_id, v FROM e WHERE vec_id % 50 = 0) d
+         |  CROSS JOIN seeds s GROUP BY d.vec_id)
+         |SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+         |  CAST(sum(CASE WHEN best_cos < 0.22 THEN 1 ELSE 0 END) AS BIGINT) AS n_below,
+         |  round(CAST(sum(CASE WHEN best_cos < 0.22 THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / count(*), 6) + 0 AS frac_below,
+         |  CAST(sum(CASE WHEN best_cos < 0.22 THEN 1 ELSE 0 END) AS DOUBLE)
+         |    > 0.25 * count(*) AS reseed_recommended
+         |FROM best""".stripMargin,
 
     "embed_project" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

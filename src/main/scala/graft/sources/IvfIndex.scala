@@ -88,9 +88,76 @@ final class IvfIndex(spark: SparkSession, dir: String,
     store.commit("assign", ctx, 0L)
   }
 
+  /** DRIFT GUARD — the maintenance policy for frozen centroids under
+    * distribution shift. Frozen centroids keep every append CORRECT (a
+    * vector's cell is its exact argmax-cosine cell forever), but if the
+    * ingest distribution drifts away from the bootstrap corpus, shifted
+    * vectors land far from EVERY centroid: cells skew, probe candidate
+    * lists bloat, and recall decays even though no assignment is wrong.
+    *
+    * The guard measures that directly: the fraction of `delta` whose
+    * best-cell cosine falls below `cosineFloor`. One row out,
+    * O(delta × nlist) multiplies — a map-only pass plus one aggregate,
+    * the same cost shape as the append itself, so it is cheap to run on
+    * EVERY ingest.
+    *
+    * THE RULE (scaladoc'd policy, spec-pinned in `SimilaritySpec`): run
+    * `driftReport` on each delta BEFORE [[append]]; if
+    * `reseed_recommended` (frac_below > maxFracBelow), do NOT keep
+    * appending — REBUILD into a fresh index root re-seeded from the
+    * combined corpus (a new lineage, like a new bookmark context), then
+    * retire the old root. Never mutate centroids in place: readers of
+    * the old root stay consistent until the cutover.
+    *
+    * Empty delta yields n_vectors = 0 with NULL frac/recommendation —
+    * callers gate ingests on non-empty deltas (bookmark semantics).
+    */
+  def driftReport(delta: DataFrame, cosineFloor: Double,
+                  maxFracBelow: Double): DataFrame = {
+    val ss = seeds
+    delta
+      .select(greatest(scored(ss)(col("embedding")): _*)
+        .getField("cs").as("best_cos"))
+      .agg(count(lit(1)).as("n_vectors"),
+        sum(when(col("best_cos") < cosineFloor, 1L).otherwise(0L)).as("n_below"))
+      .select(col("n_vectors"), col("n_below"),
+        round(col("n_below").cast("double") / col("n_vectors"), 6).as("frac_below"),
+        (col("n_below").cast("double") >
+          lit(maxFracBelow) * col("n_vectors").cast("double"))
+          .as("reseed_recommended"))
+  }
+
+  /** Cell-occupancy balance report — the PROBE-cost counterpart of
+    * [[driftReport]]. Drift guards what the INGEST distribution does to
+    * assignment quality; balance guards what accumulated assignments do
+    * to probe cost: a probe of `nprobe` cells scans the rows of the
+    * cells it hits, so one hot cell makes every query that probes it pay
+    * its size — skew IS the tail latency of the index. `skew` = max
+    * occupied-cell size over mean occupied-cell size (1.0 = perfectly
+    * even); cells nothing was ever assigned to cost a probe nothing and
+    * are excluded. One aggregate over the stored (vec_id, cell) rows —
+    * never touches embeddings.
+    *
+    * Maintenance rule: sustained skew growth across ingests (hot cells
+    * absorbing drifted mass) is the same rebuild trigger as
+    * [[driftReport]]'s — re-seed into a new lineage; a salting split of
+    * the hot cell would change assignment semantics and is deliberately
+    * not offered here.
+    */
+  def balanceReport: DataFrame =
+    assignmentsDf.groupBy(col("cell")).agg(count(lit(1)).as("sz"))
+      .agg(count(lit(1)).as("n_cells"), sum(col("sz")).as("n_rows"),
+        max(col("sz")).as("max_cell"))
+      .select(col("n_cells"), col("n_rows"), col("max_cell"),
+        round(col("max_cell").cast("double") * col("n_cells") / col("n_rows"), 6)
+          .as("skew"))
+
   /** One incremental ingest: assign ONLY `delta` against the frozen
     * centroids and append it as the next committed generation. Cost is
     * delta × nlist multiplies — nothing touches the stored corpus.
+    * Maintenance policy: gate each ingest with [[driftReport]] (ingest
+    * drift) and watch [[balanceReport]] (probe-cost skew) — see the
+    * reseed rules there.
     */
   def append(delta: DataFrame): Unit = {
     val g = committedGen

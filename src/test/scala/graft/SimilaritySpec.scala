@@ -143,6 +143,38 @@ class SimilaritySpec extends SparkSuite {
     assert(recall >= 0.8, f"int8 recall collapsed: $recall%.2f")
   }
 
+  test("IVF drift guard: self-distribution delta passes, shifted delta trips the reseed rule") {
+    // Pins the maintenance policy scaladoc'd on IvfIndex.driftReport: a
+    // delta near the frozen centroids reports frac_below 0 / no reseed; a
+    // delta the centroids cannot represent (zero-norm vectors score the
+    // guard's exact 0.0 against EVERY cell — the maximal shift) reports
+    // frac_below 1.0 and recommends the rebuild-into-new-lineage path.
+    val idx = new graft.sources.IvfIndex(
+      spark, Scratch.create(spark, "spec-ivf-drift"), nlist = 16)
+    val boot = corpus.filter(col("vec_id") % 50 =!= 0)
+    idx.bootstrap(boot)
+    // delta drawn from the centroids themselves: best-cell cosine is ~1
+    val selfDelta = boot.orderBy(col("vec_id")).limit(16)
+      .select((col("vec_id") + 100000).as("vec_id"), col("embedding"))
+    val ok = idx.driftReport(selfDelta, cosineFloor = 0.9, maxFracBelow = 0.25)
+      .as[(Long, Long, Double, Boolean)].head()
+    assert(ok == ((16L, 0L, 0.0, false)))
+    val shifted = spark.range(8).select(col("id").as("vec_id"),
+      typedlit(Seq.fill(64)(0.0f)).as("embedding"))
+    val bad = idx.driftReport(shifted, cosineFloor = 0.9, maxFracBelow = 0.25)
+      .as[(Long, Long, Double, Boolean)].head()
+    assert(bad == ((8L, 8L, 1.0, true)))
+    // balance telemetry over the same lineage: stored rows account for the
+    // whole bootstrap corpus, the hottest cell is at least the mean
+    // (so skew >= 1), and every occupied cell is one of the 16 seeds' ids
+    val (nCells, nRows, maxCell, skew) =
+      idx.balanceReport.as[(Long, Long, Long, Double)].head()
+    assert(nRows == boot.count())
+    assert(nCells >= 1L && nCells <= 16L)
+    assert(maxCell * nCells >= nRows, "max cell below the mean is impossible")
+    assert(skew >= 1.0)
+  }
+
   test("IVF auto recall gate: >= 0.9 vs brute force; an injected sizing bug trips it") {
     // The rehearsals MEASURE recall (IVF 1.00 at 1x/10x) but until now no
     // spec FAILED if a code change silently degraded it (r7 verdict #6).
