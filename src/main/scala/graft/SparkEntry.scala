@@ -1520,6 +1520,50 @@ object SparkEntry {
       out
     }),
 
+    // Partition-level restatement via DYNAMIC partition overwrite — the
+    // pattern for correcting a slice of a 100 TB day-partitioned table:
+    // the initial load lands the corpus partitioned by event day
+    // (repartitioned BY the partition key first, so each day is one
+    // task's files, not cpus × days small files); the correction run
+    // re-derives ONLY the last two days (a late data-quality fix dropping
+    // 'error' rows) and rewrites exactly those two partitions — untouched
+    // days keep their original files byte-for-byte. Static overwrite here
+    // is the scale-killer (truncates the whole table to restate 2 days);
+    // the other gotcha is documented below: a restatement that EMPTIES a
+    // partition leaves the old files standing (dynamic mode only replaces
+    // partitions present in the write) and needs an explicit delete.
+    // The restated-day list is a 2-row collect of partition keys —
+    // O(partitions) driver metadata, like a bookmark read.
+    "partition_overwrite" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+      val out = Scratch.create(s, "graft-dynpart")
+      val prev = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      try {
+        s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        ev.repartition(col("day"))
+          .write.mode("overwrite").partitionBy("day").parquet(out)
+        val last2 = ev.select(col("day")).distinct()
+          .orderBy(col("day").desc).limit(2).collect().map(_.getString(0)).toSeq
+        ev.filter(col("day").isin(last2: _*) && col("event_type") =!= "error")
+          .repartition(col("day"))
+          .write.mode("overwrite").partitionBy("day").parquet(out)
+      } finally {
+        prev match {
+          case Some(v) => s.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+          case None => s.conf.unset("spark.sql.sources.partitionOverwriteMode")
+        }
+      }
+      // partition-column type inference would read `day` back as DATE;
+      // cast pins the declared schema to the oracle's VARCHAR
+      s.read.parquet(out)
+        .groupBy(col("day").cast("string").as("day"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("event_type")).as("n_types"),
+          min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"))
+        .orderBy(col("day"))
+    }),
+
     // Schema evolution: two parquet snapshots with different schemas
     // (v2 adds o_orderstatus) merged by one mergeSchema read; old rows
     // surface NULL for the added column and both generations aggregate
@@ -4181,6 +4225,24 @@ object SparkEntry {
         |UNION ALL
         |SELECT 'before', CAST(64 AS BIGINT), count(*), round(sum(value), 2)
         |FROM events ORDER BY phase""".stripMargin,
+
+    // restatement replay: the final table is every pre-cutoff row plus
+    // the corrected (error-free) rows of the two restated days — exactly
+    // what dynamic overwrite leaves on disk
+    "partition_overwrite" ->
+      """WITH ev AS (
+        |  SELECT strftime(ts, '%Y-%m-%d') AS day, event_type, event_id FROM events),
+        |last2 AS (SELECT DISTINCT day FROM ev ORDER BY day DESC LIMIT 2),
+        |final AS (
+        |  SELECT * FROM ev WHERE day NOT IN (SELECT day FROM last2)
+        |  UNION ALL
+        |  SELECT * FROM ev
+        |  WHERE day IN (SELECT day FROM last2) AND event_type != 'error')
+        |SELECT day, count(*) AS n_events,
+        |  CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+        |  CAST(min(event_id) AS BIGINT) AS min_id,
+        |  CAST(max(event_id) AS BIGINT) AS max_id
+        |FROM final GROUP BY day ORDER BY day""".stripMargin,
 
     "schema_evolution" ->
       """WITH m AS (

@@ -36,6 +36,49 @@ class LayoutSpec extends SparkSuite {
     }
   }
 
+  test("dynamic partition overwrite: restated partitions replaced, others byte-identical") {
+    // The partition_overwrite declared query's structural claim: the
+    // correction write replaces ONLY the partitions present in it.
+    val root = Files.createTempDirectory("graft-dynpart-spec").toString + "/t"
+    val ev = Tables.events(spark, sf)
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    try {
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      ev.repartition(col("day")).write.mode("overwrite")
+        .partitionBy("day").parquet(root)
+      val days = ev.select(col("day")).distinct()
+        .orderBy(col("day").desc).as[String].collect()
+      val (restated, untouchedDay) = (days.take(2).toSeq, days.last)
+      def listing(day: String): Seq[(String, Long)] = {
+        val d = new java.io.File(s"$root/day=$day")
+        d.listFiles().filter(_.getName.startsWith("part-"))
+          .map(f => (f.getName, f.lastModified())).toSeq.sorted
+      }
+      val before = listing(untouchedDay)
+      val beforeRestated = listing(restated.head)
+      ev.filter(col("day").isin(restated: _*) && col("event_type") =!= "error")
+        .repartition(col("day")).write.mode("overwrite")
+        .partitionBy("day").parquet(root)
+      assert(listing(untouchedDay) == before,
+        "an untouched partition's files must survive the correction write")
+      assert(listing(restated.head) != beforeRestated,
+        "a restated partition must have been rewritten")
+      val back = spark.read.parquet(root)
+        .withColumn("day", col("day").cast("string"))
+      assert(back.filter(col("day").isin(restated: _*) &&
+        col("event_type") === "error").isEmpty, "corrected days keep no error rows")
+      assert(back.filter(!col("day").isin(restated: _*) &&
+        col("event_type") === "error").count() > 0,
+        "uncorrected days keep their error rows")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+    }
+  }
+
   test("zorder interleaves bits: bit b of cell i lands at b*n + i") {
     val got = Seq(1).toDF("x")
       .select(Layout.zorder(2, lit(3L), lit(2L)).as("z"))
