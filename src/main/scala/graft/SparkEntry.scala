@@ -763,6 +763,48 @@ object SparkEntry {
         .orderBy(col("bucket"), col("batch_in_bucket"), col("doc_id"))
     }),
 
+    // Conjunctive search through the PERSISTED inverted index
+    // (sources/InvertedIndex): the corpus is tokenized once into term
+    // postings, compacted into ONE bucketed table SORTED BY term — the
+    // query's pushed `term IN (...)` filter prunes the scan to the row
+    // groups holding those terms (a distributed index seek), and the AND
+    // is a doc_id aggregation over posting-sized data. Documents are
+    // never read at query time.
+    "text_search" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val idx = new graft.sources.InvertedIndex(s, Scratch.create(s, "graft-inv-idx"))
+      idx.bootstrap(docs)
+      idx.compact(buckets = 8)
+      idx.conjunctive(Seq("dup", "vector")).orderBy(col("doc_id"))
+    }),
+
+    // Adjacency phrase search ("key order") from the SAME index: position
+    // lists make the phrase an |shift(pos_a) ∩ pos_b| intersection of two
+    // pruned posting scans joined on doc_id — a pure index operation, no
+    // document text touched.
+    "text_phrase" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val idx = new graft.sources.InvertedIndex(s, Scratch.create(s, "graft-inv-idx-ph"))
+      idx.bootstrap(docs)
+      idx.compact(buckets = 8)
+      idx.phrase("key", "order").orderBy(col("doc_id"))
+    }),
+
+    // The incremental ingest path: bootstrap the first half, append the
+    // second half as a delta generation (ONLY the delta is tokenized —
+    // per-ingest cost is delta-shaped, the committed corpus is never
+    // re-read), query across compaction + tail. Result is identical to
+    // text_search over the full corpus — the generation union is exact.
+    "text_search_incr" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val cut = 250L
+      val idx = new graft.sources.InvertedIndex(s, Scratch.create(s, "graft-inv-idx-incr"))
+      idx.bootstrap(docs.filter(col("doc_id") < cut))
+      idx.compact(buckets = 8)
+      idx.append(docs.filter(col("doc_id") >= cut))
+      idx.conjunctive(Seq("dup", "vector")).orderBy(col("doc_id"))
+    }),
+
     // Top TF-IDF terms per document: map-side-combined (doc, term)
     // counts, broadcast vocabulary join, per-doc top-k window.
     "tfidf_terms" -> ((s, dir) => {
@@ -3618,6 +3660,51 @@ object SparkEntry {
          |SELECT d.src AS node, d.out_deg, r$iters.score
          |FROM deg d JOIN r$iters ON d.src = r$iters.node ORDER BY node""".stripMargin
     },
+
+    // conjunctive index search replay: tf per (doc, query term), AND =
+    // both terms present, rank = summed tf
+    "text_search" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(${Oracles.tokens("lower(text)")}) AS term
+         |  FROM documents),
+         |tf AS (
+         |  SELECT doc_id, term, count(*) AS tf FROM toks
+         |  WHERE term IN ('dup', 'vector') GROUP BY 1, 2),
+         |hit AS (
+         |  SELECT doc_id, count(DISTINCT term) AS m, sum(tf) AS s
+         |  FROM tf GROUP BY 1)
+         |SELECT doc_id, CAST(s AS BIGINT) AS tf_sum FROM hit
+         |WHERE m = 2 ORDER BY doc_id""".stripMargin,
+
+    // adjacency phrase replay: 1-based token positions via range() over
+    // the token list, adjacency = a.pos + 1 = b.pos
+    "text_phrase" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, ${Oracles.tokens("lower(text)")} AS tk FROM documents),
+         |px AS (
+         |  SELECT doc_id, tk, unnest(range(1, length(tk) + 1)) AS pos FROM tok),
+         |terms AS (
+         |  SELECT doc_id, CAST(pos AS INT) AS pos, tk[CAST(pos AS INT)] AS term
+         |  FROM px)
+         |SELECT a.doc_id, CAST(count(*) AS INT) AS n_occurrences
+         |FROM terms a JOIN terms b
+         |  ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+         |WHERE a.term = 'key' AND b.term = 'order'
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // incremental ingest must be exactly the full-corpus search result
+    "text_search_incr" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(${Oracles.tokens("lower(text)")}) AS term
+         |  FROM documents),
+         |tf AS (
+         |  SELECT doc_id, term, count(*) AS tf FROM toks
+         |  WHERE term IN ('dup', 'vector') GROUP BY 1, 2),
+         |hit AS (
+         |  SELECT doc_id, count(DISTINCT term) AS m, sum(tf) AS s
+         |  FROM tf GROUP BY 1)
+         |SELECT doc_id, CAST(s AS BIGINT) AS tf_sum FROM hit
+         |WHERE m = 2 ORDER BY doc_id""".stripMargin,
 
     "tfidf_terms" ->
       s"""WITH toks AS (

@@ -1,0 +1,189 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, IntegerType, LongType, StringType, StructField, StructType}
+
+/** PERSISTED inverted text index — term postings with positions, the third
+  * member of the persisted-index family ([[LshBandIndex]] bands,
+  * [[IvfIndex]] cells). A 100 TB corpus is tokenized exactly once, ever:
+  * each ingest tokenizes ONLY its delta and appends the delta's postings as
+  * the next committed generation; queries read postings, never documents.
+  *
+  * Layout and commit discipline mirror [[LshBandIndex]]: posting rows live
+  * in sequential generation directories `gen-0..gen-G` under one committed
+  * watermark advanced by an atomic properties-file rename ([[BookmarkStore]],
+  * the job-bookmark mechanism of SURVEY §2 S1 — cf.
+  * `reference/glue_rds_to_redshift.py:27-34`'s bookmark contract). A crashed
+  * append leaves an uncommitted `gen-(G+1)` readers never see. [[compact]]
+  * folds all generations into ONE bucketed table CLUSTERED AND SORTED BY
+  * `term`: sorted row groups give the parquet scan tight min/max `term`
+  * statistics, so a k-term query's pushed `term IN (...)` predicate prunes
+  * the scan to the row groups actually holding those terms — the
+  * distributed analogue of an index seek. Query cost is therefore
+  * posting-length-shaped (the documents containing the query terms), never
+  * corpus-shaped.
+  *
+  * Postings carry in-document token positions (`positions`, 1-based), so
+  * the index answers BOTH conjunctive (AND) queries and adjacency phrase
+  * queries without touching document text. Position lists are per-(term,
+  * doc) integer arrays — the classic posting-entry shape; at 100 TB they
+  * dominate index size and would be delta-encoded, which changes storage,
+  * not this plan.
+  */
+final class InvertedIndex(spark: SparkSession, dir: String) {
+
+  private val store = new BookmarkStore(dir)
+  private val ctx = "inverted_index"
+  private def genDir(g: Long) = s"$dir/gen-$g"
+
+  /** Highest committed generation; -1 = empty index. */
+  def committedGen: Long = store.get("postings", ctx).getOrElse(-1L)
+
+  /** Highest generation folded into the bucketed compaction; -1 = none. */
+  def compactedThrough: Long = store.get("compacted", ctx).getOrElse(-1L)
+
+  // bucket count keyed BY GENERATION (see LshBandIndex.compactedBuckets:
+  // a crashed later compact() must not re-pair old files with a new count)
+  private def compactedBuckets(g: Long): Int =
+    store.get(s"compacted_buckets_$g", ctx).getOrElse(8L).toInt
+
+  private[graft] def tableName: String =
+    "graft_inv_idx_" + java.lang.Integer.toHexString(dir.hashCode)
+  private def compactDir(g: Long) = s"$dir/compacted-$g"
+
+  private val postingSchema = StructType(Seq(
+    StructField("term", StringType), StructField("doc_id", LongType),
+    StructField("tf", IntegerType),
+    StructField("positions", ArrayType(IntegerType, containsNull = false))))
+
+  private def emptyPostings: DataFrame = spark.createDataFrame(
+    spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], postingSchema)
+
+  /** Tokenize `docs` (doc_id, text) into posting rows. One wide transform:
+    * whitespace tokens (the [[graft.functions.GraftFunctions.tokens]]
+    * contract the whole text family shares), positional explode, then a
+    * single (term, doc_id) aggregation — the only shuffle, keyed on the
+    * index's own storage key. Positions are 1-based token offsets.
+    */
+  def postingsOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        posexplode(graft.functions.GraftFunctions.tokens(lower(col("text")))))
+      .groupBy(col("col").as("term"), col("doc_id"))
+      .agg(count(lit(1)).cast("int").as("tf"),
+        sort_array(collect_list((col("pos") + 1).cast("int"))).as("positions"))
+
+  private def compactedDf(g: Long): DataFrame = {
+    if (!spark.catalog.tableExists(tableName)) {
+      spark.sql(
+        s"""CREATE TABLE $tableName
+           |(term STRING, doc_id BIGINT, tf INT, positions ARRAY<INT>)
+           |USING parquet
+           |CLUSTERED BY (term) SORTED BY (term) INTO ${compactedBuckets(g)} BUCKETS
+           |LOCATION '${compactDir(g)}'""".stripMargin)
+    }
+    spark.table(tableName)
+  }
+
+  /** Every committed posting row: the bucketed compaction (if any) plus the
+    * parquet tail generations appended since. Same no-spurious-union rule
+    * as [[LshBandIndex.bandsDf]]: a union with an empty tail would erase
+    * the compacted scan's bucket spec.
+    */
+  def postingsDf: DataFrame = {
+    val g = committedGen
+    val c = compactedThrough
+    if (c < 0 && g < 0) emptyPostings
+    else if (c < 0)
+      spark.read.schema(postingSchema).parquet((0L to g).map(genDir): _*)
+    else if (g <= c) compactedDf(c)
+    else compactedDf(c).unionByName(
+      spark.read.schema(postingSchema).parquet(((c + 1) to g).map(genDir): _*))
+  }
+
+  private def writeGen(g: Long, rows: DataFrame): Unit =
+    rows.select(col("term").cast("string"), col("doc_id").cast("long"),
+        col("tf").cast("int"), col("positions").cast("array<int>"))
+      .write.mode("overwrite").parquet(genDir(g))
+
+  /** First ingest: index `docs` and commit generation 0. Idempotent. */
+  def bootstrap(docs: DataFrame): Unit = if (committedGen < 0) {
+    writeGen(0L, postingsOf(docs))
+    store.commit("postings", ctx, 0L)
+  }
+
+  /** One incremental ingest: tokenize ONLY `delta` and append its postings
+    * as the next committed generation (write first, watermark after — a
+    * crash leaves an invisible orphan). Per-ingest cost is delta-shaped;
+    * the committed corpus is never re-tokenized.
+    */
+  def append(delta: DataFrame): Unit = {
+    val next = committedGen + 1
+    writeGen(next, postingsOf(delta))
+    store.commit("postings", ctx, next)
+  }
+
+  /** Fold every committed generation into ONE bucketed table sorted by
+    * `term` (see class doc: sorted row-group stats make the query's term
+    * filter a scan-pruning index seek; co-located buckets keep any
+    * term-keyed maintenance join exchange-free). Commit-ordering and
+    * superseded-storage cleanup mirror [[LshBandIndex.compact]].
+    */
+  def compact(buckets: Int = 8): Unit = {
+    val g = committedGen
+    require(g >= 0, "nothing to compact: the index is empty")
+    if (compactedThrough == g) return
+    val all = postingsDf
+    spark.sql(s"DROP TABLE IF EXISTS $tableName")
+    val target = new org.apache.hadoop.fs.Path(compactDir(g))
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(target)) fs.delete(target, true)
+    all.write.mode("overwrite").format("parquet")
+      .option("path", compactDir(g))
+      .bucketBy(buckets, "term").sortBy("term")
+      .saveAsTable(tableName)
+    val prevCompacted = compactedThrough
+    store.commit(s"compacted_buckets_$g", ctx, buckets.toLong)
+    store.commit("compacted", ctx, g)
+    (math.max(prevCompacted + 1, 0L) to g).foreach { i =>
+      val p = new org.apache.hadoop.fs.Path(genDir(i))
+      try { if (fs.exists(p)) fs.delete(p, true) } catch { case _: Throwable => () }
+    }
+    if (prevCompacted >= 0) {
+      val p = new org.apache.hadoop.fs.Path(compactDir(prevCompacted))
+      try { if (fs.exists(p)) fs.delete(p, true) } catch { case _: Throwable => () }
+    }
+  }
+
+  /** Conjunctive (AND) query: documents containing ALL of `terms`, with
+    * the summed term frequency as the rank signal. One pruned posting
+    * scan, one doc_id aggregation over posting-sized data — the corpus is
+    * never read.
+    */
+  def conjunctive(terms: Seq[String]): DataFrame = {
+    require(terms.nonEmpty, "conjunctive query needs at least one term")
+    postingsDf.filter(col("term").isin(terms: _*))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("term")).as("_matched"),
+        sum(col("tf")).cast("long").as("tf_sum"))
+      .filter(col("_matched") === terms.distinct.size)
+      .select(col("doc_id"), col("tf_sum"))
+  }
+
+  /** Adjacency phrase query `"a b"`: documents where some occurrence of
+    * `a` is immediately followed by `b`, with the occurrence count. The
+    * position lists make this a pure index operation: two pruned posting
+    * scans joined on doc_id, adjacency = |shift(positions_a) ∩ positions_b|.
+    */
+  def phrase(a: String, b: String): DataFrame = {
+    val pa = postingsDf.filter(col("term") === a)
+      .select(col("doc_id"), col("positions").as("pa"))
+    val pb = postingsDf.filter(col("term") === b)
+      .select(col("doc_id"), col("positions").as("pb"))
+    pa.join(pb, Seq("doc_id"))
+      .select(col("doc_id"),
+        size(array_intersect(transform(col("pa"), p => p + 1), col("pb")))
+          .cast("int").as("n_occurrences"))
+      .filter(col("n_occurrences") > 0)
+  }
+}

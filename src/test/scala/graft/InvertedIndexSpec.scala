@@ -1,0 +1,144 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions
+import graft.sources.InvertedIndex
+
+/** The persisted inverted index must answer exactly what a brute-force
+  * scan of the documents answers (conjunctive AND, adjacency phrase),
+  * across bootstrap, compaction, and incremental appends — while never
+  * exposing an uncommitted generation and pruning query scans by term.
+  */
+class InvertedIndexSpec extends SparkSuite {
+
+  private def docs = Tables.documents(spark, sf)
+    .select(col("doc_id"), col("text"))
+
+  /** Brute-force conjunctive, formulated WITHOUT the posting pipeline:
+    * per-term tf via size(filter(tokens)), AND via both > 0.
+    */
+  private def bruteConjunctive(a: String, b: String): Seq[(Long, Long)] =
+    docs.select(col("doc_id"),
+        GraftFunctions.tokens(lower(col("text"))).as("tk"))
+      .select(col("doc_id"),
+        size(filter(col("tk"), t => t === a)).as("ta"),
+        size(filter(col("tk"), t => t === b)).as("tb"))
+      .filter(col("ta") > 0 && col("tb") > 0)
+      .select(col("doc_id"), (col("ta") + col("tb")).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+
+  /** Brute-force phrase via posexplode self-join adjacency (b.pos = a.pos+1)
+    * — a different formulation than the index's position-list intersect.
+    */
+  private def brutePhrase(a: String, b: String): Seq[(Long, Int)] = {
+    val terms = docs.select(col("doc_id"),
+      posexplode(GraftFunctions.tokens(lower(col("text")))))
+    terms.as("x").join(terms.as("y"),
+        col("x.doc_id") === col("y.doc_id") &&
+          col("y.pos") === col("x.pos") + 1)
+      .filter(col("x.col") === a && col("y.col") === b)
+      .groupBy(col("x.doc_id").as("doc_id"))
+      .agg(count(lit(1)).cast("int").as("n"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq.sorted
+  }
+
+  private def got(df: DataFrame): Seq[(Long, Long)] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+
+  test("conjunctive and phrase equal the brute-force document scan") {
+    val idx = new InvertedIndex(spark, TempDirs.create("inv-idx-spec"))
+    idx.bootstrap(docs)
+    val conj = got(idx.conjunctive(Seq("dup", "vector")))
+    assert(conj.nonEmpty)
+    assert(conj === bruteConjunctive("dup", "vector"))
+    val ph = idx.phrase("key", "order").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSeq.sorted
+    assert(ph.nonEmpty)
+    assert(ph === brutePhrase("key", "order"))
+  }
+
+  test("incremental append equals the full bootstrap (generation union is exact)") {
+    val full = new InvertedIndex(spark, TempDirs.create("inv-idx-full"))
+    full.bootstrap(docs)
+    val incr = new InvertedIndex(spark, TempDirs.create("inv-idx-incr"))
+    incr.bootstrap(docs.filter(col("doc_id") % 3 === 0))
+    incr.append(docs.filter(col("doc_id") % 3 === 1))
+    incr.append(docs.filter(col("doc_id") % 3 === 2))
+    assert(incr.committedGen === 2L)
+    assert(got(incr.conjunctive(Seq("dup", "vector"))) ===
+      got(full.conjunctive(Seq("dup", "vector"))))
+    assert(incr.postingsDf.count() === full.postingsDf.count())
+  }
+
+  test("an uncommitted generation directory is invisible to readers") {
+    val dir = TempDirs.create("inv-idx-orphan")
+    val idx = new InvertedIndex(spark, dir)
+    idx.bootstrap(docs.filter(col("doc_id") < 100))
+    val committedRows = idx.postingsDf.count()
+    // simulate a crash mid-append: gen-1 parquet exists, watermark doesn't
+    idx.postingsOf(docs.filter(col("doc_id") >= 100))
+      .write.mode("overwrite").parquet(s"$dir/gen-1")
+    assert(idx.committedGen === 0L)
+    assert(idx.postingsDf.count() === committedRows)
+    // the next append overwrites the orphan and commits atomically
+    idx.append(docs.filter(col("doc_id") >= 100))
+    assert(idx.committedGen === 1L)
+  }
+
+  test("compact preserves results and counts; catalog survives re-registration") {
+    val idx = new InvertedIndex(spark, TempDirs.create("inv-idx-compact"))
+    idx.bootstrap(docs.filter(col("doc_id") < 250))
+    val before = got(idx.conjunctive(Seq("dup", "vector")))
+    val rows = idx.postingsDf.count()
+    idx.compact(buckets = 4)
+    assert(idx.compactedThrough === 0L)
+    assert(idx.postingsDf.count() === rows)
+    assert(got(idx.conjunctive(Seq("dup", "vector"))) === before)
+    // appends keep working on top of the compaction (tail generation)
+    idx.append(docs.filter(col("doc_id") >= 250))
+    assert(got(idx.conjunctive(Seq("dup", "vector"))) ===
+      bruteConjunctive("dup", "vector"))
+    // a fresh session's catalog re-registers the external bucketed table
+    spark.sql(s"DROP TABLE IF EXISTS ${idx.tableName}")
+    assert(idx.postingsDf.count() === rows +
+      idx.postingsOf(docs.filter(col("doc_id") >= 250)).count())
+  }
+
+  test("a query's term filter is pushed into the compacted parquet scan") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val idx = new InvertedIndex(spark, TempDirs.create("inv-idx-prune"))
+    idx.bootstrap(docs)
+    idx.compact(buckets = 4)
+    val q = idx.conjunctive(Seq("dup", "vector"))
+    q.collect()
+    // QueryStageExec is a leaf wrapper around materialized AQE stages —
+    // recurse through it or post-execution scans are invisible
+    def collectRec[T](p: SparkPlan)(f: PartialFunction[SparkPlan, T]): Seq[T] =
+      p.collect {
+        case a: AdaptiveSparkPlanExec => collectRec(a.executedPlan)(f)
+        case qs: QueryStageExec => collectRec(qs.plan)(f)
+        case n if f.isDefinedAt(n) => Seq(f(n))
+      }.flatten
+    val scans = collectRec(q.queryExecution.executedPlan) {
+      case s: FileSourceScanExec => s
+    }
+    assert(scans.nonEmpty)
+    // the IN(term) predicate must reach the parquet reader: with the
+    // compaction SORTED BY term, that is what makes the probe an index
+    // seek (row-group min/max pruning) instead of a corpus scan
+    val pushed = scans.map(_.metadata.getOrElse("PushedFilters", "")).mkString
+    assert(pushed.contains("In(term"), pushed)
+  }
+
+  test("bootstrap is idempotent") {
+    val idx = new InvertedIndex(spark, TempDirs.create("inv-idx-idem"))
+    idx.bootstrap(docs.filter(col("doc_id") < 100))
+    val rows = idx.postingsDf.count()
+    idx.bootstrap(docs) // second bootstrap must be a no-op
+    assert(idx.committedGen === 0L)
+    assert(idx.postingsDf.count() === rows)
+  }
+}
