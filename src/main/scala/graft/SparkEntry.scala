@@ -805,6 +805,19 @@ object SparkEntry {
       idx.conjunctive(Seq("dup", "vector")).orderBy(col("doc_id"))
     }),
 
+    // BM25 ranked retrieval from the persisted index: reads ONLY the two
+    // query terms' postings (pruned scan) plus the O(1) committed corpus
+    // stats (n_docs / total_len live in generation-keyed bookmark slots —
+    // a ranked query never scans the corpus to learn its size). df comes
+    // from the pruned postings via a terms-sized broadcast join.
+    "text_bm25" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val idx = new graft.sources.InvertedIndex(s, Scratch.create(s, "graft-inv-idx-bm"))
+      idx.bootstrap(docs)
+      idx.compact(buckets = 8)
+      idx.bm25(Seq("dup", "vector"), 15).orderBy(col("doc_id"))
+    }),
+
     // Top TF-IDF terms per document: map-side-combined (doc, term)
     // counts, broadcast vocabulary join, per-doc top-k window.
     "tfidf_terms" -> ((s, dir) => {
@@ -3705,6 +3718,31 @@ object SparkEntry {
          |  FROM tf GROUP BY 1)
          |SELECT doc_id, CAST(s AS BIGINT) AS tf_sum FROM hit
          |WHERE m = 2 ORDER BY doc_id""".stripMargin,
+
+    // BM25 replay (k1=1.2, b=0.75): every double op in the same
+    // association order as InvertedIndex.bm25, so scores are bit-identical
+    "text_bm25" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, ${Oracles.tokens("lower(text)")} AS tk FROM documents),
+         |meta AS (
+         |  SELECT count(*) AS n, CAST(sum(length(tk)) AS DOUBLE) / count(*) AS avgdl
+         |  FROM tok),
+         |toks AS (
+         |  SELECT doc_id, length(tk) AS doc_len, unnest(tk) AS term FROM tok),
+         |tf AS (
+         |  SELECT doc_id, term, count(*) AS tf, any_value(doc_len) AS doc_len
+         |  FROM toks WHERE term IN ('dup', 'vector') GROUP BY 1, 2),
+         |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |scored AS (
+         |  SELECT tf.doc_id,
+         |    sum(ln(1.0 + (meta.n - dfreq.df + 0.5) / (dfreq.df + 0.5)) *
+         |        ((tf.tf * 2.2) /
+         |         (tf.tf + 1.2 * (0.25 + 0.75 * (tf.doc_len / meta.avgdl))))) AS score
+         |  FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN meta
+         |  GROUP BY 1),
+         |top AS (
+         |  SELECT doc_id, score FROM scored ORDER BY score DESC, doc_id LIMIT 15)
+         |SELECT doc_id, round(score, 4) AS score FROM top ORDER BY doc_id""".stripMargin,
 
     "tfidf_terms" ->
       s"""WITH toks AS (

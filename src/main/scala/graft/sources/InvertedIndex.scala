@@ -55,7 +55,8 @@ final class InvertedIndex(spark: SparkSession, dir: String) {
   private val postingSchema = StructType(Seq(
     StructField("term", StringType), StructField("doc_id", LongType),
     StructField("tf", IntegerType),
-    StructField("positions", ArrayType(IntegerType, containsNull = false))))
+    StructField("positions", ArrayType(IntegerType, containsNull = false)),
+    StructField("doc_len", IntegerType)))
 
   private def emptyPostings: DataFrame = spark.createDataFrame(
     spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], postingSchema)
@@ -68,16 +69,18 @@ final class InvertedIndex(spark: SparkSession, dir: String) {
     */
   def postingsOf(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
-        posexplode(graft.functions.GraftFunctions.tokens(lower(col("text")))))
+        graft.functions.GraftFunctions.tokens(lower(col("text"))).as("tk"))
+      .select(col("doc_id"), size(col("tk")).as("doc_len"), posexplode(col("tk")))
       .groupBy(col("col").as("term"), col("doc_id"))
       .agg(count(lit(1)).cast("int").as("tf"),
-        sort_array(collect_list((col("pos") + 1).cast("int"))).as("positions"))
+        sort_array(collect_list((col("pos") + 1).cast("int"))).as("positions"),
+        first(col("doc_len")).cast("int").as("doc_len"))
 
   private def compactedDf(g: Long): DataFrame = {
     if (!spark.catalog.tableExists(tableName)) {
       spark.sql(
         s"""CREATE TABLE $tableName
-           |(term STRING, doc_id BIGINT, tf INT, positions ARRAY<INT>)
+           |(term STRING, doc_id BIGINT, tf INT, positions ARRAY<INT>, doc_len INT)
            |USING parquet
            |CLUSTERED BY (term) SORTED BY (term) INTO ${compactedBuckets(g)} BUCKETS
            |LOCATION '${compactDir(g)}'""".stripMargin)
@@ -103,12 +106,36 @@ final class InvertedIndex(spark: SparkSession, dir: String) {
 
   private def writeGen(g: Long, rows: DataFrame): Unit =
     rows.select(col("term").cast("string"), col("doc_id").cast("long"),
-        col("tf").cast("int"), col("positions").cast("array<int>"))
+        col("tf").cast("int"), col("positions").cast("array<int>"),
+        col("doc_len").cast("int"))
       .write.mode("overwrite").parquet(genDir(g))
+
+  // BM25 needs two corpus-wide scalars (doc count, total token count);
+  // reading them from postings would make every ranked query corpus-
+  // shaped. They are instead maintained as O(1) driver-side metadata in
+  // generation-keyed slots (like compacted_buckets_g): each ingest
+  // commits the CUMULATIVE stats into its own generation's slot before
+  // the watermark advances, so readers key by committedGen and a crashed
+  // append's slot is invisible — same crash-consistency as the postings.
+  private def statsOf(docs: DataFrame): (Long, Long) = {
+    val r = docs.select(count(lit(1)),
+      sum(size(graft.functions.GraftFunctions.tokens(lower(col("text")))))).head()
+    (r.getLong(0), r.getLong(1))
+  }
+
+  /** Committed (n_docs, total token count) — O(1) metadata reads. */
+  def corpusStats: (Long, Long) = {
+    val g = committedGen
+    (store.get(s"n_docs_$g", ctx).getOrElse(0L),
+      store.get(s"total_len_$g", ctx).getOrElse(0L))
+  }
 
   /** First ingest: index `docs` and commit generation 0. Idempotent. */
   def bootstrap(docs: DataFrame): Unit = if (committedGen < 0) {
     writeGen(0L, postingsOf(docs))
+    val (n, len) = statsOf(docs)
+    store.commit("n_docs_0", ctx, n)
+    store.commit("total_len_0", ctx, len)
     store.commit("postings", ctx, 0L)
   }
 
@@ -120,6 +147,10 @@ final class InvertedIndex(spark: SparkSession, dir: String) {
   def append(delta: DataFrame): Unit = {
     val next = committedGen + 1
     writeGen(next, postingsOf(delta))
+    val (n0, len0) = corpusStats
+    val (dn, dlen) = statsOf(delta)
+    store.commit(s"n_docs_$next", ctx, n0 + dn)
+    store.commit(s"total_len_$next", ctx, len0 + dlen)
     store.commit("postings", ctx, next)
   }
 
@@ -168,6 +199,34 @@ final class InvertedIndex(spark: SparkSession, dir: String) {
         sum(col("tf")).cast("long").as("tf_sum"))
       .filter(col("_matched") === terms.distinct.size)
       .select(col("doc_id"), col("tf_sum"))
+  }
+
+  /** BM25 ranked retrieval (k1 = 1.2, b = 0.75): top-`k` documents for
+    * `terms` by the classic Robertson/Sparck-Jones score. Reads ONLY the
+    * query terms' postings (pruned scan) plus the O(1) committed corpus
+    * stats; df per term comes from the pruned postings themselves (a
+    * terms-sized broadcast join). The double arithmetic is written in the
+    * exact association order the DuckDB oracle replays, so scores are
+    * bit-identical, not merely close — for up to two query terms, where
+    * the per-doc sum is a single commutative addition; at three or more
+    * the partial-aggregation order makes the low bits run-dependent
+    * (semantics unchanged, oracle compares would need rounding slack).
+    */
+  def bm25(terms: Seq[String], k: Int): DataFrame = {
+    require(terms.nonEmpty, "bm25 query needs at least one term")
+    val (nDocs, totalLen) = corpusStats
+    val avgdl = totalLen.toDouble / nDocs.toDouble
+    val p = postingsDf.filter(col("term").isin(terms: _*))
+      .select(col("term"), col("doc_id"), col("tf"), col("doc_len"))
+    val dfreq = p.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val idf = log(lit(1.0) + (lit(nDocs) - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val norm = col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * (col("doc_len") / lit(avgdl)))
+    p.join(broadcast(dfreq), Seq("term"))
+      .select(col("doc_id"), (idf * ((col("tf") * lit(2.2)) / norm)).as("s"))
+      .groupBy(col("doc_id")).agg(sum(col("s")).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+      .select(col("doc_id"), round(col("score"), 4).as("score"))
   }
 
   /** Adjacency phrase query `"a b"`: documents where some occurrence of

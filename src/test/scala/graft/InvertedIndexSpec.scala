@@ -133,6 +133,45 @@ class InvertedIndexSpec extends SparkSuite {
     assert(pushed.contains("In(term"), pushed)
   }
 
+  test("bm25 equals the brute-force document-scan score; stats survive appends") {
+    val idx = new InvertedIndex(spark, TempDirs.create("inv-idx-bm25"))
+    idx.bootstrap(docs.filter(col("doc_id") % 2 === 0))
+    idx.append(docs.filter(col("doc_id") % 2 === 1))
+    // the generation-keyed metadata slots must accumulate to corpus totals
+    val (n, total) = idx.corpusStats
+    assert(n === docs.count())
+    val expectTotal = docs
+      .select(sum(size(GraftFunctions.tokens(lower(col("text"))))))
+      .head().getLong(0)
+    assert(total === expectTotal)
+    // brute-force BM25 over the raw documents, same association order
+    val a = "dup"; val b = "vector"
+    val avgdl = expectTotal.toDouble / n.toDouble
+    val base = docs.select(col("doc_id"),
+        GraftFunctions.tokens(lower(col("text"))).as("tk"))
+      .select(col("doc_id"), size(col("tk")).as("doc_len"),
+        size(filter(col("tk"), t => t === a)).as("ta"),
+        size(filter(col("tk"), t => t === b)).as("tb"))
+    def side(tfc: String): DataFrame = {
+      val withTf = base.filter(col(tfc) > 0)
+      val df = withTf.count()
+      val idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+      withTf.select(col("doc_id"),
+        (lit(idf) * ((col(tfc) * lit(2.2)) /
+          (col(tfc) + lit(1.2) * (lit(0.25) + lit(0.75) * (col("doc_len") / lit(avgdl))))))
+          .as("s"))
+    }
+    val expected = side("ta").unionByName(side("tb"))
+      .groupBy(col("doc_id")).agg(sum(col("s")).as("score"))
+      .orderBy(col("score").desc, col("doc_id")).limit(15)
+      .select(col("doc_id"), round(col("score"), 4).as("score"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq.sorted
+    val got = idx.bm25(Seq(a, b), 15)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq.sorted
+    assert(got.nonEmpty)
+    assert(got === expected)
+  }
+
   test("bootstrap is idempotent") {
     val idx = new InvertedIndex(spark, TempDirs.create("inv-idx-idem"))
     idx.bootstrap(docs.filter(col("doc_id") < 100))
