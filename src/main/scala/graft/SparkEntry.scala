@@ -1062,6 +1062,24 @@ object SparkEntry {
           Multimodal.media(s, dir).filter(col("media_type") === "image")))
         .toDF().orderBy(col("doc_id"))),
 
+    // Perceptual-style near-dup over media payloads: the stub resize is
+    // the "thumbnail" (a real pHash replaces Decode.resizeOne's body; the
+    // Spark shape is identical) — batched binary->binary mapPartitions,
+    // then ONE (type, thumb, len) aggregation over 16-byte signatures.
+    // At 100 TB the shuffle carries ~24 bytes/doc, never the payloads;
+    // out_len rides in the key as the cross-length collision guard.
+    "multimodal_dedup" -> ((s, dir) => {
+      Multimodal.resize(Multimodal.asRecords(Multimodal.media(s, dir)),
+          targetBytes = 16)
+        .toDF()
+        .groupBy(col("media_type"), col("out_checksum").as("thumb_checksum"),
+          col("out_len"))
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          min(col("doc_id")).as("keep_doc"), max(col("doc_id")).as("max_doc"))
+        .filter(col("n_docs") > 1)
+        .orderBy(col("media_type"), col("thumb_checksum"))
+    }),
+
     // Metadata-driven frame sampling for video payloads — map-only, the
     // binary column is pruned from the scan entirely.
     "multimodal_frames" -> ((s, dir) =>
@@ -3997,6 +4015,29 @@ object SparkEntry {
          |      i -> CAST(ord(substr(text, CAST(i AS INT), 1)) AS BIGINT))),
          |    (h, c) -> (h * 31 + c) % ${Oracles.P}) AS out_checksum
          |FROM s ORDER BY doc_id""".stripMargin,
+
+    // thumbnail dedup replay: 16-byte stride subsample, PolyHash of the
+    // kept characters, dup groups per (type, checksum, out_len)
+    "multimodal_dedup" ->
+      s"""WITH m AS (
+         |  SELECT doc_id, text,
+         |    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+         |         WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+         |    CAST(length(text) AS INT) AS in_len FROM documents),
+         |s AS (SELECT *, greatest(1, (in_len + 15) // 16) AS stride FROM m),
+         |t AS (
+         |  SELECT doc_id, media_type,
+         |    CAST((in_len + stride - 1) // stride AS INT) AS out_len,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(range(1, CAST(in_len + 1 AS BIGINT), CAST(stride AS BIGINT)),
+         |        i -> CAST(ord(substr(text, CAST(i AS INT), 1)) AS BIGINT))),
+         |      (h, c) -> (h * 31 + c) % ${Oracles.P}) AS thumb_checksum
+         |  FROM s)
+         |SELECT media_type, thumb_checksum, out_len,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  min(doc_id) AS keep_doc, max(doc_id) AS max_doc
+         |FROM t GROUP BY 1, 2, 3 HAVING count(*) > 1
+         |ORDER BY media_type, thumb_checksum""".stripMargin,
 
     "multimodal_frames" ->
       """WITH v AS (
