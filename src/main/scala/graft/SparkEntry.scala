@@ -805,6 +805,19 @@ object SparkEntry {
       idx.conjunctive(Seq("dup", "vector")).orderBy(col("doc_id"))
     }),
 
+    // The lead-with-the-rarest-posting AND plan: term dfs (O(terms)
+    // driver metadata) order the intersection rarest-first and each hot
+    // posting is a LEFT SEMI join against the rare doc set — shuffled
+    // volume tracks the RAREST posting, not the largest. Must hash-match
+    // the aggregation-plan text_search oracle exactly.
+    "text_search_lead" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val idx = new graft.sources.InvertedIndex(s, Scratch.create(s, "graft-inv-idx-lead"))
+      idx.bootstrap(docs)
+      idx.compact(buckets = 8)
+      idx.conjunctiveLeadRarest(Seq("dup", "vector")).orderBy(col("doc_id"))
+    }),
+
     // BM25 ranked retrieval from the persisted index: reads ONLY the two
     // query terms' postings (pruned scan) plus the O(1) committed corpus
     // stats (n_docs / total_len live in generation-keyed bookmark slots —
@@ -3725,6 +3738,21 @@ object SparkEntry {
 
     // incremental ingest must be exactly the full-corpus search result
     "text_search_incr" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(${Oracles.tokens("lower(text)")}) AS term
+         |  FROM documents),
+         |tf AS (
+         |  SELECT doc_id, term, count(*) AS tf FROM toks
+         |  WHERE term IN ('dup', 'vector') GROUP BY 1, 2),
+         |hit AS (
+         |  SELECT doc_id, count(DISTINCT term) AS m, sum(tf) AS s
+         |  FROM tf GROUP BY 1)
+         |SELECT doc_id, CAST(s AS BIGINT) AS tf_sum FROM hit
+         |WHERE m = 2 ORDER BY doc_id""".stripMargin,
+
+    // same replay as text_search: the lead-rarest plan must be
+    // result-identical to the aggregation plan
+    "text_search_lead" ->
       s"""WITH toks AS (
          |  SELECT doc_id, unnest(${Oracles.tokens("lower(text)")}) AS term
          |  FROM documents),

@@ -201,6 +201,37 @@ final class InvertedIndex(spark: SparkSession, dir: String) {
       .select(col("doc_id"), col("tf_sum"))
   }
 
+  /** [[conjunctive]] with the classic lead-with-the-rarest-posting plan:
+    * per-term df (a terms-sized aggregate of the pruned scan — O(terms)
+    * driver metadata, same class as a bookmark read) orders the terms
+    * rarest-first, the rarest term's doc set seeds the intersection, and
+    * each further posting is applied as a LEFT SEMI join. Result-identical
+    * to [[conjunctive]]; the plan differs where it matters at 100 TB: a
+    * query pairing one rare term with a stopword-grade term never
+    * aggregates the hot posting — the semi join streams it against the
+    * (broadcastable) rare doc set, so the shuffled volume tracks the
+    * RAREST posting, not the largest. The final tf_sum re-reads postings
+    * only for the surviving docs.
+    */
+  def conjunctiveLeadRarest(terms: Seq[String]): DataFrame = {
+    require(terms.nonEmpty, "conjunctive query needs at least one term")
+    val p = postingsDf.filter(col("term").isin(terms: _*))
+      .select(col("term"), col("doc_id"), col("tf"))
+    val dfs = p.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    // a query term absent from the corpus (df 0) empties the AND
+    if (dfs.length < terms.distinct.size) return p.select(col("doc_id"),
+      col("tf").cast("long").as("tf_sum")).limit(0)
+    val rarestFirst = dfs.sortBy { case (t, d) => (d, t) }.map(_._1)
+    var survivors = p.filter(col("term") === rarestFirst.head).select(col("doc_id"))
+    rarestFirst.tail.foreach { t =>
+      survivors = survivors.join(
+        p.filter(col("term") === t).select(col("doc_id")), Seq("doc_id"), "left_semi")
+    }
+    p.join(survivors, Seq("doc_id"), "left_semi")
+      .groupBy(col("doc_id")).agg(sum(col("tf")).cast("long").as("tf_sum"))
+  }
+
   /** BM25 ranked retrieval (k1 = 1.2, b = 0.75): top-`k` documents for
     * `terms` by the classic Robertson/Sparck-Jones score. Reads ONLY the
     * query terms' postings (pruned scan) plus the O(1) committed corpus

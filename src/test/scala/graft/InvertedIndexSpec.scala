@@ -46,6 +46,18 @@ class InvertedIndexSpec extends SparkSuite {
   private def got(df: DataFrame): Seq[(Long, Long)] =
     df.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
 
+  // QueryStageExec is a leaf wrapper around materialized AQE stages —
+  // recurse through it or post-execution plan nodes are invisible
+  private def collectRec[T](p: org.apache.spark.sql.execution.SparkPlan)(
+      f: PartialFunction[org.apache.spark.sql.execution.SparkPlan, T]): Seq[T] = {
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    p.collect {
+      case a: AdaptiveSparkPlanExec => collectRec(a.executedPlan)(f)
+      case qs: QueryStageExec => collectRec(qs.plan)(f)
+      case n if f.isDefinedAt(n) => Seq(f(n))
+    }.flatten
+  }
+
   test("conjunctive and phrase equal the brute-force document scan") {
     val idx = new InvertedIndex(spark, TempDirs.create("inv-idx-spec"))
     idx.bootstrap(docs)
@@ -106,22 +118,12 @@ class InvertedIndexSpec extends SparkSuite {
   }
 
   test("a query's term filter is pushed into the compacted parquet scan") {
-    import org.apache.spark.sql.execution.SparkPlan
-    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
     import org.apache.spark.sql.execution.FileSourceScanExec
     val idx = new InvertedIndex(spark, TempDirs.create("inv-idx-prune"))
     idx.bootstrap(docs)
     idx.compact(buckets = 4)
     val q = idx.conjunctive(Seq("dup", "vector"))
     q.collect()
-    // QueryStageExec is a leaf wrapper around materialized AQE stages —
-    // recurse through it or post-execution scans are invisible
-    def collectRec[T](p: SparkPlan)(f: PartialFunction[SparkPlan, T]): Seq[T] =
-      p.collect {
-        case a: AdaptiveSparkPlanExec => collectRec(a.executedPlan)(f)
-        case qs: QueryStageExec => collectRec(qs.plan)(f)
-        case n if f.isDefinedAt(n) => Seq(f(n))
-      }.flatten
     val scans = collectRec(q.queryExecution.executedPlan) {
       case s: FileSourceScanExec => s
     }
@@ -170,6 +172,21 @@ class InvertedIndexSpec extends SparkSuite {
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq.sorted
     assert(got.nonEmpty)
     assert(got === expected)
+  }
+
+  test("lead-rarest AND: identical results, semi-join plan, absent term empties it") {
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    import org.apache.spark.sql.catalyst.plans.LeftSemi
+    val idx = new InvertedIndex(spark, TempDirs.create("inv-idx-lead"))
+    idx.bootstrap(docs)
+    val q = idx.conjunctiveLeadRarest(Seq("dup", "vector"))
+    assert(got(q) === got(idx.conjunctive(Seq("dup", "vector"))))
+    val semis = collectRec(q.queryExecution.executedPlan) {
+      case j: BaseJoinExec if j.joinType == LeftSemi => j
+    }
+    assert(semis.nonEmpty, "the hot posting must be applied as a semi join")
+    // a term with df 0 must produce an empty AND, not a runtime error
+    assert(idx.conjunctiveLeadRarest(Seq("dup", "nosuchterm")).isEmpty)
   }
 
   test("bootstrap is idempotent") {
