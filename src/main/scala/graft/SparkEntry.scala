@@ -805,6 +805,18 @@ object SparkEntry {
       idx.conjunctive(Seq("dup", "vector")).orderBy(col("doc_id"))
     }),
 
+    // Index maintenance telemetry: per-term posting length / tf mass —
+    // posting skew is probe tail latency, and this is where the stop set
+    // for lead-rarest planning comes from. Positions are pruned from the
+    // scan; the report is one index-sized aggregation (a maintenance op,
+    // not a query-path op — same class as ivf_balance).
+    "inverted_stats" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val idx = new graft.sources.InvertedIndex(s, Scratch.create(s, "graft-inv-idx-st"))
+      idx.bootstrap(docs)
+      idx.termStats.orderBy(col("df").desc, col("term"))
+    }),
+
     // The lead-with-the-rarest-posting AND plan: term dfs (O(terms)
     // driver metadata) order the intersection rarest-first and each hot
     // posting is a LEFT SEMI join against the rare doc set — shuffled
@@ -3749,6 +3761,15 @@ object SparkEntry {
          |  FROM tf GROUP BY 1)
          |SELECT doc_id, CAST(s AS BIGINT) AS tf_sum FROM hit
          |WHERE m = 2 ORDER BY doc_id""".stripMargin,
+
+    "inverted_stats" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(${Oracles.tokens("lower(text)")}) AS term
+         |  FROM documents),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2)
+         |SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS total_tf,
+         |  CAST(max(tf) AS INT) AS max_tf
+         |FROM tf GROUP BY 1 ORDER BY df DESC, term""".stripMargin,
 
     // same replay as text_search: the lead-rarest plan must be
     // result-identical to the aggregation plan

@@ -260,6 +260,18 @@ final class InvertedIndex(spark: SparkSession, dir: String) {
       .select(col("doc_id"), round(col("score"), 4).as("score"))
   }
 
+  /** Index maintenance telemetry (the [[IvfIndex]] cell-balance analogue):
+    * per-term posting length (df), total and max tf. Posting skew IS the
+    * probe's tail latency — a stopword-grade term's posting is what
+    * [[conjunctiveLeadRarest]] exists to avoid shuffling, and this report
+    * is how an operator finds the terms worth a stop set. One aggregation
+    * over (term, tf) — the positions column is pruned from the scan.
+    */
+  def termStats: DataFrame =
+    postingsDf.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"), sum(col("tf")).cast("long").as("total_tf"),
+        max(col("tf")).cast("int").as("max_tf"))
+
   /** Adjacency phrase query `"a b"`: documents where some occurrence of
     * `a` is immediately followed by `b`, with the occurrence count. The
     * position lists make this a pure index operation: two pruned posting
