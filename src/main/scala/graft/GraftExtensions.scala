@@ -92,6 +92,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "bpe_merge_pair(toks, a, b) - one BPE merge round: leftmost non-overlapping (a, b) -> 'a b'",
       Seq("bpe_merge_pair"))(
       args => BpeMergePairExpr(args(0), foldString(args(1)), foldString(args(2))))
+
+    register(ext,
+      "adjacency_count(a, b) - |{p in a : p+1 in b}| over sorted int lists",
+      Seq("adjacency_count"))(args => AdjacencyCountExpr(args(0), args(1)))
   }
 
   /** Static-string arguments (merge pair sides) must be literals at parse

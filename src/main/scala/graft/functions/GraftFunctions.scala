@@ -86,6 +86,13 @@ object GraftFunctions {
     Bridge.column(TextStatsExpr(Bridge.expression(c.cast(StringType)),
       Bridge.expression(lower(c.cast(StringType)))))
 
+  /** Phrase-adjacency count over two sorted int position lists
+    * ([[AdjacencyCountExpr]]): |{p in a : p+1 in b}| as one codegen'd
+    * two-pointer merge. Composed cross-check below.
+    */
+  def adjacencyCount(a: Column, b: Column): Column =
+    Bridge.column(AdjacencyCountExpr(Bridge.expression(a), Bridge.expression(b)))
+
   /** Space-joined word n-grams over whitespace tokens (the sparse-vector
     * term space of [[graft.operators.Similarity.sparseTopK]]). Codegen'd
     * ([[TokenNgramsExpr]]); composed cross-check below.

@@ -328,3 +328,45 @@ object BpeMergePairExpr {
       java.util.Arrays.copyOfRange(out.asInstanceOf[Array[AnyRef]], 0, k))
   }
 }
+
+/** Count of positions p in sorted int list `a` with p+1 present in sorted
+  * int list `b` — the phrase-adjacency kernel of
+  * [[graft.sources.InvertedIndex.phrase]]
+  * (== size(array_intersect(transform(a, p -> p+1), b)) when both lists
+  * are sorted and duplicate-free, which posting position lists are by
+  * construction). The composed formulation allocates a shifted copy of
+  * `a` plus array_intersect's hash set and result array PER ROW PAIR;
+  * this is one allocation-free two-pointer merge, O(|a|+|b|), inside
+  * whole-stage codegen — on a phrase join over stopword-grade postings
+  * the inner loop is the entire query.
+  */
+case class AdjacencyCountExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    AdjacencyCountExpr.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.AdjacencyCountExpr.compute($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): AdjacencyCountExpr =
+    copy(left = l, right = r)
+  override def prettyName: String = "adjacency_count"
+}
+
+object AdjacencyCountExpr {
+  def compute(a: ArrayData, b: ArrayData): Int = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var n = 0
+    while (i < na && j < nb) {
+      val x = a.getInt(i) + 1
+      val y = b.getInt(j)
+      if (x == y) { n += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    n
+  }
+}

@@ -275,7 +275,10 @@ final class InvertedIndex(spark: SparkSession, dir: String) {
   /** Adjacency phrase query `"a b"`: documents where some occurrence of
     * `a` is immediately followed by `b`, with the occurrence count. The
     * position lists make this a pure index operation: two pruned posting
-    * scans joined on doc_id, adjacency = |shift(positions_a) ∩ positions_b|.
+    * scans joined on doc_id, adjacency = |shift(positions_a) ∩ positions_b|
+    * — computed by the codegen'd two-pointer
+    * [[graft.functions.AdjacencyCountExpr]] kernel (spec-pinned equal to
+    * the composed transform+array_intersect formulation).
     */
   def phrase(a: String, b: String): DataFrame = {
     val pa = postingsDf.filter(col("term") === a)
@@ -284,8 +287,8 @@ final class InvertedIndex(spark: SparkSession, dir: String) {
       .select(col("doc_id"), col("positions").as("pb"))
     pa.join(pb, Seq("doc_id"))
       .select(col("doc_id"),
-        size(array_intersect(transform(col("pa"), p => p + 1), col("pb")))
-          .cast("int").as("n_occurrences"))
+        graft.functions.GraftFunctions.adjacencyCount(col("pa"), col("pb"))
+          .as("n_occurrences"))
       .filter(col("n_occurrences") > 0)
   }
 }

@@ -236,4 +236,35 @@ class FunctionsSpec extends SparkSuite {
         s"approx median $med outside exact [0.45, 0.55] quantile band")
     }
   }
+
+  test("codegen'd adjacency_count equals the composed formulation; edge cases") {
+    // real position lists: per-term sorted 1-based positions from documents
+    val pos = Tables.documents(spark, sf).limit(100)
+      .select(col("doc_id"), posexplode(tokens(lower(col("text")))))
+      .groupBy(col("doc_id"), col("col").as("term"))
+      .agg(sort_array(collect_list((col("pos") + 1).cast("int"))).as("ps"))
+    val pairs = pos.as("a").join(pos.as("b"),
+      col("a.doc_id") === col("b.doc_id") && col("a.term") < col("b.term"))
+    val mismatch = pairs.select(
+        GraftFunctions.adjacencyCount(col("a.ps"), col("b.ps")).as("fast"),
+        size(array_intersect(transform(col("a.ps"), p => p + 1), col("b.ps")))
+          .cast("int").as("ref"))
+      .filter(col("fast") =!= col("ref")).count()
+    assert(mismatch == 0)
+    // edges: empty lists, no matches, runs of adjacent positions
+    val rows = Seq(
+      (Seq(1, 2, 3), Seq(2, 3, 4), 3), // every p+1 present
+      (Seq(1, 5, 9), Seq(3, 7, 11), 0), // disjoint shifted
+      (Seq.empty[Int], Seq(1, 2), 0),
+      (Seq(1, 2), Seq.empty[Int], 0),
+      (Seq(4), Seq(5), 1))
+      .toDF("a", "b", "expect")
+      .select(GraftFunctions.adjacencyCount(col("a"), col("b")).as("got"),
+        col("expect"))
+      .collect()
+    rows.foreach(r => assert(r.getInt(0) === r.getInt(1)))
+    // SQL registration round-trips through GraftExtensions
+    assert(spark.sql(
+      "SELECT adjacency_count(array(1, 2), array(2, 9))").head().getInt(0) === 1)
+  }
 }
