@@ -805,6 +805,32 @@ object SparkEntry {
       idx.conjunctive(Seq("dup", "vector")).orderBy(col("doc_id"))
     }),
 
+    // Continuous index maintenance: the second half of the corpus arrives
+    // as a document STREAM; each micro-batch lands as one committed index
+    // generation via the exactly-once appendBatch (generation watermark +
+    // stats + applied-batch id move in one atomic rename — foreachBatch
+    // redelivery is a no-op). The post-stream search must hash-match the
+    // batch-built full-corpus text_search oracle: streaming ingest and
+    // batch ingest are indistinguishable to a reader.
+    "stream_index_ingest" -> ((s, dir) => {
+      import org.apache.spark.sql.{Dataset, Row}
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val mid = docs.agg(max(col("doc_id"))).head().getLong(0) / 2
+      val idx = new graft.sources.InvertedIndex(s, Scratch.create(s, "graft-inv-stream"))
+      idx.bootstrap(docs.filter(col("doc_id") <= mid))
+      idx.compact(buckets = 8)
+      val q = graft.streaming.Streaming.documents(s, dir)
+        .filter(col("doc_id") > mid).select(col("doc_id"), col("text"))
+        .writeStream
+        .foreachBatch((batch: Dataset[Row], batchId: Long) =>
+          idx.appendBatch(batch.toDF(), batchId))
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", graft.TempDirs.create("graft-inv-ingest-ckpt"))
+        .start()
+      q.awaitTermination()
+      idx.conjunctive(Seq("dup", "vector")).orderBy(col("doc_id"))
+    }),
+
     // Index maintenance telemetry: per-term posting length / tf mass —
     // posting skew is probe tail latency, and this is where the stop set
     // for lead-rarest planning comes from. Positions are pruned from the
@@ -3750,6 +3776,20 @@ object SparkEntry {
 
     // incremental ingest must be exactly the full-corpus search result
     "text_search_incr" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(${Oracles.tokens("lower(text)")}) AS term
+         |  FROM documents),
+         |tf AS (
+         |  SELECT doc_id, term, count(*) AS tf FROM toks
+         |  WHERE term IN ('dup', 'vector') GROUP BY 1, 2),
+         |hit AS (
+         |  SELECT doc_id, count(DISTINCT term) AS m, sum(tf) AS s
+         |  FROM tf GROUP BY 1)
+         |SELECT doc_id, CAST(s AS BIGINT) AS tf_sum FROM hit
+         |WHERE m = 2 ORDER BY doc_id""".stripMargin,
+
+    // streaming ingest must be indistinguishable from the batch build
+    "stream_index_ingest" ->
       s"""WITH toks AS (
          |  SELECT doc_id, unnest(${Oracles.tokens("lower(text)")}) AS term
          |  FROM documents),

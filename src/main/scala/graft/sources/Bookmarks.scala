@@ -59,6 +59,23 @@ final class BookmarkStore(stateDir: String) {
       StandardCopyOption.REPLACE_EXISTING)
   }
 
+  /** Commit several (table, ctx) slots in ONE atomic rename — for callers
+    * whose consistency story needs multiple markers to move together (e.g.
+    * a streaming index append committing its generation watermark, its
+    * cumulative stats, and the applied micro-batch id as a unit: any
+    * prefix of separate commits would be a state a crash could expose).
+    */
+  def commitAll(ctx: String, entries: Map[String, Long]): Unit = synchronized {
+    val p = load()
+    entries.foreach { case (table, v) => p.setProperty(slot(table, ctx), v.toString) }
+    Files.createDirectories(file.getParent)
+    val tmp = Files.createTempFile(file.getParent, "bookmarks", ".tmp")
+    val out = Files.newOutputStream(tmp)
+    try p.store(out, "graft bookmark state") finally out.close()
+    Files.move(tmp, file, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
   def clear(): Unit = Files.deleteIfExists(file)
 }
 

@@ -201,6 +201,29 @@ final class InvertedIndex(spark: SparkSession, dir: String) {
       .select(col("doc_id"), col("tf_sum"))
   }
 
+  /** Exactly-once streaming ingest: apply one micro-batch as one committed
+    * generation, idempotent under foreachBatch's at-least-once redelivery.
+    * A replayed batch id (<= the committed marker) is a no-op; otherwise
+    * the generation parquet is written first (an orphan until committed —
+    * a crashed attempt is invisible and simply overwritten by the retry),
+    * then the generation watermark, the cumulative stats, and the applied
+    * batch id advance in ONE atomic properties-file rename
+    * ([[BookmarkStore.commitAll]]) — there is no crash point where a
+    * reader can see the batch half-applied or applied twice. This is the
+    * [[graft.streaming.StreamSink]] run-ledger discipline turned inward:
+    * the index's own watermark file IS the ledger.
+    */
+  def appendBatch(delta: DataFrame, batchId: Long): Unit = {
+    if (store.get("last_batch", ctx).exists(_ >= batchId)) return
+    val next = committedGen + 1
+    writeGen(next, postingsOf(delta))
+    val (n0, len0) = corpusStats
+    val (dn, dlen) = statsOf(delta)
+    store.commitAll(ctx, Map(
+      s"n_docs_$next" -> (n0 + dn), s"total_len_$next" -> (len0 + dlen),
+      "postings" -> next, "last_batch" -> batchId))
+  }
+
   /** [[conjunctive]] with the classic lead-with-the-rarest-posting plan:
     * per-term df (a terms-sized aggregate of the pruned scan — O(terms)
     * driver metadata, same class as a bookmark read) orders the terms

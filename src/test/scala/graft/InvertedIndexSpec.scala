@@ -189,6 +189,27 @@ class InvertedIndexSpec extends SparkSuite {
     assert(idx.conjunctiveLeadRarest(Seq("dup", "nosuchterm")).isEmpty)
   }
 
+  test("appendBatch is exactly-once under redelivery; markers move atomically") {
+    val idx = new InvertedIndex(spark, TempDirs.create("inv-idx-batch"))
+    idx.bootstrap(docs.filter(col("doc_id") < 100))
+    val d1 = docs.filter(col("doc_id") >= 100 && col("doc_id") < 200)
+    idx.appendBatch(d1, batchId = 0L)
+    val rows = idx.postingsDf.count()
+    val stats = idx.corpusStats
+    // foreachBatch redelivery of an applied batch must be a no-op
+    idx.appendBatch(d1, batchId = 0L)
+    assert(idx.committedGen === 1L)
+    assert(idx.postingsDf.count() === rows)
+    assert(idx.corpusStats === stats)
+    // the next batch applies once and the result equals the batch build
+    idx.appendBatch(docs.filter(col("doc_id") >= 200), batchId = 1L)
+    val full = new InvertedIndex(spark, TempDirs.create("inv-idx-batch-full"))
+    full.bootstrap(docs)
+    assert(got(idx.conjunctive(Seq("dup", "vector"))) ===
+      got(full.conjunctive(Seq("dup", "vector"))))
+    assert(idx.corpusStats === full.corpusStats)
+  }
+
   test("bootstrap is idempotent") {
     val idx = new InvertedIndex(spark, TempDirs.create("inv-idx-idem"))
     idx.bootstrap(docs.filter(col("doc_id") < 100))
