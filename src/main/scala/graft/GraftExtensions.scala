@@ -94,8 +94,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       args => BpeMergePairExpr(args(0), foldString(args(1)), foldString(args(2))))
 
     register(ext,
-      "adjacency_count(a, b) - |{p in a : p+1 in b}| over sorted int lists",
-      Seq("adjacency_count"))(args => AdjacencyCountExpr(args(0), args(1)))
+      "adjacency_count(a, b[, max_gap]) - |{p in a : p < q <= p+max_gap for some q in b}| over sorted int lists",
+      Seq("adjacency_count"))(args => AdjacencyCountExpr(args(0), args(1),
+        if (args.length > 2) foldInt(args(2)) else 1))
   }
 
   /** Static-string arguments (merge pair sides) must be literals at parse

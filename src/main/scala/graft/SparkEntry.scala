@@ -831,6 +831,17 @@ object SparkEntry {
       idx.conjunctive(Seq("dup", "vector")).orderBy(col("doc_id"))
     }),
 
+    // Proximity (NEAR) search from the same index: "key" followed by
+    // "order" within 3 tokens — the adjacency kernel with the gap
+    // widened; still two pruned posting scans joined on doc_id.
+    "text_near" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val idx = new graft.sources.InvertedIndex(s, Scratch.create(s, "graft-inv-idx-nr"))
+      idx.bootstrap(docs)
+      idx.compact(buckets = 8)
+      idx.near("key", "order", maxGap = 3).orderBy(col("doc_id"))
+    }),
+
     // Index maintenance telemetry: per-term posting length / tf mass —
     // posting skew is probe tail latency, and this is where the stop set
     // for lead-rarest planning comes from. Positions are pruned from the
@@ -3801,6 +3812,24 @@ object SparkEntry {
          |  FROM tf GROUP BY 1)
          |SELECT doc_id, CAST(s AS BIGINT) AS tf_sum FROM hit
          |WHERE m = 2 ORDER BY doc_id""".stripMargin,
+
+    // proximity replay: each 'key' occurrence counted once when some
+    // 'order' follows within 3 tokens
+    "text_near" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, ${Oracles.tokens("lower(text)")} AS tk FROM documents),
+         |px AS (
+         |  SELECT doc_id, tk, unnest(range(1, length(tk) + 1)) AS pos FROM tok),
+         |terms AS (
+         |  SELECT doc_id, CAST(pos AS INT) AS pos, tk[CAST(pos AS INT)] AS term
+         |  FROM px),
+         |hits AS (
+         |  SELECT DISTINCT a.doc_id, a.pos
+         |  FROM terms a JOIN terms b
+         |    ON a.doc_id = b.doc_id AND b.pos > a.pos AND b.pos <= a.pos + 3
+         |  WHERE a.term = 'key' AND b.term = 'order')
+         |SELECT doc_id, CAST(count(*) AS INT) AS n_occurrences
+         |FROM hits GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "inverted_stats" ->
       s"""WITH toks AS (

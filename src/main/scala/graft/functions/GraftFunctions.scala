@@ -86,12 +86,13 @@ object GraftFunctions {
     Bridge.column(TextStatsExpr(Bridge.expression(c.cast(StringType)),
       Bridge.expression(lower(c.cast(StringType)))))
 
-  /** Phrase-adjacency count over two sorted int position lists
-    * ([[AdjacencyCountExpr]]): |{p in a : p+1 in b}| as one codegen'd
-    * two-pointer merge. Composed cross-check below.
+  /** Phrase-adjacency / proximity count over two sorted int position
+    * lists ([[AdjacencyCountExpr]]): |{p in a : some q in b with
+    * p < q <= p + maxGap}| as one codegen'd two-pointer merge; maxGap = 1
+    * is exact adjacency. Composed cross-check below.
     */
-  def adjacencyCount(a: Column, b: Column): Column =
-    Bridge.column(AdjacencyCountExpr(Bridge.expression(a), Bridge.expression(b)))
+  def adjacencyCount(a: Column, b: Column, maxGap: Int = 1): Column =
+    Bridge.column(AdjacencyCountExpr(Bridge.expression(a), Bridge.expression(b), maxGap))
 
   /** Space-joined word n-grams over whitespace tokens (the sparse-vector
     * term space of [[graft.operators.Similarity.sparseTopK]]). Codegen'd

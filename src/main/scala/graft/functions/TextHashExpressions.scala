@@ -329,43 +329,47 @@ object BpeMergePairExpr {
   }
 }
 
-/** Count of positions p in sorted int list `a` with p+1 present in sorted
-  * int list `b` — the phrase-adjacency kernel of
-  * [[graft.sources.InvertedIndex.phrase]]
-  * (== size(array_intersect(transform(a, p -> p+1), b)) when both lists
-  * are sorted and duplicate-free, which posting position lists are by
-  * construction). The composed formulation allocates a shifted copy of
-  * `a` plus array_intersect's hash set and result array PER ROW PAIR;
-  * this is one allocation-free two-pointer merge, O(|a|+|b|), inside
-  * whole-stage codegen — on a phrase join over stopword-grade postings
-  * the inner loop is the entire query.
+/** Count of positions p in sorted int list `a` followed within `maxGap`
+  * by some position of sorted int list `b` (p < q <= p + maxGap) — the
+  * phrase/proximity kernel of [[graft.sources.InvertedIndex.phrase]] and
+  * `.near`. With maxGap = 1 this is exact adjacency
+  * (== size(array_intersect(transform(a, p -> p+1), b)) for the sorted
+  * duplicate-free lists postings carry by construction); larger gaps are
+  * the search NEAR operator, each left occurrence counted once. The
+  * composed formulation allocates a shifted copy of `a` plus
+  * array_intersect's hash set and result array PER ROW PAIR; this is one
+  * allocation-free two-pointer merge, O(|a|+|b|), inside whole-stage
+  * codegen — on a join over stopword-grade postings the inner loop is
+  * the entire query.
   */
-case class AdjacencyCountExpr(left: Expression, right: Expression)
+case class AdjacencyCountExpr(left: Expression, right: Expression, maxGap: Int)
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  require(maxGap >= 1, "maxGap must be >= 1")
   override def dataType: DataType = IntegerType
   override def nullSafeEval(a: Any, b: Any): Any =
-    AdjacencyCountExpr.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    AdjacencyCountExpr.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], maxGap)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, (a, b) =>
-      s"graft.functions.AdjacencyCountExpr.compute($a, $b)")
+      s"graft.functions.AdjacencyCountExpr.compute($a, $b, $maxGap)")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): AdjacencyCountExpr =
     copy(left = l, right = r)
   override def prettyName: String = "adjacency_count"
 }
 
 object AdjacencyCountExpr {
-  def compute(a: ArrayData, b: ArrayData): Int = {
+  def compute(a: ArrayData, b: ArrayData, maxGap: Int): Int = {
     val na = a.numElements()
     val nb = b.numElements()
     var i = 0
     var j = 0
     var n = 0
-    while (i < na && j < nb) {
-      val x = a.getInt(i) + 1
-      val y = b.getInt(j)
-      if (x == y) { n += 1; i += 1; j += 1 }
-      else if (x < y) i += 1
-      else j += 1
+    while (i < na) {
+      val p = a.getInt(i)
+      // first b element strictly beyond p; j only advances (a is sorted)
+      while (j < nb && b.getInt(j) <= p) j += 1
+      if (j >= nb) return n
+      if (b.getInt(j) <= p + maxGap) n += 1
+      i += 1
     }
     n
   }

@@ -303,14 +303,21 @@ final class InvertedIndex(spark: SparkSession, dir: String) {
     * [[graft.functions.AdjacencyCountExpr]] kernel (spec-pinned equal to
     * the composed transform+array_intersect formulation).
     */
-  def phrase(a: String, b: String): DataFrame = {
+  def phrase(a: String, b: String): DataFrame = near(a, b, maxGap = 1)
+
+  /** Proximity (NEAR) query: documents where some occurrence of `a` is
+    * followed by `b` within `maxGap` tokens, each `a` occurrence counted
+    * once — the same pure-index two-pointer plan as [[phrase]] with the
+    * gap widened.
+    */
+  def near(a: String, b: String, maxGap: Int): DataFrame = {
     val pa = postingsDf.filter(col("term") === a)
       .select(col("doc_id"), col("positions").as("pa"))
     val pb = postingsDf.filter(col("term") === b)
       .select(col("doc_id"), col("positions").as("pb"))
     pa.join(pb, Seq("doc_id"))
       .select(col("doc_id"),
-        graft.functions.GraftFunctions.adjacencyCount(col("pa"), col("pb"))
+        graft.functions.GraftFunctions.adjacencyCount(col("pa"), col("pb"), maxGap)
           .as("n_occurrences"))
       .filter(col("n_occurrences") > 0)
   }

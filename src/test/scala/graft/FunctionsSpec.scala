@@ -266,5 +266,21 @@ class FunctionsSpec extends SparkSuite {
     // SQL registration round-trips through GraftExtensions
     assert(spark.sql(
       "SELECT adjacency_count(array(1, 2), array(2, 9))").head().getInt(0) === 1)
+    // proximity (maxGap > 1): each left occurrence counted at most once
+    val prox = Seq(
+      (Seq(1, 10), Seq(3, 12), 3, 2), // both within gap 3
+      (Seq(1, 10), Seq(3, 12), 2, 2),
+      (Seq(1, 10), Seq(5, 14), 3, 0), // both beyond gap 3
+      (Seq(1), Seq(2, 3, 4), 5, 1), // several matches, one left occurrence
+      (Seq(1, 2, 3), Seq(4), 3, 3)) // one right serves several lefts
+      .toDF("a", "b", "gap", "expect")
+    Seq(2, 3, 5).foreach { g =>
+      prox.filter(col("gap") === g)
+        .select(GraftFunctions.adjacencyCount(col("a"), col("b"), g).as("got"),
+          col("expect")).collect()
+        .foreach(r => assert(r.getInt(0) === r.getInt(1), s"gap $g"))
+    }
+    assert(spark.sql(
+      "SELECT adjacency_count(array(1), array(4), 3)").head().getInt(0) === 1)
   }
 }
