@@ -880,6 +880,17 @@ object SparkEntry {
       idx.bm25(Seq("dup", "vector"), 15).orderBy(col("doc_id"))
     }),
 
+    // Windowed co-occurrence + PMI (skip-gram statistics for embedding
+    // training): pair generation is MAP-ONLY — each doc's token list
+    // zip_with its own g-shifted self per gap, never a positions
+    // self-join; the only shuffles are the two count aggregations and
+    // the unigram side re-joins as a vocab-sized broadcast.
+    "cooccurrence_pmi" -> ((s, dir) =>
+      TextAnalysis.cooccurrencePmi(
+          Tables.documents(s, dir).select(col("doc_id"), col("text")),
+          window = 2, minCount = 2L)
+        .orderBy(col("term_a"), col("term_b"))),
+
     // Top TF-IDF terms per document: map-side-combined (doc, term)
     // counts, broadcast vocabulary join, per-doc top-k window.
     "tfidf_terms" -> ((s, dir) => {
@@ -3854,6 +3865,32 @@ object SparkEntry {
          |  FROM tf GROUP BY 1)
          |SELECT doc_id, CAST(s AS BIGINT) AS tf_sum FROM hit
          |WHERE m = 2 ORDER BY doc_id""".stripMargin,
+
+    // co-occurrence replay: ordered pairs within gap 1..2 via a
+    // positions self-join (the oracle may be corpus-shaped; the engine
+    // plan may not), PMI in the same association order
+    "cooccurrence_pmi" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, ${Oracles.tokens("lower(text)")} AS tk FROM documents),
+         |n AS (SELECT CAST(sum(length(tk)) AS BIGINT) AS n_tokens FROM tok),
+         |px AS (
+         |  SELECT doc_id, tk, unnest(range(1, length(tk) + 1)) AS pos FROM tok),
+         |terms AS (
+         |  SELECT doc_id, CAST(pos AS INT) AS pos, tk[CAST(pos AS INT)] AS term
+         |  FROM px),
+         |uni AS (SELECT term, count(*) AS c FROM terms GROUP BY 1),
+         |pairs AS (
+         |  SELECT a.term AS term_a, b.term AS term_b, count(*) AS c_ab
+         |  FROM terms a JOIN terms b
+         |    ON a.doc_id = b.doc_id AND b.pos > a.pos AND b.pos <= a.pos + 2
+         |  GROUP BY 1, 2 HAVING count(*) >= 2)
+         |SELECT term_a, term_b, CAST(c_ab AS BIGINT) AS c_ab,
+         |  round(ln(CAST(c_ab * (SELECT n_tokens FROM n) AS DOUBLE) /
+         |    (ua.c * ub.c)), 4) AS pmi
+         |FROM pairs
+         |JOIN uni ua ON pairs.term_a = ua.term
+         |JOIN uni ub ON pairs.term_b = ub.term
+         |ORDER BY term_a, term_b""".stripMargin,
 
     // BM25 replay (k1=1.2, b=0.75): every double op in the same
     // association order as InvertedIndex.bm25, so scores are bit-identical

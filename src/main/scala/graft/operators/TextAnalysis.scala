@@ -401,6 +401,44 @@ object TextAnalysis {
     * Scoring the corpus under its own LM means no unseen bigrams — a
     * held-out scorer would add the usual add-k smoothing term.
     */
+  /** Windowed co-occurrence counts + PMI — the skip-gram statistics an
+    * embedding-training pipeline derives from a corpus. Pairs are
+    * ORDERED (a before b, gap 1..window).
+    *
+    * 100 TB shape: pair generation is MAP-ONLY — for each gap g the doc's
+    * token list is zipped with its own g-shifted self (`zip_with` over two
+    * `slice`s), so no positions self-join ever happens; the only shuffles
+    * are the (a, b) pair-count and unigram-count aggregations, and the
+    * unigram side joins back as a vocabulary-sized broadcast. PMI doubles
+    * are computed in one association order (`ln((c_ab * N) / (c_a *
+    * c_b))`) so the DuckDB oracle replays them bit-for-bit.
+    */
+  def cooccurrencePmi(docs: DataFrame, window: Int,
+                      minCount: Long = 2L): DataFrame = {
+    require(window >= 1)
+    val toks = docs.select(tokens(lower(col("text"))).as("tk"))
+    val nTokens = toks.select(sum(size(col("tk")))).head().getLong(0)
+    val uni = toks.select(explode(col("tk")).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("c"))
+    val pairCols = (1 to window).map { g =>
+      zip_with(
+        slice(col("tk"), lit(1), size(col("tk")) - lit(g)),
+        slice(col("tk"), lit(g + 1), size(col("tk")) - lit(g)),
+        (x, y) => struct(x.as("a"), y.as("b")))
+    }
+    val pairs = toks
+      .select(explode(flatten(array(pairCols: _*))).as("p"))
+      .groupBy(col("p.a").as("term_a"), col("p.b").as("term_b"))
+      .agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= minCount)
+    pairs
+      .join(broadcast(uni.select(col("t").as("term_a"), col("c").as("c_a"))), Seq("term_a"))
+      .join(broadcast(uni.select(col("t").as("term_b"), col("c").as("c_b"))), Seq("term_b"))
+      .select(col("term_a"), col("term_b"), col("c_ab"),
+        round(log((col("c_ab") * lit(nTokens)).cast("double") /
+          (col("c_a") * col("c_b"))), 4).as("pmi"))
+  }
+
   def perplexity(docs: DataFrame, text: Column = col("text")): DataFrame = {
     // pin, not cut: A/B-measured 1.06 s vs 1.36 s warm at sf0.1 — columnar
     // InMemoryRelation encodes the string-heavy bigram stream cheaper than

@@ -208,6 +208,47 @@ class TextAnalysisSpec extends SparkSuite {
     assert(got(1)._2 == 0.0 && got(1)._3 == 0.0)
   }
 
+  test("cooccurrencePmi: zip_with pair generation equals the positions self-join") {
+    import graft.functions.GraftFunctions
+    val docs = Tables.documents(spark, sf).limit(200)
+      .select(col("doc_id"), col("text"))
+    val got = TextAnalysis.cooccurrencePmi(docs, window = 2, minCount = 2L)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSeq.sorted
+    // reference: explicit positions self-join (the formulation the map-only
+    // zip_with path exists to avoid)
+    val terms = docs.select(col("doc_id"),
+      posexplode(GraftFunctions.tokens(lower(col("text")))))
+    val n = terms.count()
+    val uni = terms.groupBy(col("col").as("t")).agg(count(lit(1)).as("c"))
+    val expected = terms.as("a").join(terms.as("b"),
+        col("a.doc_id") === col("b.doc_id") &&
+          col("b.pos") > col("a.pos") && col("b.pos") <= col("a.pos") + 2)
+      .groupBy(col("a.col").as("term_a"), col("b.col").as("term_b"))
+      .agg(count(lit(1)).as("c_ab")).filter(col("c_ab") >= 2)
+      .join(uni.select(col("t").as("term_a"), col("c").as("c_a")), Seq("term_a"))
+      .join(uni.select(col("t").as("term_b"), col("c").as("c_b")), Seq("term_b"))
+      .select(col("term_a"), col("term_b"), col("c_ab"),
+        round(log((col("c_ab") * lit(n)).cast("double") /
+          (col("c_a") * col("c_b"))), 4).as("pmi"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSeq.sorted
+    assert(got.nonEmpty)
+    assert(got === expected)
+  }
+
+  test("cooccurrencePmi plan: pair generation is map-only (no join before the pair count)") {
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    val plan = TextAnalysis.cooccurrencePmi(docs, window = 2)
+      .queryExecution.optimizedPlan
+    // the only joins in the plan are the two vocab-sized PMI join-backs;
+    // pair generation itself must contribute none (zip_with, not self-join)
+    val joins = plan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }
+    assert(joins.size === 2, plan.toString.take(2000))
+  }
+
   test("tfidf plan: map-side combine on (doc, term); vocabulary join broadcasts") {
     val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
     val plan = TextAnalysis.tfIdfTopTerms(docs, 100L, 3)
