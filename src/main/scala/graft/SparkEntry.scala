@@ -842,6 +842,17 @@ object SparkEntry {
       idx.near("key", "order", maxGap = 3).orderBy(col("doc_id"))
     }),
 
+    // Prefix term browse ('s*'): StartsWith pushes into the parquet scan,
+    // and the term-sorted compaction makes a prefix a CONTIGUOUS
+    // row-group range — index-seek pruning for wildcard queries.
+    "text_prefix" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val idx = new graft.sources.InvertedIndex(s, Scratch.create(s, "graft-inv-idx-px"))
+      idx.bootstrap(docs)
+      idx.compact(buckets = 8)
+      idx.prefix("s").orderBy(col("term"))
+    }),
+
     // Index maintenance telemetry: per-term posting length / tf mass —
     // posting skew is probe tail latency, and this is where the stop set
     // for lead-rarest planning comes from. Positions are pruned from the
@@ -3841,6 +3852,14 @@ object SparkEntry {
          |  WHERE a.term = 'key' AND b.term = 'order')
          |SELECT doc_id, CAST(count(*) AS INT) AS n_occurrences
          |FROM hits GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "text_prefix" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(${Oracles.tokens("lower(text)")}) AS term
+         |  FROM documents),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2)
+         |SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS total_tf
+         |FROM tf WHERE term LIKE 's%' GROUP BY 1 ORDER BY term""".stripMargin,
 
     "inverted_stats" ->
       s"""WITH toks AS (

@@ -283,6 +283,17 @@ final class InvertedIndex(spark: SparkSession, dir: String) {
       .select(col("doc_id"), round(col("score"), 4).as("score"))
   }
 
+  /** Prefix (autocomplete / wildcard `pre*`) term browse: matching terms
+    * with posting length and tf mass. The `StartsWith` predicate pushes
+    * into the parquet scan, and because the compaction is SORTED BY term a
+    * prefix is a CONTIGUOUS row-group range — the same index-seek pruning
+    * as exact term lookups, for free.
+    */
+  def prefix(p: String): DataFrame =
+    postingsDf.filter(col("term").startsWith(p))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("df"), sum(col("tf")).cast("long").as("total_tf"))
+
   /** Index maintenance telemetry (the [[IvfIndex]] cell-balance analogue):
     * per-term posting length (df), total and max tf. Posting skew IS the
     * probe's tail latency — a stopword-grade term's posting is what

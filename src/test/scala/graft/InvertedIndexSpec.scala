@@ -133,6 +133,19 @@ class InvertedIndexSpec extends SparkSuite {
     // seek (row-group min/max pruning) instead of a corpus scan
     val pushed = scans.map(_.metadata.getOrElse("PushedFilters", "")).mkString
     assert(pushed.contains("In(term"), pushed)
+    // prefix browse: StartsWith pushes too (a contiguous row-group range
+    // on the sorted compaction), and results match a brute token scan
+    val px = idx.prefix("s")
+    px.collect()
+    val pxPushed = collectRec(px.queryExecution.executedPlan) {
+      case s: FileSourceScanExec => s.metadata.getOrElse("PushedFilters", "")
+    }.mkString
+    assert(pxPushed.contains("StringStartsWith(term,s)"), pxPushed)
+    val expectTerms = docs
+      .select(explode(graft.functions.GraftFunctions.tokens(lower(col("text")))).as("t"))
+      .filter(col("t").startsWith("s")).select(col("t")).distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(px.collect().map(_.getString(0)).toSet === expectTerms)
   }
 
   test("bm25 equals the brute-force document-scan score; stats survive appends") {
