@@ -1015,6 +1015,21 @@ object SparkEntry {
       Graph.pagerank(edges, iters = 3).orderBy(col("node"))
     }),
 
+    // Deterministic random walks (node2vec/DeepWalk sampling with the
+    // randomness replaced by the portable hash — reproducible across
+    // runs, repartitioning, and engines): one walk per node over the
+    // part-supplier bipartite graph, 3 steps, each step one
+    // frontier-vs-adjacency join on the same key.
+    "graph_walks" -> ((s, dir) => {
+      val pairs = Tables.lineitem(s, dir)
+        .select(col("l_partkey").as("p"), col("l_suppkey").as("sk")).distinct()
+      val edges = pairs
+        .select((col("p") * 2).as("src"), (col("sk") * 2 + 1).as("dst"))
+        .union(pairs.select((col("sk") * 2 + 1).as("src"), (col("p") * 2).as("dst")))
+      Graph.deterministicWalks(edges, steps = 3)
+        .orderBy(col("start"), col("step"))
+    }),
+
     // Triangle participation per node over the near-dup candidate graph
     // (density signal for dedup clusters): two vertex-key equi-joins,
     // never a cross product.
@@ -2894,6 +2909,31 @@ object SparkEntry {
       s"""WITH $minhashPairsCtes
          |SELECT * FROM mh_pairs WHERE id_a % 50 = 0 OR id_b % 50 = 0
          |ORDER BY id_a, id_b""".stripMargin,
+
+    // walk replay: unrolled steps, each choosing
+    // nbrs[poly_hash(start:t:cur) % degree] over the sorted neighbor list
+    "graph_walks" -> {
+      def hop(t: Int) =
+        s"""SELECT w${t - 1}.start,
+           |    a.nbrs[CAST(${Oracles.polyHash(s"(w${t - 1}.start || ':' || $t || ':' || w${t - 1}.cur)")} % length(a.nbrs) AS INT) + 1] AS cur
+           |  FROM w${t - 1} JOIN adj a ON w${t - 1}.cur = a.node""".stripMargin
+      s"""WITH p AS (
+         |  SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk FROM lineitem),
+         |e AS (
+         |  SELECT pk * 2 AS src, sk * 2 + 1 AS dst FROM p
+         |  UNION ALL SELECT sk * 2 + 1, pk * 2 FROM p),
+         |ed AS (SELECT DISTINCT src, dst FROM e),
+         |adj AS (SELECT src AS node, list(dst ORDER BY dst) AS nbrs FROM ed GROUP BY 1),
+         |w0 AS (SELECT node AS start, node AS cur FROM adj),
+         |w1 AS (${hop(1)}),
+         |w2 AS (${hop(2)}),
+         |w3 AS (${hop(3)})
+         |SELECT start, CAST(0 AS INT) AS step, cur AS node FROM w0
+         |UNION ALL SELECT start, 1, cur FROM w1
+         |UNION ALL SELECT start, 2, cur FROM w2
+         |UNION ALL SELECT start, 3, cur FROM w3
+         |ORDER BY start, step""".stripMargin
+    },
 
     "graph_triangles" ->
       s"""WITH $minhashPairsCtes,

@@ -120,4 +120,41 @@ object Graph {
     }
     nodes.join(scores, "node").select("node", "out_deg", "score")
   }
+
+  /** Deterministic random walks — the node2vec/DeepWalk sampling stage of
+    * an embedding-training pipeline, with the randomness replaced by the
+    * portable [[graft.functions.GraftFunctions.poly_hash]] so walks are
+    * reproducible across runs, repartitioning, and engines (the DuckDB
+    * oracle replays every step). One walk starts at every node; at step t
+    * the walker at `cur` moves to `nbrs[poly_hash(start:t:cur) % degree]`
+    * over the node's SORTED neighbor list.
+    *
+    * Scale shape: adjacency is (node, sorted nbrs) — built once with one
+    * groupBy; each step is one join of the node-sized walker frontier
+    * against it, keyed the same way every round (the PageRank iteration
+    * discipline). The path accumulates as an array column on the frontier
+    * — walk state is rows × steps longs, never edge-sized. Returns long
+    * format (start, step, node), step 0 = the start itself.
+    */
+  def deterministicWalks(edges: DataFrame, steps: Int): DataFrame = {
+    import graft.functions.GraftFunctions.poly_hash
+    require(steps >= 1)
+    val adj = edges.groupBy(col("src").as("node"))
+      .agg(sort_array(collect_set(col("dst"))).as("nbrs"))
+    var walk = adj.select(col("node").as("start"), col("node").as("cur"),
+      array(col("node")).as("path"))
+    for (t <- 1 to steps) {
+      walk = walk
+        .join(adj, walk("cur") === adj("node"))
+        .select(col("start"),
+          element_at(col("nbrs"),
+            (poly_hash(concat_ws(":", col("start"), lit(t), col("cur")))
+              % size(col("nbrs"))).cast("int") + 1).as("cur"),
+          col("path"))
+        .select(col("start"), col("cur"),
+          concat(col("path"), array(col("cur"))).as("path"))
+    }
+    walk.select(col("start"), posexplode(col("path")))
+      .select(col("start"), col("pos").as("step"), col("col").as("node"))
+  }
 }

@@ -71,6 +71,28 @@ class GraphSpec extends SparkSuite {
     assert(Graph.triangleCounts(star).isEmpty)
   }
 
+  test("deterministic walks: valid edges, full length, reproducible under repartition") {
+    val edges = sym((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L))
+    val walks = Graph.deterministicWalks(edges, steps = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq.sorted
+    // one walk per node, steps+1 rows each, starting at the start node
+    assert(walks.count(_._2 == 0) === 4)
+    assert(walks.size === 4 * 4)
+    walks.filter(_._2 == 0).foreach { case (s, _, n) => assert(s === n) }
+    // every hop follows an actual edge
+    val edgeSet = edges.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    walks.groupBy(_._1).values.foreach { path =>
+      path.sortBy(_._2).sliding(2).foreach {
+        case Seq((_, _, a), (_, _, b)) => assert(edgeSet.contains((a, b)))
+        case _ =>
+      }
+    }
+    // hash-determinism: identical output from a repartitioned edge list
+    val again = Graph.deterministicWalks(edges.repartition(7), steps = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq.sorted
+    assert(again === walks)
+  }
+
   test("triangle counts: candidate pairs materialize once, not once per join arm") {
     // the expensive pairs input (production: a full MinHash-LSH pipeline)
     // must appear in the plan only as the one pinned materialization —
