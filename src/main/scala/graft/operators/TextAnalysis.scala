@@ -417,13 +417,18 @@ object TextAnalysis {
                       minCount: Long = 2L): DataFrame = {
     require(window >= 1)
     val toks = docs.select(tokens(lower(col("text"))).as("tk"))
-    val nTokens = toks.select(sum(size(col("tk")))).head().getLong(0)
+    // coalesce guards: a NULL-text doc has NULL tk (counts 0 tokens); an
+    // empty/degenerate corpus must yield 0, not a NULL the driver read throws on
+    val nTokens = toks
+      .select(coalesce(sum(coalesce(size(col("tk")), lit(0))), lit(0L)))
+      .head().getLong(0)
     val uni = toks.select(explode(col("tk")).as("t"))
       .groupBy(col("t")).agg(count(lit(1)).as("c"))
+    // a doc shorter than the gap slices length max(n-g, 0), never negative
     val pairCols = (1 to window).map { g =>
       zip_with(
-        slice(col("tk"), lit(1), size(col("tk")) - lit(g)),
-        slice(col("tk"), lit(g + 1), size(col("tk")) - lit(g)),
+        slice(col("tk"), lit(1), greatest(size(col("tk")) - lit(g), lit(0))),
+        slice(col("tk"), lit(g + 1), greatest(size(col("tk")) - lit(g), lit(0))),
         (x, y) => struct(x.as("a"), y.as("b")))
     }
     val pairs = toks

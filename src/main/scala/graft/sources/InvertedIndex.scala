@@ -118,8 +118,12 @@ final class InvertedIndex(spark: SparkSession, dir: String) {
   // the watermark advances, so readers key by committedGen and a crashed
   // append's slot is invisible — same crash-consistency as the postings.
   private def statsOf(docs: DataFrame): (Long, Long) = {
+    // coalesce guards: NULL-text docs count 0 tokens; an empty delta's
+    // sum is 0, not a NULL the driver read would throw on
     val r = docs.select(count(lit(1)),
-      sum(size(graft.functions.GraftFunctions.tokens(lower(col("text")))))).head()
+      coalesce(sum(coalesce(
+        size(graft.functions.GraftFunctions.tokens(lower(col("text")))), lit(0))),
+        lit(0L))).head()
     (r.getLong(0), r.getLong(1))
   }
 

@@ -137,7 +137,13 @@ class AdversarialFixtureSpec extends SparkSuite {
     "table_diff", "temperature_mix", "text_normalize", "text_stats",
     "tfidf_terms", "token_shards", "train_mix", "value_histogram",
     "vocab_oov", "weighted_sample", "window_range", "window_ranks",
-    "xml_roundtrip", "zorder_prune")
+    "xml_roundtrip", "zorder_prune",
+    // r8 index family: empty/whitespace-only docs produce empty token
+    // arrays -> absent postings; absent query terms -> empty results, not
+    // throws; BM25's stats include zero-length docs
+    "text_search", "text_search_lead", "text_phrase", "text_near",
+    "text_prefix", "text_bm25", "text_search_incr", "inverted_stats",
+    "cooccurrence_pmi", "multimodal_dedup", "partition_overwrite")
 
   test("every function-breadth query is total on adversarial rows") {
     val failures = swept.flatMap { name =>
