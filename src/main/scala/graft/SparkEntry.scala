@@ -494,6 +494,32 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // Continuous vector-index maintenance: the delta arrives as an
+    // embedding STREAM; each micro-batch lands as one committed
+    // generation against the frozen centroids via the exactly-once
+    // appendBatch. The post-stream probe must hash-match the batch-built
+    // sim_ivf_indexed oracle: streaming and batch ingest are
+    // indistinguishable to a reader.
+    "stream_ivf_ingest" -> ((s, dir) => {
+      import org.apache.spark.sql.{Dataset, Row}
+      val emb = Tables.embeddings(s, dir)
+      val idx = new graft.sources.IvfIndex(
+        s, Scratch.create(s, "graft-ivf-stream"), nlist = 16)
+      idx.bootstrap(emb.filter(col("vec_id") % 50 =!= 0))
+      val q = graft.streaming.Streaming.embeddings(s, dir)
+        .filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id"), col("embedding"))
+        .writeStream
+        .foreachBatch((batch: Dataset[Row], batchId: Long) =>
+          idx.appendBatch(batch.toDF(), batchId))
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", graft.TempDirs.create("graft-ivf-ingest-ckpt"))
+        .start()
+      q.awaitTermination()
+      idx.topK(emb, emb.filter(col("vec_id") < 8), 5, nprobe = 4)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // The IVF index's MAINTENANCE POLICY as a declared query: the drift
     // guard that gates every ingest of a frozen-centroid index. Best-cell
     // cosine of each delta vector against the bootstrap centroids, one
@@ -2554,6 +2580,38 @@ object SparkEntry {
     * [[minhashPairsCtes]] (which stays fixed to the %10 documents sample
     * its eight consumers replay). Emits sh/sigs/bnd/cand/mh_pairs.
     */
+  /** The IVF indexed-probe replay, shared by `sim_ivf_indexed` (batch
+    * append) and `stream_ivf_ingest` (exactly-once streaming append):
+    * assignment is a pure function of the vector against the frozen
+    * bootstrap seeds, so both ingest paths must produce this result.
+    */
+  private lazy val ivfIndexedOracle: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |seeds AS (SELECT vec_id AS cell_id, v AS cv FROM e
+       |  WHERE vec_id % 50 != 0 ORDER BY vec_id LIMIT 16),
+       |scored AS (
+       |  SELECT e.vec_id, e.v, s.cell_id, ${Oracles.cosine("e.v", "s.cv", 64)} AS cs
+       |  FROM e CROSS JOIN seeds s),
+       |assign AS (
+       |  SELECT vec_id, v, cell_id FROM (
+       |    SELECT vec_id, v, cell_id,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cell_id) AS rnk
+       |    FROM scored) WHERE rnk = 1),
+       |probes AS (
+       |  SELECT vec_id AS query_id, v AS qv, cell_id FROM (
+       |    SELECT vec_id, v, cell_id,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cell_id) AS rnk
+       |    FROM scored WHERE vec_id < 8) WHERE rnk <= 4),
+       |cand AS (
+       |  SELECT p.query_id, a.vec_id AS neighbor_id,
+       |    round(${Oracles.cosine("p.qv", "a.v", 64)}, 6) AS cosine
+       |  FROM assign a JOIN probes p ON a.cell_id = p.cell_id AND p.query_id != a.vec_id)
+       |SELECT * FROM (
+       |  SELECT query_id, neighbor_id, cosine,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+       |  FROM cand)
+       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
   private def minhashPairsCtesOver(src: String, threshold: Double): String = {
     val bkeys = (0 until 4).map(bi => Oracles.bandKey("sig", bi, 4)).mkString("[", ", ", "]")
     s"""sh AS (
@@ -3323,32 +3381,11 @@ object SparkEntry {
     // the BOOTSTRAP corpus (vec_id % 50 != 0) and are frozen across the
     // delta append — the assignment formula itself is unchanged, which is
     // exactly the frozen-centroid invariant the oracle pins
-    "sim_ivf_indexed" ->
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         |seeds AS (SELECT vec_id AS cell_id, v AS cv FROM e
-         |  WHERE vec_id % 50 != 0 ORDER BY vec_id LIMIT 16),
-         |scored AS (
-         |  SELECT e.vec_id, e.v, s.cell_id, ${Oracles.cosine("e.v", "s.cv", 64)} AS cs
-         |  FROM e CROSS JOIN seeds s),
-         |assign AS (
-         |  SELECT vec_id, v, cell_id FROM (
-         |    SELECT vec_id, v, cell_id,
-         |      row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cell_id) AS rnk
-         |    FROM scored) WHERE rnk = 1),
-         |probes AS (
-         |  SELECT vec_id AS query_id, v AS qv, cell_id FROM (
-         |    SELECT vec_id, v, cell_id,
-         |      row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cell_id) AS rnk
-         |    FROM scored WHERE vec_id < 8) WHERE rnk <= 4),
-         |cand AS (
-         |  SELECT p.query_id, a.vec_id AS neighbor_id,
-         |    round(${Oracles.cosine("p.qv", "a.v", 64)}, 6) AS cosine
-         |  FROM assign a JOIN probes p ON a.cell_id = p.cell_id AND p.query_id != a.vec_id)
-         |SELECT * FROM (
-         |  SELECT query_id, neighbor_id, cosine,
-         |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
-         |  FROM cand)
-         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "sim_ivf_indexed" -> ivfIndexedOracle,
+
+    // the streaming ingest must be indistinguishable from the batch
+    // append — one oracle pins both
+    "stream_ivf_ingest" -> ivfIndexedOracle,
 
     // balance replay: assignment is a pure function of the vector against
     // the frozen bootstrap seeds (the invariant sim_ivf_indexed pins), so

@@ -166,6 +166,21 @@ final class IvfIndex(spark: SparkSession, dir: String,
     store.commit("assign", ctx, g + 1)
   }
 
+  /** Exactly-once streaming ingest — [[InvertedIndex.appendBatch]]'s
+    * discipline for the vector index: one micro-batch = one committed
+    * generation against the frozen centroids, idempotent under
+    * foreachBatch redelivery (replayed batch ids no-op; watermark and
+    * applied-batch id advance in ONE atomic rename, so no crash point
+    * exposes a half-applied or twice-applied batch).
+    */
+  def appendBatch(delta: DataFrame, batchId: Long): Unit = {
+    if (store.get("last_batch", ctx).exists(_ >= batchId)) return
+    val g = committedGen
+    require(g >= 0, "append before bootstrap: the index has no centroids")
+    writeGen(g + 1, delta, seeds)
+    store.commitAll(ctx, Map("assign" -> (g + 1), "last_batch" -> batchId))
+  }
+
   /** Every committed assignment row (vec_id, cell). */
   def assignmentsDf: DataFrame = {
     val g = committedGen

@@ -94,6 +94,16 @@ object Streaming {
     spark.readStream.schema(documentsSchema)
       .parquet(s"$sfDir/documents.parque*")
 
+  val embeddingsSchema: StructType = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("embedding", ArrayType(FloatType)),
+    StructField("label", IntegerType)))
+
+  /** Embedding stream — the delta side of a streaming vector-index ingest. */
+  def embeddings(spark: SparkSession, sfDir: String): DataFrame =
+    spark.readStream.schema(embeddingsSchema)
+      .parquet(s"$sfDir/embeddings.parque*")
+
   /** Streaming incremental dedup against a STORED fingerprint store —
     * [[graft.operators.Dedup.incrementalExact]] as a continuous pipeline:
     * each arriving document's content fingerprint is checked against the

@@ -44,6 +44,23 @@ class IvfIndexSpec extends SparkSuite {
     assert(afterOld === before)
   }
 
+  test("appendBatch is exactly-once under redelivery and equals the batch append") {
+    val idx = new IvfIndex(spark, TempDirs.create("ivf-idx-batch"), nlist = 16)
+    idx.bootstrap(oldVecs)
+    idx.appendBatch(delta, batchId = 0L)
+    assert(idx.committedGen === 1L)
+    val once = idx.assignmentsDf.as[(Long, Long)].collect().toSeq.sorted
+    // foreachBatch redelivery of an applied batch must be a no-op
+    idx.appendBatch(delta, batchId = 0L)
+    assert(idx.committedGen === 1L)
+    assert(idx.assignmentsDf.as[(Long, Long)].collect().toSeq.sorted === once)
+    // streaming and batch ingest are indistinguishable to a reader
+    val plain = new IvfIndex(spark, TempDirs.create("ivf-idx-batch2"), nlist = 16)
+    plain.bootstrap(oldVecs)
+    plain.append(delta)
+    assert(plain.assignmentsDf.as[(Long, Long)].collect().toSeq.sorted === once)
+  }
+
   test("an uncommitted generation directory is invisible to readers") {
     val dir = TempDirs.create("ivf-idx-spec3")
     val idx = new IvfIndex(spark, dir, nlist = 16)
