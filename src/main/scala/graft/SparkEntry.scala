@@ -868,6 +868,19 @@ object SparkEntry {
       idx.near("key", "order", maxGap = 3).orderBy(col("doc_id"))
     }),
 
+    // Snapshot (time-travel) read: search AS OF generation 0 after a
+    // later append — the snapshot is a PREFIX of the generation sequence,
+    // so pinned readers are isolated from concurrent ingests for free.
+    // Must equal the search over only the bootstrap half.
+    "text_search_asof" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val cut = 250L
+      val idx = new graft.sources.InvertedIndex(s, Scratch.create(s, "graft-inv-idx-ao"))
+      idx.bootstrap(docs.filter(col("doc_id") < cut))
+      idx.append(docs.filter(col("doc_id") >= cut))
+      idx.conjunctive(Seq("dup", "vector"), asOf = Some(0L)).orderBy(col("doc_id"))
+    }),
+
     // Prefix term browse ('s*'): StartsWith pushes into the parquet scan,
     // and the term-sorted compaction makes a prefix a CONTIGUOUS
     // row-group range — index-seek pruning for wildcard queries.
@@ -3929,6 +3942,20 @@ object SparkEntry {
          |  WHERE a.term = 'key' AND b.term = 'order')
          |SELECT doc_id, CAST(count(*) AS INT) AS n_occurrences
          |FROM hits GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the generation-0 snapshot is exactly the bootstrap half
+    "text_search_asof" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(${Oracles.tokens("lower(text)")}) AS term
+         |  FROM documents WHERE doc_id < 250),
+         |tf AS (
+         |  SELECT doc_id, term, count(*) AS tf FROM toks
+         |  WHERE term IN ('dup', 'vector') GROUP BY 1, 2),
+         |hit AS (
+         |  SELECT doc_id, count(DISTINCT term) AS m, sum(tf) AS s
+         |  FROM tf GROUP BY 1)
+         |SELECT doc_id, CAST(s AS BIGINT) AS tf_sum FROM hit
+         |WHERE m = 2 ORDER BY doc_id""".stripMargin,
 
     "text_prefix" ->
       s"""WITH toks AS (

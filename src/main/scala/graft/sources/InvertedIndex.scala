@@ -93,9 +93,23 @@ final class InvertedIndex(spark: SparkSession, dir: String) {
     * as [[LshBandIndex.bandsDf]]: a union with an empty tail would erase
     * the compacted scan's bucket spec.
     */
-  def postingsDf: DataFrame = {
-    val g = committedGen
+  def postingsDf: DataFrame = postingsAsOf(committedGen)
+
+  /** Snapshot read AS OF generation `g` — the index exactly as a reader
+    * pinned at that watermark saw it (time travel, for free from the
+    * generation layout: a snapshot is a PREFIX of the generation
+    * sequence). Retention boundary: [[compact]] folds and DELETES the
+    * generations it supersedes, so snapshots below `compactedThrough` no
+    * longer exist — compaction is the explicit "vacuum" that trades
+    * history for the exchange-free probe layout, and this method refuses
+    * rather than silently serving the wrong snapshot.
+    */
+  def postingsAsOf(g: Long): DataFrame = {
+    val committed = committedGen
     val c = compactedThrough
+    require(g <= committed, s"as-of generation $g is ahead of the committed watermark $committed")
+    require(g >= c || g < 0, s"generation $g was folded into the compaction " +
+      s"(compactedThrough=$c) and its snapshot no longer exists")
     if (c < 0 && g < 0) emptyPostings
     else if (c < 0)
       spark.read.schema(postingSchema).parquet((0L to g).map(genDir): _*)
@@ -195,9 +209,10 @@ final class InvertedIndex(spark: SparkSession, dir: String) {
     * scan, one doc_id aggregation over posting-sized data — the corpus is
     * never read.
     */
-  def conjunctive(terms: Seq[String]): DataFrame = {
+  def conjunctive(terms: Seq[String], asOf: Option[Long] = None): DataFrame = {
     require(terms.nonEmpty, "conjunctive query needs at least one term")
-    postingsDf.filter(col("term").isin(terms: _*))
+    asOf.map(postingsAsOf).getOrElse(postingsDf)
+      .filter(col("term").isin(terms: _*))
       .groupBy(col("doc_id"))
       .agg(countDistinct(col("term")).as("_matched"),
         sum(col("tf")).cast("long").as("tf_sum"))

@@ -223,6 +223,21 @@ class InvertedIndexSpec extends SparkSuite {
     assert(idx.corpusStats === full.corpusStats)
   }
 
+  test("as-of snapshots: pinned readers isolated from appends; compaction is the retention boundary") {
+    val idx = new InvertedIndex(spark, TempDirs.create("inv-idx-asof"))
+    idx.bootstrap(docs.filter(col("doc_id") < 250))
+    val snap0 = got(idx.conjunctive(Seq("dup", "vector")))
+    idx.append(docs.filter(col("doc_id") >= 250))
+    // the generation-0 snapshot is byte-stable across the append
+    assert(got(idx.conjunctive(Seq("dup", "vector"), asOf = Some(0L))) === snap0)
+    assert(got(idx.conjunctive(Seq("dup", "vector"))) !== snap0)
+    // ahead-of-watermark and pre-compaction snapshots refuse
+    intercept[IllegalArgumentException] { idx.postingsAsOf(99L) }
+    idx.compact(buckets = 4)
+    intercept[IllegalArgumentException] { idx.postingsAsOf(0L) }
+    assert(idx.postingsAsOf(1L).count() === idx.postingsDf.count())
+  }
+
   test("bootstrap is idempotent") {
     val idx = new InvertedIndex(spark, TempDirs.create("inv-idx-idem"))
     idx.bootstrap(docs.filter(col("doc_id") < 100))
