@@ -6,8 +6,12 @@ import org.apache.spark.sql.SparkSession
 
 /** Benchmark main. Prints TWO JSON lines (full report first, then a compact
   * totals-only summary as the very last line, sized to survive any bounded
-  * stdout tail capture) and writes the full per-query report to a committed
-  * file so cross-round per-query diffs are a `jq` call, not a log exercise.
+  * stdout tail capture) and writes BOTH to committed files — the full
+  * per-query report to `SPARK_GRAFT_BENCH_OUT` and the compact summary to
+  * the fixed path `BENCH_SUMMARY.json` — so cross-round per-query diffs are
+  * a `jq` call and the driver's summary parse never depends on log
+  * scraping (r8 verdict #3: sbt's `[info] ` stdout prefix defeated the
+  * driver's JSON parse three rounds running; a side file has no prefix).
   *
   * Timing semantics: `value` is the best-WARM total (cold totals carried
   * alongside as `value_cold`) — one-shot timings on deep pipelines are
@@ -19,6 +23,19 @@ import org.apache.spark.sql.SparkSession
   * A query that throws is never reported as a healthy fast time: every
   * failed run records its exception class, failed runs are excluded from
   * the warm statistic, and the summary line carries the failure count.
+  *
+  * Warm>cold inversions SELF-ADJUDICATE (r8 verdict #1 — three rounds of
+  * single-warm-run captures produced inversions that manual isolated
+  * re-runs kept refuting): any batch query whose warm statistic exceeds
+  * 1.5x its cold time (by more than 0.3 s, so micro-query noise doesn't
+  * trigger re-runs) is re-timed SOLO at the end of the suite — after a
+  * full drain and an explicit GC, so the ContextCleaner has reclaimed the
+  * suite's broadcast/shuffle debris — with one cold and two warm runs,
+  * and the row carries BOTH numbers (`"readjudicated": {cold, runs,
+  * warm}`). The in-suite `warm` stays the headline statistic (cross-round
+  * comparability); the adjudication block is the authoritative number for
+  * any row that has one. Streams are excluded — their median-of-3+
+  * protocol already absorbs state-store setup noise.
   */
 object Bench {
 
@@ -75,7 +92,7 @@ object Bench {
         // quick mode (streams then skip their median protocol too)
         "SPARK_GRAFT_WARM" -> "1",
         // where the full per-query report lands (committed to the repo)
-        "SPARK_GRAFT_BENCH_OUT" -> "BENCH_LOCAL_r8.json"))
+        "SPARK_GRAFT_BENCH_OUT" -> "BENCH_LOCAL_r9.json"))
     val sfDir = opts("SPARK_GRAFT_SF_DIR")
     val cpus = opts("SPARK_GRAFT_CPUS")
     val warmRuns = opts("SPARK_GRAFT_WARM").toInt.max(0)
@@ -157,6 +174,19 @@ object Bench {
         QueryResult(name, cold, warm, graft.streaming.Streaming.lastStateRows)
       }
 
+    // ---- inversion self-adjudication (see class doc) ----
+    val toReadjudicate = results.filter { r =>
+      !r.isStream && r.err.isEmpty && r.warm.nonEmpty &&
+        r.warmStat > 1.5 * r.cold.sec && r.warmStat - r.cold.sec > 0.3
+    }
+    val readjudicated: Map[String, (Run, Seq[Run])] = toReadjudicate.map { r =>
+      Residue.drain(spark)
+      System.gc() // let the ContextCleaner reclaim broadcast/shuffle debris
+      Thread.sleep(200)
+      val fn = SparkEntry.queries(r.name)
+      r.name -> (timeOnce(fn), (1 to 2).map(_ => timeOnce(fn)))
+    }.toMap
+
     val totalWarm = results.map(_.warmStat).sum
     val totalCold = results.map(_.cold.sec).sum
     val failures = results.filter(_.err.isDefined)
@@ -173,6 +203,13 @@ object Bench {
         else None,
         r.stateRows.map { case (t, u) =>
           s""""state_rows_total":$t,"state_rows_updated":$u""" },
+        readjudicated.get(r.name).map { case (c, w) =>
+          val ok = w.filter(_.err.isEmpty).map(_.sec)
+          val best = if (ok.nonEmpty) ok.min else c.sec
+          "\"readjudicated\":{\"cold\":" + jnum(c.sec) +
+            ",\"runs\":" + w.map(x => jnum(x.sec)).mkString("[", ",", "]") +
+            ",\"warm\":" + jnum(best) + "}"
+        },
         // post-drain pressure after this query's LAST run: heap live-set
         // and block-manager storage occupancy (broadcast blocks etc. that
         // the residue sweep cannot free). A climbing series across the
@@ -191,6 +228,7 @@ object Bench {
       s""""calib_sec":${jnum(calibSec)},""" +
       s""""n_queries":${results.size},"n_failed":${failures.size},""" +
       s""""n_leaking":${results.count(_.leaks.nonEmpty)},""" +
+      s""""n_readjudicated":${readjudicated.size},""" +
       s""""queries":$queriesJson}"""
     Files.write(Paths.get(benchOut), (fullJson + "\n").getBytes(StandardCharsets.UTF_8))
     println(fullJson)
@@ -206,15 +244,23 @@ object Bench {
       .map(r => jstr(r.name) + ":" + jnum(r.warmStat)).mkString("{", ",", "}")
     val errJson = failures.take(5)
       .map(r => jstr(r.name) + ":" + jstr(r.err.get)).mkString("{", ",", "}")
-    println(
+    val summaryJson =
       s"""{"metric":"total_warm","value":${jnum(totalWarm)},"unit":"sec",""" +
       s""""value_cold":${jnum(totalCold)},"n_queries":${results.size},""" +
       s""""n_failed":${failures.size},"errors":$errJson,""" +
       s""""n_leaking":${results.count(_.leaks.nonEmpty)},""" +
+      s""""n_readjudicated":${readjudicated.size},""" +
       s""""calib_sec":${jnum(calibSec)},""" +
       s""""queries":$headJson,"sf":${jstr(sfDir)},""" +
       s""""bench_file":${jstr(benchOut)},""" +
-      """"note":"value=best-warm total (median-of-3+ for stream_*); full per-query warm/cold/err in bench_file"}""")
+      """"note":"value=best-warm total (median-of-3+ for stream_*); full per-query warm/cold/err in bench_file"}"""
+    // fixed-path side file: the machine-readable hand-off (stdout carries
+    // sbt's [info] prefix; this file never does). Partial A/B runs skip it
+    // so a filtered run can't masquerade as the committed full suite.
+    if (only.isEmpty)
+      Files.write(Paths.get("BENCH_SUMMARY.json"),
+        (summaryJson + "\n").getBytes(StandardCharsets.UTF_8))
+    println(summaryJson)
     spark.stop()
   }
 }
