@@ -17,6 +17,13 @@ run / fork := true
 // the summary (r7: BENCH_r07.json "parsed": null).
 ThisBuild / showSuccess := false
 Global / excludeLintKeys += showSuccess
+// Pass the forked program's stdout through UNPREFIXED: sbt's default
+// LoggedOutput wraps every line in "[info] ", which defeated the driver's
+// JSON parse of Bench's final summary line three rounds running (r9
+// verdict #4 — BENCH_r09.json tail shows `[info] {"metric":...}`,
+// "parsed": null). With StdoutOutput the summary line IS the process's
+// last stdout line, byte-for-byte.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -24,18 +24,25 @@ import org.apache.spark.sql.SparkSession
   * failed run records its exception class, failed runs are excluded from
   * the warm statistic, and the summary line carries the failure count.
   *
-  * Warm>cold inversions SELF-ADJUDICATE (r8 verdict #1 — three rounds of
+  * Suspicious rows SELF-ADJUDICATE on two triggers (streams excluded —
+  * their median-of-3+ protocol already absorbs state-store setup noise):
+  * (A) warm>cold inversion — any batch query whose warm statistic exceeds
+  * 1.5x its cold time by more than 0.3 s (r8 verdict #1: three rounds of
   * single-warm-run captures produced inversions that manual isolated
-  * re-runs kept refuting): any batch query whose warm statistic exceeds
-  * 1.5x its cold time (by more than 0.3 s, so micro-query noise doesn't
-  * trigger re-runs) is re-timed SOLO at the end of the suite — after a
+  * re-runs kept refuting); (B) cross-ROUND regression — warm more than 3x
+  * the prior committed round's warm for the same query after normalizing
+  * by the calibration ratio (r9 verdict #3: the inversion-only trigger
+  * missed the slow-both-ways class — sample_stratified 14x with cold slow
+  * too, so no inversion fired). The prior file is `SPARK_GRAFT_PRIOR` or
+  * the newest `BENCH_LOCAL_r*.json` that is not this run's output.
+  * Triggered rows are re-timed SOLO at the end of the suite — after a
   * full drain and an explicit GC, so the ContextCleaner has reclaimed the
   * suite's broadcast/shuffle debris — with one cold and two warm runs,
   * and the row carries BOTH numbers (`"readjudicated": {cold, runs,
-  * warm}`). The in-suite `warm` stays the headline statistic (cross-round
+  * warm}`; a failed re-run is null, never a healthy-looking time). The
+  * in-suite `warm` stays the headline statistic (cross-round
   * comparability); the adjudication block is the authoritative number for
-  * any row that has one. Streams are excluded — their median-of-3+
-  * protocol already absorbs state-store setup noise.
+  * any row that has one.
   */
 object Bench {
 
@@ -92,7 +99,11 @@ object Bench {
         // quick mode (streams then skip their median protocol too)
         "SPARK_GRAFT_WARM" -> "1",
         // where the full per-query report lands (committed to the repo)
-        "SPARK_GRAFT_BENCH_OUT" -> "BENCH_LOCAL_r9.json"))
+        "SPARK_GRAFT_BENCH_OUT" -> "BENCH_LOCAL_r10.json",
+        // prior round's committed full report, for the cross-round
+        // regression trigger; "" = newest BENCH_LOCAL_r*.json that is not
+        // the current output file
+        "SPARK_GRAFT_PRIOR" -> ""))
     val sfDir = opts("SPARK_GRAFT_SF_DIR")
     val cpus = opts("SPARK_GRAFT_CPUS")
     val warmRuns = opts("SPARK_GRAFT_WARM").toInt.max(0)
@@ -108,6 +119,11 @@ object Bench {
       if (only.isDefined && !benchOutExplicit) "BENCH_LOCAL_partial.json"
       else opts("SPARK_GRAFT_BENCH_OUT")
     val streamMinWarm = 3 // median needs >= 3 samples to mean anything
+    // Stale-summary guard (r9 advice): a crashed run — or a filtered run,
+    // which intentionally skips the summary write — must not leave last
+    // round's BENCH_SUMMARY.json for the driver to read as fresh. Delete
+    // up front; the file exists at exit ONLY if this full run completed.
+    Files.deleteIfExists(Paths.get("BENCH_SUMMARY.json"))
     val spark = graft.GraftSession.builder(s"local[$cpus]", cpus.toInt)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -174,10 +190,54 @@ object Bench {
         QueryResult(name, cold, warm, graft.streaming.Streaming.lastStateRows)
       }
 
-    // ---- inversion self-adjudication (see class doc) ----
+    // ---- self-adjudication triggers (see class doc) ----
+    // Trigger A (r8 #1): in-suite warm>cold inversion.
+    // Trigger B (r9 #3): CROSS-ROUND regression — warm > 3x the prior
+    // committed round's warm for the same query, normalized by the calib
+    // ratio so a slower box doesn't fire every row. r9 proved the
+    // inversion-only trigger blind to the slow-both-ways class
+    // (sample_stratified 14x, window_range 8.9x — cold slowed too, so no
+    // inversion fired and the regressions shipped unadjudicated).
+    val prior: (Double, Map[String, Double]) = {
+      val explicit = Option(opts("SPARK_GRAFT_PRIOR")).filter(_.nonEmpty)
+      val path = explicit.orElse {
+        val rx = "BENCH_LOCAL_r(\\d+)\\.json".r
+        Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
+          .flatMap(f => f.getName match {
+            case rx(n) if f.getName != benchOut => Some((n.toInt, f.getName))
+            case _ => None
+          }).sortBy(-_._1).headOption.map(_._2)
+      }
+      path.flatMap { p =>
+        try {
+          val om = new com.fasterxml.jackson.databind.ObjectMapper()
+          val root = om.readTree(Files.readAllBytes(Paths.get(p)))
+          val calib = root.path("calib_sec").asDouble(0.0)
+          val qs = root.path("queries")
+          val m = scala.collection.mutable.Map[String, Double]()
+          val names = qs.fieldNames()
+          while (names.hasNext) {
+            val n = names.next()
+            m(n) = qs.path(n).path("warm").asDouble(Double.NaN)
+          }
+          Some((calib, m.toMap))
+        } catch { case _: Throwable => None }
+      }.getOrElse((0.0, Map.empty))
+    }
+    val (priorCalib, priorWarm) = prior
+    val calibRatio = if (priorCalib > 0) calibSec / priorCalib else 1.0
     val toReadjudicate = results.filter { r =>
-      !r.isStream && r.err.isEmpty && r.warm.nonEmpty &&
-        r.warmStat > 1.5 * r.cold.sec && r.warmStat - r.cold.sec > 0.3
+      if (r.isStream || r.err.isDefined || r.warm.isEmpty) false
+      else {
+        val inversion =
+          r.warmStat > 1.5 * r.cold.sec && r.warmStat - r.cold.sec > 0.3
+        val crossRound = priorWarm.get(r.name).exists { pw =>
+          !pw.isNaN && pw > 0 &&
+            r.warmStat > 3.0 * pw * calibRatio &&
+            r.warmStat - pw * calibRatio > 0.3
+        }
+        inversion || crossRound
+      }
     }
     val readjudicated: Map[String, (Run, Seq[Run])] = toReadjudicate.map { r =>
       Residue.drain(spark)
@@ -204,11 +264,21 @@ object Bench {
         r.stateRows.map { case (t, u) =>
           s""""state_rows_total":$t,"state_rows_updated":$u""" },
         readjudicated.get(r.name).map { case (c, w) =>
+          // a throwing re-run is never reported as a healthy time (r9
+          // advice): warm is null unless some warm re-run succeeded, the
+          // cold re-run carries its own err marker, and failed re-runs
+          // are counted explicitly
           val ok = w.filter(_.err.isEmpty).map(_.sec)
-          val best = if (ok.nonEmpty) ok.min else c.sec
-          "\"readjudicated\":{\"cold\":" + jnum(c.sec) +
-            ",\"runs\":" + w.map(x => jnum(x.sec)).mkString("[", ",", "]") +
-            ",\"warm\":" + jnum(best) + "}"
+          val best = if (ok.nonEmpty) jnum(ok.min) else "null"
+          val nFailed = w.count(_.err.isDefined) + c.err.size
+          "\"readjudicated\":{\"cold\":" +
+            (if (c.err.isEmpty) jnum(c.sec) else "null") +
+            ",\"runs\":" + w.map(x =>
+              if (x.err.isEmpty) jnum(x.sec) else "null").mkString("[", ",", "]") +
+            ",\"warm\":" + best +
+            (if (nFailed > 0) ",\"failed_runs\":" + nFailed +
+              ",\"err\":" + jstr((c.err.toSeq ++ w.flatMap(_.err)).head)
+             else "") + "}"
         },
         // post-drain pressure after this query's LAST run: heap live-set
         // and block-manager storage occupancy (broadcast blocks etc. that
