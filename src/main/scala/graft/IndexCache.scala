@@ -2,6 +2,7 @@ package graft
 
 import java.util.concurrent.ConcurrentHashMap
 
+import org.apache.spark.scheduler.{SparkListener, SparkListenerApplicationEnd}
 import org.apache.spark.sql.SparkSession
 
 /** Session-scoped build-once registry for PERSISTED index handles
@@ -11,7 +12,7 @@ import org.apache.spark.sql.SparkSession
   * Production builds an index ONCE, ever, and every later run only probes
   * and appends. A declared query, by contrast, must be a self-contained
   * `(SparkSession, sfDir) => DataFrame` the oracle can replay from the raw
-  * tables — so until r8 each index-backed query re-bootstrapped and
+  * tables — so until r9 each index-backed query re-bootstrapped and
   * re-compacted its index inside the timed region on EVERY bench run. That
   * charged the one-time build to every warm run (r8 verdict #2:
   * `corpus_clean_incr_indexed` showed a 4.2x warm-run spread driven
@@ -26,21 +27,41 @@ import org.apache.spark.sql.SparkSession
   * runs per ingest: band/tokenize the delta, probe, verify, sink, report.
   * Results are unchanged by construction — the cached object is the same
   * index the query would have rebuilt, probed through the same committed
-  * watermark (replayed ingests skip their append via the run-key ledger,
-  * e.g. [[graft.sources.LshBandIndex.sweepAndAppend]]'s `runKey`).
+  * watermark (replayed ingests skip their append via
+  * [[graft.sources.LshBandIndex.sweepAndAppend]]'s `runKey` ledger slot).
   *
   * Keyed by `applicationId` so a leaked JVM-global can never serve a stale
   * index to a different session (scratch dirs die with the JVM anyway —
-  * [[Scratch]]'s shutdown hook). Values are built inside `computeIfAbsent`:
-  * two threads racing the same key build once.
+  * [[Scratch]]'s shutdown hook). A stopped session's entries are evicted
+  * by a per-application `SparkListenerApplicationEnd` hook, so a
+  * long-lived multi-session JVM (the test suite) does not accumulate dead
+  * handles. Values are built inside `computeIfAbsent`: two threads racing
+  * the same key build once.
   */
 object IndexCache {
 
   private val cache = new ConcurrentHashMap[String, AnyRef]()
+  private val watched = ConcurrentHashMap.newKeySet[String]()
 
   /** The handle for `key`, building it on first use in this session. */
-  def getOrBuild[T <: AnyRef](spark: SparkSession, key: String)(build: => T): T =
-    cache.computeIfAbsent(
-      spark.sparkContext.applicationId + "|" + key, _ => build
-    ).asInstanceOf[T]
+  def getOrBuild[T <: AnyRef](spark: SparkSession, key: String)(build: => T): T = {
+    val appId = spark.sparkContext.applicationId
+    if (watched.add(appId)) {
+      spark.sparkContext.addSparkListener(new SparkListener {
+        override def onApplicationEnd(e: SparkListenerApplicationEnd): Unit = {
+          cache.keySet.removeIf(_.startsWith(appId + "|"))
+          watched.remove(appId)
+        }
+      })
+    }
+    cache.computeIfAbsent(appId + "|" + key, _ => build).asInstanceOf[T]
+  }
+
+  /** Entry count for `spark`'s application — spec/telemetry hook. */
+  private[graft] def sizeFor(spark: SparkSession): Int = {
+    val prefix = spark.sparkContext.applicationId + "|"
+    var n = 0
+    cache.keySet.forEach(k => if (k.startsWith(prefix)) n += 1)
+    n
+  }
 }

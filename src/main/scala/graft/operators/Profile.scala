@@ -4,14 +4,21 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** ANALYZE-style table profiling: per-column row count, null count,
-  * exact distinct count, min/max, and mean in ONE pass over the table,
-  * melted to one row per column.
+  * exact distinct count, min/max, and mean, melted to one row per column.
   *
-  * The multi-column distinct counts plan as a single aggregate over a
-  * Catalyst Expand (one input scan fanned to |cols| streams), partially
-  * aggregated before the exchange — the optimizer-maintained statistics
-  * a catalog needs (SURVEY.md §1.1) without |cols| separate scans. The
-  * melt is a map-only `stack` over the single 1-row aggregate result.
+  * Plan shape (r9 verdict #2): the non-distinct stats fold into ONE
+  * codegen'd hash-aggregate pass, and each exact ndv runs as its OWN
+  * single-distinct hash aggregate — |cols| extra scans that each read one
+  * column of a column-pruned parquet. The naive alternative — all
+  * `countDistinct`s in one aggregate — makes Catalyst's distinct rewrite
+  * Expand the input |cols|+1 ways and carry every accumulator through
+  * ObjectHashAggregate passes: a 5x scan blow-up materialized as shuffle
+  * rows, which is the scale-killer at 100 TB (measured 12.5 s vs 2.4 s at
+  * sf0.1; same pathology fixed for approx_sketches in r4, 4.2 s -> 0.6 s).
+  * Separate pruned single-column scans are also how a real profiler runs
+  * column-parallel on a cluster. All |cols|+1 results are 1-row frames, so
+  * the recombining cross joins are metadata-sized; the melt is a map-only
+  * `stack` over the single 1-row result.
   */
 object Profile {
 
@@ -19,16 +26,19 @@ object Profile {
     * as doubles so every column melts into one uniform long-form schema.
     */
   def numeric(df: DataFrame, cols: Seq[String]): DataFrame = {
-    val aggs = cols.flatMap { c =>
+    val baseAggs = cols.flatMap { c =>
       Seq(
         count(col(c)).as(s"${c}__n"),
         sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
-        countDistinct(col(c)).as(s"${c}__ndv"),
         min(col(c)).cast("double").as(s"${c}__min"),
         max(col(c)).cast("double").as(s"${c}__max"),
         round(avg(col(c)), 4).as(s"${c}__avg"))
     }
-    val row = df.agg(aggs.head, aggs.tail: _*)
+    val base = df.agg(baseAggs.head, baseAggs.tail: _*)
+    // one single-distinct aggregate per column: plans as two plain hash
+    // aggregates over the pruned column — no Expand, stays in codegen
+    val ndvs = cols.map(c => df.agg(countDistinct(col(c)).as(s"${c}__ndv")))
+    val row = ndvs.foldLeft(base)(_ crossJoin _)
     val stackArgs = cols.map(c =>
       s"'$c', `${c}__n`, `${c}__nulls`, `${c}__ndv`, `${c}__min`, `${c}__max`, `${c}__avg`")
       .mkString(", ")

@@ -162,9 +162,23 @@ final class LshBandIndex(spark: SparkSession, dir: String,
     * next committed generation. Output contract is
     * [[graft.operators.Dedup.minhashLshPairsIncremental]]'s: exactly the
     * full sweep's pairs involving a delta doc.
+    *
+    * `runKey` (optional) makes the APPEND idempotent under whole-ingest
+    * replay: a nonempty key is committed atomically with the band
+    * watermark, and a later call carrying an already-committed key still
+    * sweeps and sinks (at-least-once sink, closed by idempotent sinks —
+    * same window as the star job) but skips re-appending the delta's
+    * bands. Without it, a replayed ingest — a bench warm run re-executing
+    * the same declared query against an [[graft.IndexCache]]-cached index
+    * — would grow the index by one duplicate generation per run. The
+    * sweep RESULT is replay-invariant either way: a delta doc's own
+    * committed bands are excluded by the `doc_id` inequality, and
+    * delta-vs-delta pairs are already produced by the delta-side probe,
+    * so the distinct'd pair set is identical before and after the append.
     */
   def sweepAndAppend(corpusText: DataFrame, delta: DataFrame,
-                     threshold: Double)(sink: DataFrame => Unit): Unit = {
+                     threshold: Double, runKey: String = "")
+                    (sink: DataFrame => Unit): Unit = {
     // the delta's bands feed the probe AND the post-sink append — pin so
     // the delta is shingled once; freed by the caller's end-of-query drain
     val dBands = Residue.pin(Dedup.minhashBands(delta, n, k, bands))
@@ -196,8 +210,16 @@ final class LshBandIndex(spark: SparkSession, dir: String,
       .filter(col("jaccard") >= threshold)
     sink(pairs)
     // sink succeeded -> append the delta's bands and advance the watermark
-    val next = committedGen + 1
-    writeGen(next, dBands)
-    store.commit("bands", ctx, next)
+    // (skipped when this ingest's runKey is already committed: the append
+    // already happened and re-appending would duplicate the generation)
+    val runSlot = if (runKey.isEmpty) "" else
+      "run_" + java.lang.Integer.toHexString(runKey.hashCode)
+    val replayed = runKey.nonEmpty && store.get(runSlot, ctx).isDefined
+    if (!replayed) {
+      val next = committedGen + 1
+      writeGen(next, dBands)
+      if (runKey.isEmpty) store.commit("bands", ctx, next)
+      else store.commitAll(ctx, Map("bands" -> next, runSlot -> 1L))
+    }
   }
 }

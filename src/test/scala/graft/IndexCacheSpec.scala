@@ -1,0 +1,47 @@
+package graft
+
+class IndexCacheSpec extends SparkSuite {
+
+  test("getOrBuild builds once per (session, key) and returns the same handle") {
+    var builds = 0
+    val key = "spec-k1-" + System.nanoTime()
+    val a = IndexCache.getOrBuild(spark, key) { builds += 1; new Object }
+    val b = IndexCache.getOrBuild(spark, key) { builds += 1; new Object }
+    assert(a eq b)
+    assert(builds == 1)
+    IndexCache.getOrBuild(spark, key + "-other") { builds += 1; new Object }
+    assert(builds == 2)
+    assert(IndexCache.sizeFor(spark) >= 2)
+  }
+
+  test("replayed sweepAndAppend with a runKey does not grow the index") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f g h"), (2L, "a b c d e f g x"),
+      (3L, "zz yy xx ww vv uu")).toDF("doc_id", "text")
+    val delta = Seq((10L, "a b c d e f g h")).toDF("doc_id", "text")
+    val idx = new graft.sources.LshBandIndex(
+      spark, TempDirs.create("graft-ic-spec"), n = 2, k = 8, bands = 4)
+    idx.bootstrap(docs)
+    val gen0 = idx.committedGen
+    var first: Set[(Long, Long)] = Set.empty
+    idx.sweepAndAppend(docs.unionByName(delta), delta, threshold = 0.5,
+      runKey = "spec-run") { p =>
+      first = p.select(col("id_a"), col("id_b")).as[(Long, Long)].collect().toSet
+    }
+    val gen1 = idx.committedGen
+    assert(gen1 == gen0 + 1)
+    // replay: same runKey -> sweep + sink run again, append is a no-op,
+    // and the pair set is unchanged (the appended delta bands only add
+    // pairs the delta-side probe already produced, minus self-pairs)
+    var second: Set[(Long, Long)] = Set.empty
+    idx.sweepAndAppend(docs.unionByName(delta), delta, threshold = 0.5,
+      runKey = "spec-run") { p =>
+      second = p.select(col("id_a"), col("id_b")).as[(Long, Long)].collect().toSet
+    }
+    assert(idx.committedGen == gen1)
+    assert(second == first)
+    assert(first.nonEmpty) // delta near-dups doc 1
+  }
+}

@@ -61,12 +61,23 @@ class ProfileFuzzySpec extends SparkSuite {
       ("y", 2L, 1L, 1L, 10.0, 10.0, 10.0)))
   }
 
-  test("column profile is a single scan (one aggregate over Expand)") {
-    val plan = Profile.numeric(
+  test("column profile plans without Expand: per-column pruned ndv scans") {
+    // r9 verdict #2: the all-distincts-in-one-aggregate shape Expands the
+    // scan |cols|+1 ways and carries every accumulator through
+    // ObjectHashAggregate — a 5x blow-up at 100 TB. The pinned shape is
+    // one base pass + one single-distinct hash aggregate per column:
+    // |cols|+1 scans, each column-pruned, no Expand anywhere.
+    val qe = Profile.numeric(
         Tables.lineitem(spark, sf), Seq("l_quantity", "l_tax"))
-      .queryExecution.executedPlan.toString
-    val scans = "Scan parquet".r.findAllIn(plan).length
-    assert(scans == 1, s"expected 1 scan, got $scans")
-    assert(plan.contains("Expand"), plan)
+      .queryExecution
+    val plan = qe.executedPlan.toString
+    assert(!plan.contains("Expand"), plan)
+    assert(!plan.contains("ObjectHashAggregate"), plan)
+    val scans = "Scan parquet".r.findAllIn(plan).toSeq.length
+    assert(scans == 3, s"expected 3 pruned scans (base + 2 ndv), got $scans")
+    // each ndv scan reads exactly one column
+    val schemas = "ReadSchema: struct<([^>]*)>".r
+      .findAllMatchIn(plan).map(_.group(1)).toList
+    assert(schemas.count(s => s.split(",").length == 1) >= 2, schemas.toString)
   }
 }
