@@ -918,6 +918,17 @@ object SparkEntry {
     "text_bm25" -> ((s, dir) =>
       fullInvIndex(s, dir).bm25(Seq("dup", "vector"), 15).orderBy(col("doc_id"))),
 
+    // BM25 at FOUR query terms (r8 verdict #5): exercises the
+    // order-independent integer micro-unit sum — with >= 3 terms the old
+    // double aggregation's low bits depended on partial-merge order, so
+    // multi-term ranking was oracle-ungateable. Two of the terms are
+    // stopword-grade (df ~78%), so the score blends hot and rare
+    // postings; still one pruned posting scan + one posting-sized
+    // aggregation.
+    "text_bm25_multi" -> ((s, dir) =>
+      fullInvIndex(s, dir).bm25(Seq("dup", "vector", "table", "merge"), 20)
+        .orderBy(col("doc_id"))),
+
     // Windowed co-occurrence + PMI (skip-gram statistics for embedding
     // training): pair generation is MAP-ONLY — each doc's token list
     // zip_with its own g-shifted self per gap, never a positions
@@ -1053,6 +1064,23 @@ object SparkEntry {
       val edges = pairs
         .select((col("p") * 2).as("src"), (col("sk") * 2 + 1).as("dst"))
         .union(pairs.select((col("sk") * 2 + 1).as("src"), (col("p") * 2).as("dst")))
+      Graph.deterministicWalks(edges, steps = 3)
+        .orderBy(col("start"), col("step"))
+    }),
+
+    // Walks over a DIRECTED acyclic graph with real dead ends (r8 verdict
+    // #7): nodes 0..200, edges hop forward by 1..37 capped at 200, so the
+    // top of the key space has shrinking out-degree and node 200 is a
+    // pure sink. A walk reaching a dead end ENDS there — the left-join
+    // freeze keeps the steps already taken (the old inner-join step
+    // dropped the whole walker). Same one-join-per-hop plan as
+    // graph_walks; the oracle replays every hop including the early
+    // terminations.
+    "graph_walks_directed" -> ((s, dir) => {
+      val edges = Tables.lineitem(s, dir)
+        .select((col("l_partkey") % 200).as("src"),
+          ((col("l_partkey") % 200) + (col("l_suppkey") % 37) + 1).as("dst"))
+        .filter(col("dst") <= 200).distinct()
       Graph.deterministicWalks(edges, steps = 3)
         .orderBy(col("start"), col("step"))
     }),
@@ -2758,6 +2786,38 @@ object SparkEntry {
        |${(1 to rounds).map(roundCtes).mkString(",\n")}""".stripMargin
   }
 
+  /** BM25 oracle (k1=1.2, b=0.75) over `documents` for `terms`, top `k`.
+    * The per-(term, doc) score replays InvertedIndex.bm25's expression
+    * tree verbatim and is snapped to integer micro-units before the
+    * per-doc sum, so the compare is bit-exact at any term count.
+    */
+  private def bm25OracleSql(terms: Seq[String], k: Int): String = {
+    val inList = terms.map(t => s"'$t'").mkString(", ")
+    s"""WITH tok AS (
+       |  SELECT doc_id, ${Oracles.tokens("lower(text)")} AS tk FROM documents),
+       |meta AS (
+       |  SELECT count(*) AS n, CAST(sum(length(tk)) AS DOUBLE) / count(*) AS avgdl
+       |  FROM tok),
+       |toks AS (
+       |  SELECT doc_id, length(tk) AS doc_len, unnest(tk) AS term FROM tok),
+       |tf AS (
+       |  SELECT doc_id, term, count(*) AS tf, any_value(doc_len) AS doc_len
+       |  FROM toks WHERE term IN ($inList) GROUP BY 1, 2),
+       |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       |scored AS (
+       |  SELECT tf.doc_id,
+       |    sum(CAST(floor(ln(1.0 + (meta.n - dfreq.df + 0.5) / (dfreq.df + 0.5)) *
+       |        ((tf.tf * 2.2) /
+       |         (tf.tf + 1.2 * (0.25 + 0.75 * (tf.doc_len / meta.avgdl)))) *
+       |        1000000.0 + 0.5) AS BIGINT)) AS su
+       |  FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN meta
+       |  GROUP BY 1),
+       |top AS (
+       |  SELECT doc_id, su FROM scored ORDER BY su DESC, doc_id LIMIT $k)
+       |SELECT doc_id, round(su / 1000000.0, 4) AS score FROM top
+       |ORDER BY doc_id""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
@@ -3003,6 +3063,32 @@ object SparkEntry {
          |  UNION ALL SELECT sk * 2 + 1, pk * 2 FROM p),
          |ed AS (SELECT DISTINCT src, dst FROM e),
          |adj AS (SELECT src AS node, list(dst ORDER BY dst) AS nbrs FROM ed GROUP BY 1),
+         |w0 AS (SELECT node AS start, node AS cur FROM adj),
+         |w1 AS (${hop(1)}),
+         |w2 AS (${hop(2)}),
+         |w3 AS (${hop(3)})
+         |SELECT start, CAST(0 AS INT) AS step, cur AS node FROM w0
+         |UNION ALL SELECT start, 1, cur FROM w1
+         |UNION ALL SELECT start, 2, cur FROM w2
+         |UNION ALL SELECT start, 3, cur FROM w3
+         |ORDER BY start, step""".stripMargin
+    },
+
+    // directed-walk replay with dead ends: each hop CTE inner-joins the
+    // adjacency, so a walker at a sink simply stops contributing rows —
+    // exactly the left-join-freeze semantics of deterministicWalks
+    // (frozen walkers emit no further steps)
+    "graph_walks_directed" -> {
+      def hop(t: Int) =
+        s"""SELECT w${t - 1}.start,
+           |    a.nbrs[CAST(${Oracles.polyHash(s"(w${t - 1}.start || ':' || $t || ':' || w${t - 1}.cur)")} % length(a.nbrs) AS INT) + 1] AS cur
+           |  FROM w${t - 1} JOIN adj a ON w${t - 1}.cur = a.node""".stripMargin
+      s"""WITH e AS (
+         |  SELECT DISTINCT l_partkey % 200 AS src,
+         |    (l_partkey % 200) + (l_suppkey % 37) + 1 AS dst
+         |  FROM lineitem
+         |  WHERE (l_partkey % 200) + (l_suppkey % 37) + 1 <= 200),
+         |adj AS (SELECT src AS node, list(dst ORDER BY dst) AS nbrs FROM e GROUP BY 1),
          |w0 AS (SELECT node AS start, node AS cur FROM adj),
          |w1 AS (${hop(1)}),
          |w2 AS (${hop(2)}),
@@ -4023,30 +4109,14 @@ object SparkEntry {
          |JOIN uni ub ON pairs.term_b = ub.term
          |ORDER BY term_a, term_b""".stripMargin,
 
-    // BM25 replay (k1=1.2, b=0.75): every double op in the same
-    // association order as InvertedIndex.bm25, so scores are bit-identical
-    "text_bm25" ->
-      s"""WITH tok AS (
-         |  SELECT doc_id, ${Oracles.tokens("lower(text)")} AS tk FROM documents),
-         |meta AS (
-         |  SELECT count(*) AS n, CAST(sum(length(tk)) AS DOUBLE) / count(*) AS avgdl
-         |  FROM tok),
-         |toks AS (
-         |  SELECT doc_id, length(tk) AS doc_len, unnest(tk) AS term FROM tok),
-         |tf AS (
-         |  SELECT doc_id, term, count(*) AS tf, any_value(doc_len) AS doc_len
-         |  FROM toks WHERE term IN ('dup', 'vector') GROUP BY 1, 2),
-         |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
-         |scored AS (
-         |  SELECT tf.doc_id,
-         |    sum(ln(1.0 + (meta.n - dfreq.df + 0.5) / (dfreq.df + 0.5)) *
-         |        ((tf.tf * 2.2) /
-         |         (tf.tf + 1.2 * (0.25 + 0.75 * (tf.doc_len / meta.avgdl))))) AS score
-         |  FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN meta
-         |  GROUP BY 1),
-         |top AS (
-         |  SELECT doc_id, score FROM scored ORDER BY score DESC, doc_id LIMIT 15)
-         |SELECT doc_id, round(score, 4) AS score FROM top ORDER BY doc_id""".stripMargin,
+    // BM25 replay (k1=1.2, b=0.75): the per-(term, doc) partial score is
+    // the same double expression tree as InvertedIndex.bm25, snapped to
+    // integer micro-units BEFORE the per-doc sum — long addition is
+    // order-independent, so the oracle is bit-exact at ANY term count
+    // (the old double sum was only pinned up to two terms)
+    "text_bm25" -> bm25OracleSql(Seq("dup", "vector"), 15),
+
+    "text_bm25_multi" -> bm25OracleSql(Seq("dup", "vector", "table", "merge"), 20),
 
     "tfidf_terms" ->
       s"""WITH toks AS (

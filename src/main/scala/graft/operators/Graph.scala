@@ -125,9 +125,21 @@ object Graph {
     * an embedding-training pipeline, with the randomness replaced by the
     * portable [[graft.functions.GraftFunctions.poly_hash]] so walks are
     * reproducible across runs, repartitioning, and engines (the DuckDB
-    * oracle replays every step). One walk starts at every node; at step t
-    * the walker at `cur` moves to `nbrs[poly_hash(start:t:cur) % degree]`
-    * over the node's SORTED neighbor list.
+    * oracle replays every step). One walk starts at every node with
+    * out-degree >= 1; at step t the walker at `cur` moves to
+    * `nbrs[poly_hash(start:t:cur) % degree]` over the node's SORTED
+    * neighbor list.
+    *
+    * Dead-end semantics (r8 verdict #7): on a DIRECTED graph a walk can
+    * reach a node with no outgoing edges before `steps` hops. The walk
+    * then ENDS there — its path simply stops growing (the DeepWalk "walk
+    * until length or dead end" rule), emitting rows only for the steps it
+    * actually took. The step join is therefore a LEFT join against the
+    * adjacency with the walker frozen on the null side; the old inner
+    * join silently dropped the walker's ENTIRE row — erasing even the
+    * steps already taken from the output (wrong on any directed input;
+    * invisible on symmetric graphs, where every reachable node has
+    * out-edges). Spec-pinned with a dead-end fixture in GraphSpec.
     *
     * Scale shape: adjacency is (node, sorted nbrs) — built once with one
     * groupBy; each step is one join of the node-sized walker frontier
@@ -145,14 +157,18 @@ object Graph {
       array(col("node")).as("path"))
     for (t <- 1 to steps) {
       walk = walk
-        .join(adj, walk("cur") === adj("node"))
-        .select(col("start"),
+        .join(adj, walk("cur") === adj("node"), "left")
+        .select(col("start"), col("cur"),
+          // null at a dead end (nbrs missing): the walker freezes below
           element_at(col("nbrs"),
             (poly_hash(concat_ws(":", col("start"), lit(t), col("cur")))
-              % size(col("nbrs"))).cast("int") + 1).as("cur"),
+              % size(col("nbrs"))).cast("int") + 1).as("nxt"),
           col("path"))
-        .select(col("start"), col("cur"),
-          concat(col("path"), array(col("cur"))).as("path"))
+        .select(col("start"),
+          coalesce(col("nxt"), col("cur")).as("cur"),
+          // a frozen walker's path stops growing — no phantom repeats
+          when(col("nxt").isNull, col("path"))
+            .otherwise(concat(col("path"), array(col("nxt")))).as("path"))
     }
     walk.select(col("start"), posexplode(col("path")))
       .select(col("start"), col("pos").as("step"), col("col").as("node"))

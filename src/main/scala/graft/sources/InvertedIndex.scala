@@ -278,12 +278,20 @@ final class InvertedIndex(spark: SparkSession, dir: String) {
     * `terms` by the classic Robertson/Sparck-Jones score. Reads ONLY the
     * query terms' postings (pruned scan) plus the O(1) committed corpus
     * stats; df per term comes from the pruned postings themselves (a
-    * terms-sized broadcast join). The double arithmetic is written in the
-    * exact association order the DuckDB oracle replays, so scores are
-    * bit-identical, not merely close — for up to two query terms, where
-    * the per-doc sum is a single commutative addition; at three or more
-    * the partial-aggregation order makes the low bits run-dependent
-    * (semantics unchanged, oracle compares would need rounding slack).
+    * terms-sized broadcast join).
+    *
+    * Determinism at ANY term count (r8 verdict #5): the per-(term, doc)
+    * partial score is a fixed double expression tree — bit-identical in
+    * any IEEE-conforming engine that evaluates the same parenthesization,
+    * which the DuckDB oracle replays verbatim — and is then snapped to
+    * INTEGER micro-units (`floor(s * 1e6 + 0.5)`, exact in both engines)
+    * BEFORE the per-doc sum. Long addition is associative and
+    * commutative, so the aggregate is independent of partial-aggregation
+    * order: with three or more query terms the old double sum's low bits
+    * were run-dependent (merge order of partial aggregates), which is
+    * exactly the class of nondeterminism a ranking that pages by score
+    * cannot tolerate at 1000 executors. The 1e-6 quantization is two
+    * orders below the 1e-4 presentation rounding.
     */
   def bm25(terms: Seq[String], k: Int): DataFrame = {
     require(terms.nonEmpty, "bm25 query needs at least one term")
@@ -295,11 +303,13 @@ final class InvertedIndex(spark: SparkSession, dir: String) {
     val idf = log(lit(1.0) + (lit(nDocs) - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
     val norm = col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * (col("doc_len") / lit(avgdl)))
     p.join(broadcast(dfreq), Seq("term"))
-      .select(col("doc_id"), (idf * ((col("tf") * lit(2.2)) / norm)).as("s"))
-      .groupBy(col("doc_id")).agg(sum(col("s")).as("score"))
-      .orderBy(col("score").desc, col("doc_id"))
+      .select(col("doc_id"),
+        floor(idf * ((col("tf") * lit(2.2)) / norm) * lit(1e6) + lit(0.5))
+          .cast("long").as("s_u"))
+      .groupBy(col("doc_id")).agg(sum(col("s_u")).as("su"))
+      .orderBy(col("su").desc, col("doc_id"))
       .limit(k)
-      .select(col("doc_id"), round(col("score"), 4).as("score"))
+      .select(col("doc_id"), round(col("su") / lit(1e6), 4).as("score"))
   }
 
   /** Prefix (autocomplete / wildcard `pre*`) term browse: matching terms
