@@ -360,6 +360,55 @@ object ScaleRehearsal {
       }
       emit("inverted_append", f, nd, invAppended, -1, tInvApp)
 
+      // Lead-rarest skew claim, MEASURED (r8 verdict #6): a conjunctive
+      // query pairing a stopword-grade term ("table", in ~78% of docs)
+      // with a rare term ("dup", ~5%) over a corpus whose postings GROW
+      // with the factor (plain-replicated text — the Caesar corpus above
+      // keeps query-term postings flat by design, which would hide the
+      // skew). "candidates" here = SHUFFLE RECORDS WRITTEN during the
+      // query, captured by a task-metrics listener: the aggregation plan
+      // shuffles every posting row of BOTH terms (hot-dominated, grows
+      // ~f x), while the lead-rarest plan broadcasts the rarest-bounded
+      // survivor set and streams the hot posting map-side — its shuffled
+      // rows track the RARE posting. The committed rows are the proof the
+      // hot posting stays unshuffled at 10x.
+      val skewDocs = (0 until f).map(c =>
+        docs1.select((col("doc_id") + lit(c * idOffset)).as("doc_id"),
+          col("text"))).reduce(_ unionAll _)
+      val skewIdx = new graft.sources.InvertedIndex(spark,
+        TempDirs.create(s"graft-scale-skewidx$f"))
+      skewIdx.bootstrap(skewDocs)
+      skewIdx.compact(buckets = 8)
+      val shuffleRecs = new java.util.concurrent.atomic.AtomicLong()
+      val shuffleListener = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = te.taskMetrics
+          if (m != null) shuffleRecs.addAndGet(m.shuffleWriteMetrics.recordsWritten)
+        }
+      }
+      def measured(q: => Long): (Long, Long, Double) = {
+        shuffleRecs.set(0L)
+        spark.sparkContext.addSparkListener(shuffleListener)
+        try {
+          val (hits, sec) = timed(q)
+          Thread.sleep(1000) // listener bus drains asynchronously
+          (hits, shuffleRecs.get(), sec)
+        } finally spark.sparkContext.removeSparkListener(shuffleListener)
+      }
+      val (aggHits, aggShuffled, tAgg) = measured {
+        skewIdx.conjunctive(Seq("table", "dup")).count()
+      }
+      println(s"""{"family":"inverted_lead_skew_agg","factor":$f,"n":$nd,""" +
+        s""""candidates":$aggShuffled,"verified":$aggHits,"sec":$tAgg}""")
+      val (semiHits, semiShuffled, tSemi) = measured {
+        skewIdx.conjunctiveLeadRarest(Seq("table", "dup")).count()
+      }
+      println(s"""{"family":"inverted_lead_skew_semi","factor":$f,"n":$nd,""" +
+        s""""candidates":$semiShuffled,"verified":$semiHits,"sec":$tSemi}""")
+      require(semiHits == aggHits,
+        s"lead-rarest result diverged: $semiHits vs $aggHits")
+
       // The FULL indexed cleaning composition (corpus_clean_incr_indexed,
       // r7 verdict #4): quality/lang gate over the delta, exact-dedup
       // anti-join against the history's 8-byte fingerprint store, near-dup

@@ -718,6 +718,104 @@ object SparkEntry {
       corpusCleanIncrReport(deltaSole, dropIds)
     }),
 
+    // THE NORTH-STAR COMPOSITION (r8 verdict #9): one bookmark delta
+    // through the ENTIRE training-data pipeline — quality/lang gates,
+    // exact dedup vs the history fingerprints, near-dup drop via the
+    // persisted LSH band index, banned-term policy probe via the
+    // persisted inverted index (the admitted delta's postings are
+    // appended exactly-once first: per-ingest index maintenance), eval
+    // decontamination (bloom-prefiltered exact 8-gram overlap), semantic
+    // near-dup drop via the persisted IVF index (delta embeddings probe
+    // the frozen reference cells, nprobe 2, cosine >= 0.3), temperature
+    // mixing (alpha 0.5) and token-budgeted shard packing (128-token shards). Every stage's
+    // per-ingest cost is DELTA-shaped: history state (fingerprints, band
+    // index, postings, cell assignments) is persisted and probed, never
+    // recomputed — the indexes are session-cached (IndexCache) exactly as
+    // production holds them open, and all appends are replay-idempotent
+    // (runKey / batch ledger). Output = the packed shard manifest, whose
+    // hash pins the whole chain end-to-end against the DuckDB replay.
+    "pipeline_e2e_incr" -> ((s, dir) => {
+      val (hist, deltaSole) = corpusCleanIncrSides(s, dir)
+
+      // near-dup vs history + delta-delta via the persisted band index
+      // (same cached index + ingest runKey as corpus_clean_incr_indexed:
+      // it IS the same ingest, so whichever query runs first appends)
+      val lsh = IndexCache.getOrBuild(s, s"cci-idx|$dir") {
+        val i = new graft.sources.LshBandIndex(
+          s, Scratch.create(s, "graft-cci-idx"), n = 3, k = 16, bands = 4)
+        i.bootstrap(hist.select(col("doc_id"), col("text")))
+        i.compact(buckets = 8)
+        i
+      }
+      val out = Scratch.create(s, "graft-pipe-sweep")
+      lsh.sweepAndAppend(
+        hist.select(col("doc_id"), col("text"))
+          .unionByName(deltaSole.select(col("doc_id"), col("text"))),
+        deltaSole.select(col("doc_id"), col("text")),
+        threshold = 0.8, runKey = s"cci|$dir") { pairs =>
+        pairs.write.mode("overwrite").parquet(out)
+      }
+      val nearDrop = s.read.parquet(out)
+        .select(greatest(col("id_a"), col("id_b")).as("doc_id")).distinct()
+      val admitted = deltaSole.join(nearDrop, Seq("doc_id"), "left_anti")
+
+      // banned-term policy via the persisted inverted index: append the
+      // admitted delta's postings (exactly-once batch ledger), then the
+      // probe reads ONLY the banned term's posting — never document text
+      val inv = IndexCache.getOrBuild(s, s"pipe-inv|$dir") {
+        val i = new graft.sources.InvertedIndex(s, Scratch.create(s, "graft-pipe-inv"))
+        i.bootstrap(hist.select(col("doc_id"), col("text")))
+        i.compact(buckets = 8)
+        i
+      }
+      inv.appendBatch(admitted.select(col("doc_id"), col("text")), batchId = 0L)
+      val banned = inv.conjunctive(Seq("dup")).select(col("doc_id"))
+      val policed = admitted.join(banned, Seq("doc_id"), "left_anti")
+
+      // eval-suite decontamination: bloom-prefiltered EXACT 8-gram
+      // overlap vs the doc_id % 50 eval set. The threshold (>= 100 shared
+      // gram INSTANCES with some single eval doc) is calibrated to the
+      // template corpus: casual template overlap peaks ~80, near-verbatim
+      // eval copies run 400+ — the filter drops the plagiarized tail
+      // without emptying the delta (a >= 5 threshold drops EVERYTHING
+      // here; real corpora tune this against their own overlap curve)
+      val evalDocs = Tables.documents(s, dir)
+        .filter(col("doc_id") % 50 === 0).select(col("doc_id"), col("text"))
+      val contaminated = Dedup.crossOverlapPairsBloom(
+          policed.select(col("doc_id"), col("text")), evalDocs,
+          n = 8, minShared = 100L)
+        .select(col("train_id").as("doc_id")).distinct()
+      val decont = policed.join(contaminated, Seq("doc_id"), "left_anti")
+
+      // semantic near-dup vs the reference embedding corpus via the
+      // persisted IVF index (frozen centroids, delta-only probe)
+      val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      val refEmb = emb.filter(col("vec_id") % 10 =!= 0)
+      val ivf = IndexCache.getOrBuild(s, s"pipe-ivf|$dir") {
+        val i = new graft.sources.IvfIndex(
+          s, Scratch.create(s, "graft-pipe-ivf"), nlist = 16)
+        i.bootstrap(refEmb)
+        i
+      }
+      val deltaEmb = emb.join(decont.select(col("doc_id").as("vec_id")), Seq("vec_id"))
+      val semDrop = ivf.topK(refEmb, deltaEmb, k = 1, nprobe = 2)
+        .filter(col("cosine") >= 0.3)
+        .select(col("query_id").as("doc_id")).distinct()
+      val surviving = decont.join(semDrop, Seq("doc_id"), "left_anti")
+
+      // temperature mix (alpha 0.5) + token-budgeted shard packing
+      val mixed = Sampling.temperatureMix(
+        surviving.select(col("doc_id"), col("source"), col("n_tokens")),
+        "source", col("doc_id"), alpha = 0.5)
+      Packing.tokenShards(
+          mixed.select(col("doc_id"), col("n_tokens").as("n_tok")),
+          "doc_id", "n_tok", 128L)
+        .groupBy(col("shard_id"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
+          min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+        .orderBy(col("shard_id"))
+    }),
+
     // Token-budgeted training shards via the two-level prefix sum —
     // per-range offsets are O(ranges) driver metadata and each range
     // runs its local window in parallel; never a single-partition
@@ -2552,6 +2650,104 @@ object SparkEntry {
        |FROM dsole WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** End-to-end pipeline oracle: corpusCleanIncrOracle's gate/dedup/LSH
+    * chain, then banned-term policy (token membership == the inverted
+    * index probe), exact 8-gram eval overlap (== the bloom path, which is
+    * exact by construction), the IVF probe replay (frozen seeds = 16
+    * lowest reference vec_ids, nprobe 2, cosine >= 0.3 on the 6-rounded
+    * value), the temperature-mix replay (alpha 0.5) and the
+    * prefix-sum shard packing (budget 128).
+    */
+  private def pipelineE2eOracle: String = {
+    val bucket = Oracles.sampleBucket("CAST(doc_id AS VARCHAR)", 1000)
+    s"""WITH ${cleanGateCtes("WHERE doc_id % 10 = 0")},
+       |cut AS (SELECT max(doc_id) - 499 AS c FROM documents WHERE doc_id % 10 = 0),
+       |hist AS (
+       |  SELECT doc_id, text, fingerprint FROM (
+       |    SELECT doc_id, text, fingerprint,
+       |      row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) AS rn
+       |    FROM kept WHERE doc_id < (SELECT c FROM cut)) WHERE rn = 1),
+       |dsole AS (
+       |  SELECT doc_id, text, source, n_tokens, quality_score, lang_pred FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) AS rn
+       |    FROM kept
+       |    WHERE doc_id >= (SELECT c FROM cut)
+       |      AND fingerprint NOT IN (SELECT fingerprint FROM hist)) WHERE rn = 1),
+       |u AS (SELECT doc_id, text FROM hist UNION ALL SELECT doc_id, text FROM dsole),
+       |${minhashPairsCtesOver("u", 0.8)},
+       |dropped AS (
+       |  SELECT DISTINCT id_b AS doc_id FROM mh_pairs
+       |  WHERE id_b >= (SELECT c FROM cut)),
+       |admitted AS (
+       |  SELECT * FROM dsole WHERE doc_id NOT IN (SELECT doc_id FROM dropped)),
+       |pol AS (
+       |  SELECT doc_id FROM admitted
+       |  WHERE list_contains(${Oracles.tokens("lower(text)")}, 'dup')),
+       |policed AS (
+       |  SELECT * FROM admitted WHERE doc_id NOT IN (SELECT doc_id FROM pol)),
+       |tg AS (
+       |  SELECT doc_id AS train_id, unnest(${Oracles.shingleHashes("text", 8)}) AS g
+       |  FROM policed),
+       |bg AS (
+       |  SELECT doc_id AS bench_id, unnest(${Oracles.shingleHashes("text", 8)}) AS g
+       |  FROM documents WHERE doc_id % 50 = 0),
+       |cont AS (
+       |  SELECT DISTINCT train_id FROM (
+       |    SELECT tg.train_id, bg.bench_id
+       |    FROM tg JOIN bg ON tg.g = bg.g
+       |    GROUP BY 1, 2 HAVING count(*) >= 100)),
+       |decont AS (
+       |  SELECT * FROM policed WHERE doc_id NOT IN (SELECT train_id FROM cont)),
+       |ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |seeds AS (SELECT vec_id AS cell_id, v AS cv FROM ev
+       |  WHERE vec_id % 10 != 0 ORDER BY vec_id LIMIT 16),
+       |ref AS (SELECT vec_id, v FROM ev WHERE vec_id % 10 != 0),
+       |rscored AS (
+       |  SELECT r.vec_id, r.v, s.cell_id, ${Oracles.cosine("r.v", "s.cv", 64)} AS cs
+       |  FROM ref r CROSS JOIN seeds s),
+       |assign AS (
+       |  SELECT vec_id, v, cell_id FROM (
+       |    SELECT vec_id, v, cell_id,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cell_id) AS rnk
+       |    FROM rscored) WHERE rnk = 1),
+       |qv AS (SELECT d.doc_id, e.v FROM decont d JOIN ev e ON e.vec_id = d.doc_id),
+       |qscored AS (
+       |  SELECT q.doc_id, q.v, s.cell_id, ${Oracles.cosine("q.v", "s.cv", 64)} AS cs
+       |  FROM qv q CROSS JOIN seeds s),
+       |probes AS (
+       |  SELECT doc_id, v, cell_id FROM (
+       |    SELECT doc_id, v, cell_id,
+       |      row_number() OVER (PARTITION BY doc_id ORDER BY cs DESC, cell_id) AS rnk
+       |    FROM qscored) WHERE rnk <= 2),
+       |semdrop AS (
+       |  SELECT DISTINCT p.doc_id
+       |  FROM probes p JOIN assign a ON a.cell_id = p.cell_id
+       |  WHERE round(${Oracles.cosine("p.v", "a.v", 64)}, 6) >= 0.3),
+       |surv AS (
+       |  SELECT * FROM decont WHERE doc_id NOT IN (SELECT doc_id FROM semdrop)),
+       |mc AS (SELECT source, count(*) AS n FROM surv GROUP BY source),
+       |mz AS (SELECT sum(pow(n, 0.5)) AS z FROM mc),
+       |mt AS (
+       |  SELECT source, round(pow(n, 0.5) / (SELECT z FROM mz), 6) AS tgt FROM mc),
+       |msc AS (SELECT min(c.n / t.tgt) AS scale
+       |        FROM mc c JOIN mt t USING (source) WHERE t.tgt > 0),
+       |mf AS (SELECT c.source,
+       |         least(1.0, (SELECT scale FROM msc) * t.tgt / c.n) AS frac
+       |       FROM mc c JOIN mt t USING (source)),
+       |kept2 AS (
+       |  SELECT s.doc_id, CAST(s.n_tokens AS BIGINT) AS n_tok
+       |  FROM surv s JOIN mf USING (source)
+       |  WHERE $bucket < floor(mf.frac * 1000)),
+       |pc AS (
+       |  SELECT doc_id, n_tok, CAST(coalesce(sum(n_tok) OVER (
+       |    ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS pre
+       |  FROM kept2)
+       |SELECT pre // 128 AS shard_id, count(*) AS n_docs,
+       |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+       |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+       |FROM pc GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   private def kmeansCtes: String =
     s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |seeds AS (
@@ -3722,6 +3918,10 @@ object SparkEntry {
     // The persisted-index composition must be INDISTINGUISHABLE from the
     // re-signing one — same oracle, by construction.
     "corpus_clean_incr_indexed" -> corpusCleanIncrOracle,
+
+    // the full-chain replay: gates -> exact dedup -> LSH -> policy ->
+    // decontam -> IVF semantic -> temperature mix -> shard packing
+    "pipeline_e2e_incr" -> pipelineE2eOracle,
 
     "token_shards" ->
       s"""WITH d AS (

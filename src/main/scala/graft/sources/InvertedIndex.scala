@@ -265,12 +265,25 @@ final class InvertedIndex(spark: SparkSession, dir: String) {
     if (dfs.length < terms.distinct.size) return p.select(col("doc_id"),
       col("tf").cast("long").as("tf_sum")).limit(0)
     val rarestFirst = dfs.sortBy { case (t, d) => (d, t) }.map(_._1)
+    // The survivor set is bounded by the RAREST df (each semi join can
+    // only shrink it), so while that bound fits an executor it is
+    // BROADCAST and every hot posting streams map-side against it — the
+    // stopword-grade posting is never shuffled or broadcast, which is the
+    // entire point of leading with the rarest term (measured: the
+    // inverted_lead_skew rehearsal family). A query whose rarest term is
+    // itself huge (all-stopword AND) falls back to shuffled semi joins —
+    // broadcasting an unbounded set is how executors OOM at 100 TB.
+    val broadcastable = dfs.map(_._2).min <= 4L * 1024 * 1024
+    def semi(left: DataFrame, right: DataFrame): DataFrame =
+      left.join(if (broadcastable) broadcast(right) else right,
+        Seq("doc_id"), "left_semi")
     var survivors = p.filter(col("term") === rarestFirst.head).select(col("doc_id"))
     rarestFirst.tail.foreach { t =>
-      survivors = survivors.join(
-        p.filter(col("term") === t).select(col("doc_id")), Seq("doc_id"), "left_semi")
+      // intersection commutes: stream the bigger posting as the LEFT of
+      // the semi join so the broadcast side stays rarest-bounded
+      survivors = semi(p.filter(col("term") === t).select(col("doc_id")), survivors)
     }
-    p.join(survivors, Seq("doc_id"), "left_semi")
+    semi(p, survivors)
       .groupBy(col("doc_id")).agg(sum(col("tf")).cast("long").as("tf_sum"))
   }
 
