@@ -28,8 +28,9 @@ import org.apache.spark.sql.types.{ArrayType, IntegerType, LongType, StringType,
   * the index answers BOTH conjunctive (AND) queries and adjacency phrase
   * queries without touching document text. Position lists are per-(term,
   * doc) integer arrays — the classic posting-entry shape; at 100 TB they
-  * dominate index size and would be delta-encoded, which changes storage,
-  * not this plan.
+  * dominate index size, so they are stored DELTA-ENCODED (gap lists, the
+  * Lucene layout) and decoded only at the read boundary — see the codec
+  * notes on `encodePositions`/`decodePositions`.
   */
 final class InvertedIndex(spark: SparkSession, dir: String) {
 
@@ -60,6 +61,39 @@ final class InvertedIndex(spark: SparkSession, dir: String) {
 
   private def emptyPostings: DataFrame = spark.createDataFrame(
     spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], postingSchema)
+
+  // ---- position-list codec -------------------------------------------
+  // Positions are stored DELTA-ENCODED (first value absolute, then gaps):
+  // at 100 TB the position lists dominate index size, and gaps are small
+  // near-constant ints that parquet's dictionary/bit-packed encodings
+  // compress several-fold better than raw monotone offsets (the classic
+  // posting-list layout — Lucene/ES store exactly this, minus the
+  // varint byte-packing that parquet's own encodings already provide).
+  // The codec is applied ONLY at the storage boundary: writes encode,
+  // `postingsAsOf` decodes, and everything in between ([[compact]]'s
+  // fold, generation unions) moves the raw encoded rows untouched. Both
+  // directions are pure Catalyst array expressions — no UDF; a query
+  // that never reads `positions` (conjunctive, BM25, stats) has the
+  // decode projection PRUNED away entirely, so the codec costs nothing
+  // off the phrase/NEAR path (plan-asserted in InvertedIndexSpec).
+
+  private def encodePositions(rows: DataFrame): DataFrame =
+    rows.withColumn("positions",
+      when(col("positions").isNull || size(col("positions")) <= 1, col("positions"))
+        .otherwise(concat(slice(col("positions"), 1, 1),
+          zip_with(
+            slice(col("positions"), lit(2), size(col("positions")) - 1),
+            slice(col("positions"), lit(1), size(col("positions")) - 1),
+            (a, b) => a - b))))
+
+  private def decodePositions(rows: DataFrame): DataFrame =
+    rows.withColumn("positions",
+      when(col("positions").isNull || size(col("positions")) <= 1, col("positions"))
+        .otherwise(expr(
+          """aggregate(positions,
+            |  struct(CAST(array() AS ARRAY<INT>) AS arr, 0 AS run),
+            |  (acc, x) -> struct(concat(acc.arr, array(acc.run + x)), acc.run + x),
+            |  acc -> acc.arr)""".stripMargin)))
 
   /** Tokenize `docs` (doc_id, text) into posting rows. One wide transform:
     * whitespace tokens (the [[graft.functions.GraftFunctions.tokens]]
@@ -104,7 +138,12 @@ final class InvertedIndex(spark: SparkSession, dir: String) {
     * history for the exchange-free probe layout, and this method refuses
     * rather than silently serving the wrong snapshot.
     */
-  def postingsAsOf(g: Long): DataFrame = {
+  def postingsAsOf(g: Long): DataFrame = decodePositions(rawAsOf(g))
+
+  /** The stored (position-encoded) rows as of `g` — what [[compact]]
+    * folds and the generation unions move; only [[postingsAsOf]] decodes.
+    */
+  private def rawAsOf(g: Long): DataFrame = {
     val committed = committedGen
     val c = compactedThrough
     require(g <= committed, s"as-of generation $g is ahead of the committed watermark $committed")
@@ -119,9 +158,10 @@ final class InvertedIndex(spark: SparkSession, dir: String) {
   }
 
   private def writeGen(g: Long, rows: DataFrame): Unit =
-    rows.select(col("term").cast("string"), col("doc_id").cast("long"),
+    encodePositions(
+      rows.select(col("term").cast("string"), col("doc_id").cast("long"),
         col("tf").cast("int"), col("positions").cast("array<int>"),
-        col("doc_len").cast("int"))
+        col("doc_len").cast("int")))
       .write.mode("overwrite").parquet(genDir(g))
 
   // BM25 needs two corpus-wide scalars (doc count, total token count);
@@ -182,7 +222,9 @@ final class InvertedIndex(spark: SparkSession, dir: String) {
     val g = committedGen
     require(g >= 0, "nothing to compact: the index is empty")
     if (compactedThrough == g) return
-    val all = postingsDf
+    // fold the RAW stored rows: the position codec is a storage-boundary
+    // concern and compaction moves storage, so no decode/encode churn
+    val all = rawAsOf(g)
     spark.sql(s"DROP TABLE IF EXISTS $tableName")
     val target = new org.apache.hadoop.fs.Path(compactDir(g))
     val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)

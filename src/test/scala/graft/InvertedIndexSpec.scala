@@ -246,4 +246,29 @@ class InvertedIndexSpec extends SparkSuite {
     assert(idx.committedGen === 0L)
     assert(idx.postingsDf.count() === rows)
   }
+
+  test("positions stored delta-encoded; reads decode; decode pruned off the AND path") {
+    import spark.implicits._
+    val dir = TempDirs.create("graft-inv-codec")
+    val idx = new InvertedIndex(spark, dir)
+    idx.bootstrap(Seq((1L, "a b a c a")).toDF("doc_id", "text"))
+    // 'a' occurs at 1-based positions [1, 3, 5] -> stored as gaps [1, 2, 2]
+    val raw = spark.read.parquet(s"$dir/gen-0").filter(col("term") === "a")
+      .select(col("positions")).head.getSeq[Int](0)
+    assert(raw == Seq(1, 2, 2))
+    val dec = idx.postingsDf.filter(col("term") === "a")
+      .select(col("positions")).head.getSeq[Int](0)
+    assert(dec == Seq(1, 3, 5))
+    // position consumers see absolute offsets: a@3 is followed by c@4
+    val ph = idx.phrase("a", "c").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSeq
+    assert(ph == Seq((1L, 1)))
+    // the decode projection exists only where positions are read: the
+    // conjunctive plan (term/doc_id/tf only) must have it pruned away
+    val pruned = idx.conjunctive(Seq("a", "b"))
+      .queryExecution.optimizedPlan.toString
+    assert(!pruned.contains("aggregate(positions"), pruned)
+    val phrasePlan = idx.phrase("a", "c").queryExecution.optimizedPlan.toString
+    assert(phrasePlan.contains("aggregate(positions"), phrasePlan)
+  }
 }
