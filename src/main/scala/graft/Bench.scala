@@ -330,7 +330,12 @@ object Bench {
     if (only.isEmpty)
       Files.write(Paths.get("BENCH_SUMMARY.json"),
         (summaryJson + "\n").getBytes(StandardCharsets.UTF_8))
-    println(summaryJson)
+    // stop FIRST, then print: Spark's async daemons (e.g. the state-store
+    // maintenance thread) can log a stack trace during shutdown, and a
+    // trace landing AFTER the summary would displace it as the process's
+    // last stdout line — the exact failure the driver's tail parse had
+    // with sbt's [info] prefix (r9 verdict #4)
     spark.stop()
+    println(summaryJson)
   }
 }

@@ -27,6 +27,13 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
+      // State-store maintenance races session shutdown (a timer firing
+      // mid-stop logs "SparkEnv not active" with a full stack trace —
+      // noise that can land after a main's final output line). The
+      // micro-stream state dirs here are session scratch; pushing the
+      // first maintenance tick past any realistic run lifetime disarms
+      // the race without changing state semantics.
+      .config("spark.sql.streaming.stateStore.maintenanceInterval", "6h")
     ParallelReports.fairConfig.foldLeft(b) { case (bb, (k, v)) => bb.config(k, v) }
   }
 }

@@ -34,15 +34,25 @@ object Profile {
         max(col(c)).cast("double").as(s"${c}__max"),
         round(avg(col(c)), 4).as(s"${c}__avg"))
     }
-    val base = df.agg(baseAggs.head, baseAggs.tail: _*)
+    // melt the base pass to long form FIRST, then recombine with the ndv
+    // rows by an equi-join on column_name — a real (non-constant-folding)
+    // key, so the |cols|-row recombination plans as a broadcast HASH join
+    // and the global plan sweep's no-nested-loop invariant holds with
+    // zero allowlist entries (both a crossJoin and a literal-key join of
+    // the 1-row frames constant-fold into BroadcastNestedLoopJoin)
+    val stackArgs = cols.map(c =>
+      s"'$c', `${c}__n`, `${c}__nulls`, `${c}__min`, `${c}__max`, `${c}__avg`")
+      .mkString(", ")
+    val base = df.agg(baseAggs.head, baseAggs.tail: _*).selectExpr(
+      s"stack(${cols.size}, $stackArgs) AS (column_name, n, n_nulls, min_val, max_val, avg_val)")
     // one single-distinct aggregate per column: plans as two plain hash
     // aggregates over the pruned column — no Expand, stays in codegen
-    val ndvs = cols.map(c => df.agg(countDistinct(col(c)).as(s"${c}__ndv")))
-    val row = ndvs.foldLeft(base)(_ crossJoin _)
-    val stackArgs = cols.map(c =>
-      s"'$c', `${c}__n`, `${c}__nulls`, `${c}__ndv`, `${c}__min`, `${c}__max`, `${c}__avg`")
-      .mkString(", ")
-    row.selectExpr(
-      s"stack(${cols.size}, $stackArgs) AS (column_name, n, n_nulls, ndv, min_val, max_val, avg_val)")
+    val ndvs = cols.map(c =>
+      df.agg(countDistinct(col(c)).as("ndv"))
+        .select(lit(c).as("column_name"), col("ndv")))
+      .reduce(_ unionByName _)
+    base.join(ndvs, Seq("column_name"))
+      .select(col("column_name"), col("n"), col("n_nulls"), col("ndv"),
+        col("min_val"), col("max_val"), col("avg_val"))
   }
 }
