@@ -781,9 +781,12 @@ object SparkEntry {
       // here; real corpora tune this against their own overlap curve)
       val evalDocs = Tables.documents(s, dir)
         .filter(col("doc_id") % 50 === 0).select(col("doc_id"), col("text"))
-      val contaminated = Dedup.crossOverlapPairsBloom(
+      val evalBloom = IndexCache.getOrBuild(s, s"pipe-bloom|$dir") {
+        Dedup.gramBloom(evalDocs, n = 8)
+      }
+      val contaminated = Dedup.crossOverlapPairsBloomWith(
           policed.select(col("doc_id"), col("text")), evalDocs,
-          n = 8, minShared = 100L)
+          n = 8, minShared = 100L, bloom = evalBloom)
         .select(col("train_id").as("doc_id")).distinct()
       val decont = policed.join(contaminated, Seq("doc_id"), "left_anti")
 

@@ -146,10 +146,21 @@ object Sampling {
     */
   def rebalanceMix(df: DataFrame, stratumCol: String, key: Column,
                    targets: Map[String, Double],
-                   buckets: Int = 1000): DataFrame = {
+                   buckets: Int = 1000): DataFrame =
+    rebalanceMixCounted(df, stratumCol, key, targets,
+      df.groupBy(col(stratumCol)).count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap, buckets)
+
+  /** [[rebalanceMix]] with the per-stratum counts supplied by a caller
+    * that already aggregated them ([[temperatureMix]] derives its targets
+    * FROM the counts — recounting would run the input's one shuffle
+    * twice, which at 100 TB is the whole cost of the operator).
+    */
+  private def rebalanceMixCounted(df: DataFrame, stratumCol: String,
+                                  key: Column, targets: Map[String, Double],
+                                  counts: Map[String, Long],
+                                  buckets: Int): DataFrame = {
     require(targets.values.forall(_ >= 0))
-    val counts = df.groupBy(col(stratumCol)).count().collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
     val scale = targets.collect {
       case (s, t) if t > 0 && counts.getOrElse(s, 0L) > 0 => counts(s).toDouble / t
     }
@@ -188,7 +199,7 @@ object Sampling {
     val targets = powed.map { case (s, p) =>
       s -> BigDecimal(p / z).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     }.toMap
-    rebalanceMix(df, stratumCol, key, targets, buckets)
+    rebalanceMixCounted(df, stratumCol, key, targets, counts.toMap, buckets)
   }
 
   /** Per-stratum sampling rates (e.g. downsample boilerplate classes,
