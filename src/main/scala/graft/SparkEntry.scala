@@ -1019,6 +1019,28 @@ object SparkEntry {
     "text_bm25" -> ((s, dir) =>
       fullInvIndex(s, dir).bm25(Seq("dup", "vector"), 15).orderBy(col("doc_id"))),
 
+    // Disjunctive (OR) retrieval from the same persisted index: any of
+    // three terms, matched-count + tf mass as rank signals — the same
+    // pruned posting scan and single aggregation as the AND, filter
+    // dropped.
+    "text_search_or" -> ((s, dir) =>
+      fullInvIndex(s, dir).disjunctive(Seq("dup", "vector", "merge"))
+        .orderBy(col("doc_id"))),
+
+    // Minimum-should-match (Lucene mm): docs matching >= 2 of 3 terms —
+    // the recall/precision middle ground between AND and OR; identical
+    // plan to the OR query plus a post-aggregate threshold.
+    "text_search_msm" -> ((s, dir) =>
+      fullInvIndex(s, dir).minShouldMatch(Seq("dup", "vector", "merge"), 2)
+        .orderBy(col("doc_id"))),
+
+    // Boolean AND NOT: docs with both include terms and NEITHER exclude
+    // term — the exclusion is a doc-set anti-join on pruned postings,
+    // never a corpus scan.
+    "text_search_not" -> ((s, dir) =>
+      fullInvIndex(s, dir).conjunctiveNot(Seq("dup", "vector"), Seq("merge"))
+        .orderBy(col("doc_id"))),
+
     // BM25 at FOUR query terms (r8 verdict #5): exercises the
     // order-independent integer micro-unit sum — with >= 3 terms the old
     // double aggregation's low bits depended on partial-merge order, so
@@ -4320,6 +4342,43 @@ object SparkEntry {
     "text_bm25" -> bm25OracleSql(Seq("dup", "vector"), 15),
 
     "text_bm25_multi" -> bm25OracleSql(Seq("dup", "vector", "table", "merge"), 20),
+
+    "text_search_or" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(${Oracles.tokens("lower(text)")}) AS term
+         |  FROM documents),
+         |tf AS (
+         |  SELECT doc_id, term, count(*) AS tf FROM toks
+         |  WHERE term IN ('dup', 'vector', 'merge') GROUP BY 1, 2)
+         |SELECT doc_id, CAST(count(*) AS INT) AS n_matched,
+         |  CAST(sum(tf) AS BIGINT) AS tf_sum
+         |FROM tf GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "text_search_msm" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(${Oracles.tokens("lower(text)")}) AS term
+         |  FROM documents),
+         |tf AS (
+         |  SELECT doc_id, term, count(*) AS tf FROM toks
+         |  WHERE term IN ('dup', 'vector', 'merge') GROUP BY 1, 2)
+         |SELECT doc_id, CAST(count(*) AS INT) AS n_matched,
+         |  CAST(sum(tf) AS BIGINT) AS tf_sum
+         |FROM tf GROUP BY doc_id HAVING count(*) >= 2 ORDER BY doc_id""".stripMargin,
+
+    "text_search_not" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(${Oracles.tokens("lower(text)")}) AS term
+         |  FROM documents),
+         |tf AS (
+         |  SELECT doc_id, term, count(*) AS tf FROM toks
+         |  WHERE term IN ('dup', 'vector') GROUP BY 1, 2),
+         |hits AS (
+         |  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS tf_sum
+         |  FROM tf GROUP BY doc_id HAVING count(*) = 2)
+         |SELECT doc_id, tf_sum FROM hits
+         |WHERE doc_id NOT IN (
+         |  SELECT DISTINCT doc_id FROM toks WHERE term = 'merge')
+         |ORDER BY doc_id""".stripMargin,
 
     "tfidf_terms" ->
       s"""WITH toks AS (

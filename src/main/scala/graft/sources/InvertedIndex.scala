@@ -262,6 +262,46 @@ final class InvertedIndex(spark: SparkSession, dir: String) {
       .select(col("doc_id"), col("tf_sum"))
   }
 
+  /** Disjunctive (OR) query: documents containing ANY of `terms`, with
+    * the matched-term count and summed tf as rank signals. Same
+    * pruned-scan + single-aggregation shape as [[conjunctive]] — the OR
+    * is just the filter dropped.
+    */
+  def disjunctive(terms: Seq[String], asOf: Option[Long] = None): DataFrame = {
+    require(terms.nonEmpty, "disjunctive query needs at least one term")
+    asOf.map(postingsAsOf).getOrElse(postingsDf)
+      .filter(col("term").isin(terms: _*))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("term")).cast("int").as("n_matched"),
+        sum(col("tf")).cast("long").as("tf_sum"))
+  }
+
+  /** Lucene-style minimum-should-match: documents containing at least
+    * `minMatch` distinct terms of `terms` — the middle ground between
+    * [[conjunctive]] (all) and [[disjunctive]] (any). One pruned posting
+    * scan, one aggregation; the threshold is a post-aggregate filter on
+    * the matched count, so the plan is identical to the OR query's.
+    */
+  def minShouldMatch(terms: Seq[String], minMatch: Int): DataFrame = {
+    require(minMatch >= 1 && minMatch <= terms.distinct.size,
+      s"minMatch $minMatch outside 1..${terms.distinct.size}")
+    disjunctive(terms).filter(col("n_matched") >= minMatch)
+  }
+
+  /** Boolean AND NOT: [[conjunctive]] over `include` minus any document
+    * containing an `exclude` term. The exclusion is a LEFT ANTI join
+    * against the exclude terms' pruned postings — doc-set-sized, the
+    * corpus is never read, and a hot exclude posting joins on the
+    * already-aggregated include doc set (conjunctive-result-sized, the
+    * smaller side by construction).
+    */
+  def conjunctiveNot(include: Seq[String], exclude: Seq[String]): DataFrame = {
+    require(exclude.nonEmpty, "use conjunctive() when there is nothing to exclude")
+    conjunctive(include).join(
+      postingsDf.filter(col("term").isin(exclude: _*)).select(col("doc_id")),
+      Seq("doc_id"), "left_anti")
+  }
+
   /** Exactly-once streaming ingest: apply one micro-batch as one committed
     * generation, idempotent under foreachBatch's at-least-once redelivery.
     * A replayed batch id (<= the committed marker) is a no-op; otherwise

@@ -271,4 +271,36 @@ class InvertedIndexSpec extends SparkSuite {
     val phrasePlan = idx.phrase("a", "c").queryExecution.optimizedPlan.toString
     assert(phrasePlan.contains("aggregate(positions"), phrasePlan)
   }
+
+  test("disjunctive / min-should-match / AND NOT equal the brute-force scan") {
+    val idx = new InvertedIndex(spark, TempDirs.create("inv-idx-bool"))
+    idx.bootstrap(docs)
+    // brute force per doc: tf of each query term from the token list
+    val tfs = docs.select(col("doc_id"),
+        GraftFunctions.tokens(lower(col("text"))).as("tk"))
+      .select(col("doc_id"),
+        size(filter(col("tk"), t => t === "dup")).as("d"),
+        size(filter(col("tk"), t => t === "vector")).as("v"),
+        size(filter(col("tk"), t => t === "merge")).as("m"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+    def asTuple(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq.sorted
+
+    val orExp = tfs.collect { case (id, d, v, m) if d + v + m > 0 =>
+      (id, Seq(d, v, m).count(_ > 0), (d + v + m).toLong) }.toSeq.sorted
+    assert(orExp.nonEmpty)
+    assert(asTuple(idx.disjunctive(Seq("dup", "vector", "merge"))) === orExp)
+
+    val msmExp = orExp.filter(_._2 >= 2)
+    assert(msmExp.nonEmpty && msmExp.size < orExp.size)
+    assert(asTuple(idx.minShouldMatch(Seq("dup", "vector", "merge"), 2)) === msmExp)
+
+    val notExp = tfs.collect { case (id, d, v, m) if d > 0 && v > 0 && m == 0 =>
+      (id, (d + v).toLong) }.toSeq.sorted
+    val notGot = idx.conjunctiveNot(Seq("dup", "vector"), Seq("merge"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    assert(notGot === notExp)
+    // the exclusion really binds: plain AND is a strict superset here
+    assert(idx.conjunctive(Seq("dup", "vector")).count() > notExp.size)
+  }
 }
