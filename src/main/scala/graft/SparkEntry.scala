@@ -350,6 +350,24 @@ object SparkEntry {
       s.read.parquet(out).orderBy(col("id_a"), col("id_b"))
     }),
 
+    // Band-index maintenance telemetry: per band, bucket count / rows /
+    // largest bucket / exact candidate-pair bound sum n*(n-1)/2 — the
+    // probe join's worst-case output, i.e. where an operator sees a
+    // template-heavy corpus's candidate blow-up BEFORE an ingest sweep
+    // goes quadratic (the termStats / ivf_balance analogue for bands).
+    // One aggregation grouped on the index's own storage key.
+    "lsh_band_stats" -> ((s, dir) => {
+      val idx = IndexCache.getOrBuild(s, s"lsh-stats|$dir") {
+        val i = new graft.sources.LshBandIndex(
+          s, Scratch.create(s, "graft-lsh-stats"), n = 3, k = 16, bands = 4)
+        i.bootstrap(Tables.documents(s, dir).filter(col("doc_id") % 10 === 0)
+          .select(col("doc_id"), col("text")))
+        i.compact(buckets = 8)
+        i
+      }
+      idx.bandStats.orderBy(col("band"))
+    }),
+
     // Near-dup connected components over the LSH pairs: cluster_id = the
     // representative each dedup cluster keeps (min-label propagation).
     "dedup_clusters" -> ((s, dir) =>
@@ -526,6 +544,38 @@ object SparkEntry {
     // report row out (n, n_below floor, fraction, reseed recommendation).
     // The floor/threshold (0.22 / 0.25) sit inside the fixture's observed
     // best-cosine range so both branches of the comparison are exercised.
+    // The reseed CUTOVER the drift guard's policy prescribes, as a
+    // declared query: the old lineage (bootstrapped without the drifted
+    // family) and the fresh lineage (re-seeded from the combined corpus
+    // via reseedInto — a new root, never an in-place centroid mutation)
+    // each report the delta's assignment quality, long-form one row per
+    // phase. What's pinned is the cutover MECHANICS (fresh lineage,
+    // before/after report, decision rule) — the synthetic delta is a
+    // random slice, not genuinely drifted mass, so the quality numbers
+    // move only marginally between phases. Both indexes session-cached;
+    // each report is a map-only pass over the delta + one aggregate.
+    "ivf_reseed" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val delta = emb.filter(col("vec_id") % 50 === 0)
+      val old = IndexCache.getOrBuild(s, s"ivf-rs-old|$dir") {
+        val i = new graft.sources.IvfIndex(
+          s, Scratch.create(s, "graft-ivf-rs-old"), nlist = 16)
+        i.bootstrap(emb.filter(col("vec_id") % 50 =!= 0))
+        i
+      }
+      val fresh = IndexCache.getOrBuild(s, s"ivf-rs-new|$dir") {
+        old.reseedInto(Scratch.create(s, "graft-ivf-rs-new"), emb)
+      }
+      old.driftReport(delta, cosineFloor = 0.22, maxFracBelow = 0.25)
+        .select(lit("old").as("phase"), col("n_vectors"), col("n_below"),
+          col("frac_below"), col("reseed_recommended"))
+        .unionByName(
+          fresh.driftReport(delta, cosineFloor = 0.22, maxFracBelow = 0.25)
+            .select(lit("new").as("phase"), col("n_vectors"), col("n_below"),
+              col("frac_below"), col("reseed_recommended")))
+        .orderBy(col("phase"))
+    }),
+
     "ivf_drift" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val idx = new graft.sources.IvfIndex(
@@ -3742,6 +3792,29 @@ object SparkEntry {
     // best-cell cosine via the shared left-fold arithmetic (identical
     // doubles, so the `< floor` comparison matches bit-for-bit), integer
     // counts cast to BIGINT for the pandas-hash dtype gate
+    "ivf_reseed" -> {
+      def report(seedCte: String, phase: String) =
+        s"""SELECT '$phase' AS phase, CAST(count(*) AS BIGINT) AS n_vectors,
+           |  CAST(sum(CASE WHEN best_cos < 0.22 THEN 1 ELSE 0 END) AS BIGINT) AS n_below,
+           |  round(CAST(sum(CASE WHEN best_cos < 0.22 THEN 1 ELSE 0 END) AS DOUBLE)
+           |    / count(*), 6) + 0 AS frac_below,
+           |  CAST(sum(CASE WHEN best_cos < 0.22 THEN 1 ELSE 0 END) AS DOUBLE)
+           |    > 0.25 * count(*) AS reseed_recommended
+           |FROM (
+           |  SELECT d.vec_id, max(${Oracles.cosine("d.v", "s.cv", 64)}) AS best_cos
+           |  FROM d CROSS JOIN $seedCte s GROUP BY d.vec_id)""".stripMargin
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |oseeds AS (SELECT vec_id AS cell_id, v AS cv FROM e
+         |  WHERE vec_id % 50 != 0 ORDER BY vec_id LIMIT 16),
+         |nseeds AS (SELECT vec_id AS cell_id, v AS cv FROM e
+         |  ORDER BY vec_id LIMIT 16),
+         |d AS (SELECT vec_id, v FROM e WHERE vec_id % 50 = 0)
+         |${report("oseeds", "old")}
+         |UNION ALL
+         |${report("nseeds", "new")}
+         |ORDER BY phase""".stripMargin
+    },
+
     "ivf_drift" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          |seeds AS (SELECT vec_id AS cell_id, v AS cv FROM e
@@ -4342,6 +4415,22 @@ object SparkEntry {
     "text_bm25" -> bm25OracleSql(Seq("dup", "vector"), 15),
 
     "text_bm25_multi" -> bm25OracleSql(Seq("dup", "vector", "table", "merge"), 20),
+
+    "lsh_band_stats" -> {
+      val bkeys = (0 until 4).map(bi => Oracles.bandKey("sig", bi, 4)).mkString("[", ", ", "]")
+      s"""WITH sh AS (
+         |  SELECT doc_id, ${Oracles.shingleHashes("text", 3)} AS gs
+         |  FROM documents WHERE doc_id % 10 = 0),
+         |sigs AS (SELECT doc_id, ${Oracles.minhashSignature("gs", 16)} AS sig FROM sh),
+         |bnd AS (
+         |  SELECT doc_id, t.band AS band, $bkeys[t.band + 1] AS band_key
+         |  FROM sigs CROSS JOIN (SELECT unnest(range(0, 4)) AS band) t),
+         |b AS (SELECT band, band_key, count(*) AS n FROM bnd GROUP BY 1, 2)
+         |SELECT CAST(band AS INT) AS band, CAST(count(*) AS BIGINT) AS n_buckets,
+         |  CAST(sum(n) AS BIGINT) AS n_rows, CAST(max(n) AS BIGINT) AS max_bucket,
+         |  CAST(sum(n * (n - 1) // 2) AS BIGINT) AS candidate_pairs
+         |FROM b GROUP BY band ORDER BY band""".stripMargin
+    },
 
     "text_search_or" ->
       s"""WITH toks AS (

@@ -127,6 +127,22 @@ final class IvfIndex(spark: SparkSession, dir: String,
           .as("reseed_recommended"))
   }
 
+  /** The REBUILD half of [[driftReport]]'s maintenance policy: re-seed a
+    * FRESH index lineage at `newDir` from `corpus` (typically the
+    * committed corpus plus the drifted delta) and return its handle.
+    * This index is never mutated — readers of the old root stay
+    * consistent until the caller cuts over and retires it, exactly the
+    * new-bookmark-context discipline the policy scaladoc prescribes.
+    * Cost is one bootstrap over `corpus` — the recompute the frozen-seed
+    * appends amortize away, paid only when the drift guard fires.
+    */
+  def reseedInto(newDir: String, corpus: DataFrame,
+                 nlist: Int = this.nlist): IvfIndex = {
+    val fresh = new IvfIndex(spark, newDir, nlist)
+    fresh.bootstrap(corpus)
+    fresh
+  }
+
   /** Cell-occupancy balance report — the PROBE-cost counterpart of
     * [[driftReport]]. Drift guards what the INGEST distribution does to
     * assignment quality; balance guards what accumulated assignments do

@@ -103,6 +103,26 @@ final class LshBandIndex(spark: SparkSession, dir: String,
       spark.read.schema(bandSchema).parquet(((c + 1) to g).map(genDir): _*))
   }
 
+  /** Index-maintenance telemetry (the [[InvertedIndex.termStats]] /
+    * [[IvfIndex.balanceReport]] analogue for LSH bands): per band, the
+    * bucket count, total rows, largest bucket, and the exact candidate
+    * PAIR bound sum n·(n−1)/2 over its buckets — which IS the probe
+    * join's worst-case output for that band. A template-heavy corpus
+    * concentrates band keys; this report is where an operator sees the
+    * blow-up coming (and retunes k/bands or adds a stop-band list)
+    * BEFORE an ingest sweep goes quadratic. One aggregation over the
+    * stored band rows, grouped on the index's own storage key — on the
+    * compacted table the first aggregation is exchange-free.
+    */
+  def bandStats: DataFrame =
+    bandsDf.groupBy(col("band"), col("band_key"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_buckets"),
+        sum(col("n")).cast("long").as("n_rows"),
+        max(col("n")).cast("long").as("max_bucket"),
+        sum(expr("n * (n - 1) DIV 2")).cast("long").as("candidate_pairs"))
+
   /** Fold every committed generation into ONE bucketed+sorted table on
     * (band, band_key) — the probe join's key — so the stored side of every
     * subsequent sweep reads co-located buckets and shuffles NOTHING; only

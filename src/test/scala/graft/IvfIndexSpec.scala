@@ -106,4 +106,21 @@ class IvfIndexSpec extends SparkSuite {
     }
     assert(bhj.nonEmpty, df.queryExecution.executedPlan.toString.take(3000))
   }
+
+  test("reseedInto builds a fresh lineage; the old root is untouched and stays answerable") {
+    val idx = new IvfIndex(spark, TempDirs.create("ivf-idx-rs-old"), nlist = 16)
+    idx.bootstrap(oldVecs)
+    val oldGen = idx.committedGen
+    val oldAnswers = rows(idx.topK(oldVecs, queries, 5, nprobe = 4))
+    val fresh = idx.reseedInto(TempDirs.create("ivf-idx-rs-new"), corpus)
+    // the fresh index answers exactly like a from-scratch bootstrap over
+    // the combined corpus (seeds drawn from the full corpus, not the old)
+    val expected = rows(Similarity.ivfTopK(corpus, queries, 5, nlist = 16, nprobe = 4))
+    assert(expected.nonEmpty)
+    assert(rows(fresh.topK(corpus, queries, 5, nprobe = 4)) === expected)
+    // cutover discipline: reseed never mutates the old root — readers of
+    // the old lineage see byte-identical answers until the caller retires it
+    assert(idx.committedGen === oldGen)
+    assert(rows(idx.topK(oldVecs, queries, 5, nprobe = 4)) === oldAnswers)
+  }
 }

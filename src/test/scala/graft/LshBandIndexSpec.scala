@@ -145,6 +145,38 @@ class LshBandIndexSpec extends SparkSuite {
     assert(spec.map(_.numBuckets) === Some(4))
   }
 
+  test("bandStats matches a direct aggregation of the stored bands, across generations") {
+    val idx = new LshBandIndex(spark, TempDirs.create("lsh-idx-stats"))
+    idx.bootstrap(oldDocs)
+    idx.compact(buckets = 4)
+    sweepVia(idx) // append a tail generation so the stats span compacted + gen rows
+    def statsOf(bands: org.apache.spark.sql.DataFrame): Seq[(Int, Long, Long, Long, Long)] =
+      bands.groupBy(col("band"), col("band_key")).agg(count(lit(1)).as("n"))
+        .groupBy(col("band"))
+        .agg(count(lit(1)).cast("long").as("n_buckets"),
+          sum(col("n")).cast("long").as("n_rows"),
+          max(col("n")).cast("long").as("max_bucket"),
+          sum(expr("n * (n - 1) DIV 2")).cast("long").as("candidate_pairs"))
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSeq.sorted
+    val got = statsOf(idx.bandsDf)
+    val expected = statsOf(Dedup.minhashBands(universe, 3, 16, 4))
+    assert(expected.nonEmpty)
+    assert(got === expected)
+    // the pair bound really bounds the probe join's per-band output:
+    // self-join each band on its key and compare ordered-pair counts
+    val bands = Dedup.minhashBands(universe, 3, 16, 4)
+    val joined = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") &&
+          col("x.band_key") === col("y.band_key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.band")).agg(count(lit(1)).cast("long").as("pairs"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+    expected.foreach { case (band, _, _, _, bound) =>
+      assert(joined.getOrElse(band, 0L) === bound)
+    }
+  }
+
   test("bootstrap is idempotent") {
     val idx = new LshBandIndex(spark, TempDirs.create("lsh-idx-spec4"))
     idx.bootstrap(oldDocs)
