@@ -350,6 +350,35 @@ object SparkEntry {
       s.read.parquet(out).orderBy(col("id_a"), col("id_b"))
     }),
 
+    // The capped production sweep: same persisted index, but the delta's
+    // band rows at STOPPED keys (bucket occupancy > 4 in the compacted
+    // history — the mega-buckets lsh_band_stats surfaces) are excluded
+    // from candidate generation via a broadcast anti-join. At 100 TB this
+    // is what keeps a boilerplate-heavy ingest from enumerating a
+    // million-doc bucket's O(n^2) pairs; recall loss is bounded by the
+    // banding theorem (a pair is lost only if stopped buckets were its
+    // ONLY agreeing bands) and the oracle replays the exclusion exactly.
+    // Index build + stop list are session-cached; the warm runs time the
+    // capped delta sweep alone. runKey makes the replayed append a no-op.
+    "dedup_lsh_capped" -> ((s, dir) => {
+      val universe = Tables.documents(s, dir).filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id"), col("text"))
+      val idx = IndexCache.getOrBuild(s, s"lsh-cap|$dir") {
+        val i = new graft.sources.LshBandIndex(
+          s, Scratch.create(s, "graft-lsh-cap"), n = 3, k = 16, bands = 4)
+        i.bootstrap(universe.filter(col("doc_id") % 50 =!= 0))
+        i.compact(buckets = 8)
+        i
+      }
+      val out = Scratch.create(s, "graft-lsh-cap-sweep")
+      idx.sweepAndAppend(universe, universe.filter(col("doc_id") % 50 === 0),
+        threshold = 0.6, runKey = s"cap|$dir",
+        stopBands = Some(idx.stopBands(cap = 4))) { pairs =>
+        pairs.write.mode("overwrite").parquet(out)
+      }
+      s.read.parquet(out).orderBy(col("id_a"), col("id_b"))
+    }),
+
     // Band-index maintenance telemetry: per band, bucket count / rows /
     // largest bucket / exact candidate-pair bound sum n*(n-1)/2 — the
     // probe join's worst-case output, i.e. where an operator sees a
@@ -3319,6 +3348,44 @@ object SparkEntry {
       s"""WITH $minhashPairsCtes
          |SELECT * FROM mh_pairs WHERE id_a % 50 = 0 OR id_b % 50 = 0
          |ORDER BY id_a, id_b""".stripMargin,
+
+    // the capped sweep's exclusion, replayed literally: stop = history
+    // buckets (the compacted content) with occupancy > 4; the delta's
+    // band rows at stopped keys are anti-joined away BEFORE candidate
+    // generation, then the usual delta-probe + jaccard verify. Filtering
+    // the delta side alone is exact: a row at a stopped key can only
+    // pair with a delta row at the same (now absent) key.
+    "dedup_lsh_capped" -> {
+      val bkeys = (0 until 4).map(bi => Oracles.bandKey("sig", bi, 4)).mkString("[", ", ", "]")
+      s"""WITH sh AS (
+         |  SELECT doc_id, ${Oracles.shingleHashes("text", 3)} AS gs
+         |  FROM documents WHERE doc_id % 10 = 0),
+         |sigs AS (SELECT doc_id, ${Oracles.minhashSignature("gs", 16)} AS sig FROM sh),
+         |bnd AS (
+         |  SELECT doc_id, t.band AS band, $bkeys[t.band + 1] AS band_key
+         |  FROM sigs CROSS JOIN (SELECT unnest(range(0, 4)) AS band) t),
+         |stop AS (
+         |  SELECT band, band_key FROM bnd WHERE doc_id % 50 != 0
+         |  GROUP BY 1, 2 HAVING count(*) > 4),
+         |dbnd AS (
+         |  SELECT d.* FROM bnd d ANTI JOIN stop s
+         |    ON d.band = s.band AND d.band_key = s.band_key
+         |  WHERE d.doc_id % 50 = 0),
+         |cand AS (
+         |  SELECT DISTINCT least(x.doc_id, y.doc_id) AS id_a,
+         |    greatest(x.doc_id, y.doc_id) AS id_b
+         |  FROM dbnd x JOIN bnd y
+         |    ON x.band = y.band AND x.band_key = y.band_key
+         |      AND x.doc_id != y.doc_id)
+         |SELECT * FROM (
+         |  SELECT c.id_a, c.id_b,
+         |    round(CAST(len(list_intersect(ga.gs, gb.gs)) AS DOUBLE)
+         |      / len(list_distinct(ga.gs || gb.gs)), 6) AS jaccard
+         |  FROM cand c
+         |  JOIN sh ga ON c.id_a = ga.doc_id
+         |  JOIN sh gb ON c.id_b = gb.doc_id)
+         |WHERE jaccard >= 0.6 ORDER BY id_a, id_b""".stripMargin
+    },
 
     // walk replay: unrolled steps, each choosing
     // nbrs[poly_hash(start:t:cur) % degree] over the sorted neighbor list

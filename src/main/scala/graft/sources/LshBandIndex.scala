@@ -123,6 +123,35 @@ final class LshBandIndex(spark: SparkSession, dir: String,
         max(col("n")).cast("long").as("max_bucket"),
         sum(expr("n * (n - 1) DIV 2")).cast("long").as("candidate_pairs"))
 
+  /** The stop-band list at occupancy cap `cap`: every (band, band_key)
+    * bucket holding more than `cap` docs — the buckets [[bandStats]]'
+    * `candidate_pairs` column shows going quadratic. Template-heavy
+    * corpora (boilerplate headers, licence blocks, scraped nav chrome)
+    * concentrate one band key across millions of documents; enumerating
+    * that bucket's pairs is O(n²) and the verify join downstream pays it.
+    * Excluding a delta's band rows at stopped keys (see
+    * [[sweepAndAppend]]'s `stopBands`) bounds every bucket's probe
+    * output at cap·|delta-rows-in-bucket| — the LSH analogue of the
+    * inverted index's lead-rarest stopword defense and the classic
+    * stop-band list of production near-dup systems. Recall tradeoff is
+    * the banding bound: a pair is lost only if stopped buckets were its
+    * ONLY agreeing bands.
+    *
+    * Computed over the COMPACTED table only — the stop list is
+    * compaction-cadence metadata (refreshed when [[compact]] folds the
+    * tail), so it is deterministic under ingest replay: tail generations
+    * appended between compactions never shift it mid-stream. On a
+    * never-compacted index it falls back to all committed bands. Output
+    * is O(#mega-buckets) — broadcast-sized by construction.
+    */
+  def stopBands(cap: Int): DataFrame = {
+    val src = if (compactedThrough >= 0) compactedDf(compactedThrough)
+              else bandsDf
+    src.groupBy(col("band"), col("band_key"))
+      .agg(count(lit(1)).as("n")).filter(col("n") > cap)
+      .select(col("band"), col("band_key"))
+  }
+
   /** Fold every committed generation into ONE bucketed+sorted table on
     * (band, band_key) — the probe join's key — so the stored side of every
     * subsequent sweep reads co-located buckets and shuffles NOTHING; only
@@ -195,13 +224,26 @@ final class LshBandIndex(spark: SparkSession, dir: String,
     * committed bands are excluded by the `doc_id` inequality, and
     * delta-vs-delta pairs are already produced by the delta-side probe,
     * so the distinct'd pair set is identical before and after the append.
+    *
+    * `stopBands` (optional, see [[stopBands]]) excludes the listed
+    * (band, band_key) buckets from candidate generation: the DELTA side
+    * of both probes is anti-joined against the broadcast list, which
+    * suffices — a stored (or delta) row at a stopped key can only match
+    * a delta row at the same key, and the delta side has none left. The
+    * APPEND is never filtered: the index stores every band row, so the
+    * stop list stays a query-time policy that a later retune can relax
+    * without re-shingling history.
     */
   def sweepAndAppend(corpusText: DataFrame, delta: DataFrame,
-                     threshold: Double, runKey: String = "")
+                     threshold: Double, runKey: String = "",
+                     stopBands: Option[DataFrame] = None)
                     (sink: DataFrame => Unit): Unit = {
     // the delta's bands feed the probe AND the post-sink append — pin so
     // the delta is shingled once; freed by the caller's end-of-query drain
-    val dBands = Residue.pin(Dedup.minhashBands(delta, n, k, bands))
+    val dBandsAll = Residue.pin(Dedup.minhashBands(delta, n, k, bands))
+    val dBands = stopBands.fold(dBandsAll)(sb =>
+      dBandsAll.join(broadcast(sb.select(col("band"), col("band_key"))),
+        Seq("band", "band_key"), "left_anti"))
     // two separate probes (index, delta-delta) rather than one probe of
     // their union: unioning onto the stored side would erase its bucket
     // spec, and with a compacted index the whole point is that the stored
@@ -237,7 +279,7 @@ final class LshBandIndex(spark: SparkSession, dir: String,
     val replayed = runKey.nonEmpty && store.get(runSlot, ctx).isDefined
     if (!replayed) {
       val next = committedGen + 1
-      writeGen(next, dBands)
+      writeGen(next, dBandsAll)
       if (runKey.isEmpty) store.commit("bands", ctx, next)
       else store.commitAll(ctx, Map("bands" -> next, runSlot -> 1L))
     }

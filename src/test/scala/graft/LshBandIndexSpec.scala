@@ -177,6 +177,82 @@ class LshBandIndexSpec extends SparkSuite {
     }
   }
 
+  test("stop-band cap: template mega-buckets are excluded; small buckets keep matching") {
+    import spark.implicits._
+    val boiler = "the quick brown fox jumps over the lazy dog again and again"
+    val rare = "completely original sentence about distributed band indexes"
+    // six template docs -> one mega-bucket per band (identical signatures);
+    // two rare docs -> a size-2 bucket per band (below any sane cap)
+    val hist = ((1L to 5L).map(i => (i, boiler)) :+ (10L, rare)).toDF("doc_id", "text")
+    val delta = Seq((6L, boiler), (11L, rare)).toDF("doc_id", "text")
+    val idx = new LshBandIndex(spark, TempDirs.create("lsh-idx-cap"))
+    idx.bootstrap(hist)
+    idx.compact(buckets = 4)
+    // the list is exactly the template buckets: 4 bands x 1 key, each n=5>4
+    val stop = idx.stopBands(cap = 4)
+    assert(stop.count() === 4L)
+    def sweep(sb: Option[org.apache.spark.sql.DataFrame]): Set[(Long, Long)] = {
+      var out = Set.empty[(Long, Long)]
+      idx.sweepAndAppend(hist.unionByName(delta), delta, threshold = 0.9,
+          stopBands = sb) { pairs =>
+        out = pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      }
+      out
+    }
+    val capped = sweep(Some(stop))
+    // the rare pair survives (its bucket is size 2); every pair involving
+    // the template delta doc 6 is dropped — its only agreeing buckets are
+    // stopped, which is the documented (and bounded) recall tradeoff
+    assert(capped === Set((10L, 11L)))
+    // the append stored the delta's FULL bands (policy is query-time only):
+    // an uncapped re-sweep of the same delta still finds the template pairs
+    val uncapped = sweep(None)
+    assert(uncapped.contains((10L, 11L)))
+    assert((1L to 5L).forall(i => uncapped.contains((i, 6L))))
+  }
+
+  test("capped sweep on real data equals the filtered recompute; stop list is compaction-cadence") {
+    val idx = new LshBandIndex(spark, TempDirs.create("lsh-idx-cap2"))
+    idx.bootstrap(oldDocs)
+    idx.compact(buckets = 4)
+    val cap = 1 // aggressive on the tiny sample so the list is non-empty
+    val stop = idx.stopBands(cap)
+    assert(stop.count() > 0)
+    // expected = replay: delta bands anti-joined on the stop list (computed
+    // over HISTORY bands — the compacted content), probed against ALL bands
+    val all = Dedup.minhashBands(universe, 3, 16, 4)
+    val dlt = Dedup.minhashBands(delta, 3, 16, 4)
+      .join(stop, Seq("band", "band_key"), "left_anti")
+    val cand = dlt.as("x").join(all.as("y"),
+        col("x.band") === col("y.band") &&
+          col("x.band_key") === col("y.band_key") &&
+          col("x.doc_id") =!= col("y.doc_id"))
+      .select(least(col("x.doc_id"), col("y.doc_id")).as("id_a"),
+        greatest(col("x.doc_id"), col("y.doc_id")).as("id_b")).distinct()
+    val gs = universe.select(col("doc_id"),
+      graft.functions.GraftFunctions.shingleHashes(col("text"), 3).as("gs"))
+    val expected = cand
+      .join(gs.as("ga"), col("id_a") === col("ga.doc_id"))
+      .join(gs.as("gb"), col("id_b") === col("gb.doc_id"))
+      .select(col("id_a"), col("id_b"),
+        round(size(array_intersect(col("ga.gs"), col("gb.gs"))).cast("double") /
+          size(array_union(col("ga.gs"), col("gb.gs"))), 6).as("jaccard"))
+      .filter(col("jaccard") >= 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq.sorted
+    var got: Seq[(Long, Long, Double)] = Nil
+    idx.sweepAndAppend(universe, delta, threshold = 0.6,
+        stopBands = Some(idx.stopBands(cap))) { pairs =>
+      got = pairs.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq.sorted
+    }
+    assert(got === expected)
+    // compaction-cadence determinism: the append above landed a tail
+    // generation, but the stop list reads only the compacted table
+    assert(idx.committedGen === 1L)
+    assert(idx.stopBands(cap).collect().toSet ===
+      stop.collect().toSet)
+  }
+
   test("bootstrap is idempotent") {
     val idx = new LshBandIndex(spark, TempDirs.create("lsh-idx-spec4"))
     idx.bootstrap(oldDocs)
