@@ -131,6 +131,56 @@ object ScaleRehearsal {
       }
       emit("minhash_lsh", f, nd, candMh, verMh, tCandMh + tVerMh)
 
+      // Stop-band cap (LshBandIndex.stopBands): inject verbatim
+      // boilerplate docs (licence-block grade) at 5% of the corpus —
+      // identical text, so every band piles them onto ONE key per band.
+      // The delta (1/50 slice, templates included pro rata) probes the
+      // persisted index capped at 64 and uncapped. Expected shape: the
+      // uncapped candidate count grows ~f² (delta templates × all
+      // templates), the capped count ~f (real-data buckets only) — the
+      // cap is what keeps a boilerplate ingest off the quadratic cliff.
+      val boiler = lit(("this software is provided as is without warranty " +
+        "of any kind express or implied including but not limited to " +
+        "merchantability fitness and noninfringement in no event shall " +
+        "the authors be liable for any claim damages or other liability"))
+      val mTmpl = math.max(50L, nd / 20)
+      val tmpl = spark.range(mTmpl)
+        .select((col("id") + lit(27L * idOffset)).as("doc_id"),
+          boiler.as("text"))
+      val sbDir = TempDirs.create(s"graft-scale-sbdocs$f")
+      docs.unionByName(tmpl).write.mode("overwrite").parquet(sbDir)
+      val corpusSb = spark.read.parquet(sbDir)
+      val histSb = corpusSb.filter(col("doc_id") % 50 =!= 0)
+      val deltaSb = corpusSb.filter(col("doc_id") % 50 === 0)
+      def sbSweep(stop: Boolean): (Long, Long, Double) = {
+        val idx = new graft.sources.LshBandIndex(spark,
+          TempDirs.create(s"graft-scale-sbidx$f$stop"), 3, 16, 4)
+        idx.bootstrap(histSb)
+        idx.compact(buckets = 8)
+        val sb = if (stop) Some(idx.stopBands(cap = 64)) else None
+        val dB = Dedup.minhashBands(deltaSb, 3, 16, 4)
+        val dProbe = sb.fold(dB)(s =>
+          dB.join(broadcast(s), Seq("band", "band_key"), "left_anti"))
+        val cand = dProbe.as("x").join(idx.bandsDf.as("y"),
+            col("x.band") === col("y.band") &&
+              col("x.band_key") === col("y.band_key") &&
+              col("x.doc_id") =!= col("y.doc_id"))
+          .select(least(col("x.doc_id"), col("y.doc_id")),
+            greatest(col("x.doc_id"), col("y.doc_id"))).distinct().count()
+        val outSb = TempDirs.create(s"graft-scale-sbout$f$stop")
+        val (_, sec) = timed {
+          idx.sweepAndAppend(corpusSb, deltaSb, threshold = 0.8,
+            stopBands = sb) { pairs =>
+            pairs.write.mode("overwrite").parquet(outSb)
+          }
+        }
+        (cand, spark.read.parquet(outSb).count(), sec)
+      }
+      val (cU, vU, tU) = sbSweep(stop = false)
+      emit("lsh_stopband_uncapped", f, nd + mTmpl, cU, vU, tU)
+      val (cC, vC, tC) = sbSweep(stop = true)
+      emit("lsh_stopband_capped", f, nd + mTmpl, cC, vC, tC)
+
       // SimHash bucket space is FIXED by `bits` (hamming<=2 → 3 chunks of
       // bits/3 key bits): a family sized for 5k docs saturates at 50k and
       // candidate volume goes quadratic no matter how good the data is.

@@ -776,7 +776,7 @@ object SparkEntry {
     // byte-identical to corpus_clean_incr's, which IS the claim: the
     // indexed composition is indistinguishable from the re-signing one.
     "corpus_clean_incr_indexed" -> ((s, dir) => {
-      val (hist, deltaSole) = corpusCleanIncrSides(s, dir)
+      val (hist, deltaSole) = corpusCleanSidesStored(s, dir)
       val idx = IndexCache.getOrBuild(s, s"cci-idx|$dir") {
         val i = new graft.sources.LshBandIndex(
           s, Scratch.create(s, "graft-cci-idx"), n = 3, k = 16, bands = 4)
@@ -814,7 +814,7 @@ object SparkEntry {
     // (runKey / batch ledger). Output = the packed shard manifest, whose
     // hash pins the whole chain end-to-end against the DuckDB replay.
     "pipeline_e2e_incr" -> ((s, dir) => {
-      val (hist, deltaSole) = corpusCleanIncrSides(s, dir)
+      val (hist, deltaSole) = corpusCleanSidesStored(s, dir)
 
       // near-dup vs history + delta-delta via the persisted band index
       // (same cached index + ingest runKey as corpus_clean_incr_indexed:
@@ -2683,20 +2683,32 @@ object SparkEntry {
     * both pinned — the delta era is the top 50 sampled ids, history
     * everything below the cutoff (scaladoc on the declared queries).
     */
-  private def corpusCleanIncrSides(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+  private def corpusCleanGated(s: SparkSession, dir: String): (DataFrame, Long) = {
     val all = Tables.documents(s, dir)
       .filter(col("doc_id") % 10 === 0)
       .select(col("doc_id"), col("text"), col("source"))
     val cutoff = all.agg(max(col("doc_id"))).head().getLong(0) - 499L
-    def gated(df: DataFrame) = TextAnalysis.stats(df)
+    (all, cutoff)
+  }
+
+  private def corpusCleanGate(df: DataFrame): DataFrame =
+    TextAnalysis.stats(df)
       .where(col("quality_score") >= 0.55 && col("lang_pred") =!= "und" &&
         col("n_tokens").between(5, 5000))
-    val hist = Residue.pin(gated(all.filter(col("doc_id") < cutoff))
+
+  private def corpusCleanHist(s: SparkSession, dir: String): DataFrame = {
+    val (all, cutoff) = corpusCleanGated(s, dir)
+    corpusCleanGate(all.filter(col("doc_id") < cutoff))
       .groupBy(col("fingerprint"))
       .agg(min(struct(col("doc_id"), col("text"))).as("_r"))
       .select(col("fingerprint"), col("_r.doc_id").as("doc_id"),
-        col("_r.text").as("text")))
-    val deltaSole = Residue.pin(gated(all.filter(col("doc_id") >= cutoff))
+        col("_r.text").as("text"))
+  }
+
+  private def corpusCleanDelta(s: SparkSession, dir: String,
+                               hist: DataFrame): DataFrame = {
+    val (all, cutoff) = corpusCleanGated(s, dir)
+    Residue.pin(corpusCleanGate(all.filter(col("doc_id") >= cutoff))
       .join(hist.select(col("fingerprint")), Seq("fingerprint"), "left_anti")
       .groupBy(col("fingerprint"))
       .agg(min(struct(col("doc_id"), col("text"), col("source"),
@@ -2705,7 +2717,34 @@ object SparkEntry {
         col("_r.source").as("source"), col("_r.n_tokens").as("n_tokens"),
         col("_r.quality_score").as("quality_score"),
         col("_r.lang_pred").as("lang_pred")))
-    (hist, deltaSole)
+  }
+
+  /** Recompute variant: gate + exact-dedup BOTH eras from the raw table
+    * every run — the oracle-replay shape `corpus_clean_incr` declares
+    * (its whole point is measuring the no-persisted-state baseline).
+    */
+  private def corpusCleanIncrSides(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val hist = Residue.pin(corpusCleanHist(s, dir))
+    (hist, corpusCleanDelta(s, dir, hist))
+  }
+
+  /** Stored-history variant for the persisted-index queries: the cleaned
+    * history (fingerprint, doc_id, text) is written ONCE per session to
+    * scratch parquet — the production shape, where the clean corpus IS a
+    * stored table that later ingests read, never re-derive. Warm runs
+    * gate ONLY the delta; the fingerprint anti-join and the sweep's
+    * verify-text fetch read the stored table column-pruned. History
+    * content is deterministic from the raw table, so results (and the
+    * DuckDB oracle, which replays the derivation) are unchanged.
+    */
+  private def corpusCleanSidesStored(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val path = IndexCache.getOrBuild(s, s"cci-hist|$dir") {
+      val p = Scratch.create(s, "graft-cci-hist")
+      corpusCleanHist(s, dir).write.mode("overwrite").parquet(p)
+      p
+    }
+    val hist = s.read.parquet(path)
+    (hist, corpusCleanDelta(s, dir, hist))
   }
 
   /** The (lang, source) report over the admitted delta — shared tail of
