@@ -131,4 +131,38 @@ object Oracles {
       s"list_transform(range(0, $bitsPerTableExpr), b -> " +
       s"CAST($bits[$tblExpr*($bitsPerTableExpr) + b + 1] AS BIGINT) << b)), " +
       s"(a, x) -> a + x)"
+
+  /** DSIR importance log-weights over `documents` with target = the
+    * English sub-corpus (graft.operators.Sampling.dsirLogWeights):
+    * hashed unigram+bigram features folded into `buckets` via
+    * [[sampleBucket]], +0.5-smoothed target/pool multinomials, and the
+    * per-document sum carried as exact integer micro-nats so aggregation
+    * order can never move the rounded result. Yields
+    * (doc_id, is_target, n_feats, log_weight); composes as a CTE body.
+    */
+  def dsirWeights(buckets: Int): String =
+    s"""WITH base AS (
+       |  SELECT doc_id, (lang = 'en') AS is_target, lower(text) AS t
+       |  FROM documents),
+       |toks AS (SELECT doc_id, is_target, ${tokens("t")} AS tk FROM base),
+       |uni AS (SELECT doc_id, is_target, unnest(tk) AS term FROM toks),
+       |bi AS (
+       |  SELECT doc_id, is_target,
+       |    unnest(list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])) AS term
+       |  FROM toks WHERE len(tk) >= 2),
+       |feats AS (
+       |  SELECT doc_id, is_target, ${sampleBucket("term", buckets)} AS f
+       |  FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)),
+       |cnt AS (SELECT doc_id, is_target, f, count(*) AS c FROM feats GROUP BY 1, 2, 3),
+       |fc AS (
+       |  SELECT f, sum(CASE WHEN is_target THEN c ELSE 0 END) AS tc, sum(c) AS pc
+       |  FROM cnt GROUP BY 1),
+       |tot AS (SELECT sum(tc) AS tct, sum(pc) AS pct FROM fc),
+       |lr AS (
+       |  SELECT f, CAST(round((ln((tc + 0.5) / (tct + 0.5 * $buckets))
+       |    - ln((pc + 0.5) / (pct + 0.5 * $buckets))) * 1000000) AS BIGINT) AS lrq
+       |  FROM fc, tot)
+       |SELECT doc_id, is_target, CAST(sum(c) AS BIGINT) AS n_feats,
+       |  round(sum(c * lrq) / 1000000.0, 4) + 0 AS log_weight
+       |FROM cnt JOIN lr USING (f) GROUP BY 1, 2""".stripMargin
 }

@@ -2172,6 +2172,25 @@ object SparkEntry {
         .orderBy(col("source"))
     }),
 
+    // DSIR importance weights (Xie et al. 2023): every document scored
+    // by how target-like (target = the English sub-corpus) its hashed
+    // unigram+bigram profile is under two smoothed multinomials. The
+    // per-doc sum is exact integer micro-nats; the B-row ratio model
+    // broadcasts; totals are O(1) driver scalars.
+    "dsir_weights" -> ((s, dir) =>
+      Sampling.dsirLogWeights(
+          Tables.documents(s, dir).select(col("doc_id"), col("lang"), col("text")),
+          isTarget = col("lang") === "en", buckets = 2048)
+        .orderBy(col("doc_id"))),
+
+    // Gumbel-top-k resampling over the DSIR weights — a weighted sample
+    // without replacement, reproducible across engines because the
+    // Gumbel noise derives from the portable hash.
+    "dsir_select" -> ((s, dir) =>
+      Sampling.dsirSelect(
+          Tables.documents(s, dir).select(col("doc_id"), col("lang"), col("text")),
+          isTarget = col("lang") === "en", buckets = 2048, k = 50)),
+
     // Running windows: per-customer cumulative order value + previous
     // order's value (lag) over the order sequence.
     "window_running" -> ((s, dir) => {
@@ -4778,6 +4797,25 @@ object SparkEntry {
          |  WHERE $bucket < floor(f.frac * 1000))
          |SELECT source, count(*) AS n_kept, CAST(sum(n_tok) AS BIGINT) AS tok_total
          |FROM kept GROUP BY source ORDER BY source""".stripMargin
+    },
+
+    "dsir_weights" -> {
+      s"""WITH w AS (${Oracles.dsirWeights(2048)})
+         |SELECT doc_id, is_target, n_feats, log_weight
+         |FROM w ORDER BY doc_id""".stripMargin
+    },
+
+    "dsir_select" -> {
+      val u = "(" + Oracles.sampleBucket(
+        "'dsir:' || CAST(doc_id AS VARCHAR)", 1000000) + " + 0.5) / 1000000.0"
+      s"""WITH w AS (${Oracles.dsirWeights(2048)}),
+         |g AS (
+         |  SELECT doc_id, is_target, log_weight,
+         |    round(-ln(-ln($u)), 6) + 0 AS gumbel
+         |  FROM w)
+         |SELECT doc_id, is_target, log_weight, gumbel,
+         |  round(log_weight + gumbel, 4) + 0 AS score
+         |FROM g ORDER BY score DESC, doc_id LIMIT 50""".stripMargin
     },
 
     "stream_enrich" ->

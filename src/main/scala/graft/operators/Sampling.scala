@@ -214,4 +214,93 @@ object Sampling {
     }
     df.filter(keep)
   }
+
+  /** DSIR-style importance log-weights (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): score every pool
+    * document by how target-like its hashed n-gram profile is under two
+    * smoothed bag-of-features multinomials — `log w(doc) =
+    * sum_f c_f(doc) * (ln p_target(f) - ln p_pool(f))` over unigram +
+    * bigram features folded into `buckets` hash buckets (the paper's
+    * hashed n-gram featurization), with +0.5 Laplace smoothing.
+    *
+    * Exactness: the per-feature log-ratio is quantized to integer
+    * micro-nats (`round(lr * 1e6)`), so the per-document sum is exact
+    * 64-bit integer arithmetic — order-independent under any partial
+    * aggregation, the [[graft.operators.Similarity]] sparse-dot
+    * discipline. Only the B-row ratio table ever touches a float.
+    *
+    * Scale shape: feature extraction is map-only off the codegen'd
+    * token kernels; (doc, feature) counts combine map-side; the
+    * feature-count table is `buckets` rows (fixed — broadcast to the
+    * scoring join); totals are two O(1) driver scalars (the bookmark
+    * max-key pattern). One corpus-keyed aggregation yields the weights —
+    * at 100 TB this is one pass plus two narrow-row shuffles, and the
+    * model itself (B log-ratios) is small enough to persist and reuse
+    * across ingests like any other index here.
+    *
+    * Output: (doc_id, is_target, n_feats, log_weight), log_weight
+    * rounded to 4.
+    */
+  def dsirLogWeights(docs: DataFrame, isTarget: Column, buckets: Int,
+                     text: Column = col("text")): DataFrame = {
+    require(buckets >= 2)
+    val base = docs.select(col("doc_id"),
+      isTarget.cast("boolean").as("is_target"), lower(text).as("_t"))
+    val uni = base.select(col("doc_id"), col("is_target"),
+      explode(tokens(col("_t"))).as("term"))
+    val bi = base.select(col("doc_id"), col("is_target"),
+      explode(tokenNgrams(col("_t"), 2)).as("term"))
+    // tokenized exactly once per consumer chain; blocks freed by the
+    // end-of-query drain (the tfIdfTopTerms materialization discipline)
+    val feats = graft.Residue.pin(
+      uni.unionByName(bi)
+        .select(col("doc_id"), col("is_target"),
+          hashBucket(col("term"), buckets).as("f"))
+        .groupBy(col("doc_id"), col("is_target"), col("f"))
+        .agg(count(lit(1)).as("c")))
+    val fc = feats.groupBy(col("f")).agg(
+      sum(when(col("is_target"), col("c")).otherwise(0L)).as("tc"),
+      sum(col("c")).as("pc"))
+    val tot = fc.agg(sum(col("tc")), sum(col("pc"))).head
+    // null on an empty corpus: the weights frame is empty anyway, but the
+    // smoothing denominators must stay finite for the plan to build
+    val (tcTot, pcTot) =
+      if (tot.isNullAt(0)) (0L, 0L) else (tot.getLong(0), tot.getLong(1))
+    val lr = fc.select(col("f"),
+      round((log((col("tc") + 0.5) / (tcTot + 0.5 * buckets)) -
+        log((col("pc") + 0.5) / (pcTot + 0.5 * buckets))) * 1e6)
+        .cast("long").as("lrq"))
+    feats.join(broadcast(lr), "f")
+      .groupBy(col("doc_id"), col("is_target"))
+      .agg(sum(col("c")).as("n_feats"),
+        sum(col("c") * col("lrq")).as("_wq"))
+      // + 0.0 canonicalizes a rounded -0.0 (engines differ on the sign
+      // of a zero round result; the driver's compare is bit-exact)
+      .select(col("doc_id"), col("is_target"), col("n_feats"),
+        (round(col("_wq") / 1e6, 4) + lit(0.0)).as("log_weight"))
+  }
+
+  /** DSIR selection: Gumbel-top-k resampling without replacement over
+    * [[dsirLogWeights]] — draw k docs with probability ∝ their importance
+    * weight by ranking `log_weight + Gumbel(0,1)` (the Gumbel-max trick;
+    * adding i.i.d. Gumbel noise to log-weights and taking the top k IS a
+    * weighted sample without replacement). The noise is the engine's
+    * portable hash — `u = (hashBucket("dsir:" + doc_id) + 0.5) / 1e6`,
+    * `g = -ln(-ln(u))` — so the draw is reproducible across runs,
+    * repartitionings, and engines, the [[hashBucket]] discipline.
+    *
+    * Selection is orderBy+limit — TakeOrdered (per-partition top-k, then
+    * a k-sized merge on the driver), never a global sort.
+    */
+  def dsirSelect(docs: DataFrame, isTarget: Column, buckets: Int, k: Int,
+                 text: Column = col("text")): DataFrame = {
+    val u = (hashBucket(concat(lit("dsir:"), col("doc_id").cast("string")),
+      1000000) + 0.5) / 1e6
+    dsirLogWeights(docs, isTarget, buckets, text)
+      .withColumn("gumbel", round(-log(-log(u)), 6) + lit(0.0))
+      .withColumn("score", round(col("log_weight") + col("gumbel"), 4) + lit(0.0))
+      .orderBy(col("score").desc, col("doc_id")).limit(k)
+      .select(col("doc_id"), col("is_target"), col("log_weight"),
+        col("gumbel"), col("score"))
+  }
 }
