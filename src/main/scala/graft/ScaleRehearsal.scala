@@ -740,6 +740,29 @@ object ScaleRehearsal {
       }
       emit("bpe_round", f, nd, bpeRow.getLong(3), bpeRow.getLong(4), tBpe)
 
+      // DSIR (dsir_weights/dsir_apply_incr): fitting the B-row model is
+      // one feature pass over the corpus — wall must track corpus size
+      // ~linearly while the model stays B rows (candidates := model
+      // rows, flat by construction). Applying a PERSISTED model to the
+      // FIXED 1x delta slice must stay delta-shaped as the fitted corpus
+      // grows 10x — the model is broadcast metadata, so the apply never
+      // reads the history (verified := scored delta docs, flat).
+      val dsirTgt = pmod(col("doc_id"), lit(5)) === 0
+      val mDir = TempDirs.create(s"graft-scale-dsir$f")
+      val (mRows, tFit) = timed {
+        val m = graft.operators.Sampling.dsirModel(docs, dsirTgt, 2048)
+        m.write.mode("overwrite").parquet(mDir)
+        spark.read.parquet(mDir).count()
+      }
+      emit("dsir_fit", f, nd, mRows, nd, tFit)
+      val dsirDelta = docs.filter(
+        col("doc_id") < idOffset && col("doc_id") % 50 === 0)
+      val storedModel = spark.read.parquet(mDir)
+      val (nScored, tApply) = timed {
+        graft.operators.Sampling.dsirApply(dsirDelta, storedModel, 2048).count()
+      }
+      emit("dsir_apply", f, nd, mRows, nScored, tApply)
+
       // one factor's materializations must not contaminate the next
       // factor's timings — same per-run hygiene as Bench
       Residue.drain(spark)

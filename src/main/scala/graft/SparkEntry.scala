@@ -2191,6 +2191,20 @@ object SparkEntry {
           Tables.documents(s, dir).select(col("doc_id"), col("lang"), col("text")),
           isTarget = col("lang") === "en", buckets = 2048, k = 50)),
 
+    // The per-ingest DSIR path: fit the B-row model once (production
+    // persists it next to the bookmark; the declared query refits so
+    // DuckDB can replay), then score ONLY the delta — a map-only feature
+    // pass over the delta + a broadcast join against the model. The
+    // oracle is the full-corpus weight table restricted to the delta:
+    // that equality IS the claim (apply ≡ fit-and-score, bit-for-bit).
+    "dsir_apply_incr" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), col("text"))
+      val model = Sampling.dsirModel(docs, col("lang") === "en", 2048)
+      Sampling.dsirApply(docs.filter(col("doc_id") % 50 === 0), model, 2048)
+        .orderBy(col("doc_id"))
+    }),
+
     // Running windows: per-customer cumulative order value + previous
     // order's value (lag) over the order sequence.
     "window_running" -> ((s, dir) => {
@@ -4816,6 +4830,12 @@ object SparkEntry {
          |SELECT doc_id, is_target, log_weight, gumbel,
          |  round(log_weight + gumbel, 4) + 0 AS score
          |FROM g ORDER BY score DESC, doc_id LIMIT 50""".stripMargin
+    },
+
+    "dsir_apply_incr" -> {
+      s"""WITH w AS (${Oracles.dsirWeights(2048)})
+         |SELECT doc_id, n_feats, log_weight
+         |FROM w WHERE doc_id % 50 = 0 ORDER BY doc_id""".stripMargin
     },
 
     "stream_enrich" ->

@@ -243,34 +243,12 @@ object Sampling {
     */
   def dsirLogWeights(docs: DataFrame, isTarget: Column, buckets: Int,
                      text: Column = col("text")): DataFrame = {
-    require(buckets >= 2)
-    val base = docs.select(col("doc_id"),
-      isTarget.cast("boolean").as("is_target"), lower(text).as("_t"))
-    val uni = base.select(col("doc_id"), col("is_target"),
-      explode(tokens(col("_t"))).as("term"))
-    val bi = base.select(col("doc_id"), col("is_target"),
-      explode(tokenNgrams(col("_t"), 2)).as("term"))
     // tokenized exactly once per consumer chain; blocks freed by the
     // end-of-query drain (the tfIdfTopTerms materialization discipline)
     val feats = graft.Residue.pin(
-      uni.unionByName(bi)
-        .select(col("doc_id"), col("is_target"),
-          hashBucket(col("term"), buckets).as("f"))
-        .groupBy(col("doc_id"), col("is_target"), col("f"))
-        .agg(count(lit(1)).as("c")))
-    val fc = feats.groupBy(col("f")).agg(
-      sum(when(col("is_target"), col("c")).otherwise(0L)).as("tc"),
-      sum(col("c")).as("pc"))
-    val tot = fc.agg(sum(col("tc")), sum(col("pc"))).head
-    // null on an empty corpus: the weights frame is empty anyway, but the
-    // smoothing denominators must stay finite for the plan to build
-    val (tcTot, pcTot) =
-      if (tot.isNullAt(0)) (0L, 0L) else (tot.getLong(0), tot.getLong(1))
-    val lr = fc.select(col("f"),
-      round((log((col("tc") + 0.5) / (tcTot + 0.5 * buckets)) -
-        log((col("pc") + 0.5) / (pcTot + 0.5 * buckets))) * 1e6)
-        .cast("long").as("lrq"))
-    feats.join(broadcast(lr), "f")
+      dsirFeatureCounts(docs, buckets, text, Some(isTarget)))
+    val model = dsirModelFromCounts(feats, buckets)
+    feats.join(broadcast(model), "f")
       .groupBy(col("doc_id"), col("is_target"))
       .agg(sum(col("c")).as("n_feats"),
         sum(col("c") * col("lrq")).as("_wq"))
@@ -279,6 +257,67 @@ object Sampling {
       .select(col("doc_id"), col("is_target"), col("n_feats"),
         (round(col("_wq") / 1e6, 4) + lit(0.0)).as("log_weight"))
   }
+
+  /** Per-document hashed-feature counts: (doc_id[, is_target], f, c) —
+    * map-only off the codegen'd token kernels, counts combined map-side.
+    */
+  private def dsirFeatureCounts(docs: DataFrame, buckets: Int, text: Column,
+                                isTarget: Option[Column]): DataFrame = {
+    require(buckets >= 2)
+    val tagged = isTarget.map(t => docs.withColumn("is_target",
+      t.cast("boolean"))).getOrElse(docs)
+    val keys = Seq(col("doc_id")) ++
+      isTarget.map(_ => col("is_target")).toSeq
+    val base = tagged.select(keys :+ lower(text).as("_t"): _*)
+    val uni = base.select(keys :+ explode(tokens(col("_t"))).as("term"): _*)
+    val bi = base.select(keys :+ explode(tokenNgrams(col("_t"), 2)).as("term"): _*)
+    uni.unionByName(bi)
+      .select(keys :+ hashBucket(col("term"), buckets).as("f"): _*)
+      .groupBy(keys :+ col("f"): _*)
+      .agg(count(lit(1)).as("c"))
+  }
+
+  /** The fitted DSIR model from a tagged feature-count frame: `buckets`
+    * rows of (f, lrq) integer micro-nat log-ratios. Small enough to
+    * persist next to a bookmark and broadcast to every later ingest —
+    * the train-once/apply-per-delta discipline of the persisted indexes.
+    */
+  private def dsirModelFromCounts(feats: DataFrame, buckets: Int): DataFrame = {
+    val fc = feats.groupBy(col("f")).agg(
+      sum(when(col("is_target"), col("c")).otherwise(0L)).as("tc"),
+      sum(col("c")).as("pc"))
+    val tot = fc.agg(sum(col("tc")), sum(col("pc"))).head
+    // null on an empty corpus: the weights frame is empty anyway, but the
+    // smoothing denominators must stay finite for the plan to build
+    val (tcTot, pcTot) =
+      if (tot.isNullAt(0)) (0L, 0L) else (tot.getLong(0), tot.getLong(1))
+    fc.select(col("f"),
+      round((log((col("tc") + 0.5) / (tcTot + 0.5 * buckets)) -
+        log((col("pc") + 0.5) / (pcTot + 0.5 * buckets))) * 1e6)
+        .cast("long").as("lrq"))
+  }
+
+  /** Fit a DSIR model on `docs` — the B-row (f, lrq) ratio table. */
+  def dsirModel(docs: DataFrame, isTarget: Column, buckets: Int,
+                text: Column = col("text")): DataFrame =
+    dsirModelFromCounts(
+      dsirFeatureCounts(docs, buckets, text, Some(isTarget)), buckets)
+
+  /** Score `docs` under an already-fitted model — the per-ingest path.
+    * One map-only feature pass over the delta, one broadcast join against
+    * the B-row model, one delta-keyed aggregation: cost tracks the DELTA,
+    * never the corpus the model was fitted on. Same arithmetic as
+    * [[dsirLogWeights]], bit-for-bit.
+    */
+  def dsirApply(docs: DataFrame, model: DataFrame, buckets: Int,
+                text: Column = col("text")): DataFrame =
+    dsirFeatureCounts(docs, buckets, text, None)
+      .join(broadcast(model), "f")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_feats"),
+        sum(col("c") * col("lrq")).as("_wq"))
+      .select(col("doc_id"), col("n_feats"),
+        (round(col("_wq") / 1e6, 4) + lit(0.0)).as("log_weight"))
 
   /** DSIR selection: Gumbel-top-k resampling without replacement over
     * [[dsirLogWeights]] — draw k docs with probability ∝ their importance

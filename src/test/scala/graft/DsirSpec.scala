@@ -114,4 +114,18 @@ class DsirSpec extends SparkSuite {
     val empty = docs.filter(col("doc_id") < 0)
     assert(Sampling.dsirLogWeights(empty, col("lang") === "en", B).count() == 0)
   }
+
+  test("apply(delta, fitted model) equals the full weight table restricted to the delta") {
+    val model = Sampling.dsirModel(docs, col("lang") === "en", B)
+    assert(model.count() <= B, "model must be at most B rows")
+    val applied = Sampling.dsirApply(
+        docs.filter(col("doc_id") % 50 === 0), model, B)
+      .select(col("doc_id"), col("n_feats"), col("log_weight"))
+      .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+    val full = Sampling.dsirLogWeights(docs, col("lang") === "en", B)
+      .filter(col("doc_id") % 50 === 0)
+      .select(col("doc_id"), col("n_feats"), col("log_weight"))
+      .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(applied.nonEmpty && applied == full)
+  }
 }
