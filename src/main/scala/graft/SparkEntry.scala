@@ -867,7 +867,12 @@ object SparkEntry {
           policed.select(col("doc_id"), col("text")), evalDocs,
           n = 8, minShared = 100L, bloom = evalBloom)
         .select(col("train_id").as("doc_id")).distinct()
-      val decont = policed.join(contaminated, Seq("doc_id"), "left_anti")
+      // delta-sized pin: decont feeds BOTH the IVF probe's query set and
+      // the final survivor join — unpinned, each action downstream
+      // re-runs the whole admitted -> policed -> decontaminated chain
+      // (pairs read, posting probe, bloom verify) once per reference
+      val decont = Residue.pin(
+        policed.join(contaminated, Seq("doc_id"), "left_anti"))
 
       // semantic near-dup vs the reference embedding corpus via the
       // persisted IVF index (frozen centroids, delta-only probe)
@@ -883,12 +888,16 @@ object SparkEntry {
       val semDrop = ivf.topK(refEmb, deltaEmb, k = 1, nprobe = 2)
         .filter(col("cosine") >= 0.3)
         .select(col("query_id").as("doc_id")).distinct()
-      val surviving = decont.join(semDrop, Seq("doc_id"), "left_anti")
+      // the survivor set is read by THREE actions (mix stratum counts,
+      // shard prefix offsets, the final manifest agg) — pin once,
+      // delta-sized, freed by the end-of-query drain
+      val surviving = Residue.pin(
+        decont.join(semDrop, Seq("doc_id"), "left_anti")
+          .select(col("doc_id"), col("source"), col("n_tokens")))
 
       // temperature mix (alpha 0.5) + token-budgeted shard packing
       val mixed = Sampling.temperatureMix(
-        surviving.select(col("doc_id"), col("source"), col("n_tokens")),
-        "source", col("doc_id"), alpha = 0.5)
+        surviving, "source", col("doc_id"), alpha = 0.5)
       Packing.tokenShards(
           mixed.select(col("doc_id"), col("n_tokens").as("n_tok")),
           "doc_id", "n_tok", 128L)

@@ -256,13 +256,21 @@ final class LshBandIndex(spark: SparkSession, dir: String,
           col("x.doc_id") =!= col("y.doc_id"))
       .select(least(col("x.doc_id"), col("y.doc_id")).as("id_a"),
         greatest(col("x.doc_id"), col("y.doc_id")).as("id_b"))
-    val cand = probe(bandsDf).unionByName(probe(dBands)).distinct()
+    // the candidate set feeds the verify plan FOUR times (both sides of
+    // the id union, then through both gram-join arms) and the gram table
+    // twice — unpinned, Catalyst re-derives the whole probe (index scan +
+    // delta banding) per reference: measured 3.4-6.4 s vs 2.3 s per sweep
+    // at sf0.1. Both pins are candidate-volume-sized (pair ids; involved
+    // docs' shingles), the operator's own output scale — freed by the
+    // caller's end-of-query drain
+    val cand = Residue.pin(
+      probe(bandsDf).unionByName(probe(dBands)).distinct())
     val involved = cand.select(col("id_a").as("doc_id"))
       .union(cand.select(col("id_b").as("doc_id"))).distinct()
-    val grams = corpusText
+    val grams = Residue.pin(corpusText
       .join(involved, Seq("doc_id"), "left_semi")
       .select(col("doc_id"),
-        graft.functions.GraftFunctions.shingleHashes(col("text"), n).as("gs"))
+        graft.functions.GraftFunctions.shingleHashes(col("text"), n).as("gs")))
     val pairs = cand
       .join(grams.as("ga"), col("id_a") === col("ga.doc_id"))
       .join(grams.as("gb"), col("id_b") === col("gb.doc_id"))
