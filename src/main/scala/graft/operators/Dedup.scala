@@ -141,8 +141,8 @@ object Dedup {
     */
   def ngramJaccardPairsPruned(docs: DataFrame, n: Int, threshold: Double,
                               maxDf: Int): DataFrame = {
-    val sets = docs.select(col("doc_id"), shingleHashes(col("text"), n).as("gs"))
-    val grams = sets.select(col("doc_id"), explode(col("gs")).as("g"))
+    val grams = docs.select(col("doc_id"),
+      explode(shingleHashes(col("text"), n)).as("g"))
     // the STOP set (df > maxDf) is small by construction — at most
     // totalShingleOccurrences / maxDf entries — so broadcast it and strip
     // stop shingles with a map-side anti-join; the rare set (its
@@ -153,11 +153,20 @@ object Dedup {
     val stop = grams.groupBy(col("g")).agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDf).select(col("g"))
     val rareGrams = grams.join(broadcast(stop), Seq("g"), "left_anti")
-    val cand = rareGrams.as("a")
+    // cand feeds several verify branches — pinned (pair-id-sized); the
+    // verify shingle table is restricted to candidate-involved docs
+    // BEFORE the kernel runs, then pinned, so the corpus's shingle
+    // arrays are never materialized whole (the sweepAndAppend lesson)
+    val cand = graft.Residue.pin(rareGrams.as("a")
       .join(rareGrams.as("b"),
         col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      .distinct()
+      .distinct())
+    val involved = cand.select(col("id_a").as("doc_id"))
+      .union(cand.select(col("id_b").as("doc_id"))).distinct()
+    val sets = graft.Residue.pin(docs
+      .join(involved, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), shingleHashes(col("text"), n).as("gs")))
     cand
       .join(sets.as("ga"), col("id_a") === col("ga.doc_id"))
       .join(sets.as("gb"), col("id_b") === col("gb.doc_id"))
@@ -186,16 +195,23 @@ object Dedup {
     */
   def containmentPairs(docs: DataFrame, n: Int, threshold: Double,
                        maxDf: Int): DataFrame = {
-    val sets = docs.select(col("doc_id"), shingleHashes(col("text"), n).as("gs"))
-    val grams = sets.select(col("doc_id"), explode(col("gs")).as("g"))
+    val grams = docs.select(col("doc_id"),
+      explode(shingleHashes(col("text"), n)).as("g"))
     val stop = grams.groupBy(col("g")).agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDf).select(col("g"))
     val rareGrams = grams.join(broadcast(stop), Seq("g"), "left_anti")
-    val cand = rareGrams.as("a")
+    // same pin + involved-restriction discipline as
+    // [[ngramJaccardPairsPruned]] (see the rationale there)
+    val cand = graft.Residue.pin(rareGrams.as("a")
       .join(rareGrams.as("b"),
         col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      .distinct()
+      .distinct())
+    val involved = cand.select(col("id_a").as("doc_id"))
+      .union(cand.select(col("id_b").as("doc_id"))).distinct()
+    val sets = graft.Residue.pin(docs
+      .join(involved, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), shingleHashes(col("text"), n).as("gs")))
     val scored = cand
       .join(sets.as("ga"), col("id_a") === col("ga.doc_id"))
       .join(sets.as("gb"), col("id_b") === col("gb.doc_id"))
@@ -235,6 +251,13 @@ object Dedup {
   def minhashLshPairs(docs: DataFrame, n: Int = 3, k: Int = 16, bands: Int = 4,
                       threshold: Double = 0.5): DataFrame = {
     val bandsDf = minhashBands(docs, n, k, bands)
+    // NOT pinned, deliberately (A/B-measured in r10): the self-join's two
+    // band subtrees and the two gram-join arms canonicalize to identical
+    // exchanges, so ReusedExchange already evaluates them once — a cache
+    // here adds a materialization barrier, loses AQE inside the cached
+    // subplan, and measured 2.1 -> 6.4 s at sf0.1. Contrast
+    // LshBandIndex.sweepAndAppend, where the probe mixes a bucketed
+    // index scan with delta bands (no reusable exchange) and the pin WON.
     val cand = bandsDf.as("x")
       .join(bandsDf.as("y"),
         col("x.band") === col("y.band") && col("x.band_key") === col("y.band_key") &&
@@ -277,7 +300,10 @@ object Dedup {
     val idx = minhashBands(oldDocs, n, k, bands)
     val dBands = minhashBands(deltaDocs, n, k, bands)
     // probe the union so delta-delta pairs are found too; least/greatest
-    // + distinct dedupes the delta-delta collisions seen in both orders
+    // + distinct dedupes the delta-delta collisions seen in both orders.
+    // NOT pinned (A/B-measured in r10, see minhashLshPairs): the
+    // duplicate subtrees here canonicalize to reusable exchanges, and a
+    // cache barrier cost corpus_clean_incr 5.2 -> 21 s at sf0.1.
     val cand = dBands.as("x")
       .join(idx.unionByName(dBands).as("y"),
         col("x.band") === col("y.band") && col("x.band_key") === col("y.band_key") &&
