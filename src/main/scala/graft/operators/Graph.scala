@@ -101,9 +101,14 @@ object Graph {
     // pin each iteration's join re-derives them from source (at 100 TB that
     // is `iters` full scans of the input instead of one); both pins are
     // freed by the end-of-query drain, unlike checkpoint blocks
-    val e = graft.Residue.pin(edges.select(col("src"), col("dst")))
-    val deg = graft.Residue.pin(
-      e.groupBy("src").agg(count(lit(1)).as("out_deg")))
+    // the degree join is loop-invariant: attach out_deg to the edge list
+    // ONCE and pin that, instead of re-joining deg inside every iteration
+    // (saves one broadcast join per round — iters * a full edge pass at
+    // scale); deg itself is pinned for the node frame and the final join
+    val deg = graft.Residue.pin(edges.select(col("src"), col("dst"))
+      .groupBy("src").agg(count(lit(1)).as("out_deg")))
+    val e = graft.Residue.pin(edges.select(col("src"), col("dst"))
+      .join(deg, "src"))
     val bc: DataFrame => DataFrame =
       if (broadcastNodes) broadcast(_) else identity
     val nodes = deg.select(col("src").as("node"), col("out_deg"))
@@ -113,7 +118,6 @@ object Graph {
     for (_ <- 1 to iters) {
       scores = e
         .join(bc(scores.withColumnRenamed("node", "src")), "src")
-        .join(bc(deg), "src")
         .groupBy(col("dst").as("node"))
         .agg(round(lit(teleport / n) +
           lit(damping) * sum(col("score") / col("out_deg")), roundTo).as("score"))
