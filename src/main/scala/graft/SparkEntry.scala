@@ -2615,6 +2615,16 @@ object SparkEntry {
           Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
         .orderBy(col("column_name"))),
 
+    // k-anonymity risk gate: QI equivalence classes smaller than k
+    // re-identify their members by linkage — the privacy audit a
+    // user-derived training-data release runs. One map-side-combined
+    // aggregation on the QI key; total rows from a classes-sized
+    // re-aggregation, never a second input scan.
+    "kanon_risk" -> ((s, dir) =>
+      graft.operators.Profile.kAnonymityRisk(
+          Tables.customer(s, dir), Seq("c_nationkey", "c_mktsegment"), k = 8)
+        .orderBy(col("c_nationkey"), col("c_mktsegment"))),
+
     // Declarative data-quality gate: all row checks + uniqueness fold
     // into ONE aggregation pass; the FK check is one anti-join.
     "dq_checks" -> ((s, dir) => {
@@ -5619,6 +5629,16 @@ object SparkEntry {
       Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
         .map(one).mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
     },
+
+    "kanon_risk" ->
+      """WITH cls AS (
+        |  SELECT c_nationkey, c_mktsegment, count(*) AS class_size
+        |  FROM customer GROUP BY 1, 2)
+        |SELECT c_nationkey, c_mktsegment, class_size,
+        |  round(class_size / (SELECT CAST(sum(class_size) AS DOUBLE) FROM cls), 6)
+        |    AS risk_share
+        |FROM cls WHERE class_size < 8
+        |ORDER BY c_nationkey, c_mktsegment""".stripMargin,
 
     "dq_checks" ->
       """WITH m AS (

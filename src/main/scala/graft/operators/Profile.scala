@@ -55,4 +55,32 @@ object Profile {
       .select(col("column_name"), col("n"), col("n_nulls"), col("ndv"),
         col("min_val"), col("max_val"), col("avg_val"))
   }
+
+  /** k-anonymity risk report — the privacy gate a dataset release (or a
+    * training-data drop containing user-derived rows) runs over its
+    * quasi-identifier columns: every QI combination shared by FEWER than
+    * `k` rows re-identifies its members by linkage, so those equivalence
+    * classes are the risk set. Emits one row per risky class with its
+    * size and the share of the table it puts at risk.
+    *
+    * One map-side-combined aggregation on the QI key (the shuffle
+    * carries distinct QI combinations, never rows), pinned so the
+    * total-row count comes from a classes-sized re-aggregation — an O(1)
+    * driver scalar like the bookmark max-key — not a second scan of the
+    * input, and NOT a single-partition window over the classes frame
+    * (the batch_padding anti-pattern: QI cardinality can approach row
+    * count). Output is |risky classes| rows, the thing an auditor reads.
+    */
+  def kAnonymityRisk(df: DataFrame, quasiIds: Seq[String], k: Int): DataFrame = {
+    require(k >= 2 && quasiIds.nonEmpty)
+    val byClass = graft.Residue.pin(df.groupBy(quasiIds.map(col): _*)
+      .agg(count(lit(1)).as("class_size")))
+    val totRow = byClass.agg(sum(col("class_size"))).head
+    val total = if (totRow.isNullAt(0)) 1L else totRow.getLong(0)
+    byClass
+      .filter(col("class_size") < k)
+      .select(quasiIds.map(col) :+ col("class_size") :+
+        round(col("class_size").cast("double") / total, 6)
+          .as("risk_share"): _*)
+  }
 }

@@ -80,4 +80,19 @@ class ProfileFuzzySpec extends SparkSuite {
       .findAllMatchIn(plan).map(_.group(1)).toList
     assert(schemas.count(s => s.split(",").length == 1) >= 2, schemas.toString)
   }
+
+  test("k-anonymity risk: exactly the classes under k, share over ALL rows") {
+    val rows = Seq(
+      ("us", "A"), ("us", "A"), ("us", "A"),       // class of 3 — safe at k=3
+      ("us", "B"), ("us", "B"),                    // class of 2 — risky
+      ("de", "A"))                                 // class of 1 — risky
+      .toDF("country", "segment")
+    val risky = Profile.kAnonymityRisk(rows, Seq("country", "segment"), k = 3)
+      .orderBy("country", "segment")
+      .as[(String, String, Long, Double)].collect().toList
+    // share denominator is the WHOLE table (6), not just risky rows
+    assert(risky === List(("de", "A", 1L, 0.166667), ("us", "B", 2L, 0.333333)))
+    assert(Profile.kAnonymityRisk(
+      rows.filter(col("country") === "xx"), Seq("country"), k = 3).count() == 0)
+  }
 }
