@@ -143,7 +143,14 @@ class AdversarialFixtureSpec extends SparkSuite {
     // throws; BM25's stats include zero-length docs
     "text_search", "text_search_lead", "text_phrase", "text_near",
     "text_prefix", "text_bm25", "text_search_incr", "inverted_stats",
-    "cooccurrence_pmi", "multimodal_dedup", "partition_overwrite")
+    "cooccurrence_pmi", "multimodal_dedup", "partition_overwrite",
+    // late-r10 additions: empty/whitespace-only docs have no hashed
+    // n-gram features (no weight row, not a throw); boolean retrieval
+    // over absent terms returns empty; index telemetry over near-empty
+    // corpora stays total; DSIR survives an all-false target mask
+    "dsir_weights", "dsir_select", "dsir_apply_incr",
+    "text_search_or", "text_search_msm", "text_search_not",
+    "lsh_band_stats", "dedup_lsh_capped", "ivf_reseed")
 
   test("every function-breadth query is total on adversarial rows") {
     val failures = swept.flatMap { name =>
