@@ -163,6 +163,6 @@ object Oracles {
        |    - ln((pc + 0.5) / (pct + 0.5 * $buckets))) * 1000000) AS BIGINT) AS lrq
        |  FROM fc, tot)
        |SELECT doc_id, is_target, CAST(sum(c) AS BIGINT) AS n_feats,
-       |  round(sum(c * lrq) / 1000000.0, 4) + 0 AS log_weight
+       |  sum(c * lrq) / 1000000.0 AS log_weight
        |FROM cnt JOIN lr USING (f) GROUP BY 1, 2""".stripMargin
 }

@@ -4855,7 +4855,7 @@ object SparkEntry {
          |    round(-ln(-ln($u)), 6) + 0 AS gumbel
          |  FROM w)
          |SELECT doc_id, is_target, log_weight, gumbel,
-         |  round(log_weight + gumbel, 4) + 0 AS score
+         |  log_weight + gumbel AS score
          |FROM g ORDER BY score DESC, doc_id LIMIT 50""".stripMargin
     },
 

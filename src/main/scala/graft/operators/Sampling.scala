@@ -238,8 +238,9 @@ object Sampling {
     * model itself (B log-ratios) is small enough to persist and reuse
     * across ingests like any other index here.
     *
-    * Output: (doc_id, is_target, n_feats, log_weight), log_weight
-    * rounded to 4.
+    * Output: (doc_id, is_target, n_feats, log_weight) — log_weight is
+    * the exact micro-nat sum divided by 1e6, unrounded (see the inline
+    * note on why a presentation round would break cross-engine parity).
     */
   def dsirLogWeights(docs: DataFrame, isTarget: Column, buckets: Int,
                      text: Column = col("text")): DataFrame = {
@@ -252,10 +253,15 @@ object Sampling {
       .groupBy(col("doc_id"), col("is_target"))
       .agg(sum(col("c")).as("n_feats"),
         sum(col("c") * col("lrq")).as("_wq"))
-      // + 0.0 canonicalizes a rounded -0.0 (engines differ on the sign
-      // of a zero round result; the driver's compare is bit-exact)
+      // NO presentation rounding, deliberately: _wq is an exact integer,
+      // so _wq/1e6 is the identical double in any IEEE engine — while a
+      // round(x, 4) on top DIVERGES between engines, because quantized
+      // values are DENSE on the .00005 boundaries (multiples of 1e-6 hit
+      // one every ~100 docs) and Spark's BigDecimal-exact rounding
+      // disagrees with DuckDB's scaled-multiply rounding exactly there
+      // (caught by the sf0.1 gate, ORACLES.md rule "both SFs").
       .select(col("doc_id"), col("is_target"), col("n_feats"),
-        (round(col("_wq") / 1e6, 4) + lit(0.0)).as("log_weight"))
+        (col("_wq") / 1e6).as("log_weight"))
   }
 
   /** Per-document hashed-feature counts: (doc_id[, is_target], f, c) —
@@ -316,8 +322,9 @@ object Sampling {
       .groupBy(col("doc_id"))
       .agg(sum(col("c")).as("n_feats"),
         sum(col("c") * col("lrq")).as("_wq"))
+      // exact quotient, unrounded — see dsirLogWeights
       .select(col("doc_id"), col("n_feats"),
-        (round(col("_wq") / 1e6, 4) + lit(0.0)).as("log_weight"))
+        (col("_wq") / 1e6).as("log_weight"))
 
   /** DSIR selection: Gumbel-top-k resampling without replacement over
     * [[dsirLogWeights]] — draw k docs with probability ∝ their importance
@@ -335,9 +342,13 @@ object Sampling {
                  text: Column = col("text")): DataFrame = {
     val u = (hashBucket(concat(lit("dsir:"), col("doc_id").cast("string")),
       1000000) + 0.5) / 1e6
+    // gumbel keeps a round(., 6): it absorbs the engines' ln ULP
+    // disagreement, and its values are NOT boundary-dense (see
+    // dsirLogWeights). score is a raw sum of two bit-identical doubles —
+    // any further rounding would reintroduce the dense-boundary class.
     dsirLogWeights(docs, isTarget, buckets, text)
       .withColumn("gumbel", round(-log(-log(u)), 6) + lit(0.0))
-      .withColumn("score", round(col("log_weight") + col("gumbel"), 4) + lit(0.0))
+      .withColumn("score", col("log_weight") + col("gumbel"))
       .orderBy(col("score").desc, col("doc_id")).limit(k)
       .select(col("doc_id"), col("is_target"), col("log_weight"),
         col("gumbel"), col("score"))

@@ -51,7 +51,8 @@ class DsirSpec extends SparkSuite {
     perDoc.map { case (id, _, cs) =>
       val wq = cs.map { case (f, c) => c * lrq(f) }.sum
       val n = cs.values.sum
-      id -> (n, BigDecimal(wq / 1e6).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      // exact: integer micro-nats / 1e6, no presentation rounding
+      id -> (n, wq / 1e6)
     }.toMap
   }
 
@@ -96,8 +97,7 @@ class DsirSpec extends SparkSuite {
     assert(rows.length == k)
     assert(rows.map(_._1).distinct.length == k, "no doc drawn twice")
     rows.foreach { case (_, _, w, g, s0) =>
-      assert(math.abs(s0 - BigDecimal(w + g).setScale(4,
-        BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+      assert(s0 == w + g, s"score must be the raw sum: $s0 vs ${w + g}")
     }
     val again = Sampling.dsirSelect(docs.repartition(7), col("lang") === "en", B, k)
       .select(col("doc_id")).as[Long].collect().toSet
