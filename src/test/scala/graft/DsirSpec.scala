@@ -115,6 +115,19 @@ class DsirSpec extends SparkSuite {
     assert(Sampling.dsirLogWeights(empty, col("lang") === "en", B).count() == 0)
   }
 
+  test("plan shape: the model joins broadcast; no Expand; counts combine map-side") {
+    val plan = Sampling.dsirLogWeights(docs, col("lang") === "en", B)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      "B-row model must broadcast to the scoring join")
+    assert(!plan.contains("Expand"),
+      "no distinct-rewrite Expand anywhere in the weight plan")
+    // the (doc, feature) count is a two-phase hash aggregate: a partial
+    // before the exchange (map-side combine) so the shuffle carries
+    // distinct (doc, f) pairs, not token occurrences
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, plan.take(2000))
+  }
+
   test("apply(delta, fitted model) equals the full weight table restricted to the delta") {
     val model = Sampling.dsirModel(docs, col("lang") === "en", B)
     assert(model.count() <= B, "model must be at most B rows")
