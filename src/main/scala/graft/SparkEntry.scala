@@ -502,6 +502,20 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // Product-quantization ANN: 8 subspaces x 16 codewords trained by
+    // the deterministic Lloyd discipline (seeds = first-16 slices, one
+    // mean update), corpus stored as 8 codes/vector (32x narrower than
+    // the float embedding — at 100 TB the linear ANN pass is scan-bound,
+    // so representation width IS the cost), scored as the EXACT cosine
+    // of the reconstruction, shortlisted, exact-re-ranked. The oracle
+    // replays the whole thing, training included.
+    "sim_pq_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.pqTopK(emb, emb.filter(col("vec_id") < 8),
+          k = 5, shortlist = 20)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // ANN top-5 via 4x8-bit random-hyperplane LSH, exact re-rank of
     // candidates only.
     // IVF-style ANN: deterministic seed centroids, map-only argmax-cosine
@@ -2951,6 +2965,83 @@ object SparkEntry {
        |FROM pc GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  /** CTE chain replaying [[graft.operators.Similarity.pqTopK]]'s
+    * codebook training (per-subspace Lloyd: first-16-slice seeds, one
+    * rounded-mean update), encoding, reconstruction, ADC-style exact
+    * cosine scan, shortlist, and exact re-rank — PQ end to end in SQL,
+    * training included. Yields `rer` (query_id, neighbor_id, cosine).
+    */
+  private def pqCtes(m: Int, codes: Int, shortlist: Int): String = {
+    val subDim = 64 / m
+    val perSub = (0 until m).map { s =>
+      val lo = s * subDim + 1
+      val hi = (s + 1) * subDim
+      val d = subDim
+      s"""es_$s AS (SELECT vec_id, list_slice(v, $lo, $hi) AS x FROM e),
+         |seeds_$s AS (
+         |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c,
+         |    list_slice(v, $lo, $hi) AS w
+         |  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT $codes)),
+         |s1_$s AS (
+         |  SELECT es.vec_id, es.x, s.c,
+         |    (${Oracles.dot("s.w", "s.w", d)} - 2 * ${Oracles.dot("es.x", "s.w", d)}) AS dist
+         |  FROM es_$s es CROSS JOIN seeds_$s s),
+         |a1_$s AS (
+         |  SELECT vec_id, x, c FROM (
+         |    SELECT vec_id, x, c,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, c) AS rn
+         |    FROM s1_$s) WHERE rn = 1),
+         |x1_$s AS (
+         |  SELECT c, unnest(x) AS val, generate_subscripts(x, 1) AS idx FROM a1_$s),
+         |m1_$s AS (
+         |  SELECT c, idx, CAST(CAST(round(avg(val), 6) AS REAL) AS DOUBLE) AS mv
+         |  FROM x1_$s GROUP BY c, idx),
+         |c1_$s AS (SELECT c, list(mv ORDER BY idx) AS w FROM m1_$s GROUP BY c),
+         |cf_$s AS (
+         |  SELECT s.c, coalesce(c1.w, s.w) AS w
+         |  FROM seeds_$s s LEFT JOIN c1_$s c1 ON s.c = c1.c),
+         |s2_$s AS (
+         |  SELECT es.vec_id, s.c,
+         |    (${Oracles.dot("s.w", "s.w", d)} - 2 * ${Oracles.dot("es.x", "s.w", d)}) AS dist
+         |  FROM es_$s es CROSS JOIN cf_$s s),
+         |a2_$s AS (
+         |  SELECT vec_id, c FROM (
+         |    SELECT vec_id, c,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, c) AS rn
+         |    FROM s2_$s) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    val reconJoin = (0 until m).map(s =>
+      s"JOIN a2_$s a$s ON a$s.vec_id = e.vec_id " +
+        s"JOIN cf_$s w$s ON w$s.c = a$s.c").mkString(" ")
+    val reconList = (0 until m).map(s => s"w$s.w").mkString(" || ")
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |$perSub,
+       |recon AS (
+       |  SELECT e.vec_id, $reconList AS rv FROM e $reconJoin),
+       |rnr AS (SELECT vec_id, rv, ${Oracles.l2("rv", 64)} AS rnorm FROM recon),
+       |q AS (SELECT vec_id, v, ${Oracles.l2("v", 64)} AS qnorm FROM e WHERE vec_id < 8),
+       |sc AS (
+       |  SELECT q.vec_id AS query_id, r.vec_id AS neighbor_id,
+       |    CASE WHEN q.qnorm * r.rnorm = 0 THEN 0.0
+       |         ELSE ${Oracles.dot("q.v", "r.rv", 64)} / (q.qnorm * r.rnorm) END AS qcos
+       |  FROM rnr r CROSS JOIN q WHERE r.vec_id != q.vec_id),
+       |sl AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY qcos DESC, neighbor_id) AS srank
+       |    FROM sc) WHERE srank <= $shortlist),
+       |rer AS (
+       |  SELECT query_id, neighbor_id, cosine,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cosine DESC, neighbor_id) AS rank
+       |  FROM (
+       |    SELECT sl.query_id, sl.neighbor_id,
+       |      round(${Oracles.cosine("qe.v", "ne.v", 64)}, 6) AS cosine
+       |    FROM sl JOIN e ne ON ne.vec_id = sl.neighbor_id
+       |    JOIN e qe ON qe.vec_id = sl.query_id))""".stripMargin
+  }
+
   private def kmeansCtes: String =
     s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |seeds AS (
@@ -3659,6 +3750,11 @@ object SparkEntry {
       s"""WITH $kmeansCtes
          |SELECT vec_id, c AS cluster, round(cs, 6) AS cosine FROM a2
          |ORDER BY vec_id""".stripMargin,
+
+    "sim_pq_topk" ->
+      s"""WITH ${pqCtes(m = 8, codes = 16, shortlist = 20)}
+         |SELECT query_id, rank, neighbor_id, cosine
+         |FROM rer WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
     "dedup_semantic" ->
       s"""WITH $kmeansCtes

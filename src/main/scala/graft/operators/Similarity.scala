@@ -545,4 +545,156 @@ object Similarity {
       .orderBy(col("cosine").desc, col("neighbor_id"))
     rer.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
+
+  // ---------------------------------------------------------------- PQ
+
+  /** Product-quantization codebooks: the embedding space split into
+    * `m` contiguous subspaces of Dim/m dims, each clustered into `codes`
+    * codewords by the SAME deterministic Lloyd discipline as
+    * [[KMeans]] (seeds = the first `codes` vectors' slices in vec_id
+    * order; `iters` argmin rounds so `iters - 1` mean updates; per-dim
+    * means rounded to 6 and cast to float so any SQL engine replays the
+    * arithmetic; an emptied cluster keeps its previous codeword).
+    * Assignment is argmin L2, evaluated as `argmin(cc - 2*dot(x, c))` —
+    * the ||x||² term is constant across codewords, so it never needs
+    * computing. Returns (subspace, code) -> codeword, O(m * codes *
+    * Dim/m) driver metadata, the IVF-seed pattern.
+    *
+    * All m per-subspace argmins evaluate in ONE map-only projection per
+    * iteration (m * codes native dot products per row, each over Dim/m
+    * floats — the same multiply count as one full-width scan), and the
+    * mean update is ONE aggregation over (subspace, code, dim) — the
+    * shuffle carries m * codes * Dim/m cells, never vectors.
+    */
+  def pqTrain(emb: DataFrame, m: Int, codes: Int,
+              iters: Int): Map[(Int, Int), Seq[Float]] = {
+    require(Dim % m == 0 && codes >= 2 && iters >= 1)
+    val subDim = Dim / m
+    var books: Map[(Int, Int), Seq[Float]] = emb
+      .select(col("vec_id"), col("embedding"))
+      .orderBy(col("vec_id")).limit(codes)
+      .collect().toSeq.zipWithIndex.flatMap { case (r, c) =>
+        val v = r.getSeq[Float](1)
+        (0 until m).map(s => (s, c) -> v.slice(s * subDim, (s + 1) * subDim))
+      }.toMap
+    for (_ <- 1 until iters) {
+      val means = withPqCodes(emb, books, m, subDim, codes)
+        .select(posexplode(col("embedding")), col("codes").as("cds"))
+        .select((col("pos") / subDim).cast("int").as("sub"),
+          pmod(col("pos"), lit(subDim)).as("idx"), col("col").as("val"),
+          element_at(col("cds"), (col("pos") / subDim).cast("int") + 1).as("code"))
+        .groupBy(col("sub"), col("code"), col("idx"))
+        .agg(round(avg(col("val").cast("double")), 6).cast("float").as("mv"))
+        .collect()
+        .groupBy(r => (r.getInt(0), r.getInt(1)))
+        .map { case (k0, rows) =>
+          k0 -> rows.sortBy(_.getInt(2)).map(_.getFloat(3)).toSeq
+        }
+      books = books.map { case (k0, old) => k0 -> means.getOrElse(k0, old) }
+    }
+    books
+  }
+
+  /** The argmin-L2 struct of subspace `s`: least over the codewords of
+    * (cc - 2*dot(sub, c), code) — struct ordering gives the
+    * distance-then-code tie-break any SQL engine replays. Field access
+    * goes through a projected alias (the [[KMeans.assignFull]] pattern).
+    */
+  private def pqArgminStruct(books: Map[(Int, Int), Seq[Float]], s: Int,
+                             subDim: Int, codes: Int): Column = {
+    val sub = slice(col("embedding"), s * subDim + 1, subDim)
+    // a corpus smaller than `codes` trains fewer codewords (one per seed
+    // vector) — iterate the codes that exist, so tiny/adversarial inputs
+    // degrade instead of throwing
+    val have = (0 until codes).filter(c => books.contains((s, c)))
+    val structs = have.map { c =>
+      val cw = books((s, c))
+      val cc = cw.map(x => x.toDouble * x.toDouble).sum
+      struct((lit(cc) - lit(2.0) * dotProduct(sub, typedlit(cw))).as("d"),
+        lit(c).as("code"))
+    }
+    structs match {
+      case Seq() => struct(lit(0.0).as("d"), lit(0).as("code")) // empty corpus: plan must still build
+      case Seq(one) => one // least() needs >= 2 args
+      case many => least(many: _*)
+    }
+  }
+
+  /** `df` plus a `codes` array column of the m per-subspace argmins,
+    * evaluated in one map-only projection; keeps all input columns.
+    */
+  private def withPqCodes(df: DataFrame, books: Map[(Int, Int), Seq[Float]],
+                          m: Int, subDim: Int, codes: Int): DataFrame =
+    df.select(col("*") +: (0 until m).map(s =>
+        pqArgminStruct(books, s, subDim, codes).as(s"_p$s")): _*)
+      .select(col("*"),
+        array((0 until m).map(s => col(s"_p$s.code")): _*).as("codes"))
+      .drop((0 until m).map(s => s"_p$s"): _*)
+
+  /** Encode: each vector as its m argmin codes — map-only, the stored
+    * representation is m smallints per vector (32x smaller than Dim
+    * floats at m=8, Dim=64).
+    */
+  def pqEncode(emb: DataFrame, books: Map[(Int, Int), Seq[Float]],
+               m: Int, codes: Int): DataFrame = {
+    val subDim = Dim / m
+    withPqCodes(emb.select(col("vec_id"), col("embedding")),
+      books, m, subDim, codes)
+      .select(col("vec_id"), col("codes"))
+  }
+
+  /** PQ ANN top-k: train codebooks on the corpus, encode it, scan the
+    * CODES (the 32x-narrower representation — at 100 TB the scan I/O is
+    * the whole cost of a linear ANN pass), score every (query, vector)
+    * pair as the EXACT cosine of the reconstructed vector (the
+    * [[int8TopK]] discipline: approximate representation, exact
+    * arithmetic on it — reconstruction is m literal-array lookups
+    * projected ONCE per corpus row, never per pair), shortlist, then
+    * re-rank the shortlist on true embeddings. Deterministic and
+    * oracle-replayable end to end, codebook training included.
+    */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int, shortlist: Int,
+             m: Int = 8, codes: Int = 16, iters: Int = 2): DataFrame = {
+    require(k >= 1 && shortlist >= k)
+    val books = pqTrain(corpus, m, codes, iters)
+    // literal array-of-arrays per subspace: codeword lookup is a codegen'd
+    // element_at, reconstruction a concat — projected once per corpus row
+    val bookLits = (0 until m).map { s =>
+      // a small corpus trains fewer codewords; pad the literal lookup
+      // table with zero vectors for codes that can never be assigned
+      typedlit((0 until codes).map(c =>
+        books.getOrElse((s, c), Seq.fill(Dim / m)(0.0f))))
+    }
+    val recon = concat((0 until m).map(s =>
+      element_at(bookLits(s), element_at(col("codes"), s + 1) + 1)): _*)
+    val encoded = pqEncode(corpus, books, m, codes)
+      .select(col("vec_id"), col("codes"))
+      .select(col("vec_id"), recon.as("rv"))
+      .select(col("vec_id"), col("rv"), l2_fast(col("rv")).as("rnorm"))
+    val qs = queries.select(col("vec_id"), col("embedding"),
+      l2_fast(col("embedding")).as("qnorm"))
+    val denom = col("q.qnorm") * col("c.rnorm")
+    val qcos = when(denom === 0.0, lit(0.0))
+      .otherwise(dotProduct(col("q.embedding"), col("c.rv")) / denom)
+    val wS = Window.partitionBy(col("query_id"))
+      .orderBy(col("qcos").desc, col("neighbor_id"))
+    val shortlisted = encoded.as("c")
+      .join(broadcast(qs.as("q")), col("q.vec_id") =!= col("c.vec_id"))
+      .select(col("q.vec_id").as("query_id"),
+        col("c.vec_id").as("neighbor_id"), qcos.as("qcos"))
+      .withColumn("srank", row_number().over(wS))
+      .filter(col("srank") <= shortlist)
+      .select("query_id", "neighbor_id")
+    val wK = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    shortlisted
+      .join(corpus.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("cv")), "neighbor_id")
+      .join(broadcast(queries.select(col("vec_id").as("query_id"),
+        col("embedding").as("qv"))), "query_id")
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosineSimilarity(col("qv"), col("cv")), 6).as("cosine"))
+      .withColumn("rank", row_number().over(wK))
+      .filter(col("rank") <= k)
+  }
 }

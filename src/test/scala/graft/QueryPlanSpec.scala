@@ -18,8 +18,13 @@ class QueryPlanSpec extends SparkSuite {
     // rows instead of 64-float embeddings. sim_topk_int8 likewise: the
     // same linear scan over d code BYTES + 4 scalars per row (the
     // memory-bandwidth variant of the exact path).
+    // sim_pq_topk: the same linear scan again, over m code shorts per
+    // row reconstructed against literal codebooks (32x narrower than
+    // the float path — representation width, not join shape, is its
+    // scale lever).
     val bruteForceBaselines =
-      Set("sim_topk", "hard_negatives", "sim_ann_projected", "sim_topk_int8")
+      Set("sim_topk", "hard_negatives", "sim_ann_projected", "sim_topk_int8",
+        "sim_pq_topk")
     val skip = (name: String) => name.startsWith("stream_") // execute on declaration
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(skip)
