@@ -747,6 +747,20 @@ object ScaleRehearsal {
       // FIXED 1x delta slice must stay delta-shaped as the fitted corpus
       // grows 10x — the model is broadcast metadata, so the apply never
       // reads the history (verified := scored delta docs, flat).
+      // PQ (sim_pq_topk): training is two passes (argmin projection +
+      // cell-mean aggregation — the shuffle carries m*codes*subDim cells,
+      // never vectors) and encoding is map-only, so both walls must track
+      // the corpus ~linearly while the codebook stays m*codes driver rows.
+      // candidates := trained codewords; verified := encoded vectors.
+      val (pqBooks, tPqTrain) = timed {
+        Similarity.pqTrain(emb, m = 8, codes = 16, iters = 2)
+      }
+      val (nEnc, tPqEnc) = timed {
+        Similarity.pqEncode(emb, pqBooks, m = 8, codes = 16).count()
+      }
+      emit("pq_train", f, ne, pqBooks.size.toLong, ne, tPqTrain)
+      emit("pq_encode", f, ne, pqBooks.size.toLong, nEnc, tPqEnc)
+
       val dsirTgt = pmod(col("doc_id"), lit(5)) === 0
       val mDir = TempDirs.create(s"graft-scale-dsir$f")
       val (mRows, tFit) = timed {
