@@ -516,6 +516,51 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // The PERSISTED-index production shape of PQ ANN (the sim_ivf_indexed
+    // discipline for codebooks): run 0 trains codebooks on the bootstrap
+    // corpus and freezes them, encodes the bootstrap vectors, commits
+    // generation 0; run 1 encodes ONLY the delta (vec_id % 50 == 0)
+    // against the frozen codebooks and appends a generation. Queries
+    // ADC-score the stored codes (m element_at lookups per pair) — the
+    // corpus-wide train+encode is never recomputed. The oracle trains on
+    // the bootstrap slice and encodes the full corpus: codes are a pure
+    // function of the vector under frozen codebooks, which is the
+    // invariant this query pins.
+    "sim_pq_indexed" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val idx = IndexCache.getOrBuild(s, s"pq-idx|$dir") {
+        val i = new graft.sources.PqIndex(
+          s, Scratch.create(s, "graft-pq-idx"), m = 8, codes = 16)
+        i.bootstrap(emb.filter(col("vec_id") % 50 =!= 0))
+        i.append(emb.filter(col("vec_id") % 50 === 0))
+        i
+      }
+      idx.topK(emb, emb.filter(col("vec_id") < 8), k = 5, shortlist = 20)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // The IVF-PQ COMPOSITION — the production 100 TB ANN architecture:
+    // coarse cells bound the candidate SET (nprobe/nlist of the corpus),
+    // PQ codes bound the per-candidate COST (ADC: m lookups per pair).
+    // One persisted store of (vec_id, cell, codes) rows — the FAISS
+    // posting layout as a table — with both structures frozen at
+    // bootstrap; queries probe 4 of 16 cells and ADC-score members only,
+    // then exact-re-rank the shortlist. The oracle replays seeds,
+    // codebook training, assignment, and ADC arithmetic end to end.
+    "sim_ivfpq_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val idx = IndexCache.getOrBuild(s, s"ivfpq-idx|$dir") {
+        val i = new graft.sources.IvfPqIndex(
+          s, Scratch.create(s, "graft-ivfpq-idx"), nlist = 16, m = 8, codes = 16)
+        i.bootstrap(emb.filter(col("vec_id") % 50 =!= 0))
+        i.append(emb.filter(col("vec_id") % 50 === 0))
+        i
+      }
+      idx.topK(emb, emb.filter(col("vec_id") < 8),
+          k = 5, shortlist = 20, nprobe = 4)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // ANN top-5 via 4x8-bit random-hyperplane LSH, exact re-rank of
     // candidates only.
     // IVF-style ANN: deterministic seed centroids, map-only argmax-cosine
@@ -2228,6 +2273,25 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // The per-ingest DSIR SAMPLER over a PERSISTED model: fit once
+    // (session-cached store, the IndexCache discipline — warm runs time
+    // what production pays per ingest: score the delta, draw top-k),
+    // then Gumbel-top-k over ONLY the delta's scores. The oracle is
+    // fit-then-select restricted to the delta: that equality IS the
+    // claim — per-document Gumbel noise is a pure function of doc_id, so
+    // a persisted model selects the identical sample.
+    "dsir_select_incr" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), col("text"))
+      val store = IndexCache.getOrBuild(s, s"dsir-model|$dir") {
+        val st = new graft.sources.DsirModelStore(
+          s, Scratch.create(s, "graft-dsir-model"), buckets = 2048)
+        st.fit(docs, col("lang") === "en")
+        st
+      }
+      store.selectFrom(docs.filter(col("doc_id") % 50 === 0), k = 20)
+    }),
+
     // Running windows: per-customer cumulative order value + previous
     // order's value (lag) over the order sequence.
     "window_running" -> ((s, dir) => {
@@ -2698,7 +2762,14 @@ object SparkEntry {
       // the eval-suite sketch is fixed state a production pipeline holds
       // deployed (the pipe-bloom discipline): built once per session —
       // cold runs and Verify still pay the build; warm runs time the
-      // corpus prefilter scan + exact verify, which IS the operator
+      // corpus prefilter scan + exact verify, which IS the operator.
+      // ASSUMPTION (cache-key contract): the table at `dir` is immutable
+      // for the session — a mutated/appended eval slice under the same
+      // dir would leave a stale sketch that can false-negative-prune
+      // real contamination (a bloom only guarantees no false negatives
+      // for items actually inserted). Production keys the deployed
+      // sketch by snapshot/generation id, the persisted-index lineage
+      // discipline; the declared query's tables are driver-frozen.
       val bloom = IndexCache.getOrBuild(s, s"decontam-bloom|$dir") {
         Dedup.gramBloom(docs.filter(col("doc_id") % 50 === 0), n = 6)
       }
@@ -2971,21 +3042,38 @@ object SparkEntry {
     * cosine scan, shortlist, and exact re-rank — PQ end to end in SQL,
     * training included. Yields `rer` (query_id, neighbor_id, cosine).
     */
-  private def pqCtes(m: Int, codes: Int, shortlist: Int): String = {
+  /** PQ replay CTEs ending in `rer` (ranked exact-re-ranked rows).
+    * Training (seeds + one Lloyd mean update + final codebooks cf_s)
+    * runs over `et` = e filtered by `trainWhere` (empty = the whole
+    * corpus — sim_pq_topk); ENCODING (a2_s) always covers the whole
+    * corpus — a vector's codes are a pure function of the vector under
+    * frozen codebooks, which is exactly the PqIndex bootstrap/append
+    * invariant sim_pq_indexed pins. Scoring replays ADC: the approximate
+    * score is sum over subspaces of dot(q_slice_s, codeword_s), divided
+    * by qnorm * sqrt(sum of codeword squared norms) — partial sums added
+    * in subspace order, left-associated, matching Similarity.pqAdcTopK's
+    * reduce fold bit for bit.
+    */
+  /** Per-subspace PQ train+encode CTEs (consume `e` = whole corpus and
+    * `et` = training corpus; end in final codebooks cf_s and whole-corpus
+    * assignments a2_s) — shared by the flat-PQ and IVF-PQ replays.
+    */
+  private def pqTrainEncodeCtes(m: Int, codes: Int): String = {
     val subDim = 64 / m
-    val perSub = (0 until m).map { s =>
+    (0 until m).map { s =>
       val lo = s * subDim + 1
       val hi = (s + 1) * subDim
       val d = subDim
       s"""es_$s AS (SELECT vec_id, list_slice(v, $lo, $hi) AS x FROM e),
+         |ts_$s AS (SELECT vec_id, list_slice(v, $lo, $hi) AS x FROM et),
          |seeds_$s AS (
          |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c,
          |    list_slice(v, $lo, $hi) AS w
-         |  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT $codes)),
+         |  FROM (SELECT vec_id, v FROM et ORDER BY vec_id LIMIT $codes)),
          |s1_$s AS (
          |  SELECT es.vec_id, es.x, s.c,
          |    (${Oracles.dot("s.w", "s.w", d)} - 2 * ${Oracles.dot("es.x", "s.w", d)}) AS dist
-         |  FROM es_$s es CROSS JOIN seeds_$s s),
+         |  FROM ts_$s es CROSS JOIN seeds_$s s),
          |a1_$s AS (
          |  SELECT vec_id, x, c FROM (
          |    SELECT vec_id, x, c,
@@ -3010,21 +3098,49 @@ object SparkEntry {
          |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, c) AS rn
          |    FROM s2_$s) WHERE rn = 1)""".stripMargin
     }.mkString(",\n")
+  }
+
+  /** `encj` CTE: every corpus row with its m codeword lists (w0..w[m-1])
+    * and the ADC reconstructed norm — sqrt of per-subspace codeword
+    * squared norms added in subspace order (Similarity.pqRnorm's fold).
+    */
+  private def pqEncjCte(m: Int): String = {
+    val subDim = 64 / m
     val reconJoin = (0 until m).map(s =>
       s"JOIN a2_$s a$s ON a$s.vec_id = e.vec_id " +
         s"JOIN cf_$s w$s ON w$s.c = a$s.c").mkString(" ")
-    val reconList = (0 until m).map(s => s"w$s.w").mkString(" || ")
+    val rnormSum = (0 until m)
+      .map(s => Oracles.dot(s"w$s.w", s"w$s.w", subDim)).mkString(" + ")
+    val wCols = (0 until m).map(s => s"w$s.w AS w$s").mkString(", ")
+    s"""encj AS (
+       |  SELECT e.vec_id, $wCols, sqrt($rnormSum) AS rnorm FROM e $reconJoin)""".stripMargin
+  }
+
+  /** dot(query, x̂) as per-subspace partial dots added in subspace order
+    * — Similarity.pqQdot's fold; `qv` is the query vector expression,
+    * codeword lists come from `encj` alias `r`.
+    */
+  private def pqAdcSum(m: Int, qv: String): String = {
+    val subDim = 64 / m
+    (0 until m).map { s =>
+      Oracles.dot(s"list_slice($qv, ${s * subDim + 1}, ${(s + 1) * subDim})",
+        s"r.w$s", subDim)
+    }.mkString("(", " + ", ")")
+  }
+
+  private def pqCtes(m: Int, codes: Int, shortlist: Int,
+                     trainWhere: String = ""): String = {
+    val adcSum = pqAdcSum(m, "q.v")
     s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-       |$perSub,
-       |recon AS (
-       |  SELECT e.vec_id, $reconList AS rv FROM e $reconJoin),
-       |rnr AS (SELECT vec_id, rv, ${Oracles.l2("rv", 64)} AS rnorm FROM recon),
+       |et AS (SELECT vec_id, v FROM e $trainWhere),
+       |${pqTrainEncodeCtes(m, codes)},
+       |${pqEncjCte(m)},
        |q AS (SELECT vec_id, v, ${Oracles.l2("v", 64)} AS qnorm FROM e WHERE vec_id < 8),
        |sc AS (
        |  SELECT q.vec_id AS query_id, r.vec_id AS neighbor_id,
        |    CASE WHEN q.qnorm * r.rnorm = 0 THEN 0.0
-       |         ELSE ${Oracles.dot("q.v", "r.rv", 64)} / (q.qnorm * r.rnorm) END AS qcos
-       |  FROM rnr r CROSS JOIN q WHERE r.vec_id != q.vec_id),
+       |         ELSE $adcSum / (q.qnorm * r.rnorm) END AS qcos
+       |  FROM encj r CROSS JOIN q WHERE r.vec_id != q.vec_id),
        |sl AS (
        |  SELECT query_id, neighbor_id FROM (
        |    SELECT query_id, neighbor_id,
@@ -3040,6 +3156,61 @@ object SparkEntry {
        |      round(${Oracles.cosine("qe.v", "ne.v", 64)}, 6) AS cosine
        |    FROM sl JOIN e ne ON ne.vec_id = sl.neighbor_id
        |    JOIN e qe ON qe.vec_id = sl.query_id))""".stripMargin
+  }
+
+  /** The IVF-PQ replay: coarse cells + PQ codes both trained/seeded on
+    * the bootstrap slice (vec_id % 50 != 0), whole corpus assigned and
+    * encoded (frozen-state purity, the sim_ivf_indexed/sim_pq_indexed
+    * invariant), candidates = probed cells' members only, ADC-scored,
+    * shortlisted, exact-re-ranked.
+    */
+  private def ivfPqOracle(nlist: Int, nprobe: Int, m: Int, codes: Int,
+                          shortlist: Int, k: Int): String = {
+    val adcSum = pqAdcSum(m, "p.qv")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |et AS (SELECT vec_id, v FROM e WHERE vec_id % 50 != 0),
+       |${pqTrainEncodeCtes(m, codes)},
+       |${pqEncjCte(m)},
+       |seeds AS (SELECT vec_id AS cell_id, v AS cv FROM e
+       |  WHERE vec_id % 50 != 0 ORDER BY vec_id LIMIT $nlist),
+       |cscored AS (
+       |  SELECT e.vec_id, e.v, s.cell_id, ${Oracles.cosine("e.v", "s.cv", 64)} AS cs
+       |  FROM e CROSS JOIN seeds s),
+       |assign AS (
+       |  SELECT vec_id, cell_id FROM (
+       |    SELECT vec_id, cell_id,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cell_id) AS rnk
+       |    FROM cscored) WHERE rnk = 1),
+       |probes AS (
+       |  SELECT vec_id AS query_id, v AS qv, ${Oracles.l2("v", 64)} AS qnorm,
+       |    cell_id FROM (
+       |    SELECT vec_id, v, cell_id,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cell_id) AS rnk
+       |    FROM cscored WHERE vec_id < 8) WHERE rnk <= $nprobe),
+       |sc AS (
+       |  SELECT p.query_id, r.vec_id AS neighbor_id,
+       |    CASE WHEN p.qnorm * r.rnorm = 0 THEN 0.0
+       |         ELSE $adcSum / (p.qnorm * r.rnorm) END AS qcos
+       |  FROM assign a
+       |  JOIN probes p ON a.cell_id = p.cell_id AND p.query_id != a.vec_id
+       |  JOIN encj r ON r.vec_id = a.vec_id),
+       |sl AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY qcos DESC, neighbor_id) AS srank
+       |    FROM sc) WHERE srank <= $shortlist),
+       |rer AS (
+       |  SELECT query_id, neighbor_id, cosine,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cosine DESC, neighbor_id) AS rank
+       |  FROM (
+       |    SELECT sl.query_id, sl.neighbor_id,
+       |      round(${Oracles.cosine("qe.v", "ne.v", 64)}, 6) AS cosine
+       |    FROM sl JOIN e ne ON ne.vec_id = sl.neighbor_id
+       |    JOIN e qe ON qe.vec_id = sl.query_id))
+       |SELECT query_id, rank, neighbor_id, cosine
+       |FROM rer WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
   }
 
   private def kmeansCtes: String =
@@ -3755,6 +3926,17 @@ object SparkEntry {
       s"""WITH ${pqCtes(m = 8, codes = 16, shortlist = 20)}
          |SELECT query_id, rank, neighbor_id, cosine
          |FROM rer WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // trains on the bootstrap slice, encodes the whole corpus — the
+    // frozen-codebook purity invariant sim_pq_indexed pins
+    "sim_pq_indexed" ->
+      s"""WITH ${pqCtes(m = 8, codes = 16, shortlist = 20,
+             trainWhere = "WHERE vec_id % 50 != 0")}
+         |SELECT query_id, rank, neighbor_id, cosine
+         |FROM rer WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "sim_ivfpq_topk" -> ivfPqOracle(nlist = 16, nprobe = 4, m = 8,
+      codes = 16, shortlist = 20, k = 5),
 
     "dedup_semantic" ->
       s"""WITH $kmeansCtes
@@ -4959,6 +5141,21 @@ object SparkEntry {
       s"""WITH w AS (${Oracles.dsirWeights(2048)})
          |SELECT doc_id, n_feats, log_weight
          |FROM w WHERE doc_id % 50 = 0 ORDER BY doc_id""".stripMargin
+    },
+
+    // fit-then-select restricted to the delta — the persisted-model
+    // equality claim (Gumbel noise is a pure function of doc_id)
+    "dsir_select_incr" -> {
+      val u = "(" + Oracles.sampleBucket(
+        "'dsir:' || CAST(doc_id AS VARCHAR)", 1000000) + " + 0.5) / 1000000.0"
+      s"""WITH w AS (${Oracles.dsirWeights(2048)}),
+         |g AS (
+         |  SELECT doc_id, log_weight,
+         |    round(-ln(-ln($u)), 6) + 0 AS gumbel
+         |  FROM w WHERE doc_id % 50 = 0)
+         |SELECT doc_id, log_weight, gumbel,
+         |  log_weight + gumbel AS score
+         |FROM g ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
     },
 
     "stream_enrich" ->

@@ -65,22 +65,27 @@ object Profile {
     *
     * One map-side-combined aggregation on the QI key (the shuffle
     * carries distinct QI combinations, never rows), pinned so the
-    * total-row count comes from a classes-sized re-aggregation — an O(1)
-    * driver scalar like the bookmark max-key — not a second scan of the
-    * input, and NOT a single-partition window over the classes frame
-    * (the batch_padding anti-pattern: QI cardinality can approach row
-    * count). Output is |risky classes| rows, the thing an auditor reads.
+    * total-row count comes from a classes-sized re-aggregation shared
+    * with the risky-class filter — not a second scan of the input, and
+    * NOT a single-partition window over the classes frame (the
+    * batch_padding anti-pattern: QI cardinality can approach row count).
+    * The total rides IN the plan as a broadcast one-row cross join — no
+    * eager action at construction time, so the frame stays a lazy pure
+    * function of its input (a re-execution against changed input can
+    * never divide by a stale denominator). Output is |risky classes|
+    * rows, the thing an auditor reads.
     */
   def kAnonymityRisk(df: DataFrame, quasiIds: Seq[String], k: Int): DataFrame = {
     require(k >= 2 && quasiIds.nonEmpty)
     val byClass = graft.Residue.pin(df.groupBy(quasiIds.map(col): _*)
       .agg(count(lit(1)).as("class_size")))
-    val totRow = byClass.agg(sum(col("class_size"))).head
-    val total = if (totRow.isNullAt(0)) 1L else totRow.getLong(0)
+    val total = byClass
+      .agg(coalesce(sum(col("class_size")), lit(1L)).as("_total"))
     byClass
       .filter(col("class_size") < k)
+      .crossJoin(broadcast(total))
       .select(quasiIds.map(col) :+ col("class_size") :+
-        round(col("class_size").cast("double") / total, 6)
+        round(col("class_size").cast("double") / col("_total"), 6)
           .as("risk_share"): _*)
   }
 }

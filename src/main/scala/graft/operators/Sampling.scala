@@ -283,10 +283,17 @@ object Sampling {
       .agg(count(lit(1)).as("c"))
   }
 
-  /** The fitted DSIR model from a tagged feature-count frame: `buckets`
-    * rows of (f, lrq) integer micro-nat log-ratios. Small enough to
-    * persist next to a bookmark and broadcast to every later ingest —
-    * the train-once/apply-per-delta discipline of the persisted indexes.
+  /** The fitted DSIR model from a tagged feature-count frame: exactly
+    * `buckets` rows of (f, lrq) integer micro-nat log-ratios — COMPLETE
+    * over the feature space, not just the buckets the fitted corpus
+    * happened to populate. Completeness is what makes the persisted
+    * model safe for a genuinely novel ingest delta: a bucket the corpus
+    * never saw carries the smoothed zero-count ratio (tc = pc = 0 under
+    * the same +0.5 Laplace smoothing), so [[dsirApply]]'s inner join is
+    * exact for every feature any delta can hash to — no silent drop, no
+    * delta⊆corpus precondition. Small enough to persist next to a
+    * bookmark and broadcast to every later ingest — the
+    * train-once/apply-per-delta discipline of the persisted indexes.
     */
   private def dsirModelFromCounts(feats: DataFrame, buckets: Int): DataFrame = {
     val fc = feats.groupBy(col("f")).agg(
@@ -297,10 +304,14 @@ object Sampling {
     // smoothing denominators must stay finite for the plan to build
     val (tcTot, pcTot) =
       if (tot.isNullAt(0)) (0L, 0L) else (tot.getLong(0), tot.getLong(1))
-    fc.select(col("f"),
-      round((log((col("tc") + 0.5) / (tcTot + 0.5 * buckets)) -
-        log((col("pc") + 0.5) / (pcTot + 0.5 * buckets))) * 1e6)
-        .cast("long").as("lrq"))
+    // complete to the full B-bucket feature space (B rows — metadata-
+    // sized); unseen buckets get the smoothed zero-count log-ratio
+    feats.sparkSession.range(buckets).select(col("id").as("f"))
+      .join(fc, Seq("f"), "left")
+      .select(col("f"),
+        round((log((coalesce(col("tc"), lit(0L)) + 0.5) / (tcTot + 0.5 * buckets)) -
+          log((coalesce(col("pc"), lit(0L)) + 0.5) / (pcTot + 0.5 * buckets))) * 1e6)
+          .cast("long").as("lrq"))
   }
 
   /** Fit a DSIR model on `docs` — the B-row (f, lrq) ratio table. */
@@ -313,7 +324,11 @@ object Sampling {
     * One map-only feature pass over the delta, one broadcast join against
     * the B-row model, one delta-keyed aggregation: cost tracks the DELTA,
     * never the corpus the model was fitted on. Same arithmetic as
-    * [[dsirLogWeights]], bit-for-bit.
+    * [[dsirLogWeights]], bit-for-bit — and exact for ANY delta, not just
+    * one whose features the fitted corpus saw, because the model is
+    * complete over all B buckets ([[dsirModelFromCounts]]: unseen
+    * buckets carry the smoothed zero-count ratio, so the inner join
+    * never drops a feature).
     */
   def dsirApply(docs: DataFrame, model: DataFrame, buckets: Int,
                 text: Column = col("text")): DataFrame =
@@ -340,17 +355,43 @@ object Sampling {
     */
   def dsirSelect(docs: DataFrame, isTarget: Column, buckets: Int, k: Int,
                  text: Column = col("text")): DataFrame = {
-    val u = (hashBucket(concat(lit("dsir:"), col("doc_id").cast("string")),
-      1000000) + 0.5) / 1e6
     // gumbel keeps a round(., 6): it absorbs the engines' ln ULP
     // disagreement, and its values are NOT boundary-dense (see
     // dsirLogWeights). score is a raw sum of two bit-identical doubles —
     // any further rounding would reintroduce the dense-boundary class.
     dsirLogWeights(docs, isTarget, buckets, text)
-      .withColumn("gumbel", round(-log(-log(u)), 6) + lit(0.0))
+      .withColumn("gumbel", dsirGumbel)
       .withColumn("score", col("log_weight") + col("gumbel"))
       .orderBy(col("score").desc, col("doc_id")).limit(k)
       .select(col("doc_id"), col("is_target"), col("log_weight"),
         col("gumbel"), col("score"))
   }
+
+  /** The reproducible per-document Gumbel(0,1) draw shared by
+    * [[dsirSelect]] and [[dsirSelectApplied]]: u from the portable hash,
+    * g = -ln(-ln(u)), rounded to 6 (absorbs cross-engine ln ULP noise).
+    */
+  private def dsirGumbel: Column = {
+    val u = (hashBucket(concat(lit("dsir:"), col("doc_id").cast("string")),
+      1000000) + 0.5) / 1e6
+    round(-log(-log(u)), 6) + lit(0.0)
+  }
+
+  /** DSIR selection over a PERSISTED model — the per-ingest sampler.
+    * [[dsirApply]] scores the delta against the broadcast B-row model
+    * (cost tracks the delta, never the fitted corpus), then Gumbel-top-k
+    * draws exactly as [[dsirSelect]] does: per-document noise is a pure
+    * function of doc_id, so fit-then-select and persist-then-select
+    * produce the identical sample over the same delta — the equality the
+    * dsir_select_incr oracle pins. Selection is orderBy+limit —
+    * TakeOrdered (per-partition top-k, k-sized driver merge), never a
+    * global sort.
+    */
+  def dsirSelectApplied(docs: DataFrame, model: DataFrame, buckets: Int,
+                        k: Int, text: Column = col("text")): DataFrame =
+    dsirApply(docs, model, buckets, text)
+      .withColumn("gumbel", dsirGumbel)
+      .withColumn("score", col("log_weight") + col("gumbel"))
+      .orderBy(col("score").desc, col("doc_id")).limit(k)
+      .select(col("doc_id"), col("log_weight"), col("gumbel"), col("score"))
 }

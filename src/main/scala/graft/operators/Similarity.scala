@@ -623,8 +623,8 @@ object Similarity {
   /** `df` plus a `codes` array column of the m per-subspace argmins,
     * evaluated in one map-only projection; keeps all input columns.
     */
-  private def withPqCodes(df: DataFrame, books: Map[(Int, Int), Seq[Float]],
-                          m: Int, subDim: Int, codes: Int): DataFrame =
+  private[graft] def withPqCodes(df: DataFrame, books: Map[(Int, Int), Seq[Float]],
+                                 m: Int, subDim: Int, codes: Int): DataFrame =
     df.select(col("*") +: (0 until m).map(s =>
         pqArgminStruct(books, s, subDim, codes).as(s"_p$s")): _*)
       .select(col("*"),
@@ -643,42 +643,86 @@ object Similarity {
       .select(col("vec_id"), col("codes"))
   }
 
-  /** PQ ANN top-k: train codebooks on the corpus, encode it, scan the
-    * CODES (the 32x-narrower representation — at 100 TB the scan I/O is
-    * the whole cost of a linear ANN pass), score every (query, vector)
-    * pair as the EXACT cosine of the reconstructed vector (the
-    * [[int8TopK]] discipline: approximate representation, exact
-    * arithmetic on it — reconstruction is m literal-array lookups
-    * projected ONCE per corpus row, never per pair), shortlist, then
-    * re-rank the shortlist on true embeddings. Deterministic and
-    * oracle-replayable end to end, codebook training included.
+  /** ADC (asymmetric distance computation) top-k over an ALREADY-ENCODED
+    * corpus — the query-time half of PQ, shared by [[pqTopK]] (train +
+    * encode per run, oracle-replayable) and [[graft.sources.PqIndex]]
+    * (frozen codebooks, stored codes).
+    *
+    * The approximate score is the exact cosine of the RECONSTRUCTED
+    * vector, computed with ZERO reconstruction and ZERO full-width
+    * arithmetic in the scan:
+    *
+    *   dot(q, x̂)  = Σ_s dot(q_s, w[s, code_s])   — m lookups in qtab
+    *   ‖x̂‖²      = Σ_s ‖w[s, code_s]‖²          — m lookups in cnorm2
+    *
+    * `qtab` is the per-QUERY m×codes table of subspace partial dots
+    * (driver-literal codebooks × broadcast queries: codebook-sized work
+    * on the tiny side), `cnorm2` the per-subspace codeword squared norms
+    * (pure driver metadata). So the corpus scan does m `element_at`
+    * integer-indexed lookups and m-1 adds per pair — the arithmetic
+    * finally matches the 32×-narrower representation, where the previous
+    * plan re-widened every row with a per-row `concat` and paid a
+    * Dim-multiply dot per pair. Same output by construction only when
+    * the fold orders match the oracle: partial sums add in subspace
+    * order s = 0..m-1, left-associated, both here and in the SQL replay.
     */
-  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int, shortlist: Int,
-             m: Int = 8, codes: Int = 16, iters: Int = 2): DataFrame = {
-    require(k >= 1 && shortlist >= k)
-    val books = pqTrain(corpus, m, codes, iters)
-    // literal array-of-arrays per subspace: codeword lookup is a codegen'd
-    // element_at, reconstruction a concat — projected once per corpus row
-    val bookLits = (0 until m).map { s =>
-      // a small corpus trains fewer codewords; pad the literal lookup
-      // table with zero vectors for codes that can never be assigned
+  /** Reconstructed-vector norm over a `codes` array column: sqrt of the
+    * sum of per-subspace codeword squared norms, looked up from
+    * O(m·codes) literal driver metadata — codewords a tiny corpus never
+    * trained contribute 0 (they are never assigned either).
+    */
+  private[graft] def pqRnorm(books: Map[(Int, Int), Seq[Float]],
+                             m: Int, codes: Int,
+                             codesCol: Column = col("codes")): Column = {
+    val cnorm2 = (0 until m).map { s =>
       typedlit((0 until codes).map(c =>
-        books.getOrElse((s, c), Seq.fill(Dim / m)(0.0f))))
+        books.get((s, c))
+          .map(w => w.map(x => x.toDouble * x.toDouble).sum).getOrElse(0.0)))
     }
-    val recon = concat((0 until m).map(s =>
-      element_at(bookLits(s), element_at(col("codes"), s + 1) + 1)): _*)
-    val encoded = pqEncode(corpus, books, m, codes)
-      .select(col("vec_id"), col("codes"))
-      .select(col("vec_id"), recon.as("rv"))
-      .select(col("vec_id"), col("rv"), l2_fast(col("rv")).as("rnorm"))
-    val qs = queries.select(col("vec_id"), col("embedding"),
-      l2_fast(col("embedding")).as("qnorm"))
+    sqrt((0 until m).map(s =>
+      element_at(cnorm2(s), element_at(codesCol, s + 1) + 1)).reduce(_ + _))
+  }
+
+  /** The per-QUERY ADC lookup table: qtab[s·codes + c] = dot(q_subspace_s,
+    * codeword(s, c)) — m·codes sub-dots per query row (tiny, broadcast),
+    * so the corpus scan does m `element_at` lookups per pair instead of
+    * Dim multiplies.
+    */
+  private[graft] def pqQtab(books: Map[(Int, Int), Seq[Float]],
+                            m: Int, codes: Int,
+                            emb: Column = col("embedding")): Column = {
+    val subDim = Dim / m
+    array((0 until m).flatMap { s =>
+      val sub = slice(emb, s * subDim + 1, subDim)
+      (0 until codes).map(c =>
+        books.get((s, c)).map(w => dotProduct(sub, typedlit(w)))
+          .getOrElse(lit(0.0)))
+    }: _*)
+  }
+
+  /** dot(q, x̂) as m qtab lookups added in subspace order (left-assoc,
+    * matching the oracle's fold).
+    */
+  private[graft] def pqQdot(m: Int, codes: Int, qtab: Column,
+                            codesCol: Column): Column =
+    (0 until m).map(s =>
+      element_at(qtab, lit(s * codes) + element_at(codesCol, s + 1) + 1))
+      .reduce(_ + _)
+
+  def pqAdcTopK(encoded: DataFrame, corpus: DataFrame, queries: DataFrame,
+                books: Map[(Int, Int), Seq[Float]], m: Int, codes: Int,
+                k: Int, shortlist: Int): DataFrame = {
+    require(k >= 1 && shortlist >= k && Dim % m == 0)
+    val enc = encoded.select(col("vec_id"), col("codes"),
+      pqRnorm(books, m, codes).as("rnorm"))
+    val qs = queries.select(col("vec_id"),
+      l2_fast(col("embedding")).as("qnorm"), pqQtab(books, m, codes).as("qtab"))
+    val qdot = pqQdot(m, codes, col("q.qtab"), col("c.codes"))
     val denom = col("q.qnorm") * col("c.rnorm")
-    val qcos = when(denom === 0.0, lit(0.0))
-      .otherwise(dotProduct(col("q.embedding"), col("c.rv")) / denom)
+    val qcos = when(denom === 0.0, lit(0.0)).otherwise(qdot / denom)
     val wS = Window.partitionBy(col("query_id"))
       .orderBy(col("qcos").desc, col("neighbor_id"))
-    val shortlisted = encoded.as("c")
+    val shortlisted = enc.as("c")
       .join(broadcast(qs.as("q")), col("q.vec_id") =!= col("c.vec_id"))
       .select(col("q.vec_id").as("query_id"),
         col("c.vec_id").as("neighbor_id"), qcos.as("qcos"))
@@ -696,5 +740,21 @@ object Similarity {
         round(cosineSimilarity(col("qv"), col("cv")), 6).as("cosine"))
       .withColumn("rank", row_number().over(wK))
       .filter(col("rank") <= k)
+  }
+
+  /** PQ ANN top-k: train codebooks on the corpus, encode it, scan the
+    * CODES (the 32x-narrower representation — at 100 TB the linear ANN
+    * pass is scan-bound, so representation width IS the cost), ADC-score
+    * every (query, vector) pair ([[pqAdcTopK]]: m table lookups per pair,
+    * never a full-width dot), shortlist, then re-rank the shortlist on
+    * true embeddings. Deterministic and oracle-replayable end to end,
+    * codebook training included. The train-once/probe-many production
+    * shape of the same arithmetic is [[graft.sources.PqIndex]].
+    */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int, shortlist: Int,
+             m: Int = 8, codes: Int = 16, iters: Int = 2): DataFrame = {
+    val books = pqTrain(corpus, m, codes, iters)
+    pqAdcTopK(pqEncode(corpus, books, m, codes), corpus, queries,
+      books, m, codes, k, shortlist)
   }
 }

@@ -1,0 +1,165 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions.{cosineSimilarity, l2_fast}
+import graft.operators.Similarity
+
+/** PERSISTED IVF-PQ index — the composition that IS the production
+  * 100 TB ANN architecture: coarse IVF cells bound the CANDIDATE SET
+  * (probe nprobe of nlist cells — candidates ∝ nprobe/nlist of the
+  * corpus, independent of corpus growth under [[Similarity.Sizing]]'s
+  * nlist rule), PQ codes bound the PER-CANDIDATE COST (ADC: m table
+  * lookups per pair instead of Dim multiplies over floats). Each
+  * component alone leaves one axis linear — IVF-flat re-reads full-width
+  * embeddings for every candidate; flat-PQ ADC still scans every stored
+  * code row per query. Together, query cost is
+  * (nprobe/nlist)·n·(m lookups) + shortlist exact re-ranks.
+  *
+  * Storage is the FAISS-IVFPQ posting layout flattened to a table: one
+  * row per vector of (vec_id, cell, codes) — the cell id keys the probe
+  * join, the m smallint codes are the scan payload, and the float
+  * embedding appears ONLY in the shortlist re-rank join against the
+  * source corpus. Both the coarse centroids and the codebooks are FROZEN
+  * at bootstrap (the [[IvfIndex]]/[[PqIndex]] discipline): a vector's
+  * (cell, codes) row is a pure function of the vector, so appends encode
+  * and assign only their delta in ONE map-only pass and old rows stay
+  * byte-stable forever. Retraining either structure is a REBUILD into a
+  * fresh root. Commit discipline is the shared bookmark-store atomic
+  * rename: a crashed append's generation is invisible to readers.
+  */
+final class IvfPqIndex(spark: SparkSession, dir: String,
+                       nlist: Int = 16, m: Int = 8, codes: Int = 16) {
+
+  private val store = new BookmarkStore(dir)
+  private val ctx = "ivfpq_index"
+  private def genDir(g: Long) = s"$dir/gen-$g"
+  private def seedsDir = s"$dir/seeds"
+  private def booksDir = s"$dir/books"
+
+  /** Highest committed generation; -1 = empty index. */
+  def committedGen: Long = store.get("encode", ctx).getOrElse(-1L)
+
+  private def seeds: Seq[(Long, Seq[Float])] = spark.read.parquet(seedsDir)
+    .select(col("cell_id"), col("embedding"))
+    .collect().toSeq
+    .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    .sortBy(_._1)
+
+  private def books: Map[(Int, Int), Seq[Float]] = spark.read.parquet(booksDir)
+    .select(col("sub"), col("code"), col("w"))
+    .collect().toSeq
+    .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Float](2))
+    .toMap
+
+  /** Per-row scored cells against the frozen seeds — identical
+    * arithmetic to [[IvfIndex]]/[[Similarity.ivfTopK]], so the oracle
+    * replay carries over unchanged.
+    */
+  private def scored(ss: Seq[(Long, Seq[Float])])(emb: Column) =
+    ss.map { case (cid, v) =>
+      struct(cosineSimilarity(emb, typedlit(v)).as("cs"),
+        lit(-cid).as("nc"), lit(cid).as("cell"))
+    }
+
+  /** One map-only pass: coarse cell (argmax cosine over frozen seeds)
+    * AND PQ codes (m argmin-L2 sub-assignments over frozen codebooks)
+    * per vector.
+    */
+  private def writeGen(g: Long, vectors: DataFrame,
+                       ss: Seq[(Long, Seq[Float])],
+                       bks: Map[(Int, Int), Seq[Float]]): Unit =
+    Similarity.withPqCodes(
+        vectors.select(col("vec_id"), col("embedding"),
+          greatest(scored(ss)(col("embedding")): _*).getField("cell").as("cell")),
+        bks, m, Similarity.Dim / m, codes)
+      .select(col("vec_id").cast("long"), col("cell").cast("long"), col("codes"))
+      .write.mode("overwrite").parquet(genDir(g))
+
+  /** First ingest: freeze the `nlist` lowest-vec_id vectors as coarse
+    * centroids and train+freeze the PQ codebooks (both on the bootstrap
+    * corpus), then assign+encode every bootstrap vector as generation 0.
+    * Idempotent. `trainOn` optionally bounds the codebook TRAINING
+    * corpus (sample-bounded Lloyd, the [[PqIndex.bootstrap]] rule).
+    */
+  def bootstrap(corpus: DataFrame, iters: Int = 2,
+                trainOn: Option[DataFrame] = None): Unit =
+    if (committedGen < 0) {
+      corpus.select(col("vec_id").as("cell_id"), col("embedding"))
+        .orderBy(col("cell_id")).limit(nlist)
+        .write.mode("overwrite").parquet(seedsDir)
+      val trained = Similarity.pqTrain(trainOn.getOrElse(corpus), m, codes, iters)
+      import spark.implicits._
+      trained.toSeq.map { case ((s, c), w) => (s, c, w) }
+        .toDF("sub", "code", "w")
+        .coalesce(1).write.mode("overwrite").parquet(booksDir)
+      writeGen(0L, corpus, seeds, trained)
+      store.commit("encode", ctx, 0L)
+    }
+
+  /** One incremental ingest: assign+encode ONLY `delta` against the
+    * frozen seeds and codebooks — delta-sized, map-only.
+    */
+  def append(delta: DataFrame): Unit = {
+    val g = committedGen
+    require(g >= 0, "append before bootstrap: the index has no centroids")
+    writeGen(g + 1, delta, seeds, books)
+    store.commit("encode", ctx, g + 1)
+  }
+
+  /** Every committed row (vec_id, cell, codes). */
+  def rowsDf: DataFrame = {
+    val g = committedGen
+    require(g >= 0, "the index is empty")
+    spark.read.parquet((0L to g).map(genDir): _*)
+  }
+
+  /** ANN top-k: queries score the frozen seeds to pick `nprobe` cells
+    * and carry their ADC lookup table; the stored scan joins the
+    * broadcast probe set on the cell id and ADC-scores ONLY probed
+    * cells' members (m lookups per pair — full-width arithmetic never
+    * happens outside the shortlist re-rank, which joins `corpus` for
+    * exactly the shortlisted candidate rows).
+    */
+  def topK(corpus: DataFrame, queries: DataFrame, k: Int, shortlist: Int,
+           nprobe: Int): DataFrame = {
+    require(k >= 1 && shortlist >= k)
+    val ss = seeds
+    require(nprobe >= 1 && nprobe <= ss.size)
+    val bks = books
+    val probes = queries.select(col("vec_id").as("query_id"),
+        l2_fast(col("embedding")).as("qnorm"),
+        Similarity.pqQtab(bks, m, codes).as("qtab"),
+        explode(slice(reverse(array_sort(array(scored(ss)(col("embedding")): _*))),
+          1, nprobe)).as("p"))
+      .select(col("query_id"), col("qnorm"), col("qtab"), col("p.cell").as("cell"))
+    val qdot = Similarity.pqQdot(m, codes, col("qtab"), col("codes"))
+    val denom = col("qnorm") * col("rnorm")
+    val qcos = when(denom === 0.0, lit(0.0)).otherwise(qdot / denom)
+    val wS = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("qcos").desc, col("neighbor_id"))
+    val shortlisted = rowsDf
+      .select(col("vec_id"), col("cell"), col("codes"),
+        Similarity.pqRnorm(bks, m, codes).as("rnorm"))
+      .join(broadcast(probes), Seq("cell"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), qcos.as("qcos"))
+      .withColumn("srank", row_number().over(wS))
+      .filter(col("srank") <= shortlist)
+      .select("query_id", "neighbor_id")
+    val wK = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    shortlisted
+      .join(corpus.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("cv")), "neighbor_id")
+      .join(broadcast(queries.select(col("vec_id").as("query_id"),
+        col("embedding").as("qv"))), "query_id")
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosineSimilarity(col("qv"), col("cv")), 6).as("cosine"))
+      .withColumn("rank", row_number().over(wK))
+      .filter(col("rank") <= k)
+  }
+}

@@ -1,0 +1,125 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Similarity
+
+/** PERSISTED product-quantization index — the train-once/encode-once/
+  * probe-many production shape of [[graft.operators.Similarity.pqTopK]]
+  * (which retrains codebooks and re-encodes the corpus inside every run
+  * so the oracle can replay training). Train-once is the entire point of
+  * PQ: a 100 TB corpus is Lloyd-clustered and encoded exactly once, ever;
+  * each later ingest encodes ONLY its delta against the FROZEN codebooks
+  * and appends a generation of (vec_id, codes) rows — m smallints per
+  * vector, 32× narrower than the float embedding it stands in for.
+  *
+  * Frozen codebooks are the load-bearing production property (the
+  * [[IvfIndex]] frozen-centroid discipline): a vector's codes are a pure
+  * function of the vector, so stored codes stay valid forever and appends
+  * are delta-sized. Retraining codebooks is a REBUILD — a new index root,
+  * never an in-place mutation.
+  *
+  * Layout and commit discipline mirror [[IvfIndex]]: codebooks live at
+  * `dir/books` (m × codes rows of Dim/m floats — driver metadata, the
+  * seed-table pattern), code rows in sequential generation dirs
+  * `gen-0..gen-G`, and the committed watermark advances via the bookmark
+  * store's atomic properties-file rename only after the generation's
+  * parquet is fully written. A crashed append leaves an uncommitted
+  * generation readers never see.
+  *
+  * Query time is ADC ([[Similarity.pqAdcTopK]]): per query an m×codes
+  * lookup table of subspace partial dots (codebook-sized work on the
+  * broadcast query side), so the stored-code scan does m `element_at`
+  * lookups per pair — the arithmetic matches the narrow representation.
+  * No compaction operation exists, for the [[IvfIndex]] reason: the probe
+  * consumes the stored codes via a broadcast join that never shuffles the
+  * stored side, however many generations it spans.
+  */
+final class PqIndex(spark: SparkSession, dir: String,
+                    m: Int = 8, codes: Int = 16) {
+
+  private val store = new BookmarkStore(dir)
+  private val ctx = "pq_index"
+  private def genDir(g: Long) = s"$dir/gen-$g"
+  private def booksDir = s"$dir/books"
+
+  /** Highest committed code generation; -1 = empty index. */
+  def committedGen: Long = store.get("encode", ctx).getOrElse(-1L)
+
+  /** The frozen codebooks, collected as O(m·codes·Dim/m) driver
+    * metadata — the seed-table read, never data-sized.
+    */
+  private def books: Map[(Int, Int), Seq[Float]] = spark.read.parquet(booksDir)
+    .select(col("sub"), col("code"), col("w"))
+    .collect().toSeq
+    .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Float](2))
+    .toMap
+
+  private def writeGen(g: Long, vectors: DataFrame,
+                       bks: Map[(Int, Int), Seq[Float]]): Unit =
+    Similarity.pqEncode(vectors, bks, m, codes)
+      .select(col("vec_id").cast("long"), col("codes"))
+      .write.mode("overwrite").parquet(genDir(g))
+
+  /** First ingest: train codebooks on the bootstrap corpus (the
+    * deterministic Lloyd discipline of [[Similarity.pqTrain]] — seeds =
+    * first-`codes` slices in vec_id order, `iters` argmin rounds), freeze
+    * them at `dir/books`, encode every bootstrap vector, commit
+    * generation 0. Idempotent. `trainOn` optionally bounds the TRAINING
+    * corpus (production trains codebooks on a sample — the BPE
+    * bound-the-corpus rule); encoding always covers all of `corpus`.
+    */
+  def bootstrap(corpus: DataFrame, iters: Int = 2,
+                trainOn: Option[DataFrame] = None): Unit =
+    if (committedGen < 0) {
+      val trained = Similarity.pqTrain(trainOn.getOrElse(corpus), m, codes, iters)
+      import spark.implicits._
+      trained.toSeq.map { case ((s, c), w) => (s, c, w) }
+        .toDF("sub", "code", "w")
+        .coalesce(1).write.mode("overwrite").parquet(booksDir)
+      writeGen(0L, corpus, trained)
+      store.commit("encode", ctx, 0L)
+    }
+
+  /** One incremental ingest: encode ONLY `delta` against the frozen
+    * codebooks and append it as the next committed generation. Cost is
+    * delta × (m·codes) sub-dot argmins — nothing touches the stored
+    * corpus.
+    */
+  def append(delta: DataFrame): Unit = {
+    val g = committedGen
+    require(g >= 0, "append before bootstrap: the index has no codebooks")
+    writeGen(g + 1, delta, books)
+    store.commit("encode", ctx, g + 1)
+  }
+
+  /** Exactly-once streaming ingest — [[IvfIndex.appendBatch]]'s
+    * discipline for the code store: one micro-batch = one committed
+    * generation, idempotent under foreachBatch redelivery.
+    */
+  def appendBatch(delta: DataFrame, batchId: Long): Unit = {
+    if (store.get("last_batch", ctx).exists(_ >= batchId)) return
+    val g = committedGen
+    require(g >= 0, "append before bootstrap: the index has no codebooks")
+    writeGen(g + 1, delta, books)
+    store.commitAll(ctx, Map("encode" -> (g + 1), "last_batch" -> batchId))
+  }
+
+  /** Every committed code row (vec_id, codes). */
+  def codesDf: DataFrame = {
+    val g = committedGen
+    require(g >= 0, "the index is empty")
+    spark.read.parquet((0L to g).map(genDir): _*)
+  }
+
+  /** ADC top-k against the stored codes: identical output to
+    * [[Similarity.pqTopK]] with the same training corpus — minus the
+    * training and corpus-wide encode, which this index exists to never
+    * recompute. `corpus` supplies true embeddings for the exact re-rank
+    * of shortlisted candidates only.
+    */
+  def topK(corpus: DataFrame, queries: DataFrame, k: Int,
+           shortlist: Int): DataFrame =
+    Similarity.pqAdcTopK(codesDf, corpus, queries, books, m, codes, k, shortlist)
+}

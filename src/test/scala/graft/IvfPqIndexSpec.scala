@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.{IvfPqIndex, PqIndex}
+
+/** The IVF-PQ composition must degrade to flat PQ when every cell is
+  * probed, keep frozen-state purity across appends, and only ever score
+  * probed cells' members.
+  */
+class IvfPqIndexSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def corpus = Tables.embeddings(spark, sf)
+  private def oldVecs = corpus.filter(col("vec_id") % 50 =!= 0)
+  private def delta = corpus.filter(col("vec_id") % 50 === 0)
+  private def queries = corpus.filter(col("vec_id") < 8)
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Double, Int)] =
+    df.select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+      .as[(Long, Long, Double, Int)].collect().toSeq.sorted
+
+  test("probing every cell equals the flat-PQ index: cells only restrict candidates") {
+    // nprobe = nlist makes the coarse quantizer a no-op — the composed
+    // index must then answer exactly like PqIndex over the same training
+    // corpus (cross-implementation equality of the whole ADC pipeline)
+    val ivfpq = new IvfPqIndex(spark, TempDirs.create("ivfpq-spec"),
+      nlist = 8, m = 8, codes = 16)
+    ivfpq.bootstrap(corpus)
+    val flat = new PqIndex(spark, TempDirs.create("ivfpq-spec-flat"),
+      m = 8, codes = 16)
+    flat.bootstrap(corpus)
+    val got = rows(ivfpq.topK(corpus, queries, 5, shortlist = 20, nprobe = 8))
+    val expected = rows(flat.topK(corpus, queries, 5, shortlist = 20))
+    assert(expected.nonEmpty)
+    assert(got === expected)
+  }
+
+  test("restricted probing returns a subset with identical exact cosines") {
+    val ivfpq = new IvfPqIndex(spark, TempDirs.create("ivfpq-spec2"),
+      nlist = 16, m = 8, codes = 16)
+    ivfpq.bootstrap(corpus)
+    val wide = rows(ivfpq.topK(corpus, queries, 5, shortlist = 20, nprobe = 16))
+      .map { case (q, n, c, _) => (q, n) -> c }.toMap
+    val narrow = rows(ivfpq.topK(corpus, queries, 5, shortlist = 20, nprobe = 4))
+    assert(narrow.nonEmpty)
+    // every narrow-probe hit exists in the all-cells run with the same
+    // exact re-rank cosine (fewer probes can only drop candidates)
+    narrow.foreach { case (q, n, c, _) =>
+      assert(wide.get((q, n)).forall(_ === c))
+    }
+  }
+
+  test("append assigns+encodes only the delta; frozen state keeps old rows byte-stable") {
+    val idx = new IvfPqIndex(spark, TempDirs.create("ivfpq-spec3"),
+      nlist = 16, m = 8, codes = 16)
+    idx.bootstrap(oldVecs)
+    assert(idx.committedGen === 0L)
+    val before = idx.rowsDf.select(col("vec_id"), col("cell"), col("codes"))
+      .as[(Long, Long, Seq[Int])].collect().toSeq.sortBy(_._1)
+    idx.append(delta)
+    assert(idx.committedGen === 1L)
+    val after = idx.rowsDf.select(col("vec_id"), col("cell"), col("codes"))
+      .as[(Long, Long, Seq[Int])].collect().toSeq.sortBy(_._1)
+    assert(after.map(_._1).distinct.length === after.length)
+    assert(after.length === corpus.count())
+    assert(after.filter { case (id, _, _) => id % 50 != 0 } === before)
+  }
+
+  test("bootstrap is idempotent; append before bootstrap refuses") {
+    val idx = new IvfPqIndex(spark, TempDirs.create("ivfpq-spec4"),
+      nlist = 16, m = 8, codes = 16)
+    intercept[IllegalArgumentException] { idx.append(delta) }
+    idx.bootstrap(oldVecs)
+    val n = idx.rowsDf.count()
+    idx.bootstrap(corpus) // second bootstrap must be a no-op
+    assert(idx.committedGen === 0L)
+    assert(idx.rowsDf.count() === n)
+  }
+}

@@ -1,0 +1,131 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Similarity
+import graft.sources.PqIndex
+
+/** The persisted PQ index must answer exactly like the train-per-run
+  * path with the same training corpus, keep stored codes frozen across
+  * appends, and never expose an uncommitted generation.
+  */
+class PqIndexSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def corpus = Tables.embeddings(spark, sf)
+  private def oldVecs = corpus.filter(col("vec_id") % 50 =!= 0)
+  private def delta = corpus.filter(col("vec_id") % 50 === 0)
+  private def queries = corpus.filter(col("vec_id") < 8)
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Double, Int)] =
+    df.select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+      .as[(Long, Long, Double, Int)].collect().toSeq.sorted
+
+  test("full-corpus bootstrap answers identically to the train-per-run path") {
+    val idx = new PqIndex(spark, TempDirs.create("pq-idx-spec"), m = 8, codes = 16)
+    idx.bootstrap(corpus)
+    val got = rows(idx.topK(corpus, queries, 5, shortlist = 20))
+    val expected = rows(Similarity.pqTopK(corpus, queries, 5, shortlist = 20))
+    assert(expected.nonEmpty)
+    assert(got === expected)
+  }
+
+  test("append encodes only the delta; frozen codebooks keep old codes byte-stable") {
+    val idx = new PqIndex(spark, TempDirs.create("pq-idx-spec2"), m = 8, codes = 16)
+    idx.bootstrap(oldVecs)
+    assert(idx.committedGen === 0L)
+    val before = idx.codesDf.select(col("vec_id"), col("codes"))
+      .as[(Long, Seq[Int])].collect().toSeq.sortBy(_._1)
+    idx.append(delta)
+    assert(idx.committedGen === 1L)
+    val after = idx.codesDf.select(col("vec_id"), col("codes"))
+      .as[(Long, Seq[Int])].collect().toSeq.sortBy(_._1)
+    // every vector encoded exactly once, old rows unchanged
+    assert(after.map(_._1).distinct.length === after.length)
+    assert(after.length === corpus.count())
+    assert(after.filter { case (id, _) => id % 50 != 0 } === before)
+    // frozen-codebook purity: the delta's stored codes equal a fresh
+    // encode of the delta under the same books (pure function of the
+    // vector — the invariant that makes appends delta-sized)
+    val pure = Similarity.pqEncode(delta,
+        Similarity.pqTrain(oldVecs, 8, 16, 2), 8, 16)
+      .as[(Long, Seq[Int])].collect().toSeq.sortBy(_._1)
+    assert(after.filter { case (id, _) => id % 50 == 0 } === pure)
+  }
+
+  test("appendBatch is exactly-once under redelivery and equals the batch append") {
+    val idx = new PqIndex(spark, TempDirs.create("pq-idx-batch"), m = 8, codes = 16)
+    idx.bootstrap(oldVecs)
+    idx.appendBatch(delta, batchId = 0L)
+    assert(idx.committedGen === 1L)
+    val once = idx.codesDf.select(col("vec_id"), col("codes"))
+      .as[(Long, Seq[Int])].collect().toSeq.sortBy(_._1)
+    idx.appendBatch(delta, batchId = 0L) // redelivery must no-op
+    assert(idx.committedGen === 1L)
+    assert(idx.codesDf.count() === once.length)
+    val plain = new PqIndex(spark, TempDirs.create("pq-idx-batch2"), m = 8, codes = 16)
+    plain.bootstrap(oldVecs)
+    plain.append(delta)
+    assert(plain.codesDf.select(col("vec_id"), col("codes"))
+      .as[(Long, Seq[Int])].collect().toSeq.sortBy(_._1) === once)
+  }
+
+  test("an uncommitted generation directory is invisible to readers") {
+    val dir = TempDirs.create("pq-idx-spec3")
+    val idx = new PqIndex(spark, dir, m = 8, codes = 16)
+    idx.bootstrap(oldVecs)
+    val committed = idx.codesDf.count()
+    // simulate a crash mid-append: gen-1 parquet exists, watermark doesn't
+    Seq((999999L, Seq(0, 0, 0, 0, 0, 0, 0, 0))).toDF("vec_id", "codes")
+      .write.mode("overwrite").parquet(s"$dir/gen-1")
+    assert(idx.committedGen === 0L)
+    assert(idx.codesDf.count() === committed)
+    idx.append(delta)
+    assert(idx.committedGen === 1L)
+    assert(idx.codesDf.count() === corpus.count())
+    assert(idx.codesDf.filter(col("vec_id") === 999999L).count() === 0L)
+  }
+
+  test("bootstrap is idempotent; append before bootstrap refuses") {
+    val idx = new PqIndex(spark, TempDirs.create("pq-idx-spec4"), m = 8, codes = 16)
+    intercept[IllegalArgumentException] { idx.append(delta) }
+    idx.bootstrap(oldVecs)
+    val n = idx.codesDf.count()
+    idx.bootstrap(corpus) // second bootstrap must be a no-op
+    assert(idx.committedGen === 0L)
+    assert(idx.codesDf.count() === n)
+  }
+
+  test("sample-bounded training: trainOn bounds the Lloyd pass, encoding covers all") {
+    // production trains codebooks on a sample; the index must equal
+    // train-on-sample + encode-everything done by hand
+    val sample = corpus.filter(col("vec_id") % 3 === 0)
+    val idx = new PqIndex(spark, TempDirs.create("pq-idx-spec5"), m = 8, codes = 16)
+    idx.bootstrap(corpus, trainOn = Some(sample))
+    val books = Similarity.pqTrain(sample, 8, 16, 2)
+    val expected = Similarity.pqEncode(corpus, books, 8, 16)
+      .as[(Long, Seq[Int])].collect().toSeq.sortBy(_._1)
+    assert(idx.codesDf.select(col("vec_id"), col("codes"))
+      .as[(Long, Seq[Int])].collect().toSeq.sortBy(_._1) === expected)
+  }
+
+  test("probe plan broadcasts the query side: stored codes never shuffle") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    val idx = new PqIndex(spark, TempDirs.create("pq-idx-spec6"), m = 8, codes = 16)
+    idx.bootstrap(corpus)
+    def collectRec[T](p: SparkPlan)(f: PartialFunction[SparkPlan, T]): Seq[T] =
+      p.collect {
+        case a: AdaptiveSparkPlanExec => collectRec(a.executedPlan)(f)
+        case n if f.isDefinedAt(n) => Seq(f(n))
+      }.flatten
+    val df = idx.topK(corpus, queries, 5, shortlist = 20)
+    df.write.format("noop").mode("overwrite").save() // let AQE finalize
+    // the ADC scan consumes stored codes via a broadcast of the tiny
+    // query-table side (non-equi self-exclusion => nested-loop broadcast)
+    val bnl = collectRec(df.queryExecution.executedPlan) {
+      case b: BroadcastNestedLoopJoinExec => b
+    }
+    assert(bnl.nonEmpty, df.queryExecution.executedPlan.toString.take(3000))
+  }
+}
