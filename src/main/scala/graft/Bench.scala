@@ -40,9 +40,13 @@ import org.apache.spark.sql.SparkSession
   * suite's broadcast/shuffle debris — with one cold and two warm runs,
   * and the row carries BOTH numbers (`"readjudicated": {cold, runs,
   * warm}`; a failed re-run is null, never a healthy-looking time). The
-  * in-suite `warm` stays the headline statistic (cross-round
-  * comparability); the adjudication block is the authoritative number for
-  * any row that has one.
+  * in-suite `warm` stays in `value` (cross-round comparability); the
+  * adjudication block is the authoritative number for any row that has
+  * one, and `value_adjudicated` — the total with those re-run warms
+  * folded in — is the HEADLINE the driver handshake should read (r10
+  * verdict #3: the raw total overstated by 83 s of refuted noise). The
+  * cross-round trigger is cost-weighted: queries whose prior warm is
+  * >= 2 s (calibration-normalized) trigger at 2x, cheaper ones at 3x.
   */
 object Bench {
 
@@ -68,7 +72,7 @@ object Bench {
 
   /** Per-query aggregate over cold + warm runs. */
   private final case class QueryResult(name: String, cold: Run, warm: Seq[Run],
-                                       stateRows: Option[(Long, Long)]) {
+                                       stateRows: Option[(Long, Long, Long)]) {
     def isStream: Boolean = name.startsWith("stream_")
     private def okWarm: Seq[Double] = warm.filter(_.err.isEmpty).map(_.sec)
     /** Best warm (batch) / median warm (stream); falls back to cold when no
@@ -99,7 +103,7 @@ object Bench {
         // quick mode (streams then skip their median protocol too)
         "SPARK_GRAFT_WARM" -> "1",
         // where the full per-query report lands (committed to the repo)
-        "SPARK_GRAFT_BENCH_OUT" -> "BENCH_LOCAL_r10.json",
+        "SPARK_GRAFT_BENCH_OUT" -> "BENCH_LOCAL_r11.json",
         // prior round's committed full report, for the cross-round
         // regression trigger; "" = newest BENCH_LOCAL_r*.json that is not
         // the current output file
@@ -179,7 +183,8 @@ object Bench {
 
     val results: Seq[QueryResult] = SparkEntry.queries.toSeq
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .map { case (name, fn) =>
+      .zipWithIndex
+      .map { case ((name, fn), i) =>
         graft.streaming.Streaming.lastStateRows = None
         val cold = timeOnce(fn)
         val n =
@@ -187,6 +192,15 @@ object Bench {
           else if (name.startsWith("stream_")) warmRuns.max(streamMinWarm)
           else warmRuns
         val warm = (1 to n).map(_ => timeOnce(fn))
+        // suite-order interference guard (r10 verdict #4): broadcast
+        // blocks, codegen classes, and state-store maps are reclaimed by
+        // the GC-driven ContextCleaner, which falls behind a 180-query
+        // suite — heap climbed monotonically to ~13 GB and warm>cold
+        // inversions clustered late-suite. An explicit GC every 15
+        // queries (outside any timed region) keeps the cleaner drained,
+        // so late queries are timed against the same heap the early ones
+        // saw instead of against the suite's accumulated debris.
+        if (i % 15 == 14) { System.gc(); Thread.sleep(150) }
         QueryResult(name, cold, warm, graft.streaming.Streaming.lastStateRows)
       }
 
@@ -232,8 +246,14 @@ object Bench {
         val inversion =
           r.warmStat > 1.5 * r.cold.sec && r.warmStat - r.cold.sec > 0.3
         val crossRound = priorWarm.get(r.name).exists { pw =>
+          // cost-weighted threshold (r10 verdict #2): a 2.5x miss on a
+          // 9 s query costs more than a 5x miss on a 0.3 s one, and three
+          // heavyweight regressions shipped unadjudicated under the flat
+          // 3x — expensive queries (prior warm >= 2 s normalized) now
+          // trigger at 2x, cheap ones keep 3x (their noise floor is real)
+          val factor = if (pw * calibRatio >= 2.0) 2.0 else 3.0
           !pw.isNaN && pw > 0 &&
-            r.warmStat > 3.0 * pw * calibRatio &&
+            r.warmStat > factor * pw * calibRatio &&
             r.warmStat - pw * calibRatio > 0.3
         }
         inversion || crossRound
@@ -248,6 +268,17 @@ object Bench {
     }.toMap
 
     val totalWarm = results.map(_.warmStat).sum
+    // adjudication-aware headline (r10 verdict #3: the summary said
+    // 323.7 s while its own readjudicated rows proved 240.8 s — the
+    // in-suite total double-counts noise the isolated re-runs already
+    // refuted). For any row with a successful solo re-run, that warm is
+    // the authoritative number; `value` keeps the raw in-suite total for
+    // cross-round comparability, `value_adjudicated` is the headline.
+    val totalWarmAdj = results.map { r =>
+      readjudicated.get(r.name)
+        .flatMap { case (_, w) => w.filter(_.err.isEmpty).map(_.sec).minOption }
+        .getOrElse(r.warmStat)
+    }.sum
     val totalCold = results.map(_.cold.sec).sum
     val failures = results.filter(_.err.isDefined)
 
@@ -261,8 +292,8 @@ object Bench {
         if (r.leaks.nonEmpty)
           Some("\"leaks\":" + r.leaks.map(jstr).mkString("[", ",", "]"))
         else None,
-        r.stateRows.map { case (t, u) =>
-          s""""state_rows_total":$t,"state_rows_updated":$u""" },
+        r.stateRows.map { case (t, u, b) =>
+          s""""state_rows_total":$t,"state_rows_updated":$u,"state_bytes":$b""" },
         readjudicated.get(r.name).map { case (c, w) =>
           // a throwing re-run is never reported as a healthy time (r9
           // advice): warm is null unless some warm re-run succeeded, the
@@ -293,6 +324,7 @@ object Bench {
     }.mkString("{", ",", "}")
     val fullJson =
       s"""{"metric":"total_warm","value":${jnum(totalWarm)},"unit":"sec",""" +
+      s""""value_adjudicated":${jnum(totalWarmAdj)},""" +
       s""""value_cold":${jnum(totalCold)},"warm_runs":$warmRuns,""" +
       s""""stream_min_warm":$streamMinWarm,"cpus":$cpus,"sf":${jstr(sfDir)},""" +
       s""""calib_sec":${jnum(calibSec)},""" +
@@ -316,6 +348,7 @@ object Bench {
       .map(r => jstr(r.name) + ":" + jstr(r.err.get)).mkString("{", ",", "}")
     val summaryJson =
       s"""{"metric":"total_warm","value":${jnum(totalWarm)},"unit":"sec",""" +
+      s""""value_adjudicated":${jnum(totalWarmAdj)},""" +
       s""""value_cold":${jnum(totalCold)},"n_queries":${results.size},""" +
       s""""n_failed":${failures.size},"errors":$errJson,""" +
       s""""n_leaking":${results.count(_.leaks.nonEmpty)},""" +
@@ -323,7 +356,7 @@ object Bench {
       s""""calib_sec":${jnum(calibSec)},""" +
       s""""queries":$headJson,"sf":${jstr(sfDir)},""" +
       s""""bench_file":${jstr(benchOut)},""" +
-      """"note":"value=best-warm total (median-of-3+ for stream_*); full per-query warm/cold/err in bench_file"}"""
+      """"note":"value=raw in-suite best-warm total (median-of-3+ for stream_*); value_adjudicated folds isolated re-runs for triggered rows and is the headline; full per-query warm/cold/err in bench_file"}"""
     // fixed-path side file: the machine-readable hand-off (stdout carries
     // sbt's [info] prefix; this file never does). Partial A/B runs skip it
     // so a filtered run can't masquerade as the committed full suite.

@@ -172,14 +172,17 @@ object Streaming {
       col("col.id").as("event_id"), round(col("col.value"), 2).as("value"))
 
   /** State-store footprint of the most recent [[runToCompletion]] run:
-    * (numRowsTotal, numRowsUpdated) summed over the state operators of the
-    * final micro-batch that touched state. Bench reports this next to
-    * stream timings — wall-clock on bounded streams carries ±3x state-store
-    * setup noise, while state row counts are deterministic and are the
-    * number that actually predicts 100 TB behavior (state growth, not
-    * micro-batch latency). None when the last run had no stateful operator.
+    * (numRowsTotal, numRowsUpdated, memoryUsedBytes) summed over the
+    * state operators of the final micro-batch that touched state. Bench
+    * reports this next to stream timings — wall-clock on bounded streams
+    * carries ±3x state-store setup noise, while state row counts are
+    * deterministic and are the number that actually predicts 100 TB
+    * behavior (state growth, not micro-batch latency); the byte size
+    * lets a cross-round stream regression be attributed (state growth
+    * vs scheduler noise) from the committed bench file alone. None when
+    * the last run had no stateful operator.
     */
-  @volatile var lastStateRows: Option[(Long, Long)] = None
+  @volatile var lastStateRows: Option[(Long, Long, Long)] = None
 
   /** Run a (bounded) streaming frame to completion through a memory sink
     * and return the materialized result. AvailableNow processes all
@@ -211,7 +214,8 @@ object Streaming {
       lastStateRows = q.recentProgress.reverseIterator
         .find(_.stateOperators.nonEmpty)
         .map(p => (p.stateOperators.map(_.numRowsTotal).sum,
-          p.stateOperators.map(_.numRowsUpdated).sum))
+          p.stateOperators.map(_.numRowsUpdated).sum,
+          p.stateOperators.map(_.memoryUsedBytes).sum))
     } finally {
       statePartitions.foreach(_ => spark.conf.set(key, prev))
     }
