@@ -539,6 +539,24 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // Sample-bounded PQ training (the BPE bound-the-corpus rule applied
+    // to Lloyd): codebooks fit on a deterministic ~half hash-sample of
+    // the corpus — at 100 TB nobody iterates the full corpus per Lloyd
+    // round; a bounded sample fixes training cost while encoding still
+    // covers everything. The oracle replays the SAME sample derivation
+    // (portable-hash bucket < 500 of 1000), then training, encoding, and
+    // ADC scoring end to end.
+    "sim_pq_sampled" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val train = emb.filter(Sampling.hashBucket(
+        concat(lit("pqs:"), col("vec_id").cast("string")), 1000) < 500)
+      val books = Similarity.pqTrain(train, m = 8, codes = 16, iters = 2)
+      Similarity.pqAdcTopK(
+          Similarity.pqEncode(emb, books, 8, 16), emb,
+          emb.filter(col("vec_id") < 8), books, 8, 16, k = 5, shortlist = 20)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // The IVF-PQ COMPOSITION — the production 100 TB ANN architecture:
     // coarse cells bound the candidate SET (nprobe/nlist of the corpus),
     // PQ codes bound the per-candidate COST (ADC: m lookups per pair).
@@ -3937,6 +3955,15 @@ object SparkEntry {
 
     "sim_ivfpq_topk" -> ivfPqOracle(nlist = 16, nprobe = 4, m = 8,
       codes = 16, shortlist = 20, k = 5),
+
+    // the training corpus is the hash-sampled half; encoding and scoring
+    // cover the whole corpus — the sample derivation itself is replayed
+    "sim_pq_sampled" ->
+      s"""WITH ${pqCtes(m = 8, codes = 16, shortlist = 20,
+             trainWhere = "WHERE " + Oracles.sampleBucket(
+               "'pqs:' || CAST(vec_id AS VARCHAR)", 1000) + " < 500")}
+         |SELECT query_id, rank, neighbor_id, cosine
+         |FROM rer WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
     "dedup_semantic" ->
       s"""WITH $kmeansCtes

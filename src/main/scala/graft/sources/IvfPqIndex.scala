@@ -115,6 +115,25 @@ final class IvfPqIndex(spark: SparkSession, dir: String,
     spark.read.parquet((0L to g).map(genDir): _*)
   }
 
+  /** The (query_id, neighbor_id) candidate pairs a probe of `nprobe`
+    * cells ADC-scores — the telemetry surface for the scale claim that
+    * candidate volume ≈ nprobe·cellBudget per query, independent of
+    * corpus size when nlist tracks n ([[Similarity.Sizing.ivfNlist]]).
+    * One aggregate-free pass over the stored (cell, vec_id) columns;
+    * embeddings and codes never read.
+    */
+  def candidates(queries: DataFrame, nprobe: Int): DataFrame = {
+    val ss = seeds
+    require(nprobe >= 1 && nprobe <= ss.size)
+    val probes = queries.select(col("vec_id").as("query_id"),
+        explode(slice(reverse(array_sort(array(scored(ss)(col("embedding")): _*))),
+          1, nprobe)).as("p"))
+      .select(col("query_id"), col("p.cell").as("cell"))
+    rowsDf.join(broadcast(probes), Seq("cell"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"))
+  }
+
   /** ANN top-k: queries score the frozen seeds to pick `nprobe` cells
     * and carry their ADC lookup table; the stored scan joins the
     * broadcast probe set on the cell id and ADC-scores ONLY probed
