@@ -18,13 +18,18 @@ class QueryPlanSpec extends SparkSuite {
     // rows instead of 64-float embeddings. sim_topk_int8 likewise: the
     // same linear scan over d code BYTES + 4 scalars per row (the
     // memory-bandwidth variant of the exact path).
-    // sim_pq_topk: the same linear scan again, over m code shorts per
-    // row reconstructed against literal codebooks (32x narrower than
-    // the float path — representation width, not join shape, is its
-    // scale lever).
+    // sim_pq_topk / sim_pq_sampled / sim_pq_indexed: the same linear
+    // scan again, over m code shorts per row ADC-scored against the
+    // broadcast per-query lookup tables (32x narrower than the float
+    // path — representation width, not join shape, is its scale lever;
+    // the composition that also bounds the candidate SET is
+    // sim_ivfpq_topk, which must and does plan an equi-join on cell).
+    // kanon_risk: its nested-loop is the ONE-ROW total-count broadcast
+    // cross join (the in-plan scalar denominator) — |risky classes| x 1
+    // rows, the standard scalar-subquery shape, not a data-sized loop.
     val bruteForceBaselines =
       Set("sim_topk", "hard_negatives", "sim_ann_projected", "sim_topk_int8",
-        "sim_pq_topk")
+        "sim_pq_topk", "sim_pq_sampled", "sim_pq_indexed", "kanon_risk")
     val skip = (name: String) => name.startsWith("stream_") // execute on declaration
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(skip)
