@@ -829,6 +829,49 @@ object ScaleRehearsal {
       }
       emit("dsir_select_incr", f, nd, mRows, nSel, tSel)
 
+      // Frozen-vocab BPE (bpe_encode_incr): fit learns the 3 merges over
+      // the corpus (wall tracks corpus — training is inherently
+      // full-pass), encoding the FIXED 1x delta folds the frozen rules
+      // map-only and must stay delta-shaped at 10x — zero pair-count
+      // shuffles, no dependence on the fitted corpus's size.
+      // candidates := merge rules; verified := encoded delta docs.
+      val bpeVocab = new graft.sources.BpeVocabStore(spark,
+        TempDirs.create(s"graft-scale-bpevocab$f"), rounds = 3)
+      val (_, tBpeFit) = timed { bpeVocab.fit(docs) }
+      val incrDelta = docs.filter(
+        col("doc_id") < idOffset && col("doc_id") % 50 === 0)
+      val (nBpeEnc, tBpeEnc) = timed { bpeVocab.encode(incrDelta).count() }
+      emit("bpe_vocab_fit", f, nd, 3L, nd, tBpeFit)
+      emit("bpe_encode_frozen", f, nd, 3L, nBpeEnc, tBpeEnc)
+
+      // Persisted bigram LM (lm_perplexity_incr): fit aggregates the
+      // corpus bigram stream once (wall tracks corpus); scoring the
+      // FIXED 1x delta joins its bigrams against the STORED table.
+      // candidates := vocabulary size V — the Caesar replicas multiply
+      // vocab ~f x by design, so the score wall's growth component
+      // exposes the LM-table scan (distinct-bigram-bounded), never a
+      // corpus re-read; verified := scored delta docs (flat).
+      val lmStore = new graft.sources.LmStore(spark,
+        TempDirs.create(s"graft-scale-lm$f"))
+      val (_, tLmFit) = timed { lmStore.fit(docs) }
+      val (nLmScored, tLmScore) = timed { lmStore.scoreDelta(incrDelta).count() }
+      emit("lm_fit", f, nd, lmStore.vocabSize, nd, tLmFit)
+      emit("lm_score_frozen", f, nd, lmStore.vocabSize, nLmScored, tLmScore)
+
+      // Hybrid RRF (hybrid_search_rrf): both arms are top-30 lists, so
+      // the fusion joins 30x30 rows REGARDLESS of corpus growth — the
+      // wall tracks the arms (pruned posting scan + linear vector scan),
+      // and the fused row count (verified) must stay exactly k at 10x.
+      val (nFused, tHybrid) = timed {
+        val tArm = graft.operators.HybridSearch.rankArm(
+          invIdx.bm25(Seq("dup", "vector"), 30), col("score"), "r_text")
+        val vArm = Similarity.bruteForceTopK(
+            emb, emb.filter(col("vec_id") === 0), 30)
+          .select(col("neighbor_id").as("doc_id"), col("rank").as("r_vec"))
+        graft.operators.HybridSearch.rrf2(tArm, vArm, k = 20).count()
+      }
+      emit("hybrid_rrf", f, nd, 60L, nFused, tHybrid)
+
       // one factor's materializations must not contaminate the next
       // factor's timings — same per-run hygiene as Bench
       Residue.drain(spark)

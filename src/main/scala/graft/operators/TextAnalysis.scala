@@ -390,6 +390,57 @@ object TextAnalysis {
       .withColumn("prob",
         round(col("n") / sum(col("n")).over(Window.partitionBy(col("w1"))), 6))
 
+  /** The full bigram LM as a TABLE — (w1, w2, n, prob) MLE conditionals,
+    * the trainable artifact behind [[perplexity]] (which refits it
+    * in-plan every run so the oracle can replay training). Vocab²-bounded
+    * but NOT assumed broadcast-sized: at corpus scale this is a real
+    * distributed table, which is why [[perplexityUnder]] joins it by
+    * shuffle on (w1, w2) instead of collecting it.
+    */
+  def lmTable(docs: DataFrame, text: Column = col("text")): DataFrame =
+    lmProbs(bigramPairs(docs, text))
+
+  /** Per-context bigram totals (w1, tot) — the smoothing denominators a
+    * held-out scorer needs for bigrams the fitted corpus never saw.
+    * Derived from the LM table itself (sum of a context's counts), so it
+    * is consistent with [[lmTable]] by construction.
+    */
+  def lmContextTotals(lm: DataFrame): DataFrame =
+    lm.groupBy(col("w1")).agg(sum(col("n")).as("tot"))
+
+  /** Pseudo-perplexity of `delta` under an ALREADY-FITTED bigram LM —
+    * the per-ingest path of [[perplexity]]. One map-only bigram explode
+    * over the delta, one shuffle join against the LM on (w1, w2), one
+    * context-total join on w1, one per-doc reduction: cost tracks the
+    * DELTA, never the corpus the LM was fitted on.
+    *
+    * Scoring is COMPLETE over any delta, not just one whose bigrams the
+    * fitted corpus saw: a bigram present in the LM scores its exact MLE
+    * conditional (bit-for-bit what [[perplexity]] computes — the
+    * fit-then-score equality the oracle gates), an unseen bigram under a
+    * SEEN context backs off to the +0.5 Laplace floor
+    * `0.5 / (tot_w1 + 0.5·V)`, and a bigram whose context the corpus
+    * never saw scores the uniform `1/V` — no silent inner-join drop (the
+    * DSIR complete-model discipline; an inner join here would understate
+    * n_bigrams for genuinely novel ingests).
+    */
+  def perplexityUnder(delta: DataFrame, lm: DataFrame, ctxTot: DataFrame,
+                      vocab: Long, text: Column = col("text")): DataFrame = {
+    require(vocab > 0, "a fitted LM has a non-empty vocabulary")
+    val pUsed = coalesce(col("prob"),
+      when(col("tot").isNotNull,
+        round(lit(0.5) / (col("tot") + lit(0.5) * vocab), 6))
+        .otherwise(round(lit(1.0) / vocab, 6)))
+    bigramPairs(delta, text)
+      .join(lm.select(col("w1"), col("w2"), col("prob")), Seq("w1", "w2"), "left")
+      .join(ctxTot, Seq("w1"), "left")
+      .withColumn("p_used", pUsed)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(log(col("p_used"))), 4).as("avg_ll"))
+      .withColumn("ppl", round(exp(-col("avg_ll")), 4))
+  }
+
   /** Pseudo-perplexity of every document under the corpus's own bigram
     * LM — the statistical quality filter ("how surprising is this text
     * given the corpus") a training pipeline runs before mixing.

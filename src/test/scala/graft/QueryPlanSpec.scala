@@ -27,9 +27,13 @@ class QueryPlanSpec extends SparkSuite {
     // kanon_risk: its nested-loop is the ONE-ROW total-count broadcast
     // cross join (the in-plan scalar denominator) — |risky classes| x 1
     // rows, the standard scalar-subquery shape, not a data-sized loop.
+    // hybrid_search_rrf: its vector arm IS sim_topk's declared exact-scan
+    // baseline (one broadcast query against the corpus, linear never
+    // quadratic); the fusion itself is a k x k full-outer equi-join.
     val bruteForceBaselines =
       Set("sim_topk", "hard_negatives", "sim_ann_projected", "sim_topk_int8",
-        "sim_pq_topk", "sim_pq_sampled", "sim_pq_indexed", "kanon_risk")
+        "sim_pq_topk", "sim_pq_sampled", "sim_pq_indexed", "kanon_risk",
+        "hybrid_search_rrf")
     val skip = (name: String) => name.startsWith("stream_") // execute on declaration
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(skip)
