@@ -43,6 +43,47 @@ object IndexCache {
   private val cache = new ConcurrentHashMap[String, AnyRef]()
   private val watched = ConcurrentHashMap.newKeySet[String]()
 
+  /** The handle for `key` bound to the CURRENT contents of `dataDir`:
+    * folds a version fingerprint of the directory (recursive file
+    * listing — paths, lengths, mtimes) into the cache key, so a mutated
+    * or appended table under the same path can never be served a stale
+    * artifact (the r11 advice item: a cached bloom only guarantees no
+    * false negatives for items actually inserted — an appended eval
+    * slice under the same dir would silently false-negative-prune real
+    * contamination). Cost is one driver-side recursive LIST per call —
+    * metadata-sized on any filesystem, the price of snapshot-correct
+    * caching. Entries for superseded versions stay until application
+    * end (their scratch dirs die with the JVM — [[Scratch]]).
+    */
+  def getOrBuildVersioned[T <: AnyRef](spark: SparkSession, key: String,
+                                       dataDir: String)(build: => T): T =
+    getOrBuild(spark, key + "@" + dataVersion(spark, dataDir))(build)
+
+  /** Version fingerprint of a table directory: an order-independent
+    * 64-bit combine over (path, length, mtime) of every file under it.
+    * Order-independent (sum of per-file mixes) because filesystem
+    * listing order is not contractual; collision-resistant enough for a
+    * cache key where a miss only costs a rebuild.
+    */
+  private[graft] def dataVersion(spark: SparkSession, dir: String): String = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    var h = 0L
+    if (fs.exists(path)) {
+      val it = fs.listFiles(path, true)
+      while (it.hasNext) {
+        val f = it.next()
+        var x = f.getPath.toString.hashCode.toLong * 0x9e3779b97f4a7c15L +
+          f.getLen * 0xc2b2ae3d27d4eb4fL + f.getModificationTime
+        // splitmix64 finalizer: decorrelate before the commutative sum
+        x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+        x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+        h += x ^ (x >>> 31)
+      }
+    }
+    java.lang.Long.toHexString(h)
+  }
+
   /** The handle for `key`, building it on first use in this session. */
   def getOrBuild[T <: AnyRef](spark: SparkSession, key: String)(build: => T): T = {
     val appId = spark.sparkContext.applicationId

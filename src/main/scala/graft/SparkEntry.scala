@@ -363,7 +363,7 @@ object SparkEntry {
     "dedup_lsh_capped" -> ((s, dir) => {
       val universe = Tables.documents(s, dir).filter(col("doc_id") % 10 === 0)
         .select(col("doc_id"), col("text"))
-      val idx = IndexCache.getOrBuild(s, s"lsh-cap|$dir") {
+      val idx = IndexCache.getOrBuildVersioned(s, s"lsh-cap|$dir", dir) {
         val i = new graft.sources.LshBandIndex(
           s, Scratch.create(s, "graft-lsh-cap"), n = 3, k = 16, bands = 4)
         i.bootstrap(universe.filter(col("doc_id") % 50 =!= 0))
@@ -386,7 +386,7 @@ object SparkEntry {
     // goes quadratic (the termStats / ivf_balance analogue for bands).
     // One aggregation grouped on the index's own storage key.
     "lsh_band_stats" -> ((s, dir) => {
-      val idx = IndexCache.getOrBuild(s, s"lsh-stats|$dir") {
+      val idx = IndexCache.getOrBuildVersioned(s, s"lsh-stats|$dir", dir) {
         val i = new graft.sources.LshBandIndex(
           s, Scratch.create(s, "graft-lsh-stats"), n = 3, k = 16, bands = 4)
         i.bootstrap(Tables.documents(s, dir).filter(col("doc_id") % 10 === 0)
@@ -528,7 +528,7 @@ object SparkEntry {
     // invariant this query pins.
     "sim_pq_indexed" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
-      val idx = IndexCache.getOrBuild(s, s"pq-idx|$dir") {
+      val idx = IndexCache.getOrBuildVersioned(s, s"pq-idx|$dir", dir) {
         val i = new graft.sources.PqIndex(
           s, Scratch.create(s, "graft-pq-idx"), m = 8, codes = 16)
         i.bootstrap(emb.filter(col("vec_id") % 50 =!= 0))
@@ -567,7 +567,7 @@ object SparkEntry {
     // codebook training, assignment, and ADC arithmetic end to end.
     "sim_ivfpq_topk" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
-      val idx = IndexCache.getOrBuild(s, s"ivfpq-idx|$dir") {
+      val idx = IndexCache.getOrBuildVersioned(s, s"ivfpq-idx|$dir", dir) {
         val i = new graft.sources.IvfPqIndex(
           s, Scratch.create(s, "graft-ivfpq-idx"), nlist = 16, m = 8, codes = 16)
         i.bootstrap(emb.filter(col("vec_id") % 50 =!= 0))
@@ -663,13 +663,13 @@ object SparkEntry {
     "ivf_reseed" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val delta = emb.filter(col("vec_id") % 50 === 0)
-      val old = IndexCache.getOrBuild(s, s"ivf-rs-old|$dir") {
+      val old = IndexCache.getOrBuildVersioned(s, s"ivf-rs-old|$dir", dir) {
         val i = new graft.sources.IvfIndex(
           s, Scratch.create(s, "graft-ivf-rs-old"), nlist = 16)
         i.bootstrap(emb.filter(col("vec_id") % 50 =!= 0))
         i
       }
-      val fresh = IndexCache.getOrBuild(s, s"ivf-rs-new|$dir") {
+      val fresh = IndexCache.getOrBuildVersioned(s, s"ivf-rs-new|$dir", dir) {
         old.reseedInto(Scratch.create(s, "graft-ivf-rs-new"), emb)
       }
       old.driftReport(delta, cosineFloor = 0.22, maxFracBelow = 0.25)
@@ -854,7 +854,7 @@ object SparkEntry {
     // indexed composition is indistinguishable from the re-signing one.
     "corpus_clean_incr_indexed" -> ((s, dir) => {
       val (hist, deltaSole) = corpusCleanSidesStored(s, dir)
-      val idx = IndexCache.getOrBuild(s, s"cci-idx|$dir") {
+      val idx = IndexCache.getOrBuildVersioned(s, s"cci-idx|$dir", dir) {
         val i = new graft.sources.LshBandIndex(
           s, Scratch.create(s, "graft-cci-idx"), n = 3, k = 16, bands = 4)
         i.bootstrap(hist.select(col("doc_id"), col("text")))
@@ -896,7 +896,7 @@ object SparkEntry {
       // near-dup vs history + delta-delta via the persisted band index
       // (same cached index + ingest runKey as corpus_clean_incr_indexed:
       // it IS the same ingest, so whichever query runs first appends)
-      val lsh = IndexCache.getOrBuild(s, s"cci-idx|$dir") {
+      val lsh = IndexCache.getOrBuildVersioned(s, s"cci-idx|$dir", dir) {
         val i = new graft.sources.LshBandIndex(
           s, Scratch.create(s, "graft-cci-idx"), n = 3, k = 16, bands = 4)
         i.bootstrap(hist.select(col("doc_id"), col("text")))
@@ -918,7 +918,7 @@ object SparkEntry {
       // banned-term policy via the persisted inverted index: append the
       // admitted delta's postings (exactly-once batch ledger), then the
       // probe reads ONLY the banned term's posting — never document text
-      val inv = IndexCache.getOrBuild(s, s"pipe-inv|$dir") {
+      val inv = IndexCache.getOrBuildVersioned(s, s"pipe-inv|$dir", dir) {
         val i = new graft.sources.InvertedIndex(s, Scratch.create(s, "graft-pipe-inv"))
         i.bootstrap(hist.select(col("doc_id"), col("text")))
         i.compact(buckets = 8)
@@ -937,7 +937,7 @@ object SparkEntry {
       // here; real corpora tune this against their own overlap curve)
       val evalDocs = Tables.documents(s, dir)
         .filter(col("doc_id") % 50 === 0).select(col("doc_id"), col("text"))
-      val evalBloom = IndexCache.getOrBuild(s, s"pipe-bloom|$dir") {
+      val evalBloom = IndexCache.getOrBuildVersioned(s, s"pipe-bloom|$dir", dir) {
         Dedup.gramBloom(evalDocs, n = 8)
       }
       val contaminated = Dedup.crossOverlapPairsBloomWith(
@@ -955,7 +955,7 @@ object SparkEntry {
       // persisted IVF index (frozen centroids, delta-only probe)
       val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
       val refEmb = emb.filter(col("vec_id") % 10 =!= 0)
-      val ivf = IndexCache.getOrBuild(s, s"pipe-ivf|$dir") {
+      val ivf = IndexCache.getOrBuildVersioned(s, s"pipe-ivf|$dir", dir) {
         val i = new graft.sources.IvfIndex(
           s, Scratch.create(s, "graft-pipe-ivf"), nlist = 16)
         i.bootstrap(refEmb)
@@ -1086,7 +1086,7 @@ object SparkEntry {
     // re-read), query across compaction + tail. Result is identical to
     // text_search over the full corpus — the generation union is exact.
     "text_search_incr" -> ((s, dir) => {
-      val idx = IndexCache.getOrBuild(s, s"inv-incr|$dir") {
+      val idx = IndexCache.getOrBuildVersioned(s, s"inv-incr|$dir", dir) {
         val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
         val cut = 250L
         val i = new graft.sources.InvertedIndex(s, Scratch.create(s, "graft-inv-idx-incr"))
@@ -1135,7 +1135,7 @@ object SparkEntry {
     // so pinned readers are isolated from concurrent ingests for free.
     // Must equal the search over only the bootstrap half.
     "text_search_asof" -> ((s, dir) => {
-      val idx = IndexCache.getOrBuild(s, s"inv-asof|$dir") {
+      val idx = IndexCache.getOrBuildVersioned(s, s"inv-asof|$dir", dir) {
         val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
         val cut = 250L
         val i = new graft.sources.InvertedIndex(s, Scratch.create(s, "graft-inv-idx-ao"))
@@ -1158,7 +1158,7 @@ object SparkEntry {
     // scan; the report is one index-sized aggregation (a maintenance op,
     // not a query-path op — same class as ivf_balance).
     "inverted_stats" -> ((s, dir) => {
-      val idx = IndexCache.getOrBuild(s, s"inv-uncompacted|$dir") {
+      val idx = IndexCache.getOrBuildVersioned(s, s"inv-uncompacted|$dir", dir) {
         val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
         val i = new graft.sources.InvertedIndex(s, Scratch.create(s, "graft-inv-idx-st"))
         i.bootstrap(docs)
@@ -2275,7 +2275,7 @@ object SparkEntry {
     // documents, so frozen-vocab encode ≡ full-corpus encode row-wise).
     "bpe_encode_incr" -> ((s, dir) => {
       val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
-      val store = IndexCache.getOrBuild(s, s"bpe-vocab|$dir") {
+      val store = IndexCache.getOrBuildVersioned(s, s"bpe-vocab|$dir", dir) {
         val st = new graft.sources.BpeVocabStore(
           s, Scratch.create(s, "graft-bpe-vocab"), rounds = 3)
         st.fit(docs)
@@ -2342,7 +2342,7 @@ object SparkEntry {
     "dsir_select_incr" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
         .select(col("doc_id"), col("lang"), col("text"))
-      val store = IndexCache.getOrBuild(s, s"dsir-model|$dir") {
+      val store = IndexCache.getOrBuildVersioned(s, s"dsir-model|$dir", dir) {
         val st = new graft.sources.DsirModelStore(
           s, Scratch.create(s, "graft-dsir-model"), buckets = 2048)
         st.fit(docs, col("lang") === "en")
@@ -2738,7 +2738,7 @@ object SparkEntry {
     // claim (a doc's score depends only on its own bigrams and the LM).
     "lm_perplexity_incr" -> ((s, dir) => {
       val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
-      val store = IndexCache.getOrBuild(s, s"bigram-lm|$dir") {
+      val store = IndexCache.getOrBuildVersioned(s, s"bigram-lm|$dir", dir) {
         val st = new graft.sources.LmStore(s, Scratch.create(s, "graft-lm"))
         st.fit(docs)
         st
@@ -2842,14 +2842,12 @@ object SparkEntry {
       // deployed (the pipe-bloom discipline): built once per session —
       // cold runs and Verify still pay the build; warm runs time the
       // corpus prefilter scan + exact verify, which IS the operator.
-      // ASSUMPTION (cache-key contract): the table at `dir` is immutable
-      // for the session — a mutated/appended eval slice under the same
-      // dir would leave a stale sketch that can false-negative-prune
-      // real contamination (a bloom only guarantees no false negatives
-      // for items actually inserted). Production keys the deployed
-      // sketch by snapshot/generation id, the persisted-index lineage
-      // discipline; the declared query's tables are driver-frozen.
-      val bloom = IndexCache.getOrBuild(s, s"decontam-bloom|$dir") {
+      // The cache key folds the table dir's version fingerprint
+      // (getOrBuildVersioned), so a mutated/appended eval slice under
+      // the same dir rebuilds the sketch instead of silently
+      // false-negative-pruning real contamination (a bloom only
+      // guarantees no false negatives for items actually inserted).
+      val bloom = IndexCache.getOrBuildVersioned(s, s"decontam-bloom|$dir", dir) {
         Dedup.gramBloom(docs.filter(col("doc_id") % 50 === 0), n = 6)
       }
       Dedup.crossOverlapPairsBloomWith(
@@ -2895,7 +2893,7 @@ object SparkEntry {
     * streaming ingest of stream_index_ingest) keep their own builds.
     */
   private def fullInvIndex(s: SparkSession, dir: String): graft.sources.InvertedIndex =
-    IndexCache.getOrBuild(s, s"inv-full|$dir") {
+    IndexCache.getOrBuildVersioned(s, s"inv-full|$dir", dir) {
       val idx = new graft.sources.InvertedIndex(s, Scratch.create(s, "graft-inv-idx"))
       idx.bootstrap(Tables.documents(s, dir).select(col("doc_id"), col("text")))
       idx.compact(buckets = 8)
@@ -2962,7 +2960,7 @@ object SparkEntry {
     * DuckDB oracle, which replays the derivation) are unchanged.
     */
   private def corpusCleanSidesStored(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
-    val path = IndexCache.getOrBuild(s, s"cci-hist|$dir") {
+    val path = IndexCache.getOrBuildVersioned(s, s"cci-hist|$dir", dir) {
       val p = Scratch.create(s, "graft-cci-hist")
       corpusCleanHist(s, dir).write.mode("overwrite").parquet(p)
       p

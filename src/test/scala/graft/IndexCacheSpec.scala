@@ -14,6 +14,30 @@ class IndexCacheSpec extends SparkSuite {
     assert(IndexCache.sizeFor(spark) >= 2)
   }
 
+  test("getOrBuildVersioned rebuilds when the data dir's contents change") {
+    val dir = TempDirs.create("graft-ic-ver")
+    val f = new java.io.File(dir, "part-0.parquet")
+    java.nio.file.Files.writeString(f.toPath, "aaaa")
+    var builds = 0
+    val key = "spec-ver-" + System.nanoTime()
+    val a = IndexCache.getOrBuildVersioned(spark, key, dir) { builds += 1; new Object }
+    val b = IndexCache.getOrBuildVersioned(spark, key, dir) { builds += 1; new Object }
+    assert(a eq b)
+    assert(builds == 1)
+    // append-style mutation: same path, different length — must rebuild
+    // (length participates in the fingerprint, so mtime granularity
+    // cannot hide the change)
+    java.nio.file.Files.writeString(f.toPath, "aaaabbbb")
+    val c = IndexCache.getOrBuildVersioned(spark, key, dir) { builds += 1; new Object }
+    assert(!(c eq a))
+    assert(builds == 2)
+    // a new file under the dir is likewise a new version
+    java.nio.file.Files.writeString(
+      new java.io.File(dir, "part-1.parquet").toPath, "cc")
+    IndexCache.getOrBuildVersioned(spark, key, dir) { builds += 1; new Object }
+    assert(builds == 3)
+  }
+
   test("replayed sweepAndAppend with a runKey does not grow the index") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
