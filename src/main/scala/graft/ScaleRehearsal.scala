@@ -872,6 +872,21 @@ object ScaleRehearsal {
       }
       emit("hybrid_rrf", f, nd, 60L, nFused, tHybrid)
 
+      // Hybrid RRF with the ANN arm (the scale path): identical fusion,
+      // but the vector arm probes the PERSISTED IvfIndex (nprobe cells)
+      // instead of scanning the corpus — the hybrid's wall must go
+      // probe-bound while the brute-arm variant above stays linear in
+      // the corpus. Same k-bounded fusion either way.
+      val (nFusedIvf, tHybridIvf) = timed {
+        val tArm = graft.operators.HybridSearch.rankArm(
+          invIdx.bm25(Seq("dup", "vector"), 30), col("score"), "r_text")
+        val vArm = ivfIdx
+          .topK(emb, emb.filter(col("vec_id") === 0), 30, nprobe = 4)
+          .select(col("neighbor_id").as("doc_id"), col("rank").as("r_vec"))
+        graft.operators.HybridSearch.rrf2(tArm, vArm, k = 20).count()
+      }
+      emit("hybrid_rrf_ivf", f, nd, 60L, nFusedIvf, tHybridIvf)
+
       // one factor's materializations must not contaminate the next
       // factor's timings — same per-run hygiene as Bench
       Residue.drain(spark)
