@@ -579,6 +579,36 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // Streaming ingest into the PERSISTED IVF-PQ composition (the
+    // stream_ivf_ingest twin for the 100 TB ANN shape): bootstrap
+    // freezes seeds + codebooks on the history, each arriving
+    // micro-batch is assigned + ADC-encoded against the FROZEN
+    // structures (delta-sized, map-only) and committed as one
+    // generation with a batch-id ledger slot — crash redelivery is a
+    // metadata no-op. The post-ingest probe must equal the batch-built
+    // index's: assignment and codes are pure functions of the vector
+    // against frozen state, so batch boundaries cannot change a row.
+    "stream_ivfpq_ingest" -> ((s, dir) => {
+      import org.apache.spark.sql.{Dataset, Row}
+      val emb = Tables.embeddings(s, dir)
+      val idx = new graft.sources.IvfPqIndex(
+        s, Scratch.create(s, "graft-ivfpq-stream"), nlist = 16, m = 8, codes = 16)
+      idx.bootstrap(emb.filter(col("vec_id") % 50 =!= 0))
+      val q = graft.streaming.Streaming.embeddings(s, dir)
+        .filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id"), col("embedding"))
+        .writeStream
+        .foreachBatch((batch: Dataset[Row], batchId: Long) =>
+          idx.appendBatch(batch.toDF(), batchId))
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", graft.TempDirs.create("graft-ivfpq-ingest-ckpt"))
+        .start()
+      q.awaitTermination()
+      idx.topK(emb, emb.filter(col("vec_id") < 8),
+          k = 5, shortlist = 20, nprobe = 4)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // ANN top-5 via 4x8-bit random-hyperplane LSH, exact re-rank of
     // candidates only.
     // IVF-style ANN: deterministic seed centroids, map-only argmax-cosine
@@ -4058,6 +4088,12 @@ object SparkEntry {
          |FROM rer WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
     "sim_ivfpq_topk" -> ivfPqOracle(nlist = 16, nprobe = 4, m = 8,
+      codes = 16, shortlist = 20, k = 5),
+
+    // streamed appendBatch ≡ batch append: assignment and ADC codes are
+    // pure functions of the vector against the frozen seeds/codebooks,
+    // so the oracle is the identical end-to-end replay
+    "stream_ivfpq_ingest" -> ivfPqOracle(nlist = 16, nprobe = 4, m = 8,
       codes = 16, shortlist = 20, k = 5),
 
     // the training corpus is the hash-sampled half; encoding and scoring

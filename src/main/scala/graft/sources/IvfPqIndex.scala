@@ -108,6 +108,20 @@ final class IvfPqIndex(spark: SparkSession, dir: String,
     store.commit("encode", ctx, g + 1)
   }
 
+  /** Streaming ingest: one generation per micro-batch, idempotent on
+    * redelivery via the batch-id ledger slot (the [[IvfIndex]]/
+    * [[PqIndex]] discipline — a replayed foreachBatch after a crash is
+    * a metadata no-op; the generation watermark and the ledger advance
+    * in ONE atomic properties-file rename).
+    */
+  def appendBatch(delta: DataFrame, batchId: Long): Unit = {
+    if (store.get("last_batch", ctx).exists(_ >= batchId)) return
+    val g = committedGen
+    require(g >= 0, "append before bootstrap: the index has no centroids")
+    writeGen(g + 1, delta, seeds, books)
+    store.commitAll(ctx, Map("encode" -> (g + 1), "last_batch" -> batchId))
+  }
+
   /** Every committed row (vec_id, cell, codes). */
   def rowsDf: DataFrame = {
     val g = committedGen

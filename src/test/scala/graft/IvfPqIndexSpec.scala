@@ -66,6 +66,25 @@ class IvfPqIndexSpec extends SparkSuite {
     assert(after.filter { case (id, _, _) => id % 50 != 0 } === before)
   }
 
+  test("appendBatch is exactly-once under redelivery and equals the batch append") {
+    val idx = new IvfPqIndex(spark, TempDirs.create("ivfpq-spec5"),
+      nlist = 16, m = 8, codes = 16)
+    idx.bootstrap(oldVecs)
+    idx.appendBatch(delta, batchId = 0L)
+    assert(idx.committedGen === 1L)
+    val once = idx.rowsDf.select(col("vec_id"), col("cell"), col("codes"))
+      .as[(Long, Long, Seq[Int])].collect().toSeq.sortBy(_._1)
+    idx.appendBatch(delta, batchId = 0L) // redelivery must no-op
+    assert(idx.committedGen === 1L)
+    assert(idx.rowsDf.count() === once.length)
+    val plain = new IvfPqIndex(spark, TempDirs.create("ivfpq-spec6"),
+      nlist = 16, m = 8, codes = 16)
+    plain.bootstrap(oldVecs)
+    plain.append(delta)
+    assert(plain.rowsDf.select(col("vec_id"), col("cell"), col("codes"))
+      .as[(Long, Long, Seq[Int])].collect().toSeq.sortBy(_._1) === once)
+  }
+
   test("bootstrap is idempotent; append before bootstrap refuses") {
     val idx = new IvfPqIndex(spark, TempDirs.create("ivfpq-spec4"),
       nlist = 16, m = 8, codes = 16)
