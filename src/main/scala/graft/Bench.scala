@@ -33,7 +33,9 @@ import org.apache.spark.sql.SparkSession
   * the prior committed round's warm for the same query after normalizing
   * by the calibration ratio (r9 verdict #3: the inversion-only trigger
   * missed the slow-both-ways class — sample_stratified 14x with cold slow
-  * too, so no inversion fired). The prior file is `SPARK_GRAFT_PRIOR` or
+  * too, so no inversion fired); (C) cross-ROUND COLD regression with the
+  * same cost weighting (r11 verdict #4: a 172 s cold — 20x prior — escaped
+  * both warm-keyed triggers). The prior file is `SPARK_GRAFT_PRIOR` or
   * the newest `BENCH_LOCAL_r*.json` that is not this run's output.
   * Triggered rows are re-timed SOLO at the end of the suite — after a
   * full drain and an explicit GC, so the ContextCleaner has reclaimed the
@@ -49,6 +51,34 @@ import org.apache.spark.sql.SparkSession
   * >= 2 s (calibration-normalized) trigger at 2x, cheaper ones at 3x.
   */
 object Bench {
+
+  /** Self-adjudication trigger predicate — pure and static so a spec can
+    * replay committed bench files against it. Three triggers:
+    * (A) in-suite warm>cold inversion; (B) cross-round WARM regression,
+    * cost-weighted (2x for prior warm >= 2 s normalized, else 3x);
+    * (C) cross-round COLD regression, same cost weighting (r11 verdict #4:
+    * corpus_clean_incr's 172 s cold — 20x its r10 cold — sailed past both
+    * warm-keyed triggers because nothing looked at cold-vs-prior-cold).
+    * Streams stay excluded: their median-of-3+ protocol absorbs the
+    * state-store setup noise that would otherwise fire (A) every round.
+    */
+  private[graft] def shouldReadjudicate(
+      isStream: Boolean, hasErr: Boolean, noWarm: Boolean,
+      cold: Double, warmStat: Double,
+      priorWarm: Option[Double], priorCold: Option[Double],
+      calibRatio: Double): Boolean = {
+    if (isStream || hasErr || noWarm) false
+    else {
+      def regressed(now: Double, prior: Option[Double]): Boolean =
+        prior.exists { p =>
+          val factor = if (p * calibRatio >= 2.0) 2.0 else 3.0
+          !p.isNaN && p > 0 &&
+            now > factor * p * calibRatio && now - p * calibRatio > 0.3
+        }
+      val inversion = warmStat > 1.5 * cold && warmStat - cold > 0.3
+      inversion || regressed(warmStat, priorWarm) || regressed(cold, priorCold)
+    }
+  }
 
   private def jstr(s: String): String =
     "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
@@ -103,7 +133,7 @@ object Bench {
         // quick mode (streams then skip their median protocol too)
         "SPARK_GRAFT_WARM" -> "1",
         // where the full per-query report lands (committed to the repo)
-        "SPARK_GRAFT_BENCH_OUT" -> "BENCH_LOCAL_r11.json",
+        "SPARK_GRAFT_BENCH_OUT" -> "BENCH_LOCAL_r12.json",
         // prior round's committed full report, for the cross-round
         // regression trigger; "" = newest BENCH_LOCAL_r*.json that is not
         // the current output file
@@ -123,11 +153,12 @@ object Bench {
       if (only.isDefined && !benchOutExplicit) "BENCH_LOCAL_partial.json"
       else opts("SPARK_GRAFT_BENCH_OUT")
     val streamMinWarm = 3 // median needs >= 3 samples to mean anything
-    // Stale-summary guard (r9 advice): a crashed run — or a filtered run,
-    // which intentionally skips the summary write — must not leave last
-    // round's BENCH_SUMMARY.json for the driver to read as fresh. Delete
-    // up front; the file exists at exit ONLY if this full run completed.
-    Files.deleteIfExists(Paths.get("BENCH_SUMMARY.json"))
+    // BENCH_SUMMARY.json is written ONCE, at END of run, via temp-file +
+    // atomic rename (r11 verdict #7: the old delete-at-startup left a
+    // mid-run `git add -A` able to commit the DELETION — which happened at
+    // 32199b1). Staleness is now detected by the `written_at_epoch_ms`
+    // field instead of by the file's absence; a crashed run leaves the
+    // prior summary intact but visibly old.
     val spark = graft.GraftSession.builder(s"local[$cpus]", cpus.toInt)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -212,7 +243,7 @@ object Bench {
     // inversion-only trigger blind to the slow-both-ways class
     // (sample_stratified 14x, window_range 8.9x — cold slowed too, so no
     // inversion fired and the regressions shipped unadjudicated).
-    val prior: (Double, Map[String, Double]) = {
+    val prior: (Double, Map[String, (Double, Double)]) = {
       val explicit = Option(opts("SPARK_GRAFT_PRIOR")).filter(_.nonEmpty)
       val path = explicit.orElse {
         val rx = "BENCH_LOCAL_r(\\d+)\\.json".r
@@ -228,37 +259,29 @@ object Bench {
           val root = om.readTree(Files.readAllBytes(Paths.get(p)))
           val calib = root.path("calib_sec").asDouble(0.0)
           val qs = root.path("queries")
-          val m = scala.collection.mutable.Map[String, Double]()
+          val m = scala.collection.mutable.Map[String, (Double, Double)]()
           val names = qs.fieldNames()
           while (names.hasNext) {
             val n = names.next()
-            m(n) = qs.path(n).path("warm").asDouble(Double.NaN)
+            m(n) = (qs.path(n).path("warm").asDouble(Double.NaN),
+                    qs.path(n).path("cold").asDouble(Double.NaN))
           }
           Some((calib, m.toMap))
         } catch { case _: Throwable => None }
       }.getOrElse((0.0, Map.empty))
     }
-    val (priorCalib, priorWarm) = prior
+    val (priorCalib, priorMap) = prior
     val calibRatio = if (priorCalib > 0) calibSec / priorCalib else 1.0
     val toReadjudicate = results.filter { r =>
-      if (r.isStream || r.err.isDefined || r.warm.isEmpty) false
-      else {
-        val inversion =
-          r.warmStat > 1.5 * r.cold.sec && r.warmStat - r.cold.sec > 0.3
-        val crossRound = priorWarm.get(r.name).exists { pw =>
-          // cost-weighted threshold (r10 verdict #2): a 2.5x miss on a
-          // 9 s query costs more than a 5x miss on a 0.3 s one, and three
-          // heavyweight regressions shipped unadjudicated under the flat
-          // 3x — expensive queries (prior warm >= 2 s normalized) now
-          // trigger at 2x, cheap ones keep 3x (their noise floor is real)
-          val factor = if (pw * calibRatio >= 2.0) 2.0 else 3.0
-          !pw.isNaN && pw > 0 &&
-            r.warmStat > factor * pw * calibRatio &&
-            r.warmStat - pw * calibRatio > 0.3
-        }
-        inversion || crossRound
-      }
+      val p = priorMap.get(r.name)
+      shouldReadjudicate(r.isStream, r.err.isDefined, r.warm.isEmpty,
+        r.cold.sec, r.warmStat, p.map(_._1), p.map(_._2), calibRatio)
     }
+    // Re-measure calib immediately before the solo re-runs and stamp it
+    // into every readjudicated block (r11 verdict #4): the suite takes
+    // minutes and this box's whole-machine drift swings 1.7x within hours,
+    // so a block without its own calib is not auditable from the file.
+    val adjCalib = if (toReadjudicate.nonEmpty) calibrate() else calibSec
     val readjudicated: Map[String, (Run, Seq[Run])] = toReadjudicate.map { r =>
       Residue.drain(spark)
       System.gc() // let the ContextCleaner reclaim broadcast/shuffle debris
@@ -274,9 +297,19 @@ object Bench {
     // refuted). For any row with a successful solo re-run, that warm is
     // the authoritative number; `value` keeps the raw in-suite total for
     // cross-round comparability, `value_adjudicated` is the headline.
+    // The folded statistic matches warmStat's per-kind choice (r11 advice):
+    // MIN of the solo warms for batch rows, MEDIAN for stream rows — a
+    // stream's in-suite number is deliberately a median because bounded
+    // streams carry ±3x state-store setup noise, and folding a min there
+    // would bias the adjudicated headline low.
     val totalWarmAdj = results.map { r =>
       readjudicated.get(r.name)
-        .flatMap { case (_, w) => w.filter(_.err.isEmpty).map(_.sec).minOption }
+        .flatMap { case (_, w) =>
+          val ok = w.filter(_.err.isEmpty).map(_.sec)
+          if (ok.isEmpty) None
+          else if (r.isStream) { val s = ok.sorted; Some(s(s.size / 2)) }
+          else Some(ok.min)
+        }
         .getOrElse(r.warmStat)
     }.sum
     val totalCold = results.map(_.cold.sec).sum
@@ -307,6 +340,9 @@ object Bench {
             ",\"runs\":" + w.map(x =>
               if (x.err.isEmpty) jnum(x.sec) else "null").mkString("[", ",", "]") +
             ",\"warm\":" + best +
+            // calib measured immediately before the solo re-runs, so a
+            // host-drift adjudication is auditable from this block alone
+            ",\"calib_sec\":" + jnum(adjCalib) +
             (if (nFailed > 0) ",\"failed_runs\":" + nFailed +
               ",\"err\":" + jstr((c.err.toSeq ++ w.flatMap(_.err)).head)
              else "") + "}"
@@ -356,13 +392,22 @@ object Bench {
       s""""calib_sec":${jnum(calibSec)},""" +
       s""""queries":$headJson,"sf":${jstr(sfDir)},""" +
       s""""bench_file":${jstr(benchOut)},""" +
+      s""""written_at_epoch_ms":${System.currentTimeMillis()},""" +
       """"note":"value=raw in-suite best-warm total (median-of-3+ for stream_*); value_adjudicated folds isolated re-runs for triggered rows and is the headline; full per-query warm/cold/err in bench_file"}"""
     // fixed-path side file: the machine-readable hand-off (stdout carries
     // sbt's [info] prefix; this file never does). Partial A/B runs skip it
     // so a filtered run can't masquerade as the committed full suite.
-    if (only.isEmpty)
-      Files.write(Paths.get("BENCH_SUMMARY.json"),
-        (summaryJson + "\n").getBytes(StandardCharsets.UTF_8))
+    // Written via temp-file + ATOMIC rename, and ONLY here at end of run —
+    // no startup delete, so the file never transits a deleted state a
+    // mid-run `git add -A` could commit (r11 verdict #7); readers check
+    // `written_at_epoch_ms` for staleness instead of existence.
+    if (only.isEmpty) {
+      val tmp = Paths.get("BENCH_SUMMARY.json.tmp")
+      Files.write(tmp, (summaryJson + "\n").getBytes(StandardCharsets.UTF_8))
+      Files.move(tmp, Paths.get("BENCH_SUMMARY.json"),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
     // stop FIRST, then print: Spark's async daemons (e.g. the state-store
     // maintenance thread) can log a stack trace during shutdown, and a
     // trace landing AFTER the summary would displace it as the process's
