@@ -60,10 +60,20 @@ object IndexCache {
     getOrBuild(spark, key + "@" + dataVersion(spark, dataDir))(build)
 
   /** Version fingerprint of a table directory: an order-independent
-    * 64-bit combine over (path, length, mtime) of every file under it.
-    * Order-independent (sum of per-file mixes) because filesystem
-    * listing order is not contractual; collision-resistant enough for a
-    * cache key where a miss only costs a rebuild.
+    * 64-bit combine over (path, length, mtime, content tail) of every
+    * file under it. Order-independent (sum of per-file mixes) because
+    * filesystem listing order is not contractual; collision-resistant
+    * enough for a cache key where a miss only costs a rebuild.
+    *
+    * The content tail (last <=64 bytes, one seek+read per file) closes
+    * the r11 advice gap: an in-place overwrite that preserves file
+    * length within the filesystem's mtime granularity would otherwise
+    * fingerprint identically and serve exactly the stale artifact this
+    * mechanism exists to prevent. For parquet the tail covers the footer
+    * (metadata length + magic plus the end of the thrift-encoded row
+    * -group stats), which any content rewrite perturbs. Cost stays
+    * metadata-sized: the directory listing already pays one round trip
+    * per file; this adds one bounded read each.
     */
   private[graft] def dataVersion(spark: SparkSession, dir: String): String = {
     val path = new org.apache.hadoop.fs.Path(dir)
@@ -75,6 +85,7 @@ object IndexCache {
         val f = it.next()
         var x = f.getPath.toString.hashCode.toLong * 0x9e3779b97f4a7c15L +
           f.getLen * 0xc2b2ae3d27d4eb4fL + f.getModificationTime
+        x += tailHash(fs, f) * 0x2545f4914f6cdd1dL
         // splitmix64 finalizer: decorrelate before the commutative sum
         x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
         x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
@@ -82,6 +93,28 @@ object IndexCache {
       }
     }
     java.lang.Long.toHexString(h)
+  }
+
+  /** FNV-1a over the last <=64 bytes of `f`; 0 on any read failure (a
+    * file vanishing mid-listing degrades to the metadata-only signal
+    * rather than failing the cache lookup).
+    */
+  private def tailHash(fs: org.apache.hadoop.fs.FileSystem,
+                       f: org.apache.hadoop.fs.LocatedFileStatus): Long = {
+    val n = math.min(f.getLen, 64L).toInt
+    if (n <= 0) 0L
+    else try {
+      val in = fs.open(f.getPath)
+      try {
+        in.seek(f.getLen - n)
+        val buf = new Array[Byte](n)
+        in.readFully(buf)
+        var acc = 0xcbf29ce484222325L
+        var i = 0
+        while (i < n) { acc = (acc ^ (buf(i) & 0xffL)) * 0x100000001b3L; i += 1 }
+        acc
+      } finally in.close()
+    } catch { case _: java.io.IOException => 0L }
   }
 
   /** The handle for `key`, building it on first use in this session. */

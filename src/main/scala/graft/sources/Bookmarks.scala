@@ -79,6 +79,37 @@ final class BookmarkStore(stateDir: String) {
   def clear(): Unit = Files.deleteIfExists(file)
 }
 
+/** FAISS-header discipline for the persisted stores (r11 advice): a
+  * store's fit-time hyperparameters (PQ m/codes, DSIR buckets, BPE
+  * rounds, IVF nlist, LSH n/k/bands) are STAMPED into bookmark slots in
+  * the same atomic rename that commits the fit, and RE-VALIDATED when
+  * the store is reopened. Without this, reopening a long-lived artifact
+  * with a drifted constructor argument silently mis-scores: dsirApply's
+  * inner join drops every feature hashed beyond the fitted bucket count,
+  * and PQ lookups read zero vectors for codebook entries that were never
+  * trained. Validation is `foreach`, not `get`: artifacts written before
+  * this discipline carry no stamps and stay readable.
+  */
+private[sources] object StoreParams {
+  /** Bookmark-slot form of the params, to merge into the fit commit. */
+  def stamp(params: Map[String, Int]): Map[String, Long] =
+    params.map { case (k, v) => s"param.$k" -> v.toLong }
+
+  /** Fail fast if a stamped fit-time value disagrees with the value the
+    * store was just constructed with.
+    */
+  def validate(store: BookmarkStore, ctx: String, dir: String,
+               params: Map[String, Int]): Unit =
+    params.foreach { case (k, v) =>
+      store.get(s"param.$k", ctx).foreach { stored =>
+        require(stored == v.toLong,
+          s"$ctx at $dir was fit with $k=$stored but reopened with $k=$v; " +
+            "matching the fit-time value is required — a mismatched read " +
+            "silently mis-scores. Rebuild into a fresh root to change it.")
+      }
+    }
+}
+
 /** Incremental scan = plain scan + bookmark predicate (SURVEY.md §2 S1).
   *
   * The predicate `key > lastMax` is issued declaratively so Catalyst pushes

@@ -33,6 +33,10 @@ final class BpeVocabStore(spark: SparkSession, dir: String,
   private val store = new BookmarkStore(dir)
   private val ctx = "bpe_vocab"
   private def mergesDir = s"$dir/merges"
+  // the fitted round count IS the vocabulary version: encoding under a
+  // different rounds value than the artifact was trained with silently
+  // changes token ids — fail at open (FAISS-header rule)
+  StoreParams.validate(store, ctx, dir, Map("rounds" -> rounds))
 
   /** True once a fit has committed. */
   def committed: Boolean = store.get("fit", ctx).isDefined
@@ -46,7 +50,8 @@ final class BpeVocabStore(spark: SparkSession, dir: String,
     if (!committed) {
       TextAnalysis.bpeMergeRounds(docs, rounds, text)
         .coalesce(1).write.mode("overwrite").parquet(mergesDir)
-      store.commit("fit", ctx, 0L)
+      store.commitAll(ctx,
+        Map("fit" -> 0L) ++ StoreParams.stamp(Map("rounds" -> rounds)))
     }
 
   /** The frozen merge table — `rounds` rows of

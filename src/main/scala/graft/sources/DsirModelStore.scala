@@ -28,6 +28,10 @@ final class DsirModelStore(spark: SparkSession, dir: String,
   private val store = new BookmarkStore(dir)
   private val ctx = "dsir_model"
   private def modelDir = s"$dir/model"
+  // the fitted bucket count is load-bearing: applying with a different B
+  // re-hashes features past the stored rows and the join silently drops
+  // them — reopening with a drifted value must fail, not mis-score
+  StoreParams.validate(store, ctx, dir, Map("buckets" -> buckets))
 
   /** True once a fit has committed. */
   def committed: Boolean = store.get("fit", ctx).isDefined
@@ -37,7 +41,8 @@ final class DsirModelStore(spark: SparkSession, dir: String,
           text: Column = col("text")): Unit = if (!committed) {
     Sampling.dsirModel(docs, isTarget, buckets, text)
       .coalesce(1).write.mode("overwrite").parquet(modelDir)
-    store.commit("fit", ctx, 0L)
+    store.commitAll(ctx,
+      Map("fit" -> 0L) ++ StoreParams.stamp(Map("buckets" -> buckets)))
   }
 
   /** The frozen B-row (f, lrq) model — broadcast-sized by construction. */

@@ -43,6 +43,10 @@ final class IvfIndex(spark: SparkSession, dir: String,
   private val ctx = "ivf_index"
   private def genDir(g: Long) = s"$dir/gen-$g"
   private def seedsDir = s"$dir/seeds"
+  // stored cell assignments are a function of the frozen seed set;
+  // reopening with a different nlist mis-probes — fail at open
+  // (FAISS-header rule)
+  StoreParams.validate(store, ctx, dir, Map("nlist" -> nlist))
 
   /** Highest committed assignment generation; -1 = empty index. */
   def committedGen: Long = store.get("assign", ctx).getOrElse(-1L)
@@ -85,7 +89,8 @@ final class IvfIndex(spark: SparkSession, dir: String,
       .orderBy(col("cell_id")).limit(nlist)
       .write.mode("overwrite").parquet(seedsDir)
     writeGen(0L, corpus, seeds)
-    store.commit("assign", ctx, 0L)
+    store.commitAll(ctx,
+      Map("assign" -> 0L) ++ StoreParams.stamp(Map("nlist" -> nlist)))
   }
 
   /** DRIFT GUARD — the maintenance policy for frozen centroids under

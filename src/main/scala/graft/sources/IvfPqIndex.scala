@@ -37,6 +37,11 @@ final class IvfPqIndex(spark: SparkSession, dir: String,
   private def genDir(g: Long) = s"$dir/gen-$g"
   private def seedsDir = s"$dir/seeds"
   private def booksDir = s"$dir/books"
+  // all three tunables shape the stored rows (cell ids and codes):
+  // reopening with drifted values mis-probes or reads untrained codebook
+  // entries — fail at open, never mis-score (FAISS-header rule)
+  StoreParams.validate(store, ctx, dir,
+    Map("nlist" -> nlist, "m" -> m, "codes" -> codes))
 
   /** Highest committed generation; -1 = empty index. */
   def committedGen: Long = store.get("encode", ctx).getOrElse(-1L)
@@ -95,7 +100,8 @@ final class IvfPqIndex(spark: SparkSession, dir: String,
         .toDF("sub", "code", "w")
         .coalesce(1).write.mode("overwrite").parquet(booksDir)
       writeGen(0L, corpus, seeds, trained)
-      store.commit("encode", ctx, 0L)
+      store.commitAll(ctx, Map("encode" -> 0L) ++
+        StoreParams.stamp(Map("nlist" -> nlist, "m" -> m, "codes" -> codes)))
     }
 
   /** One incremental ingest: assign+encode ONLY `delta` against the

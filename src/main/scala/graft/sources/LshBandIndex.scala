@@ -42,6 +42,11 @@ final class LshBandIndex(spark: SparkSession, dir: String,
   private val store = new BookmarkStore(dir)
   private val ctx = "lsh_band_index"
   private def genDir(g: Long) = s"$dir/gen-$g"
+  // stored band keys are a pure function of (n, k, bands): probing with
+  // drifted values finds no (or wrong) collisions — fail at open
+  // (FAISS-header rule)
+  StoreParams.validate(store, ctx, dir,
+    Map("n" -> n, "k" -> k, "bands" -> bands))
 
   /** Highest committed generation; -1 = empty index. */
   def committedGen: Long = store.get("bands", ctx).getOrElse(-1L)
@@ -200,7 +205,8 @@ final class LshBandIndex(spark: SparkSession, dir: String,
     */
   def bootstrap(docs: DataFrame): Unit = if (committedGen < 0) {
     writeGen(0L, Dedup.minhashBands(docs, n, k, bands))
-    store.commit("bands", ctx, 0L)
+    store.commitAll(ctx, Map("bands" -> 0L) ++
+      StoreParams.stamp(Map("n" -> n, "k" -> k, "bands" -> bands)))
   }
 
   /** One incremental ingest: sweep `delta` against the committed index

@@ -43,6 +43,10 @@ final class PqIndex(spark: SparkSession, dir: String,
   private val ctx = "pq_index"
   private def genDir(g: Long) = s"$dir/gen-$g"
   private def booksDir = s"$dir/books"
+  // m/codes shape the stored code rows and the ADC tables: reopening with
+  // different values makes every lookup read codebook entries that were
+  // never trained — fail at open, never mis-score (FAISS-header rule)
+  StoreParams.validate(store, ctx, dir, Map("m" -> m, "codes" -> codes))
 
   /** Highest committed code generation; -1 = empty index. */
   def committedGen: Long = store.get("encode", ctx).getOrElse(-1L)
@@ -79,7 +83,8 @@ final class PqIndex(spark: SparkSession, dir: String,
         .toDF("sub", "code", "w")
         .coalesce(1).write.mode("overwrite").parquet(booksDir)
       writeGen(0L, corpus, trained)
-      store.commit("encode", ctx, 0L)
+      store.commitAll(ctx,
+        Map("encode" -> 0L) ++ StoreParams.stamp(Map("m" -> m, "codes" -> codes)))
     }
 
   /** One incremental ingest: encode ONLY `delta` against the frozen

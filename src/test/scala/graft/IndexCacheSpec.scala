@@ -38,6 +38,24 @@ class IndexCacheSpec extends SparkSuite {
     assert(builds == 3)
   }
 
+  test("same-length in-place overwrite within mtime granularity still rebuilds") {
+    // the r11 advice hole: (path, length, mtime) alone fingerprints an
+    // in-place rewrite that preserves length and lands within the
+    // filesystem's mtime granularity as IDENTICAL. Pin length and mtime
+    // explicitly so only the content differs — the tail hash must catch it.
+    val dir = TempDirs.create("graft-ic-tail")
+    val f = new java.io.File(dir, "part-0.parquet")
+    java.nio.file.Files.writeString(f.toPath, "aaaa")
+    val mtime = java.nio.file.Files.getLastModifiedTime(f.toPath)
+    var builds = 0
+    val key = "spec-tail-" + System.nanoTime()
+    IndexCache.getOrBuildVersioned(spark, key, dir) { builds += 1; new Object }
+    java.nio.file.Files.writeString(f.toPath, "bbbb") // same length
+    java.nio.file.Files.setLastModifiedTime(f.toPath, mtime) // same mtime
+    IndexCache.getOrBuildVersioned(spark, key, dir) { builds += 1; new Object }
+    assert(builds == 2)
+  }
+
   test("replayed sweepAndAppend with a runKey does not grow the index") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
