@@ -1164,7 +1164,12 @@ object SparkEntry {
     // pipeline runs, with per-batch cost tracking the batch, never the
     // fitted corpus. The oracle replays fit-then-score-then-filter in
     // one pass: batch boundaries cannot change a per-document score, so
-    // streamed admission ≡ batch admission row-for-row.
+    // streamed admission ≡ batch admission row-for-row. Admitted rows
+    // land through the ledger-gated parquet sink (batchId-keyed subdir +
+    // atomic watermark — StreamSink.exactlyOnceParquet), so a
+    // crash-redelivered micro-batch overwrites instead of double-
+    // admitting (r11 verdict #3: the bare mode("append") shipped here
+    // contradicted the engine's own exactly-once discipline).
     "stream_lm_gate" -> ((s, dir) => {
       import org.apache.spark.sql.{Dataset, Row}
       val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
@@ -1178,16 +1183,14 @@ object SparkEntry {
         .filter(col("doc_id") % 50 === 0).select(col("doc_id"), col("text"))
         .writeStream
         .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-          store.scoreDelta(batch.toDF())
-            .filter(col("ppl") <= 31.0)
-            .write.mode("append").parquet(outDir)
-          ()
+          graft.streaming.StreamSink.exactlyOnceParquet(outDir,
+            store.scoreDelta(batch.toDF()).filter(col("ppl") <= 31.0), batchId)
         }
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .option("checkpointLocation", graft.TempDirs.create("graft-lm-gate-ckpt"))
         .start()
       q.awaitTermination()
-      s.read.parquet(outDir).orderBy(col("doc_id"))
+      graft.streaming.StreamSink.committedParquet(s, outDir).orderBy(col("doc_id"))
     }),
 
     // Proximity (NEAR) search from the same index: "key" followed by

@@ -79,4 +79,46 @@ object StreamSink {
         throw t
     } finally conn.close()
   }
+
+  /** Exactly-once parquet delivery for a `foreachBatch` sink: each
+    * micro-batch lands in a batchId-keyed subdirectory
+    * (`outDir/batch-<id>`) and the committed watermark advances via the
+    * bookmark store's atomic properties-file rename ONLY after the
+    * parquet is fully written — the [[graft.sources.IvfPqIndex.appendBatch]]
+    * discipline for a plain output table. Crash-redelivery is therefore
+    * a no-op for committed batches (watermark check) and an overwrite
+    * for a batch whose write crashed mid-flight (its watermark never
+    * advanced, so the partial directory is invisible to readers and the
+    * redelivered write replaces it). A plain `mode("append")` parquet
+    * sink, by contrast, DUPLICATES every redelivered row (r11 verdict
+    * #3: `stream_lm_gate` shipped exactly that).
+    */
+  def exactlyOnceParquet(outDir: String, batch: DataFrame, batchId: Long): Unit = {
+    val store = new graft.sources.BookmarkStore(outDir)
+    if (!store.get("last_batch", ParquetSinkCtx).exists(_ >= batchId)) {
+      batch.write.mode("overwrite").parquet(s"$outDir/batch-$batchId")
+      store.commit("last_batch", ParquetSinkCtx, batchId)
+    }
+  }
+
+  /** Every COMMITTED batch of an [[exactlyOnceParquet]] sink — reads only
+    * subdirectories at or below the watermark, so a crashed batch's
+    * partial directory is never visible. Requires at least one committed
+    * batch (an unstarted sink has no schema to offer).
+    */
+  def committedParquet(spark: org.apache.spark.sql.SparkSession,
+                       outDir: String): DataFrame = {
+    val store = new graft.sources.BookmarkStore(outDir)
+    val last = store.get("last_batch", ParquetSinkCtx)
+    require(last.isDefined, s"no committed batches under $outDir")
+    val path = new org.apache.hadoop.fs.Path(outDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val rx = "batch-(\\d+)".r
+    val dirs = fs.listStatus(path).toSeq.map(_.getPath)
+      .filter(p => rx.findFirstMatchIn(p.getName)
+        .exists(_.group(1).toLong <= last.get))
+    spark.read.parquet(dirs.map(_.toString): _*)
+  }
+
+  private val ParquetSinkCtx = "parquet_sink"
 }

@@ -84,4 +84,34 @@ class StreamSinkSpec extends SparkSuite {
       assert(countOf("ledger_live") >= 2)
     } finally q.stop()
   }
+
+  test("exactlyOnceParquet: forced double delivery is a no-op; crashed batch is invisible then overwritten") {
+    val out = TempDirs.create("eop-sink")
+    val b0 = Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text")
+    StreamSink.exactlyOnceParquet(out, b0, 0L)
+    StreamSink.exactlyOnceParquet(out, Seq((3L, "c")).toDF("doc_id", "text"), 1L)
+    val first = StreamSink.committedParquet(spark, out)
+      .as[(Long, String)].collect().toSet
+    assert(first === Set((1L, "a"), (2L, "b"), (3L, "c")))
+
+    // forced REDELIVERY of both batches — with different (corrupt) data,
+    // so an accidental overwrite would be visible: output must be
+    // byte-identical because the watermark makes redelivery a no-op
+    StreamSink.exactlyOnceParquet(out, Seq((99L, "X")).toDF("doc_id", "text"), 0L)
+    StreamSink.exactlyOnceParquet(out, Seq((98L, "Y")).toDF("doc_id", "text"), 1L)
+    val second = StreamSink.committedParquet(spark, out)
+      .as[(Long, String)].collect().toSet
+    assert(second === first, "re-delivered batches must not change output")
+
+    // a batch whose write crashed before the watermark advanced: simulate
+    // by writing the subdir directly — committedParquet must not see it,
+    // and the redelivered exactlyOnceParquet replaces it
+    Seq((7L, "partial")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$out/batch-2")
+    assert(StreamSink.committedParquet(spark, out)
+      .as[(Long, String)].collect().toSet === first)
+    StreamSink.exactlyOnceParquet(out, Seq((4L, "d")).toDF("doc_id", "text"), 2L)
+    assert(StreamSink.committedParquet(spark, out)
+      .as[(Long, String)].collect().toSet === first + ((4L, "d")))
+  }
 }
