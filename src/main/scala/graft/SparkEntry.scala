@@ -783,7 +783,10 @@ object SparkEntry {
     // slice/zip_with chain is CodegenFallback and re-tokenizes per use.
     "sim_sparse_topk" -> ((s, dir) => {
       val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
-      val n = docs.count()
+      // corpus size from the persisted index's O(1) committed stats slot
+      // (r11 verdict #6) — the session-cached index covers the full
+      // corpus, so this equals docs.count() without a per-run corpus job
+      val n = fullInvIndex(s, dir).corpusStats._1
       Similarity.sparseTopK(docs, n, col("doc_id") % 97 === 0, 5,
         maxDf = n / 10,
         terms = graft.functions.GraftFunctions.tokenNgrams(lower(col("text")), 2))
@@ -1320,6 +1323,21 @@ object SparkEntry {
     "tfidf_terms" -> ((s, dir) => {
       val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
       TextAnalysis.tfIdfTopTerms(docs, docs.count(), 3)
+        .orderBy(col("doc_id"), col("rank"))
+    }),
+
+    // The per-ingest production shape (r11 verdict #6): score ONLY the
+    // delta's terms against the PERSISTED index's df and O(1) corpus
+    // stats — tfidf_terms re-aggregates the corpus and counts it per
+    // run; this twin's warm cost is the delta's tokens plus the delta
+    // terms' posting lengths. Output equals the batch operator over the
+    // same corpus restricted to the delta's doc_ids (the index's
+    // postings derive from the same token kernel), so the oracle is the
+    // tfidf_terms replay with the delta filter on the final projection.
+    "tfidf_terms_incr" -> ((s, dir) => {
+      val delta = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+        .filter(col("doc_id") % 50 === 0)
+      fullInvIndex(s, dir).tfIdfTopTermsDelta(delta, 3)
         .orderBy(col("doc_id"), col("rank"))
     }),
 
@@ -5142,6 +5160,28 @@ object SparkEntry {
          |  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
          |    round(tf.tf * ln(CAST((SELECT count(*) FROM documents) AS DOUBLE) / dfreq.df), 4) AS tfidf
          |  FROM tf JOIN dfreq ON tf.term = dfreq.term),
+         |r AS (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rank
+         |  FROM scored)
+         |SELECT doc_id, rank, term, tf, df, tfidf
+         |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+
+    // identical replay to tfidf_terms (df and nDocs over the FULL corpus
+    // — what the persisted index holds) restricted to the delta docs
+    "tfidf_terms_incr" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(${Oracles.tokens("lower(text)")}) AS term
+         |  FROM documents),
+         |tf AS (
+         |  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+         |dfreq AS (
+         |  SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |scored AS (
+         |  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+         |    round(tf.tf * ln(CAST((SELECT count(*) FROM documents) AS DOUBLE) / dfreq.df), 4) AS tfidf
+         |  FROM tf JOIN dfreq ON tf.term = dfreq.term
+         |  WHERE tf.doc_id % 50 = 0),
          |r AS (
          |  SELECT *, row_number() OVER (
          |    PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rank

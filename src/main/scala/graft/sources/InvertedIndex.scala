@@ -430,6 +430,41 @@ final class InvertedIndex(spark: SparkSession, dir: String) {
       .agg(count(lit(1)).as("df"), sum(col("tf")).cast("long").as("total_tf"),
         max(col("tf")).cast("int").as("max_tf"))
 
+  /** Top TF-IDF terms for a DELTA of documents, scored against the
+    * INDEX-RESIDENT corpus statistics — the per-ingest production shape
+    * of [[graft.operators.TextAnalysis.tfIdfTopTerms]], which
+    * re-aggregates the whole corpus and counts it per run. Here nDocs is
+    * the O(1) committed corpus-stats slot (never a corpus count), df per
+    * term comes from the postings of exactly the delta's terms (a
+    * terms-sized broadcast join over the term-pruned posting scan — the
+    * [[bm25]] discipline; positions are pruned out), and tf is one
+    * map-only tokenize of the delta itself. Output is identical to the
+    * batch operator over the indexed corpus restricted to the delta's
+    * doc_ids, because the index's postings derive from the same token
+    * kernel. Per-ingest cost: delta tokens + the delta terms' posting
+    * lengths — never corpus-shaped.
+    */
+  def tfIdfTopTermsDelta(delta: DataFrame, k: Int,
+                         text: org.apache.spark.sql.Column = col("text")): DataFrame = {
+    val (nDocs, _) = corpusStats
+    require(nDocs > 0, "the index is empty")
+    val tf = graft.Residue.pin(delta
+      .select(col("doc_id"),
+        explode(graft.functions.GraftFunctions.tokens(lower(text))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf")))
+    val terms = tf.select(col("term")).distinct()
+    val dfreq = postingsDf.select(col("term"))
+      .join(broadcast(terms), Seq("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val scored = tf.join(broadcast(dfreq), Seq("term"))
+      .withColumn("tfidf",
+        round(col("tf") * log(lit(nDocs.toDouble) / col("df")), 4))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("tfidf").desc, col("term"))
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+      .select("doc_id", "rank", "term", "tf", "df", "tfidf")
+  }
+
   /** Adjacency phrase query `"a b"`: documents where some occurrence of
     * `a` is immediately followed by `b`, with the occurrence count. The
     * position lists make this a pure index operation: two pruned posting

@@ -303,4 +303,23 @@ class InvertedIndexSpec extends SparkSuite {
     // the exclusion really binds: plain AND is a strict superset here
     assert(idx.conjunctive(Seq("dup", "vector")).count() > notExp.size)
   }
+
+  test("tfIdfTopTermsDelta equals the batch operator restricted to the delta") {
+    val idx = new InvertedIndex(spark, TempDirs.create("inv-idx-tfidf"))
+    idx.bootstrap(docs)
+    idx.compact(buckets = 4)
+    val delta = docs.filter(col("doc_id") % 7 === 0)
+    val got = idx.tfIdfTopTermsDelta(delta, 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5))).toSeq.sorted
+    val exp = graft.operators.TextAnalysis.tfIdfTopTerms(docs, docs.count(), 3)
+      .filter(col("doc_id") % 7 === 0)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5))).toSeq.sorted
+    assert(exp.nonEmpty)
+    assert(got === exp)
+    // nDocs must come from the O(1) stats slot, not a corpus job: the
+    // index's committed stats equal the corpus count the batch op needs
+    assert(idx.corpusStats._1 === docs.count())
+  }
 }
