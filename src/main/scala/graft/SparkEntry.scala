@@ -1307,6 +1307,31 @@ object SparkEntry {
       graft.operators.HybridSearch.rrf2(textArm, vecArm, k = 20)
     }),
 
+    // The PRODUCTION hybrid (r11 verdict #2): BOTH arms ride persisted
+    // indexes — BM25 over the inverted index (pruned posting scan + O(1)
+    // corpus stats) fused with the persisted IVF probe (nprobe of nlist
+    // frozen cells; candidates ∝ nprobe·cellBudget, independent of corpus
+    // growth). hybrid_search_rrf keeps the exact-scan vector arm as the
+    // declared recall baseline; THIS is the shape that survives 100 TB,
+    // because neither arm's cost is corpus-shaped at query time. The
+    // fusion itself is unchanged: two top-30 lists, a k×k full-outer
+    // join, rank-only scoring.
+    "hybrid_search_rrf_indexed" -> ((s, dir) => {
+      val textArm = graft.operators.HybridSearch.rankArm(
+        fullInvIndex(s, dir).bm25(Seq("dup", "vector"), 30),
+        col("score"), "r_text")
+      val emb = Tables.embeddings(s, dir)
+      val idx = IndexCache.getOrBuildVersioned(s, s"ivf-full|$dir", dir) {
+        val i = new graft.sources.IvfIndex(
+          s, Scratch.create(s, "graft-ivf-full"), nlist = 16)
+        i.bootstrap(emb)
+        i
+      }
+      val vecArm = idx.topK(emb, emb.filter(col("vec_id") === 0), 30, nprobe = 4)
+        .select(col("neighbor_id").as("doc_id"), col("rank").as("r_vec"))
+      graft.operators.HybridSearch.rrf2(textArm, vecArm, k = 20)
+    }),
+
     // Windowed co-occurrence + PMI (skip-gram statistics for embedding
     // training): pair generation is MAP-ONLY — each doc's token list
     // zip_with its own g-shifted self per gap, never a positions
@@ -5085,6 +5110,67 @@ object SparkEntry {
          |        c.vec_id) AS INT) AS r_vec
          |    FROM e c JOIN q ON q.vec_id != c.vec_id)
          |  WHERE r_vec <= 30),
+         |f AS (
+         |  SELECT coalesce(t.doc_id, v.doc_id) AS doc_id, t.r_text, v.r_vec,
+         |    round(coalesce(CAST(1.0 AS DOUBLE) / (60 + t.r_text), 0.0) +
+         |          coalesce(CAST(1.0 AS DOUBLE) / (60 + v.r_vec), 0.0), 6) AS rrf
+         |  FROM tarm t FULL OUTER JOIN varm v ON t.doc_id = v.doc_id)
+         |SELECT doc_id, r_text, r_vec, rrf FROM f
+         |ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin,
+
+    // the production hybrid: same BM25-arm replay, but the vector arm is
+    // the persisted IVF probe — full-corpus seeds (lowest-16 vec_ids),
+    // argmax-cosine assignment, nprobe=4 probe for query 0, top-30 of
+    // the probed cells' members — then the identical rank-only fusion
+    "hybrid_search_rrf_indexed" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, ${Oracles.tokens("lower(text)")} AS tk FROM documents),
+         |meta AS (
+         |  SELECT count(*) AS n, CAST(sum(length(tk)) AS DOUBLE) / count(*) AS avgdl
+         |  FROM tok),
+         |toks AS (
+         |  SELECT doc_id, length(tk) AS doc_len, unnest(tk) AS term FROM tok),
+         |tf AS (
+         |  SELECT doc_id, term, count(*) AS tf, any_value(doc_len) AS doc_len
+         |  FROM toks WHERE term IN ('dup', 'vector') GROUP BY 1, 2),
+         |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |tscored AS (
+         |  SELECT tf.doc_id,
+         |    sum(CAST(floor(ln(1.0 + (meta.n - dfreq.df + 0.5) / (dfreq.df + 0.5)) *
+         |        ((tf.tf * 2.2) /
+         |         (tf.tf + 1.2 * (0.25 + 0.75 * (tf.doc_len / meta.avgdl)))) *
+         |        1000000.0 + 0.5) AS BIGINT)) AS su
+         |  FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN meta
+         |  GROUP BY 1),
+         |ttop AS (SELECT doc_id, su FROM tscored ORDER BY su DESC, doc_id LIMIT 30),
+         |tarm AS (
+         |  SELECT doc_id, CAST(row_number() OVER (
+         |    ORDER BY round(su / 1000000.0, 4) DESC, doc_id) AS INT) AS r_text
+         |  FROM ttop),
+         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |seeds AS (SELECT vec_id AS cell_id, v AS cv FROM e ORDER BY vec_id LIMIT 16),
+         |cscored AS (
+         |  SELECT e.vec_id, e.v, s.cell_id, ${Oracles.cosine("e.v", "s.cv", 64)} AS cs
+         |  FROM e CROSS JOIN seeds s),
+         |assign AS (
+         |  SELECT vec_id, v, cell_id FROM (
+         |    SELECT vec_id, v, cell_id,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cell_id) AS rnk
+         |    FROM cscored) WHERE rnk = 1),
+         |probes AS (
+         |  SELECT vec_id AS query_id, v AS qv, cell_id FROM (
+         |    SELECT vec_id, v, cell_id,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cell_id) AS rnk
+         |    FROM cscored WHERE vec_id = 0) WHERE rnk <= 4),
+         |cand AS (
+         |  SELECT p.query_id, a.vec_id AS neighbor_id,
+         |    round(${Oracles.cosine("p.qv", "a.v", 64)}, 6) AS cosine
+         |  FROM assign a JOIN probes p ON a.cell_id = p.cell_id AND p.query_id != a.vec_id),
+         |varm AS (
+         |  SELECT neighbor_id AS doc_id, r_vec FROM (
+         |    SELECT neighbor_id, CAST(row_number() OVER (
+         |      ORDER BY cosine DESC, neighbor_id) AS INT) AS r_vec
+         |    FROM cand) WHERE r_vec <= 30),
          |f AS (
          |  SELECT coalesce(t.doc_id, v.doc_id) AS doc_id, t.r_text, v.r_vec,
          |    round(coalesce(CAST(1.0 AS DOUBLE) / (60 + t.r_text), 0.0) +
