@@ -609,6 +609,41 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // The composition's MAINTENANCE POLICY as a declared query (r11
+    // verdict #5, the ivf_reseed twin): drift guard + reseed cutover for
+    // the IVF-PQ index, where the rebuild retrains BOTH frozen
+    // structures — seeds AND codebooks — into a fresh root (reseedInto;
+    // the old lineage stays readable until cutover). The report itself
+    // is coarse-quantizer drift (best-seed cosine below floor), which is
+    // the shared degradation signal: the same shift that mis-assigns
+    // cells grows PQ residuals. Phases: the old index (bootstrapped
+    // without the delta family) vs the fresh lineage (re-seeded +
+    // re-trained on the combined corpus), one row each. The seeds-only
+    // arithmetic makes the oracle the ivf_reseed replay verbatim;
+    // codebook retraining is spec-pinned (IvfPqIndexSpec) and its
+    // recall recovery measured in the rehearsal.
+    "ivfpq_reseed" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val delta = emb.filter(col("vec_id") % 50 === 0)
+      val old = IndexCache.getOrBuildVersioned(s, s"ivfpq-rs-old|$dir", dir) {
+        val i = new graft.sources.IvfPqIndex(
+          s, Scratch.create(s, "graft-ivfpq-rs-old"), nlist = 16, m = 8, codes = 16)
+        i.bootstrap(emb.filter(col("vec_id") % 50 =!= 0))
+        i
+      }
+      val fresh = IndexCache.getOrBuildVersioned(s, s"ivfpq-rs-new|$dir", dir) {
+        old.reseedInto(Scratch.create(s, "graft-ivfpq-rs-new"), emb)
+      }
+      old.driftReport(delta, cosineFloor = 0.22, maxFracBelow = 0.25)
+        .select(lit("old").as("phase"), col("n_vectors"), col("n_below"),
+          col("frac_below"), col("reseed_recommended"))
+        .unionByName(
+          fresh.driftReport(delta, cosineFloor = 0.22, maxFracBelow = 0.25)
+            .select(lit("new").as("phase"), col("n_vectors"), col("n_below"),
+              col("frac_below"), col("reseed_recommended")))
+        .orderBy(col("phase"))
+    }),
+
     // ANN top-5 via 4x8-bit random-hyperplane LSH, exact re-rank of
     // candidates only.
     // IVF-style ANN: deterministic seed centroids, map-only argmax-cosine
@@ -3493,6 +3528,34 @@ object SparkEntry {
     * assignment is a pure function of the vector against the frozen
     * bootstrap seeds, so both ingest paths must produce this result.
     */
+  /** Shared replay for ivf_reseed and ivfpq_reseed: drift report over
+    * the old (bootstrap-only) seeds vs the re-seeded (full-corpus)
+    * seeds — the report never touches codes, so one SQL serves both
+    * index families.
+    */
+  private lazy val ivfReseedOracle: String = {
+    def report(seedCte: String, phase: String) =
+      s"""SELECT '$phase' AS phase, CAST(count(*) AS BIGINT) AS n_vectors,
+         |  CAST(sum(CASE WHEN best_cos < 0.22 THEN 1 ELSE 0 END) AS BIGINT) AS n_below,
+         |  round(CAST(sum(CASE WHEN best_cos < 0.22 THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / count(*), 6) + 0 AS frac_below,
+         |  CAST(sum(CASE WHEN best_cos < 0.22 THEN 1 ELSE 0 END) AS DOUBLE)
+         |    > 0.25 * count(*) AS reseed_recommended
+         |FROM (
+         |  SELECT d.vec_id, max(${Oracles.cosine("d.v", "s.cv", 64)}) AS best_cos
+         |  FROM d CROSS JOIN $seedCte s GROUP BY d.vec_id)""".stripMargin
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |oseeds AS (SELECT vec_id AS cell_id, v AS cv FROM e
+       |  WHERE vec_id % 50 != 0 ORDER BY vec_id LIMIT 16),
+       |nseeds AS (SELECT vec_id AS cell_id, v AS cv FROM e
+       |  ORDER BY vec_id LIMIT 16),
+       |d AS (SELECT vec_id, v FROM e WHERE vec_id % 50 = 0)
+       |${report("oseeds", "old")}
+       |UNION ALL
+       |${report("nseeds", "new")}
+       |ORDER BY phase""".stripMargin
+  }
+
   private lazy val ivfIndexedOracle: String =
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |seeds AS (SELECT vec_id AS cell_id, v AS cv FROM e
@@ -4449,28 +4512,13 @@ object SparkEntry {
     // best-cell cosine via the shared left-fold arithmetic (identical
     // doubles, so the `< floor` comparison matches bit-for-bit), integer
     // counts cast to BIGINT for the pandas-hash dtype gate
-    "ivf_reseed" -> {
-      def report(seedCte: String, phase: String) =
-        s"""SELECT '$phase' AS phase, CAST(count(*) AS BIGINT) AS n_vectors,
-           |  CAST(sum(CASE WHEN best_cos < 0.22 THEN 1 ELSE 0 END) AS BIGINT) AS n_below,
-           |  round(CAST(sum(CASE WHEN best_cos < 0.22 THEN 1 ELSE 0 END) AS DOUBLE)
-           |    / count(*), 6) + 0 AS frac_below,
-           |  CAST(sum(CASE WHEN best_cos < 0.22 THEN 1 ELSE 0 END) AS DOUBLE)
-           |    > 0.25 * count(*) AS reseed_recommended
-           |FROM (
-           |  SELECT d.vec_id, max(${Oracles.cosine("d.v", "s.cv", 64)}) AS best_cos
-           |  FROM d CROSS JOIN $seedCte s GROUP BY d.vec_id)""".stripMargin
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         |oseeds AS (SELECT vec_id AS cell_id, v AS cv FROM e
-         |  WHERE vec_id % 50 != 0 ORDER BY vec_id LIMIT 16),
-         |nseeds AS (SELECT vec_id AS cell_id, v AS cv FROM e
-         |  ORDER BY vec_id LIMIT 16),
-         |d AS (SELECT vec_id, v FROM e WHERE vec_id % 50 = 0)
-         |${report("oseeds", "old")}
-         |UNION ALL
-         |${report("nseeds", "new")}
-         |ORDER BY phase""".stripMargin
-    },
+    "ivf_reseed" -> ivfReseedOracle,
+
+    // the IVF-PQ reseed's REPORT is coarse-seed arithmetic only (same
+    // seed selection, same best-cosine fold), so the replay is identical
+    // — PQ codebook retraining has no footprint in this projection and
+    // is pinned by IvfPqIndexSpec + the rehearsal instead
+    "ivfpq_reseed" -> ivfReseedOracle,
 
     "ivf_drift" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

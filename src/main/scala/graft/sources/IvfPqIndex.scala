@@ -135,6 +135,56 @@ final class IvfPqIndex(spark: SparkSession, dir: String,
     spark.read.parquet((0L to g).map(genDir): _*)
   }
 
+  /** DRIFT GUARD — [[IvfIndex.driftReport]]'s policy ported to the
+    * composition (r11 verdict #5). Drift is a property of the COARSE
+    * quantizer: shifted vectors land far from every frozen seed, cells
+    * skew and probe recall decays — and because the PQ codebooks were
+    * trained on the same bootstrap distribution, the SAME shift degrades
+    * ADC scoring quality (residuals grow, quantization error with them),
+    * so one guard gates both frozen structures. Fraction of `delta`
+    * whose best-cell cosine falls below `cosineFloor`; one map-only pass
+    * + one aggregate, the append's own cost shape — cheap on every
+    * ingest. Policy: if `reseed_recommended`, REBUILD via [[reseedInto]]
+    * — retraining seeds AND codebooks into a fresh root — never mutate
+    * either in place.
+    */
+  def driftReport(delta: DataFrame, cosineFloor: Double,
+                  maxFracBelow: Double): DataFrame = {
+    val ss = seeds
+    delta
+      .select(greatest(scored(ss)(col("embedding")): _*)
+        .getField("cs").as("best_cos"))
+      .agg(count(lit(1)).as("n_vectors"),
+        sum(when(col("best_cos") < cosineFloor, 1L).otherwise(0L)).as("n_below"))
+      .select(col("n_vectors"), col("n_below"),
+        round(col("n_below").cast("double") / col("n_vectors"), 6).as("frac_below"),
+        (col("n_below").cast("double") >
+          lit(maxFracBelow) * col("n_vectors").cast("double"))
+          .as("reseed_recommended"))
+  }
+
+  /** The REBUILD half of [[driftReport]]'s policy: re-seed AND re-train
+    * a fresh index lineage at `newDir` from `corpus` (typically the
+    * committed corpus plus the drifted delta) — BOTH frozen structures
+    * are retrained, because codebooks fitted on the old distribution
+    * quantize the shifted mass as badly as the old seeds assign it.
+    * The fresh root commits atomically through its own bootstrap
+    * (generation 0 invisible until its watermark renames in); the OLD
+    * root is never touched — its generations remain readable as-of until
+    * the caller cuts over and retires it, the new-bookmark-context
+    * discipline. Cost is one bootstrap over `corpus` — the recompute the
+    * frozen-structure appends amortize away, paid only when the guard
+    * fires. `trainOn` bounds the codebook training corpus (the
+    * sample-bounded Lloyd rule).
+    */
+  def reseedInto(newDir: String, corpus: DataFrame, iters: Int = 2,
+                 trainOn: Option[DataFrame] = None,
+                 nlist: Int = this.nlist): IvfPqIndex = {
+    val fresh = new IvfPqIndex(spark, newDir, nlist, m, codes)
+    fresh.bootstrap(corpus, iters, trainOn)
+    fresh
+  }
+
   /** The (query_id, neighbor_id) candidate pairs a probe of `nprobe`
     * cells ADC-scores — the telemetry surface for the scale claim that
     * candidate volume ≈ nprobe·cellBudget per query, independent of

@@ -95,4 +95,40 @@ class IvfPqIndexSpec extends SparkSuite {
     assert(idx.committedGen === 0L)
     assert(idx.rowsDf.count() === n)
   }
+
+  test("reseedInto retrains seeds AND codebooks; the old root stays readable unchanged") {
+    val old = new IvfPqIndex(spark, TempDirs.create("ivfpq-rs-old"),
+      nlist = 16, m = 8, codes = 16)
+    old.bootstrap(oldVecs)
+    val oldRows = old.rowsDf.select(col("vec_id"), col("cell"), col("codes"))
+      .as[(Long, Long, Seq[Int])].collect().toSeq.sortBy(_._1)
+    val oldProbe = rows(old.topK(oldVecs, queries, 5, shortlist = 20, nprobe = 4))
+
+    val fresh = old.reseedInto(TempDirs.create("ivfpq-rs-new"), corpus)
+    // the fresh lineage IS a full retrain: identical by construction to a
+    // straight bootstrap over the combined corpus (deterministic seeds +
+    // deterministic Lloyd), which pins that codebooks were re-trained on
+    // the new distribution rather than copied from the old root
+    val ref = new IvfPqIndex(spark, TempDirs.create("ivfpq-rs-ref"),
+      nlist = 16, m = 8, codes = 16)
+    ref.bootstrap(corpus)
+    assert(fresh.committedGen === 0L)
+    assert(rows(fresh.topK(corpus, queries, 5, shortlist = 20, nprobe = 4)) ===
+      rows(ref.topK(corpus, queries, 5, shortlist = 20, nprobe = 4)))
+    // codebooks genuinely differ between the lineages (different training
+    // corpora), so the fresh index is not a re-labeled copy
+    val oldCodes = oldRows.map(r => r._1 -> r._3).toMap
+    val freshCodes = fresh.rowsDf.select(col("vec_id"), col("codes"))
+      .as[(Long, Seq[Int])].collect().toMap
+    assert(oldCodes.exists { case (id, c) => freshCodes.get(id).exists(_ != c) })
+
+    // as-of isolation: the old root is byte-identical and still answers
+    assert(old.rowsDf.select(col("vec_id"), col("cell"), col("codes"))
+      .as[(Long, Long, Seq[Int])].collect().toSeq.sortBy(_._1) === oldRows)
+    assert(rows(old.topK(oldVecs, queries, 5, shortlist = 20, nprobe = 4)) ===
+      oldProbe)
+    // and the drift report runs on both lineages (two phases, one row each)
+    assert(old.driftReport(delta, 0.22, 0.25).count() === 1L)
+    assert(fresh.driftReport(delta, 0.22, 0.25).count() === 1L)
+  }
 }
