@@ -512,7 +512,7 @@ object SparkEntry {
     "sim_pq_topk" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       Similarity.pqTopK(emb, emb.filter(col("vec_id") < 8),
-          k = 5, shortlist = 20)
+          k = 5, shortlist = 200, m = 8, codes = 256)
         .orderBy(col("query_id"), col("rank"))
     }),
 
@@ -530,12 +530,12 @@ object SparkEntry {
       val emb = Tables.embeddings(s, dir)
       val idx = IndexCache.getOrBuildVersioned(s, s"pq-idx|$dir", dir) {
         val i = new graft.sources.PqIndex(
-          s, Scratch.create(s, "graft-pq-idx"), m = 8, codes = 16)
+          s, Scratch.create(s, "graft-pq-idx"), m = 8, codes = 256)
         i.bootstrap(emb.filter(col("vec_id") % 50 =!= 0))
         i.append(emb.filter(col("vec_id") % 50 === 0))
         i
       }
-      idx.topK(emb, emb.filter(col("vec_id") < 8), k = 5, shortlist = 20)
+      idx.topK(emb, emb.filter(col("vec_id") < 8), k = 5, shortlist = 200)
         .orderBy(col("query_id"), col("rank"))
     }),
 
@@ -550,10 +550,10 @@ object SparkEntry {
       val emb = Tables.embeddings(s, dir)
       val train = emb.filter(Sampling.hashBucket(
         concat(lit("pqs:"), col("vec_id").cast("string")), 1000) < 500)
-      val books = Similarity.pqTrain(train, m = 8, codes = 16, iters = 2)
+      val books = Similarity.pqTrain(train, m = 8, codes = 256, iters = 2)
       Similarity.pqAdcTopK(
-          Similarity.pqEncode(emb, books, 8, 16), emb,
-          emb.filter(col("vec_id") < 8), books, 8, 16, k = 5, shortlist = 20)
+          Similarity.pqEncode(emb, books, 8, 256), emb,
+          emb.filter(col("vec_id") < 8), books, 8, 256, k = 5, shortlist = 200)
         .orderBy(col("query_id"), col("rank"))
     }),
 
@@ -563,19 +563,21 @@ object SparkEntry {
     // One persisted store of (vec_id, cell, codes) rows — the FAISS
     // posting layout as a table — with both structures frozen at
     // bootstrap; queries probe 4 of 16 cells and ADC-score members only,
-    // then exact-re-rank the shortlist. The oracle replays seeds,
+    // then exact-re-rank the shortlist. Operating point (r12): m=8,
+    // codes=256, shortlist=200, nprobe=8 — the measured recall-1.0 point
+    // (rehearsal recall rows; BASELINE.md r12). The oracle replays seeds,
     // codebook training, assignment, and ADC arithmetic end to end.
     "sim_ivfpq_topk" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val idx = IndexCache.getOrBuildVersioned(s, s"ivfpq-idx|$dir", dir) {
         val i = new graft.sources.IvfPqIndex(
-          s, Scratch.create(s, "graft-ivfpq-idx"), nlist = 16, m = 8, codes = 16)
+          s, Scratch.create(s, "graft-ivfpq-idx"), nlist = 16, m = 8, codes = 256)
         i.bootstrap(emb.filter(col("vec_id") % 50 =!= 0))
         i.append(emb.filter(col("vec_id") % 50 === 0))
         i
       }
       idx.topK(emb, emb.filter(col("vec_id") < 8),
-          k = 5, shortlist = 20, nprobe = 4)
+          k = 5, shortlist = 200, nprobe = 8)
         .orderBy(col("query_id"), col("rank"))
     }),
 
@@ -592,7 +594,7 @@ object SparkEntry {
       import org.apache.spark.sql.{Dataset, Row}
       val emb = Tables.embeddings(s, dir)
       val idx = new graft.sources.IvfPqIndex(
-        s, Scratch.create(s, "graft-ivfpq-stream"), nlist = 16, m = 8, codes = 16)
+        s, Scratch.create(s, "graft-ivfpq-stream"), nlist = 16, m = 8, codes = 256)
       idx.bootstrap(emb.filter(col("vec_id") % 50 =!= 0))
       val q = graft.streaming.Streaming.embeddings(s, dir)
         .filter(col("vec_id") % 50 === 0)
@@ -605,7 +607,7 @@ object SparkEntry {
         .start()
       q.awaitTermination()
       idx.topK(emb, emb.filter(col("vec_id") < 8),
-          k = 5, shortlist = 20, nprobe = 4)
+          k = 5, shortlist = 200, nprobe = 8)
         .orderBy(col("query_id"), col("rank"))
     }),
 
@@ -627,7 +629,7 @@ object SparkEntry {
       val delta = emb.filter(col("vec_id") % 50 === 0)
       val old = IndexCache.getOrBuildVersioned(s, s"ivfpq-rs-old|$dir", dir) {
         val i = new graft.sources.IvfPqIndex(
-          s, Scratch.create(s, "graft-ivfpq-rs-old"), nlist = 16, m = 8, codes = 16)
+          s, Scratch.create(s, "graft-ivfpq-rs-old"), nlist = 16, m = 8, codes = 256)
         i.bootstrap(emb.filter(col("vec_id") % 50 =!= 0))
         i
       }
@@ -4184,31 +4186,31 @@ object SparkEntry {
          |ORDER BY vec_id""".stripMargin,
 
     "sim_pq_topk" ->
-      s"""WITH ${pqCtes(m = 8, codes = 16, shortlist = 20)}
+      s"""WITH ${pqCtes(m = 8, codes = 256, shortlist = 200)}
          |SELECT query_id, rank, neighbor_id, cosine
          |FROM rer WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
     // trains on the bootstrap slice, encodes the whole corpus — the
     // frozen-codebook purity invariant sim_pq_indexed pins
     "sim_pq_indexed" ->
-      s"""WITH ${pqCtes(m = 8, codes = 16, shortlist = 20,
+      s"""WITH ${pqCtes(m = 8, codes = 256, shortlist = 200,
              trainWhere = "WHERE vec_id % 50 != 0")}
          |SELECT query_id, rank, neighbor_id, cosine
          |FROM rer WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
-    "sim_ivfpq_topk" -> ivfPqOracle(nlist = 16, nprobe = 4, m = 8,
-      codes = 16, shortlist = 20, k = 5),
+    "sim_ivfpq_topk" -> ivfPqOracle(nlist = 16, nprobe = 8, m = 8,
+      codes = 256, shortlist = 200, k = 5),
 
     // streamed appendBatch ≡ batch append: assignment and ADC codes are
     // pure functions of the vector against the frozen seeds/codebooks,
     // so the oracle is the identical end-to-end replay
-    "stream_ivfpq_ingest" -> ivfPqOracle(nlist = 16, nprobe = 4, m = 8,
-      codes = 16, shortlist = 20, k = 5),
+    "stream_ivfpq_ingest" -> ivfPqOracle(nlist = 16, nprobe = 8, m = 8,
+      codes = 256, shortlist = 200, k = 5),
 
     // the training corpus is the hash-sampled half; encoding and scoring
     // cover the whole corpus — the sample derivation itself is replayed
     "sim_pq_sampled" ->
-      s"""WITH ${pqCtes(m = 8, codes = 16, shortlist = 20,
+      s"""WITH ${pqCtes(m = 8, codes = 256, shortlist = 200,
              trainWhere = "WHERE " + Oracles.sampleBucket(
                "'pqs:' || CAST(vec_id AS VARCHAR)", 1000) + " < 500")}
          |SELECT query_id, rank, neighbor_id, cosine

@@ -278,3 +278,138 @@ object HyperplaneBuckets {
     new GenericArrayData(out)
   }
 }
+
+/** PQ assignment of a float-array vector: element s of the result is the
+  * argmin over trained codewords c of
+  * `‖w(s,c)‖² - 2·dot(sub_s, w(s,c))` (the L2 argmin with the
+  * row-constant ‖sub‖² dropped), ties to the LOWEST c — exactly the
+  * struct-least semantics of the composed formulation this replaces, and
+  * exactly the `ORDER BY dist, c` the DuckDB oracle replays. Both dot
+  * and the driver-precomputed `cc` are strict left-folds in double over
+  * float operands, so every distance is bit-identical to the oracle's.
+  *
+  * The codebook rides as ONE reference object (flattened float array +
+  * presence mask + codeword norms) instead of m·codes `typedlit`
+  * expression nodes: at codes=256 the composed `least()` tree was a
+  * ~2,000-node expression whose optimized plan shipped 16 MB task
+  * binaries and spent tens of seconds in Catalyst/codegen PER QUERY —
+  * plan size was the bottleneck, not arithmetic (r12; the r11 plan at
+  * codes=16 merely hid it). Here codegen emits one fused loop and the
+  * codebook serializes once (m·codes·subDim floats ≈ 64 KB at the
+  * declared operating point).
+  */
+case class PqAssign(child: Expression, books: Seq[Float], present: Seq[Boolean],
+                    cc: Seq[Double], m: Int, codes: Int, subDim: Int)
+  extends UnaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  @transient lazy val booksArr: Array[Float] = books.toArray
+  @transient lazy val presentArr: Array[Boolean] = present.toArray
+  @transient lazy val ccArr: Array[Double] = cc.toArray
+
+  override def nullSafeEval(input: Any): Any =
+    PqAssign.compute(input.asInstanceOf[ArrayData], booksArr, presentArr,
+      ccArr, m, codes, subDim)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("pqAssign", this, classOf[PqAssign].getName)
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.PqAssign.compute($c, $self.booksArr(), " +
+        s"$self.presentArr(), $self.ccArr(), $m, $codes, $subDim)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqAssign =
+    copy(child = newChild)
+  override def prettyName: String = "pq_assign"
+}
+
+object PqAssign {
+  def compute(arr: ArrayData, books: Array[Float], present: Array[Boolean],
+              cc: Array[Double], m: Int, codes: Int, subDim: Int): ArrayData = {
+    val out = new Array[Int](m)
+    var s = 0
+    while (s < m) {
+      var best = 0.0
+      var bestC = 0
+      var first = true
+      var c = 0
+      while (c < codes) {
+        if (present(s * codes + c)) {
+          var dot = 0.0
+          var i = 0
+          val base = (s * codes + c) * subDim
+          while (i < subDim) {
+            dot += arr.getFloat(s * subDim + i).toDouble * books(base + i).toDouble
+            i += 1
+          }
+          val d = cc(s * codes + c) - 2.0 * dot
+          // strict < keeps the lowest code on exact ties — the struct
+          // (dist, code) lexicographic-least / ORDER BY dist, c rule
+          if (first || d < best) { best = d; bestC = c; first = false }
+        }
+        c += 1
+      }
+      out(s) = bestC
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** The per-query ADC lookup table as one codegen'd pass: element
+  * s·codes + c is `dot(sub_s, w(s,c))` (strict left-fold double over
+  * float operands — [[DotProduct]]'s fold), 0.0 for codewords a tiny
+  * corpus never trained (they are never assigned either). Replaces the
+  * m·codes-node `array(dotProduct(...typedlit...))` tree for the same
+  * plan-size reason as [[PqAssign]].
+  */
+case class PqQtab(child: Expression, books: Seq[Float], present: Seq[Boolean],
+                  m: Int, codes: Int, subDim: Int)
+  extends UnaryExpression {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  @transient lazy val booksArr: Array[Float] = books.toArray
+  @transient lazy val presentArr: Array[Boolean] = present.toArray
+
+  override def nullSafeEval(input: Any): Any =
+    PqQtab.compute(input.asInstanceOf[ArrayData], booksArr, presentArr,
+      m, codes, subDim)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("pqQtab", this, classOf[PqQtab].getName)
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.PqQtab.compute($c, $self.booksArr(), " +
+        s"$self.presentArr(), $m, $codes, $subDim)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqQtab =
+    copy(child = newChild)
+  override def prettyName: String = "pq_qtab"
+}
+
+object PqQtab {
+  def compute(arr: ArrayData, books: Array[Float], present: Array[Boolean],
+              m: Int, codes: Int, subDim: Int): ArrayData = {
+    val out = new Array[Double](m * codes)
+    var s = 0
+    while (s < m) {
+      var c = 0
+      while (c < codes) {
+        val idx = s * codes + c
+        if (present(idx)) {
+          var dot = 0.0
+          var i = 0
+          val base = idx * subDim
+          while (i < subDim) {
+            dot += arr.getFloat(s * subDim + i).toDouble * books(base + i).toDouble
+            i += 1
+          }
+          out(idx) = dot
+        }
+        c += 1
+      }
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+}

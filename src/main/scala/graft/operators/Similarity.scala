@@ -595,41 +595,44 @@ object Similarity {
     books
   }
 
-  /** The argmin-L2 struct of subspace `s`: least over the codewords of
-    * (cc - 2*dot(sub, c), code) — struct ordering gives the
-    * distance-then-code tie-break any SQL engine replays. Field access
-    * goes through a projected alias (the [[KMeans.assignFull]] pattern).
+  /** Flatten a codebook map into the reference-object form the codegen'd
+    * PQ kernels carry: (floats, presence mask, per-codeword ‖w‖²). A
+    * corpus smaller than `codes` trains fewer codewords (one per seed
+    * vector); absent entries are masked, so tiny/adversarial inputs
+    * degrade instead of throwing. `cc` is the same driver-side strict
+    * left-fold (`Σ w²` in double over float operands) the old composed
+    * plan inlined as a literal — bit-identical distances.
     */
-  private def pqArgminStruct(books: Map[(Int, Int), Seq[Float]], s: Int,
-                             subDim: Int, codes: Int): Column = {
-    val sub = slice(col("embedding"), s * subDim + 1, subDim)
-    // a corpus smaller than `codes` trains fewer codewords (one per seed
-    // vector) — iterate the codes that exist, so tiny/adversarial inputs
-    // degrade instead of throwing
-    val have = (0 until codes).filter(c => books.contains((s, c)))
-    val structs = have.map { c =>
-      val cw = books((s, c))
-      val cc = cw.map(x => x.toDouble * x.toDouble).sum
-      struct((lit(cc) - lit(2.0) * dotProduct(sub, typedlit(cw))).as("d"),
-        lit(c).as("code"))
+  private def flatBooks(books: Map[(Int, Int), Seq[Float]], m: Int,
+                        codes: Int, subDim: Int)
+  : (Seq[Float], Seq[Boolean], Seq[Double]) = {
+    val flat = new Array[Float](m * codes * subDim)
+    val present = new Array[Boolean](m * codes)
+    val cc = new Array[Double](m * codes)
+    for (s <- 0 until m; c <- 0 until codes; w <- books.get((s, c))) {
+      present(s * codes + c) = true
+      cc(s * codes + c) = w.map(x => x.toDouble * x.toDouble).sum
+      w.copyToArray(flat, (s * codes + c) * subDim)
     }
-    structs match {
-      case Seq() => struct(lit(0.0).as("d"), lit(0).as("code")) // empty corpus: plan must still build
-      case Seq(one) => one // least() needs >= 2 args
-      case many => least(many: _*)
-    }
+    (flat.toSeq, present.toSeq, cc.toSeq)
   }
 
-  /** `df` plus a `codes` array column of the m per-subspace argmins,
-    * evaluated in one map-only projection; keeps all input columns.
+  /** `df` plus a `codes` array column of the m per-subspace argmin-L2
+    * codes, evaluated by the codegen'd [[graft.functions.PqAssign]]
+    * kernel in one map-only projection; keeps all input columns. The
+    * kernel's loop replays the old struct-least tree bit for bit (same
+    * folds, same dist-then-lowest-code tie-break) while keeping the plan
+    * O(1) in `codes` — the composed `least()` tree at codes=256 was a
+    * ~2,000-node expression that shipped 16 MB task binaries (r12).
     */
   private[graft] def withPqCodes(df: DataFrame, books: Map[(Int, Int), Seq[Float]],
-                                 m: Int, subDim: Int, codes: Int): DataFrame =
-    df.select(col("*") +: (0 until m).map(s =>
-        pqArgminStruct(books, s, subDim, codes).as(s"_p$s")): _*)
-      .select(col("*"),
-        array((0 until m).map(s => col(s"_p$s.code")): _*).as("codes"))
-      .drop((0 until m).map(s => s"_p$s"): _*)
+                                 m: Int, subDim: Int, codes: Int): DataFrame = {
+    val (flat, present, cc) = flatBooks(books, m, codes, subDim)
+    df.withColumn("codes", org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.functions.PqAssign(
+        org.apache.spark.sql.graftbridge.Bridge.expression(col("embedding")),
+        flat, present, cc, m, codes, subDim)))
+  }
 
   /** Encode: each vector as its m argmin codes — map-only, the stored
     * representation is m smallints per vector (32x smaller than Dim
@@ -692,12 +695,11 @@ object Similarity {
                             m: Int, codes: Int,
                             emb: Column = col("embedding")): Column = {
     val subDim = Dim / m
-    array((0 until m).flatMap { s =>
-      val sub = slice(emb, s * subDim + 1, subDim)
-      (0 until codes).map(c =>
-        books.get((s, c)).map(w => dotProduct(sub, typedlit(w)))
-          .getOrElse(lit(0.0)))
-    }: _*)
+    val (flat, present, _) = flatBooks(books, m, codes, subDim)
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.functions.PqQtab(
+        org.apache.spark.sql.graftbridge.Bridge.expression(emb),
+        flat, present, m, codes, subDim))
   }
 
   /** dot(q, x̂) as m qtab lookups added in subspace order (left-assoc,
