@@ -811,11 +811,13 @@ object ScaleRehearsal {
       // and volume rehearsals measure candidates, not QUALITY. Recall
       // here = |ANN top-k ∩ exact top-k| / k averaged over the 8 probe
       // queries, ground truth the exact scan, at 1x and 10x, sweeping
-      // nprobe 1/4/8 and shortlist 20/100/200 (the r11 point, the
-      // knee, and the declared r12 point). The declared operating point
-      // (codes=256, nprobe=8, shortlist=200) carries the recall floor
-      // recorded in BASELINE.md — the 20-shortlist rows document why the
-      // r11 point was retired (recall ~0.45).
+      // nprobe 1/4/8/16 and shortlist 20/100/200/400 (the r11 point,
+      // the knee, the declared r12 point, and the buy-back point). The
+      // declared operating point (codes=256, nprobe=8, shortlist=200)
+      // carries the recall floor recorded in BASELINE.md — the
+      // 20-shortlist rows document why the r11 point was retired
+      // (recall ~0.45), the 400 rows where a 10x corpus's quantization
+      // loss is bought back at query-side-only cost.
       def emitRecall(family: String, k: Int, n: Long,
                      recall: Double, sec: Double): Unit =
         println(s"""{"family":"$family","factor":$f,"n":$n,"k":$k,""" +
@@ -831,12 +833,12 @@ object ScaleRehearsal {
         per.sum / per.size
       }
       val exactBase = topkSets(Similarity.bruteForceTopK(emb, pqQueries, recallK))
-      for (sl <- Seq(20, 100, 200)) {
+      for (sl <- Seq(20, 100, 200, 400)) {
         val (r, t) = timed {
           recallVs(exactBase, topkSets(pqIdx.topK(emb, pqQueries, recallK, sl))) }
         emitRecall(s"recall_pq_s$sl", recallK, ne, r, t)
       }
-      for (np <- Seq(1, 4, 8); sl <- Seq(20, 100, 200)) {
+      for (np <- Seq(1, 4, 8, 16); sl <- Seq(20, 100, 200, 400)) {
         val npc = math.min(np, ivfpqNlist)
         val (r, t) = timed {
           recallVs(exactBase,
