@@ -321,5 +321,19 @@ class InvertedIndexSpec extends SparkSuite {
     // nDocs must come from the O(1) stats slot, not a corpus job: the
     // index's committed stats equal the corpus count the batch op needs
     assert(idx.corpusStats._1 === docs.count())
+
+    // plan pin: the df side reads ONLY `term` from the postings (the
+    // positions/tf columns are pruned from the scan) — the property that
+    // keeps the per-ingest df lookup posting-length-shaped at 100 TB
+    val df2 = idx.tfIdfTopTermsDelta(delta, 3)
+    df2.collect()
+    val scans = collectRec(df2.queryExecution.executedPlan) {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec
+        if s.tableIdentifier.exists(_.table.startsWith("graft_inv_idx")) ||
+          s.metadata.get("Location").exists(_.contains("graft-inv")) => s
+    }
+    assert(scans.nonEmpty)
+    scans.foreach(s => assert(s.requiredSchema.fieldNames.toSet === Set("term"),
+      s"posting scan must prune to term-only, got ${s.requiredSchema}"))
   }
 }
