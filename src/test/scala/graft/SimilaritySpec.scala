@@ -372,4 +372,29 @@ class SimilaritySpec extends SparkSuite {
     val plan = result.queryExecution.executedPlan.toString
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"))
   }
+
+  test("PQ recall tripwire: the declared operating point clears 0.9 at fixture scale") {
+    // the r12 lesson made permanent: the oracle replays declared
+    // arithmetic, so a silently degraded codebook (weaker training, a
+    // broken kernel fold, a cheaper default) passes every correctness
+    // gate while ANN quality collapses — recall 0.45 shipped for two
+    // rounds that way. This pins result QUALITY, not arithmetic: recall@5
+    // of the declared point (m=8, codes=256, iters=2, shortlist=200) vs
+    // the exact scan must clear 0.9 on the fixture corpus. The full
+    // sweep (1x/10x, nprobe x shortlist) lives in ScaleRehearsal; this is
+    // the cheap always-on regression trip.
+    val k = 5
+    val q8 = corpus.filter(col("vec_id") < 8)
+    def sets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.select(col("query_id"), col("neighbor_id"))
+        .as[(Long, Long)].collect().groupBy(_._1)
+        .map { case (q, rs) => q -> rs.map(_._2).toSet }
+    val exact = sets(Similarity.bruteForceTopK(corpus, q8, k))
+    val ann = sets(Similarity.pqTopK(corpus, q8, k, shortlist = 200,
+      m = 8, codes = 256, iters = 2))
+    val recall = exact.map { case (q, ex) =>
+      ann.getOrElse(q, Set.empty[Long]).count(ex).toDouble / ex.size
+    }.sum / exact.size
+    assert(recall >= 0.9, s"PQ recall@5 degraded to $recall at the declared point")
+  }
 }
