@@ -40,8 +40,14 @@ import org.apache.spark.sql.SparkSession
   */
 object IndexCache {
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   private val cache = new ConcurrentHashMap[String, AnyRef]()
   private val watched = ConcurrentHashMap.newKeySet[String]()
+  // one warning per JVM when the content-tail signal degrades (r12 advice):
+  // a silent 0 would drop exactly the in-place-overwrite detection the
+  // tail read exists to provide, with no trace in the logs
+  private val warnedTailDegrade = new java.util.concurrent.atomic.AtomicBoolean(false)
 
   /** The handle for `key` bound to the CURRENT contents of `dataDir`:
     * folds a version fingerprint of the directory (recursive file
@@ -97,7 +103,12 @@ object IndexCache {
 
   /** FNV-1a over the last <=64 bytes of `f`; 0 on any read failure (a
     * file vanishing mid-listing degrades to the metadata-only signal
-    * rather than failing the cache lookup).
+    * rather than failing the cache lookup — logged ONCE per JVM, because
+    * a silently degraded fingerprint is exactly the stale-artifact class
+    * the tail read closes). On object stores with many files the extra
+    * open+seek per lookup is a real round-trip cost; there the right
+    * trade is a coarser listing-only fingerprint plus explicit version
+    * bumps — this local/HDFS-shaped default keeps the content signal.
     */
   private def tailHash(fs: org.apache.hadoop.fs.FileSystem,
                        f: org.apache.hadoop.fs.LocatedFileStatus): Long = {
@@ -114,7 +125,14 @@ object IndexCache {
         while (i < n) { acc = (acc ^ (buf(i) & 0xffL)) * 0x100000001b3L; i += 1 }
         acc
       } finally in.close()
-    } catch { case _: java.io.IOException => 0L }
+    } catch {
+      case e: java.io.IOException =>
+        if (warnedTailDegrade.compareAndSet(false, true))
+          log.warn("content-tail fingerprint degraded to metadata-only for {} " +
+            "({}); stale-overwrite detection is weakened for unreadable files",
+            f.getPath: Any, e.toString: Any)
+        0L
+    }
   }
 
   /** The handle for `key`, building it on first use in this session. */

@@ -502,9 +502,11 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
-    // Product-quantization ANN: 8 subspaces x 16 codewords trained by
-    // the deterministic Lloyd discipline (seeds = first-16 slices, one
-    // mean update), corpus stored as 8 codes/vector (32x narrower than
+    // Product-quantization ANN: 8 subspaces x 256 codewords trained by
+    // the deterministic Lloyd discipline (seeds = first-256 slices, two
+    // argmin rounds) — the r12 declared operating point (m=8, codes=256,
+    // shortlist=200; measured recall 1.0 at 1x, BASELINE.md r12) —
+    // corpus stored as 8 codes/vector (32x narrower than
     // the float embedding — at 100 TB the linear ANN pass is scan-bound,
     // so representation width IS the cost), scored as the EXACT cosine
     // of the reconstruction, shortlisted, exact-re-ranked. The oracle
@@ -562,7 +564,7 @@ object SparkEntry {
     // PQ codes bound the per-candidate COST (ADC: m lookups per pair).
     // One persisted store of (vec_id, cell, codes) rows — the FAISS
     // posting layout as a table — with both structures frozen at
-    // bootstrap; queries probe 4 of 16 cells and ADC-score members only,
+    // bootstrap; queries probe 8 of 16 cells and ADC-score members only,
     // then exact-re-rank the shortlist. Operating point (r12): m=8,
     // codes=256, shortlist=200, nprobe=8 — the measured recall-1.0 point
     // (rehearsal recall rows; BASELINE.md r12). The oracle replays seeds,
@@ -1219,15 +1221,17 @@ object SparkEntry {
         st
       }
       val outDir = graft.TempDirs.create("graft-lm-gate-out")
+      val ckpt = graft.TempDirs.create("graft-lm-gate-ckpt")
       val q = graft.streaming.Streaming.documents(s, dir)
         .filter(col("doc_id") % 50 === 0).select(col("doc_id"), col("text"))
         .writeStream
         .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
           graft.streaming.StreamSink.exactlyOnceParquet(outDir,
-            store.scoreDelta(batch.toDF()).filter(col("ppl") <= 31.0), batchId)
+            store.scoreDelta(batch.toDF()).filter(col("ppl") <= 31.0), batchId,
+            lineage = ckpt)
         }
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .option("checkpointLocation", graft.TempDirs.create("graft-lm-gate-ckpt"))
+        .option("checkpointLocation", ckpt)
         .start()
       q.awaitTermination()
       graft.streaming.StreamSink.committedParquet(s, outDir).orderBy(col("doc_id"))
@@ -1381,10 +1385,15 @@ object SparkEntry {
         .orderBy(col("term_a"), col("term_b"))),
 
     // Top TF-IDF terms per document: map-side-combined (doc, term)
-    // counts, broadcast vocabulary join, per-doc top-k window.
+    // counts, broadcast vocabulary join, per-doc top-k window. nDocs
+    // comes from the persisted index's O(1) committed stats slot (the
+    // same value a corpus count would produce — the index bootstraps
+    // from this exact table), not a per-run count(): at 100 TB a ranked
+    // query never scans the corpus just to learn its size (r12 verdict
+    // #7 — this was the last corpus-count-per-run in a declared query).
     "tfidf_terms" -> ((s, dir) => {
       val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
-      TextAnalysis.tfIdfTopTerms(docs, docs.count(), 3)
+      TextAnalysis.tfIdfTopTerms(docs, fullInvIndex(s, dir).corpusStats._1, 3)
         .orderBy(col("doc_id"), col("rank"))
     }),
 

@@ -443,6 +443,14 @@ final class InvertedIndex(spark: SparkSession, dir: String) {
     * doc_ids, because the index's postings derive from the same token
     * kernel. Per-ingest cost: delta tokens + the delta terms' posting
     * lengths — never corpus-shaped.
+    *
+    * PRECONDITION (r12 advice): callers normally score a delta AFTER
+    * appending it, so every delta term has a posting (its own occurrence
+    * at minimum) and df >= 1 from the index. A term the index has never
+    * seen does NOT silently vanish from the ranking: it scores with
+    * df = 1 — "itself only", exactly the value its posting would carry
+    * once ingested — so scoring before the append degrades gracefully to
+    * self-counting df instead of quietly dropping the term.
     */
   def tfIdfTopTermsDelta(delta: DataFrame, k: Int,
                          text: org.apache.spark.sql.Column = col("text")): DataFrame = {
@@ -456,7 +464,10 @@ final class InvertedIndex(spark: SparkSession, dir: String) {
     val dfreq = postingsDf.select(col("term"))
       .join(broadcast(terms), Seq("term"))
       .groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val scored = tf.join(broadcast(dfreq), Seq("term"))
+    // left join + df fallback 1: an un-ingested delta term self-counts
+    // (see precondition scaladoc) instead of dropping out of the top-k
+    val scored = tf.join(broadcast(dfreq), Seq("term"), "left")
+      .withColumn("df", coalesce(col("df"), lit(1L)))
       .withColumn("tfidf",
         round(col("tf") * log(lit(nDocs.toDouble) / col("df")), 4))
     val w = org.apache.spark.sql.expressions.Window

@@ -92,13 +92,50 @@ object StreamSink {
     * redelivered write replaces it). A plain `mode("append")` parquet
     * sink, by contrast, DUPLICATES every redelivered row (r11 verdict
     * #3: `stream_lm_gate` shipped exactly that).
+    *
+    * `lineage` names the CHECKPOINT LIFETIME feeding this sink (use the
+    * checkpoint location; stable across restarts of the same query, new
+    * for a fresh checkpoint). It is stamped next to the watermark and
+    * re-validated on every delivery — the [[graft.sources.StoreParams]]
+    * FAISS-header rule for a sink (r12 advice): batchIds are only
+    * monotonic WITHIN one checkpoint lineage, so an outDir that outlives
+    * its checkpoint would otherwise treat every new batch below the old
+    * watermark (fresh checkpoints restart at 0) as a redelivery and
+    * silently DROP it. A mismatch refuses loudly; deliver a new lineage
+    * into a fresh outDir instead. Wiping a checkpoint directory in place
+    * and reusing its path breaks the contract — the path no longer names
+    * one lifetime.
     */
-  def exactlyOnceParquet(outDir: String, batch: DataFrame, batchId: Long): Unit = {
+  def exactlyOnceParquet(outDir: String, batch: DataFrame, batchId: Long,
+                         lineage: String): Unit = {
+    require(lineage.nonEmpty, "lineage must name the checkpoint lifetime")
     val store = new graft.sources.BookmarkStore(outDir)
+    val h = lineageHash(lineage)
+    // foreach, not get: pre-stamp artifacts stay writable and are stamped
+    // on their next commit (the StoreParams validation discipline)
+    store.get("lineage", ParquetSinkCtx).foreach { prev =>
+      require(prev == h,
+        s"parquet sink at $outDir was written by a different checkpoint " +
+          s"lineage (stamp $prev, caller ${h}); its batch-id watermark is " +
+          "meaningless for a new checkpoint — new batches below it would be " +
+          "silently dropped as redeliveries. Deliver into a fresh outDir.")
+    }
     if (!store.get("last_batch", ParquetSinkCtx).exists(_ >= batchId)) {
       batch.write.mode("overwrite").parquet(s"$outDir/batch-$batchId")
-      store.commit("last_batch", ParquetSinkCtx, batchId)
+      store.commitAll(ParquetSinkCtx,
+        Map("last_batch" -> batchId, "lineage" -> h))
     }
+  }
+
+  /** 64-bit FNV-1a of the lineage string — [[graft.sources.BookmarkStore]]
+    * slots hold longs, so the identity is stamped as a hash; a collision
+    * only weakens the refuse-on-mismatch guard, never correctness.
+    */
+  private def lineageHash(s: String): Long = {
+    var acc = 0xcbf29ce484222325L
+    var i = 0
+    while (i < s.length) { acc = (acc ^ (s.charAt(i) & 0xffffL)) * 0x100000001b3L; i += 1 }
+    acc
   }
 
   /** Every COMMITTED batch of an [[exactlyOnceParquet]] sink — reads only

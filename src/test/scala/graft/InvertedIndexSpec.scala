@@ -335,5 +335,17 @@ class InvertedIndexSpec extends SparkSuite {
     assert(scans.nonEmpty)
     scans.foreach(s => assert(s.requiredSchema.fieldNames.toSet === Set("term"),
       s"posting scan must prune to term-only, got ${s.requiredSchema}"))
+
+    // graceful pre-append scoring (r12 advice): a delta term the index
+    // has NEVER seen must not silently vanish from the ranking — it
+    // self-counts with df = 1, the value its own posting would carry
+    import spark.implicits._
+    val novel = Seq((999999L, "zzznovelterm zzznovelterm plainword"))
+      .toDF("doc_id", "text")
+    val pre = idx.tfIdfTopTermsDelta(novel, 3)
+      .filter(col("term") === "zzznovelterm")
+      .select(col("tf"), col("df")).as[(Long, Long)].collect().toSeq
+    assert(pre === Seq((2L, 1L)),
+      s"un-ingested term must score with df=1 (self-count), got $pre")
   }
 }

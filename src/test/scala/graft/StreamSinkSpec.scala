@@ -87,9 +87,10 @@ class StreamSinkSpec extends SparkSuite {
 
   test("exactlyOnceParquet: forced double delivery is a no-op; crashed batch is invisible then overwritten") {
     val out = TempDirs.create("eop-sink")
+    val ckpt = "ckpt-lineage-A"
     val b0 = Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text")
-    StreamSink.exactlyOnceParquet(out, b0, 0L)
-    StreamSink.exactlyOnceParquet(out, Seq((3L, "c")).toDF("doc_id", "text"), 1L)
+    StreamSink.exactlyOnceParquet(out, b0, 0L, ckpt)
+    StreamSink.exactlyOnceParquet(out, Seq((3L, "c")).toDF("doc_id", "text"), 1L, ckpt)
     val first = StreamSink.committedParquet(spark, out)
       .as[(Long, String)].collect().toSet
     assert(first === Set((1L, "a"), (2L, "b"), (3L, "c")))
@@ -97,8 +98,8 @@ class StreamSinkSpec extends SparkSuite {
     // forced REDELIVERY of both batches — with different (corrupt) data,
     // so an accidental overwrite would be visible: output must be
     // byte-identical because the watermark makes redelivery a no-op
-    StreamSink.exactlyOnceParquet(out, Seq((99L, "X")).toDF("doc_id", "text"), 0L)
-    StreamSink.exactlyOnceParquet(out, Seq((98L, "Y")).toDF("doc_id", "text"), 1L)
+    StreamSink.exactlyOnceParquet(out, Seq((99L, "X")).toDF("doc_id", "text"), 0L, ckpt)
+    StreamSink.exactlyOnceParquet(out, Seq((98L, "Y")).toDF("doc_id", "text"), 1L, ckpt)
     val second = StreamSink.committedParquet(spark, out)
       .as[(Long, String)].collect().toSet
     assert(second === first, "re-delivered batches must not change output")
@@ -110,8 +111,28 @@ class StreamSinkSpec extends SparkSuite {
       .write.mode("overwrite").parquet(s"$out/batch-2")
     assert(StreamSink.committedParquet(spark, out)
       .as[(Long, String)].collect().toSet === first)
-    StreamSink.exactlyOnceParquet(out, Seq((4L, "d")).toDF("doc_id", "text"), 2L)
+    StreamSink.exactlyOnceParquet(out, Seq((4L, "d")).toDF("doc_id", "text"), 2L, ckpt)
     assert(StreamSink.committedParquet(spark, out)
       .as[(Long, String)].collect().toSet === first + ((4L, "d")))
+  }
+
+  test("exactlyOnceParquet refuses a new checkpoint lineage on an old outDir") {
+    // r12 advice (medium): a fresh checkpoint restarts batchIds at 0, so
+    // an outDir that outlives its checkpoint would treat every new batch
+    // below the stale watermark as a redelivery and silently DROP it —
+    // the sink must refuse loudly instead of losing data
+    val out = TempDirs.create("eop-lineage")
+    StreamSink.exactlyOnceParquet(out,
+      Seq((1L, "a")).toDF("doc_id", "text"), 5L, "ckpt-old")
+    val ex = intercept[IllegalArgumentException] {
+      StreamSink.exactlyOnceParquet(out,
+        Seq((2L, "b")).toDF("doc_id", "text"), 0L, "ckpt-NEW")
+    }
+    assert(ex.getMessage.contains("lineage"))
+    // the original lineage keeps delivering normally after the refusal
+    StreamSink.exactlyOnceParquet(out,
+      Seq((3L, "c")).toDF("doc_id", "text"), 6L, "ckpt-old")
+    assert(StreamSink.committedParquet(spark, out)
+      .as[(Long, String)].collect().toSet === Set((1L, "a"), (3L, "c")))
   }
 }
