@@ -46,6 +46,17 @@ final class IvfPqIndex(spark: SparkSession, dir: String,
   /** Highest committed generation; -1 = empty index. */
   def committedGen: Long = store.get("encode", ctx).getOrElse(-1L)
 
+  /** The fit-time hyperparameters STAMPED at bootstrap (FAISS-header
+    * rule) — the authoritative record of what the stored rows were
+    * encoded with. Recall gates and maintenance sweeps read the declared
+    * point from here, never from re-typed constants (r12 verdict #1):
+    * a constant that drifts from the stamp re-validates the wrong point.
+    * Empty for pre-stamp artifacts.
+    */
+  def fittedParams: Map[String, Long] =
+    Seq("nlist", "m", "codes")
+      .flatMap(k => store.get(s"param.$k", ctx).map(k -> _)).toMap
+
   private def seeds: Seq[(Long, Seq[Float])] = spark.read.parquet(seedsDir)
     .select(col("cell_id"), col("embedding"))
     .collect().toSeq

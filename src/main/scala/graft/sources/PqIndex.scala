@@ -51,6 +51,12 @@ final class PqIndex(spark: SparkSession, dir: String,
   /** Highest committed code generation; -1 = empty index. */
   def committedGen: Long = store.get("encode", ctx).getOrElse(-1L)
 
+  /** The fit-time hyperparameters STAMPED at bootstrap — see
+    * [[IvfPqIndex.fittedParams]]. Empty for pre-stamp artifacts.
+    */
+  def fittedParams: Map[String, Long] =
+    Seq("m", "codes").flatMap(k => store.get(s"param.$k", ctx).map(k -> _)).toMap
+
   /** The frozen codebooks, collected as O(m·codes·Dim/m) driver
     * metadata — the seed-table read, never data-sized.
     */

@@ -96,6 +96,39 @@ class IvfPqIndexSpec extends SparkSuite {
     assert(idx.rowsDf.count() === n)
   }
 
+  test("persisted-path recall tripwire: topK clears 0.9 at the stamped operating point through an appendBatch'd store") {
+    // r12 verdict #1: the operator-level tripwire (SimilaritySpec) pins
+    // Similarity.pqTopK, but the store path production serves — frozen
+    // generation codebooks + stored codes + coarse probe — had no recall
+    // assertion: a broken appendBatch delta-encode or a stale generation
+    // read would ship exactly the way the 0.45 codebook did for two
+    // rounds. This exercises the FULL store path: bootstrap on the
+    // history, delta ingested via appendBatch (query 0 itself arrives in
+    // the delta, so its encode rides the ledger path), probe settings =
+    // the r12 declared operating point, fit params read back from the
+    // StoreParams stamp — never re-typed constants.
+    val idx = new IvfPqIndex(spark, TempDirs.create("ivfpq-recall"),
+      nlist = 16, m = 8, codes = 256)
+    idx.bootstrap(oldVecs) // iters = 2, the declared point's training depth
+    idx.appendBatch(delta, batchId = 0L)
+    val p = idx.fittedParams
+    assert(p === Map("nlist" -> 16L, "m" -> 8L, "codes" -> 256L),
+      s"store was fit at $p, not the declared r12 operating point")
+    val k = 5
+    def sets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.select(col("query_id"), col("neighbor_id"))
+        .as[(Long, Long)].collect().groupBy(_._1)
+        .map { case (q, rs) => q -> rs.map(_._2).toSet }
+    val exact = sets(graft.operators.Similarity.bruteForceTopK(corpus, queries, k))
+    val ann = sets(idx.topK(corpus, queries, k, shortlist = 200, nprobe = 8))
+    val recall = exact.map { case (q, ex) =>
+      ann.getOrElse(q, Set.empty[Long]).count(ex).toDouble / ex.size
+    }.sum / exact.size
+    info(f"IVF-PQ store recall@$k = $recall%.2f")
+    assert(recall >= 0.9,
+      f"persisted IVF-PQ recall@$k degraded to $recall%.2f at the stamped point")
+  }
+
   test("reseedInto retrains seeds AND codebooks; the old root stays readable unchanged") {
     val old = new IvfPqIndex(spark, TempDirs.create("ivfpq-rs-old"),
       nlist = 16, m = 8, codes = 16)

@@ -69,6 +69,32 @@ class PqIndexSpec extends SparkSuite {
       .as[(Long, Seq[Int])].collect().toSeq.sortBy(_._1) === once)
   }
 
+  test("persisted-path recall tripwire: topK clears 0.9 at the stamped operating point through an appendBatch'd store") {
+    // The flat-PQ half of r12 verdict #1 (see IvfPqIndexSpec for the
+    // composition): recall of the STORE's ADC scan — frozen codebooks +
+    // stored codes, delta ingested via appendBatch — at the declared
+    // operating point (m=8, codes=256, iters=2, shortlist=200), with the
+    // fit params read back from the StoreParams stamp.
+    val idx = new PqIndex(spark, TempDirs.create("pq-recall"), m = 8, codes = 256)
+    idx.bootstrap(oldVecs)
+    idx.appendBatch(delta, batchId = 0L)
+    assert(idx.fittedParams === Map("m" -> 8L, "codes" -> 256L),
+      s"store was fit at ${idx.fittedParams}, not the declared r12 point")
+    val k = 5
+    def sets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.select(col("query_id"), col("neighbor_id"))
+        .as[(Long, Long)].collect().groupBy(_._1)
+        .map { case (q, rs) => q -> rs.map(_._2).toSet }
+    val exact = sets(Similarity.bruteForceTopK(corpus, queries, k))
+    val ann = sets(idx.topK(corpus, queries, k, shortlist = 200))
+    val recall = exact.map { case (q, ex) =>
+      ann.getOrElse(q, Set.empty[Long]).count(ex).toDouble / ex.size
+    }.sum / exact.size
+    info(f"PQ store recall@$k = $recall%.2f")
+    assert(recall >= 0.9,
+      f"persisted PQ recall@$k degraded to $recall%.2f at the stamped point")
+  }
+
   test("an uncommitted generation directory is invisible to readers") {
     val dir = TempDirs.create("pq-idx-spec3")
     val idx = new PqIndex(spark, dir, m = 8, codes = 16)
