@@ -852,6 +852,32 @@ object ScaleRehearsal {
         emitRecall(s"recall_ivf_p$np", recallK, ne, r, t)
       }
 
+      // ---- executable operating-point re-validation (r12 verdict #2) —
+      // the maintenance operator that REPLACES BASELINE.md's manual rule:
+      // at each era (factor) it must re-derive a point that clears the
+      // 0.9 floor from the same sweep grid the recall rows measure. At 1x
+      // the declared r12 point (nprobe<=8, shortlist<=200) clears, so the
+      // chosen point must be at most that; at 10x the capacity effect
+      // pushes the choice toward the buy-back settings (shortlist 400 /
+      // wider probe) — the chosen row IS the policy output, and
+      // floor_cleared=false on it is the reseed signal. candidates :=
+      // chosen nprobe, verified := chosen shortlist; the recall row
+      // carries the chosen point's measured recall.
+      val (revalRows, tReval) = timed {
+        ivfpqIdx.revalidateOperatingPoint(emb, pqQueries, recallK,
+            recallFloor = 0.9,
+            nprobes = Seq(1, 4, 8, 16), shortlists = Seq(20, 100, 200, 400))
+          .filter(col("chosen"))
+          .select(col("phase"), col("nprobe"), col("shortlist"),
+            col("recall"), col("floor_cleared"))
+          .collect()
+      }
+      val revalSl = revalRows.find(_.getString(0) == "shortlist").get
+      emit("ivfpq_revalidate", f, ne, revalSl.getInt(1).toLong,
+        revalSl.getInt(2).toLong, tReval)
+      emitRecall(s"ivfpq_revalidate_chosen_p${revalSl.getInt(1)}_s${revalSl.getInt(2)}",
+        recallK, ne, revalSl.getDouble(3), tReval)
+
       // ---- IVF-PQ reseed recovery on a SHIFTED delta (r11 verdict #5)
       // A genuinely drifted family: rotation by Dim/2 (outside the
       // replica set's 0..factor-1 rotations), so shifted vectors are

@@ -196,6 +196,69 @@ final class IvfPqIndex(spark: SparkSession, dir: String,
     fresh
   }
 
+  /** MAINTENANCE: re-derive the probe operating point — the executable
+    * form of the production rule BASELINE.md r12 stated as prose ("pick
+    * the smallest nprobe whose recall clears the floor, then the
+    * smallest shortlist that matches it"), so a corpus-era boundary is a
+    * scheduled operator run instead of a hand-run rehearsal and an
+    * eyeball (r12 verdict #2). Recall is measured against the EXACT scan
+    * for a caller-bounded query sample: ground truth costs ONE full-width
+    * corpus pass with the queries broadcast (the same class as one
+    * brute-force query batch — paid only at era boundaries, the
+    * [[driftReport]] cadence); each swept setting then costs one
+    * code-sized store probe. All per-setting state collected on the
+    * driver is |queries|·k id pairs — metadata-sized, never the corpus.
+    *
+    * Two phases, mirroring the rule: (1) sweep `nprobes` ascending at the
+    * most generous shortlist to isolate the coarse-probe effect and take
+    * the smallest clearing `recallFloor`; (2) holding that nprobe, sweep
+    * `shortlists` ascending and take the smallest that still clears. One
+    * row per measurement: (phase, nprobe, shortlist, recall, chosen,
+    * floor_cleared). If NO setting clears the floor the widest one is
+    * marked chosen with floor_cleared=false — the signal that buying
+    * recall query-side is exhausted and the index needs [[reseedInto]]
+    * (more capacity or retrained structures), never a silent pick.
+    */
+  def revalidateOperatingPoint(corpus: DataFrame, queries: DataFrame,
+                               k: Int, recallFloor: Double,
+                               nprobes: Seq[Int], shortlists: Seq[Int]): DataFrame = {
+    require(k >= 1 && recallFloor > 0.0 && recallFloor <= 1.0)
+    // clamp to the cell count (the rehearsal's own rule): a sweep list is
+    // usually written once per deployment while nlist tracks the corpus,
+    // so settings wider than the index are folded onto its widest probe
+    val np = nprobes.map(math.min(_, nlist)).distinct.sorted
+    val sl = shortlists.distinct.sorted
+    require(np.nonEmpty && sl.nonEmpty && sl.head >= k,
+      "sweep settings must be non-empty with every shortlist >= k")
+    def sets(df: DataFrame): Map[Long, Set[Long]] =
+      df.select(col("query_id"), col("neighbor_id"))
+        .collect().groupBy(_.getLong(0))
+        .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    val exact = sets(Similarity.bruteForceTopK(corpus, queries, k))
+    require(exact.nonEmpty, "no queries to validate against")
+    val memo = scala.collection.mutable.Map[(Int, Int), Double]()
+    // decisions are made on the REPORTED (4-digit) recall, so the emitted
+    // rows fully determine the choice — replayable by an external oracle
+    def recallAt(nprobe: Int, shortlist: Int): Double =
+      memo.getOrElseUpdate((nprobe, shortlist), {
+        val got = sets(topK(corpus, queries, k, shortlist, nprobe))
+        val r = exact.map { case (q, ex) =>
+          got.getOrElse(q, Set.empty[Long]).count(ex).toDouble / ex.size
+        }.sum / exact.size
+        math.rint(r * 10000) / 10000
+      })
+    val phase1 = np.map(p => (p, sl.last, recallAt(p, sl.last)))
+    val chosenNp = phase1.find(_._3 >= recallFloor).map(_._1).getOrElse(np.last)
+    val phase2 = sl.map(s => (chosenNp, s, recallAt(chosenNp, s)))
+    val chosenSl = phase2.find(_._3 >= recallFloor).map(_._2).getOrElse(sl.last)
+    import spark.implicits._
+    (phase1.map { case (p, s, r) =>
+        ("nprobe", p, s, r, p == chosenNp, r >= recallFloor) } ++
+      phase2.map { case (p, s, r) =>
+        ("shortlist", p, s, r, s == chosenSl, r >= recallFloor) })
+      .toDF("phase", "nprobe", "shortlist", "recall", "chosen", "floor_cleared")
+  }
+
   /** The (query_id, neighbor_id) candidate pairs a probe of `nprobe`
     * cells ADC-scores — the telemetry surface for the scale claim that
     * candidate volume ≈ nprobe·cellBudget per query, independent of

@@ -129,6 +129,61 @@ class IvfPqIndexSpec extends SparkSuite {
       f"persisted IVF-PQ recall@$k degraded to $recall%.2f at the stamped point")
   }
 
+  test("revalidateOperatingPoint executes the smallest-clearing rule and never picks silently") {
+    // r12 verdict #2: BASELINE.md's manual re-validation rule ("smallest
+    // nprobe whose recall clears the floor, then the smallest shortlist
+    // that matches") as an executable maintenance operator. The spec pins
+    // the CONTRACT, not fixture-specific recall values: smallest-clearing
+    // choice per phase, one chosen row per phase, and the no-clearing
+    // case marked visibly instead of silently picking.
+    val idx = new IvfPqIndex(spark, TempDirs.create("ivfpq-reval"),
+      nlist = 16, m = 8, codes = 256)
+    idx.bootstrap(oldVecs)
+    idx.appendBatch(delta, batchId = 0L)
+    val floor = 0.9
+    val rows = idx.revalidateOperatingPoint(corpus, queries, k = 5,
+        recallFloor = floor, nprobes = Seq(1, 4, 8, 16), shortlists = Seq(20, 200))
+      .select(col("phase"), col("nprobe"), col("shortlist"), col("recall"),
+        col("chosen"), col("floor_cleared"))
+      .as[(String, Int, Int, Double, Boolean, Boolean)].collect().toSeq
+    val p1 = rows.filter(_._1 == "nprobe").sortBy(_._2)
+    val p2 = rows.filter(_._1 == "shortlist").sortBy(_._3)
+    assert(p1.map(_._2) === Seq(1, 4, 8, 16) && p1.forall(_._3 == 200))
+    assert(p2.map(_._3) === Seq(20, 200))
+    assert(p1.count(_._5) === 1 && p2.count(_._5) === 1)
+    // floor_cleared must agree with the row's own recall
+    rows.foreach(r => assert(r._6 === (r._4 >= floor)))
+    // smallest-clearing: every row BEFORE the chosen one failed the floor
+    val cnp = p1.find(_._5).get
+    p1.takeWhile(_._2 < cnp._2).foreach(r => assert(!r._6, s"skipped clearing row $r"))
+    if (p1.exists(_._6)) assert(cnp._6, "a clearing nprobe existed but was not chosen")
+    val csl = p2.find(_._5).get
+    assert(p2.forall(_._2 == cnp._2), "phase 2 must hold the chosen nprobe")
+    p2.takeWhile(_._3 < csl._3).foreach(r => assert(!r._6, s"skipped clearing row $r"))
+    // the chosen point reproduces its reported recall through the store
+    import graft.operators.Similarity
+    def sets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.select(col("query_id"), col("neighbor_id"))
+        .as[(Long, Long)].collect().groupBy(_._1)
+        .map { case (q, rs) => q -> rs.map(_._2).toSet }
+    val exact = sets(Similarity.bruteForceTopK(corpus, queries, 5))
+    val got = sets(idx.topK(corpus, queries, 5, csl._3, cnp._2))
+    val re = exact.map { case (q, ex) =>
+      got.getOrElse(q, Set.empty[Long]).count(ex).toDouble / ex.size
+    }.sum / exact.size
+    assert(math.abs(re - csl._4) < 1e-9 + 5e-5, s"sweep said ${csl._4}, store gives $re")
+
+    // no-clearing case: a single too-narrow setting must still be CHOSEN
+    // (the caller needs a row to act on) but marked floor_cleared=false
+    // unless it genuinely clears — never a silent pick
+    val tight = idx.revalidateOperatingPoint(corpus, queries, k = 5,
+        recallFloor = 1.0, nprobes = Seq(1), shortlists = Seq(5))
+      .select(col("phase"), col("recall"), col("chosen"), col("floor_cleared"))
+      .as[(String, Double, Boolean, Boolean)].collect().toSeq
+    assert(tight.size === 2 && tight.forall(_._3))
+    tight.foreach(r => assert(r._4 === (r._2 >= 1.0)))
+  }
+
   test("reseedInto retrains seeds AND codebooks; the old root stays readable unchanged") {
     val old = new IvfPqIndex(spark, TempDirs.create("ivfpq-rs-old"),
       nlist = 16, m = 8, codes = 16)
