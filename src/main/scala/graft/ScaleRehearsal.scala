@@ -1007,6 +1007,26 @@ object ScaleRehearsal {
       }
       emit("hybrid_rrf_ivf", f, nd, 60L, nFusedIvf, tHybridIvf)
 
+      // Hybrid RRF with the IVF-PQ arm (hybrid_search_rrf_ivfpq — the
+      // 100 TB refinement, r12 verdict #5): the vector arm ADC-scores
+      // m-byte codes for the probed cells' members and reads full-width
+      // floats only for the shortlist re-rank. candidates := the arm's
+      // ADC-scored pair count for the single query — must stay ~flat at
+      // 10x (nlist tracks n), while the flat-IVF arm above re-reads
+      // full-width vectors for the same candidate set. verified := fused
+      // rows, exactly k.
+      val q0 = emb.filter(col("vec_id") === 0)
+      val ivfpqArmCand = ivfpqIdx.candidates(q0, nprobe = ivfpqNprobe).count()
+      val (nFusedPq, tHybridPq) = timed {
+        val tArm = graft.operators.HybridSearch.rankArm(
+          invIdx.bm25(Seq("dup", "vector"), 30), col("score"), "r_text")
+        val vArm = ivfpqIdx
+          .topK(emb, q0, 30, shortlist = 200, nprobe = ivfpqNprobe)
+          .select(col("neighbor_id").as("doc_id"), col("rank").as("r_vec"))
+        graft.operators.HybridSearch.rrf2(tArm, vArm, k = 20).count()
+      }
+      emit("hybrid_rrf_ivfpq", f, nd, ivfpqArmCand, nFusedPq, tHybridPq)
+
       // one factor's materializations must not contaminate the next
       // factor's timings — same per-run hygiene as Bench
       Residue.drain(spark)

@@ -1399,6 +1399,34 @@ object SparkEntry {
       graft.operators.HybridSearch.rrf2(textArm, vecArm, k = 20)
     }),
 
+    // The 100 TB refinement of the production hybrid (r12 verdict #5):
+    // the vector arm rides the IVF-PQ COMPOSITION instead of flat IVF.
+    // The flat-IVF arm re-reads full-width float embeddings for every
+    // in-cell candidate — at 100 TB the probe's scan width is the cost —
+    // while the ADC arm scores m smallint codes per candidate and
+    // touches floats only for the shortlist re-rank. Same persisted
+    // store as sim_ivfpq_topk (frozen seeds + codebooks, declared
+    // operating point nprobe=8/shortlist=200), same BM25 arm, identical
+    // rank-only fusion. The oracle replays coarse probe + ADC +
+    // re-rank + fusion end to end.
+    "hybrid_search_rrf_ivfpq" -> ((s, dir) => {
+      val textArm = graft.operators.HybridSearch.rankArm(
+        fullInvIndex(s, dir).bm25(Seq("dup", "vector"), 30),
+        col("score"), "r_text")
+      val emb = Tables.embeddings(s, dir)
+      val idx = IndexCache.getOrBuildVersioned(s, s"ivfpq-idx|$dir", dir) {
+        val i = new graft.sources.IvfPqIndex(
+          s, Scratch.create(s, "graft-ivfpq-idx"), nlist = 16, m = 8, codes = 256)
+        i.bootstrap(emb.filter(col("vec_id") % 50 =!= 0))
+        i.append(emb.filter(col("vec_id") % 50 === 0))
+        i
+      }
+      val vecArm = idx.topK(emb, emb.filter(col("vec_id") === 0), 30,
+          shortlist = 200, nprobe = 8)
+        .select(col("neighbor_id").as("doc_id"), col("rank").as("r_vec"))
+      graft.operators.HybridSearch.rrf2(textArm, vecArm, k = 20)
+    }),
+
     // Windowed co-occurrence + PMI (skip-gram statistics for embedding
     // training): pair generation is MAP-ONLY — each doc's token list
     // zip_with its own g-shifted self per gap, never a positions
@@ -5360,6 +5388,90 @@ object SparkEntry {
          |  FROM tarm t FULL OUTER JOIN varm v ON t.doc_id = v.doc_id)
          |SELECT doc_id, r_text, r_vec, rrf FROM f
          |ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin,
+
+    // the IVF-PQ hybrid: same BM25-arm replay, vector arm = the full
+    // IVF-PQ composition for query 0 (train slice vec_id % 50 != 0,
+    // frozen seeds + codebooks, nprobe=8 coarse probe, ADC scoring,
+    // shortlist 200, exact re-rank, top-30), identical rank-only fusion
+    "hybrid_search_rrf_ivfpq" -> {
+      val adcSum = pqAdcSum(8, "p.qv")
+      s"""WITH tok AS (
+         |  SELECT doc_id, ${Oracles.tokens("lower(text)")} AS tk FROM documents),
+         |meta AS (
+         |  SELECT count(*) AS n, CAST(sum(length(tk)) AS DOUBLE) / count(*) AS avgdl
+         |  FROM tok),
+         |toks AS (
+         |  SELECT doc_id, length(tk) AS doc_len, unnest(tk) AS term FROM tok),
+         |tf AS (
+         |  SELECT doc_id, term, count(*) AS tf, any_value(doc_len) AS doc_len
+         |  FROM toks WHERE term IN ('dup', 'vector') GROUP BY 1, 2),
+         |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |tscored AS (
+         |  SELECT tf.doc_id,
+         |    sum(CAST(floor(ln(1.0 + (meta.n - dfreq.df + 0.5) / (dfreq.df + 0.5)) *
+         |        ((tf.tf * 2.2) /
+         |         (tf.tf + 1.2 * (0.25 + 0.75 * (tf.doc_len / meta.avgdl)))) *
+         |        1000000.0 + 0.5) AS BIGINT)) AS su
+         |  FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN meta
+         |  GROUP BY 1),
+         |ttop AS (SELECT doc_id, su FROM tscored ORDER BY su DESC, doc_id LIMIT 30),
+         |tarm AS (
+         |  SELECT doc_id, CAST(row_number() OVER (
+         |    ORDER BY round(su / 1000000.0, 4) DESC, doc_id) AS INT) AS r_text
+         |  FROM ttop),
+         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |et AS (SELECT vec_id, v FROM e WHERE vec_id % 50 != 0),
+         |${pqTrainEncodeCtes(8, 256)},
+         |${pqEncjCte(8)},
+         |seeds AS (SELECT vec_id AS cell_id, v AS cv FROM e
+         |  WHERE vec_id % 50 != 0 ORDER BY vec_id LIMIT 16),
+         |cscored AS (
+         |  SELECT e.vec_id, e.v, s.cell_id, ${Oracles.cosine("e.v", "s.cv", 64)} AS cs
+         |  FROM e CROSS JOIN seeds s),
+         |assign AS (
+         |  SELECT vec_id, cell_id FROM (
+         |    SELECT vec_id, cell_id,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cell_id) AS rnk
+         |    FROM cscored) WHERE rnk = 1),
+         |probes AS (
+         |  SELECT vec_id AS query_id, v AS qv, ${Oracles.l2("v", 64)} AS qnorm,
+         |    cell_id FROM (
+         |    SELECT vec_id, v, cell_id,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cell_id) AS rnk
+         |    FROM cscored WHERE vec_id = 0) WHERE rnk <= 8),
+         |sc AS (
+         |  SELECT p.query_id, r.vec_id AS neighbor_id,
+         |    CASE WHEN p.qnorm * r.rnorm = 0 THEN 0.0
+         |         ELSE $adcSum / (p.qnorm * r.rnorm) END AS qcos
+         |  FROM assign a
+         |  JOIN probes p ON a.cell_id = p.cell_id AND p.query_id != a.vec_id
+         |  JOIN encj r ON r.vec_id = a.vec_id),
+         |sl AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY qcos DESC, neighbor_id) AS srank
+         |    FROM sc) WHERE srank <= 200),
+         |rer AS (
+         |  SELECT query_id, neighbor_id, cosine,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cosine DESC, neighbor_id) AS rank
+         |  FROM (
+         |    SELECT sl.query_id, sl.neighbor_id,
+         |      round(${Oracles.cosine("qe.v", "ne.v", 64)}, 6) AS cosine
+         |    FROM sl JOIN e ne ON ne.vec_id = sl.neighbor_id
+         |    JOIN e qe ON qe.vec_id = sl.query_id)),
+         |varm AS (
+         |  SELECT neighbor_id AS doc_id, CAST(rank AS INT) AS r_vec
+         |  FROM rer WHERE rank <= 30),
+         |f AS (
+         |  SELECT coalesce(t.doc_id, v.doc_id) AS doc_id, t.r_text, v.r_vec,
+         |    round(coalesce(CAST(1.0 AS DOUBLE) / (60 + t.r_text), 0.0) +
+         |          coalesce(CAST(1.0 AS DOUBLE) / (60 + v.r_vec), 0.0), 6) AS rrf
+         |  FROM tarm t FULL OUTER JOIN varm v ON t.doc_id = v.doc_id)
+         |SELECT doc_id, r_text, r_vec, rrf FROM f
+         |ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin
+    },
 
     "text_bm25_multi" -> bm25OracleSql(Seq("dup", "vector", "table", "merge"), 20),
 
