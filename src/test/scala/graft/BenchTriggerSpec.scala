@@ -72,4 +72,86 @@ class BenchTriggerSpec extends AnyFunSuite {
     assert(!Bench.shouldReadjudicate(false, false, false,
       cold = 16.5, warmStat = 11.0, Some(5.5), Some(8.2), 2.0))
   }
+
+  test("fold: the r12 noise-hit solo block is flagged suspect, not folded") {
+    // the exact numbers the r12 driver folded into its headline: in-suite
+    // warm 13.111, solo warms [80.702, 65.805] at block calib 0.101 vs
+    // suite calib 0.171 — the solo median is 5x the in-suite number with
+    // the host measured FASTER during the block, so the re-run itself is
+    // the outlier (the judge's five independent solo runs: 6.0-7.3 s)
+    val (fold, suspect) = Bench.foldReadjudicated(
+      inSuiteWarm = 13.111, soloWarms = Seq(80.702, 65.805),
+      suiteCalib = 0.171, calibBefore = 0.101, calibAfter = 0.101)
+    assert(fold.isEmpty && suspect)
+  }
+
+  test("fold: a legitimate in-suite spike refuted solo folds the median") {
+    // dedup_keep_best r12: in-suite 77.8 s, solo ~3.3-4.0 — solo BETTER
+    // than in-suite is exactly what readjudication exists to accept
+    val (fold, suspect) = Bench.foldReadjudicated(
+      inSuiteWarm = 77.79, soloWarms = Seq(3.3, 3.76, 4.0),
+      suiteCalib = 0.171, calibBefore = 0.101, calibAfter = 0.110)
+    assert(fold.contains(3.76) && !suspect)
+  }
+
+  test("fold: solo-worse explained by measured host drift is accepted") {
+    // the box slowed 2x between suite and block (calib 0.1 -> 0.2): a
+    // solo warm up to 2x the in-suite number (+0.3 floor) is the host,
+    // not the query
+    val (fold, suspect) = Bench.foldReadjudicated(
+      inSuiteWarm = 5.0, soloWarms = Seq(9.0, 9.4, 9.1),
+      suiteCalib = 0.1, calibBefore = 0.2, calibAfter = 0.2)
+    assert(fold.contains(9.1) && !suspect)
+    // ...but beyond the drift allowance it is suspect
+    val (f2, s2) = Bench.foldReadjudicated(5.0, Seq(11.0, 11.2, 11.1), 0.1, 0.2, 0.2)
+    assert(f2.isEmpty && s2)
+  }
+
+  test("fold: no successful solo runs folds nothing and flags nothing") {
+    assert(Bench.foldReadjudicated(5.0, Nil, 0.1, 0.1, 0.1) === ((None, false)))
+  }
+
+  test("stream group trigger: class-median inflation fires, one outlier does not") {
+    // r12: byte-unchanged stream rows inflated ~3x as a GROUP in-suite
+    assert(Bench.streamGroupRegressed(Seq(2.9, 3.4, 2.5, 4.7, 2.2)))
+    // a single regressed stream in an otherwise healthy class is not a
+    // class-wide host effect — median stays quiet
+    assert(!Bench.streamGroupRegressed(Seq(1.0, 1.1, 0.9, 5.0)))
+    assert(!Bench.streamGroupRegressed(Nil))
+  }
+
+  test("r12 driver-file replay: one suspect, adjudicated total lands at the clean number") {
+    // end-to-end done-criterion for r12 verdict #3: replaying the
+    // committed driver bench through the new fold yields ~210 s (the
+    // builder's clean run adjudicated 216.6 at a worse calib window) and
+    // flags exactly the corpus_clean_incr block the judge refuted.
+    val p = java.nio.file.Paths.get("BENCH_LOCAL_r12.json")
+    assume(java.nio.file.Files.exists(p), "driver artifact not present")
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = om.readTree(java.nio.file.Files.readAllBytes(p))
+    val calib = root.path("calib_sec").asDouble(0.0)
+    val qs = root.path("queries")
+    var total = 0.0
+    var suspects = List.empty[String]
+    val names = qs.fieldNames()
+    while (names.hasNext) {
+      val name = names.next()
+      val q = qs.path(name)
+      val warm = q.path("warm").asDouble(Double.NaN)
+      val r = q.path("readjudicated")
+      val solos = if (r.isMissingNode) Nil
+        else (0 until r.path("runs").size())
+          .map(i => r.path("runs").get(i))
+          .filterNot(_.isNull).map(_.asDouble).toSeq
+      if (r.isMissingNode || solos.isEmpty) total += warm
+      else {
+        val cb = r.path("calib_sec").asDouble(calib)
+        val (fold, suspect) = Bench.foldReadjudicated(warm, solos, calib, cb, cb)
+        total += fold.getOrElse(warm)
+        if (suspect) suspects ::= name
+      }
+    }
+    assert(suspects === List("corpus_clean_incr"))
+    assert(total > 195 && total < 230, s"replayed adjudicated total $total")
+  }
 }
