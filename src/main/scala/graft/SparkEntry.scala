@@ -674,6 +674,58 @@ object SparkEntry {
         .orderBy(col("phase"), col("nprobe"), col("shortlist"))
     }),
 
+    // r12 made the sweep executable; this closes the LOOP (r13): the
+    // whole era-boundary lifecycle — drift guard on the delta,
+    // conditional rebuild of both frozen structures, operating-point
+    // sweep on whichever lineage will serve, and a COMMIT of the chosen
+    // point into the store — as ONE scheduled operator run returning a
+    // one-row decision report. A point is committed only when it clears
+    // the recall floor; a failed sweep leaves the old point standing
+    // with floor_cleared=false (never silently ship a bad point). The
+    // fixture delta is in-distribution at maxFracBelow=0.5 so the
+    // declared path is the revalidate branch; the reseed branch (shifted
+    // delta → fresh lineage serves) is pinned by IvfPqIndexSpec.
+    "ivfpq_maintain" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val idx = IndexCache.getOrBuildVersioned(s, s"ivfpq-idx|$dir", dir) {
+        val i = new graft.sources.IvfPqIndex(
+          s, Scratch.create(s, "graft-ivfpq-idx"), nlist = 16, m = 8, codes = 256)
+        i.bootstrap(emb.filter(col("vec_id") % 50 =!= 0))
+        i.append(emb.filter(col("vec_id") % 50 === 0))
+        i
+      }
+      idx.maintain(emb, emb.filter(col("vec_id") % 50 === 0),
+        emb.filter(col("vec_id") < 8), k = 5, recallFloor = 0.9,
+        cosineFloor = 0.22, maxFracBelow = 0.5,
+        nprobes = Seq(2, 8), shortlists = Seq(20, 200),
+        reseedDir = Some(Scratch.create(s, "graft-ivfpq-maint-rs"))).report
+    }),
+
+    // Query-time consumption of the committed point: maintain() stamps
+    // (nprobe, shortlist) into the store and the no-knobs topK overload
+    // reads it back — no call-site constant can drift from the last
+    // validated sweep (the r12 failure class where a sweep's choice
+    // changed nothing queries actually ran). The oracle derives the
+    // SAME point from the replayed grid as scalar CTEs and probes at it,
+    // so a store that committed a different point than the sweep chose
+    // hash-mismatches here.
+    "sim_ivfpq_committed" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val idx = IndexCache.getOrBuildVersioned(s, s"ivfpq-idx|$dir", dir) {
+        val i = new graft.sources.IvfPqIndex(
+          s, Scratch.create(s, "graft-ivfpq-idx"), nlist = 16, m = 8, codes = 256)
+        i.bootstrap(emb.filter(col("vec_id") % 50 =!= 0))
+        i.append(emb.filter(col("vec_id") % 50 === 0))
+        i
+      }
+      val served = idx.maintain(emb, emb.filter(col("vec_id") % 50 === 0),
+        emb.filter(col("vec_id") < 8), k = 5, recallFloor = 0.9,
+        cosineFloor = 0.22, maxFracBelow = 0.5,
+        nprobes = Seq(2, 8), shortlists = Seq(20, 200)).serving
+      served.topK(emb, emb.filter(col("vec_id") < 8), 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // ANN top-5 via 4x8-bit random-hyperplane LSH, exact re-rank of
     // candidates only.
     // IVF-style ANN: deterministic seed centroids, map-only argmax-cosine
@@ -3519,14 +3571,21 @@ object SparkEntry {
     * all decisions made on the reported numbers, exactly as the
     * operator does.
     */
-  private def ivfPqRevalidateOracle(nlist: Int, m: Int, codes: Int, k: Int,
-                                    floor: Double, nps: Seq[Int],
-                                    sls: Seq[Int]): String = {
+  /** The CTE chain shared by every oracle that replays the operating-
+    * point sweep ([[ivfPqRevalidateOracle]], the maintain decision, the
+    * committed-point probe): the recall GRID over the IVF-PQ replay
+    * arithmetic (train/assign/encode once, probe per setting), then the
+    * two-phase smallest-clearing choice as scalar CTEs `cnp`/`csl` —
+    * everything after `WITH ` and before the consumer's final SELECT.
+    */
+  private def ivfPqGridCtes(nlist: Int, m: Int, codes: Int, k: Int,
+                            floor: Double, nps: Seq[Int],
+                            sls: Seq[Int]): String = {
     val adcSum = pqAdcSum(m, "p.qv")
     val maxNp = nps.max
     val maxSl = sls.max
     val settings = (for { p <- nps; s <- sls } yield s"($p, $s)").mkString(", ")
-    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |et AS (SELECT vec_id, v FROM e WHERE vec_id % 50 != 0),
        |${pqTrainEncodeCtes(m, codes)},
        |${pqEncjCte(m)},
@@ -3592,7 +3651,17 @@ object SparkEntry {
        |  (SELECT max(np) FROM p1)) AS v),
        |p2 AS (SELECT slim, recall FROM grid, cnp WHERE np = cnp.v),
        |csl AS (SELECT coalesce((SELECT min(slim) FROM p2 WHERE recall >= $floor),
-       |  (SELECT max(slim) FROM p2)) AS v)
+       |  (SELECT max(slim) FROM p2)) AS v)""".stripMargin
+  }
+
+  /** Replays [[graft.sources.IvfPqIndex.revalidateOperatingPoint]] — the
+    * full grid ([[ivfPqGridCtes]]) emitted as the operator's sweep rows.
+    */
+  private def ivfPqRevalidateOracle(nlist: Int, m: Int, codes: Int, k: Int,
+                                    floor: Double, nps: Seq[Int],
+                                    sls: Seq[Int]): String = {
+    val maxSl = sls.max
+    s"""WITH ${ivfPqGridCtes(nlist, m, codes, k, floor, nps, sls)}
        |SELECT phase, nprobe, shortlist, recall, chosen, floor_cleared FROM (
        |  SELECT 'nprobe' AS phase, CAST(np AS INTEGER) AS nprobe,
        |    CAST($maxSl AS INTEGER) AS shortlist, recall,
@@ -3604,6 +3673,74 @@ object SparkEntry {
        |  FROM p2, cnp, csl)
        |ORDER BY phase, nprobe, shortlist""".stripMargin
   }
+
+  /** Replays [[graft.sources.IvfPqIndex.maintain]]'s one-row decision:
+    * the drift fraction of the delta against the frozen bootstrap seeds
+    * (the guard's arithmetic — [[ivfReseedOracle]]'s `old` phase), the
+    * action it implies at `maxFracBelow`, and the grid choice + recall
+    * from [[ivfPqGridCtes]]. The replay covers the REVALIDATE branch
+    * (the fixture delta is in-distribution at the declared threshold);
+    * the reseed branch retrains both frozen structures and is pinned by
+    * IvfPqIndexSpec with a shifted delta — if the fixture ever drifts
+    * past the threshold the action column mismatches loudly here.
+    */
+  private def ivfPqMaintainOracle(nlist: Int, m: Int, codes: Int, k: Int,
+                                  floor: Double, cosFloor: Double,
+                                  maxFracBelow: Double, nps: Seq[Int],
+                                  sls: Seq[Int]): String =
+    s"""WITH ${ivfPqGridCtes(nlist, m, codes, k, floor, nps, sls)},
+       |delta AS (SELECT vec_id, v FROM e WHERE vec_id % 50 = 0),
+       |drift AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+       |    CAST(sum(CASE WHEN best_cos < $cosFloor THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_below,
+       |    round(CAST(sum(CASE WHEN best_cos < $cosFloor THEN 1 ELSE 0 END)
+       |      AS DOUBLE) / count(*), 6) + 0 AS frac_below
+       |  FROM (
+       |    SELECT d.vec_id, max(${Oracles.cosine("d.v", "s.cv", 64)}) AS best_cos
+       |    FROM delta d CROSS JOIN seeds s GROUP BY d.vec_id)),
+       |chosen AS (
+       |  SELECT cnp.v AS np, csl.v AS slim, g.recall
+       |  FROM cnp CROSS JOIN csl CROSS JOIN grid g
+       |  WHERE g.np = cnp.v AND g.slim = csl.v)
+       |SELECT
+       |  CASE WHEN d.n_below > $maxFracBelow * d.n_vectors
+       |       THEN 'reseed' ELSE 'revalidate' END AS action,
+       |  d.n_vectors, d.n_below, d.frac_below,
+       |  CAST(c.np AS INTEGER) AS nprobe, CAST(c.slim AS INTEGER) AS shortlist,
+       |  c.recall, c.recall >= $floor AS floor_cleared,
+       |  c.recall >= $floor AS committed
+       |FROM drift d, chosen c""".stripMargin
+
+  /** Replays a probe of [[graft.sources.IvfPqIndex.topK]] at the
+    * COMMITTED operating point: the grid choice CTEs derive (cnp, csl)
+    * and the probe consumes them as scalar subqueries — the oracle never
+    * hardcodes the point, exactly as the operator no longer does.
+    */
+  private def ivfPqCommittedProbeOracle(nlist: Int, m: Int, codes: Int,
+                                        k: Int, floor: Double, nps: Seq[Int],
+                                        sls: Seq[Int]): String =
+    s"""WITH ${ivfPqGridCtes(nlist, m, codes, k, floor, nps, sls)},
+       |pf AS (
+       |  SELECT s.query_id, s.neighbor_id, s.qcos
+       |  FROM sc s, cnp WHERE s.prnk <= cnp.v),
+       |slc AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY qcos DESC, neighbor_id) AS srank
+       |    FROM pf), csl WHERE srank <= csl.v),
+       |rerc AS (
+       |  SELECT query_id, neighbor_id, cosine,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cosine DESC, neighbor_id) AS rank
+       |  FROM (
+       |    SELECT x.query_id, x.neighbor_id,
+       |      round(${Oracles.cosine("qe.v", "ne.v", 64)}, 6) AS cosine
+       |    FROM slc x JOIN e ne ON ne.vec_id = x.neighbor_id
+       |    JOIN e qe ON qe.vec_id = x.query_id))
+       |SELECT query_id, rank, neighbor_id, cosine
+       |FROM rerc WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
 
   private def kmeansCtes: String =
     s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -4365,6 +4502,17 @@ object SparkEntry {
       codes = 256, shortlist = 200, k = 5),
 
     "ivfpq_revalidate" -> ivfPqRevalidateOracle(nlist = 16, m = 8,
+      codes = 256, k = 5, floor = 0.9, nps = Seq(2, 8), sls = Seq(20, 200)),
+
+    // drift arithmetic + grid choice + commit decision in one row; the
+    // replay covers the revalidate branch (see the query's scaladoc)
+    "ivfpq_maintain" -> ivfPqMaintainOracle(nlist = 16, m = 8, codes = 256,
+      k = 5, floor = 0.9, cosFloor = 0.22, maxFracBelow = 0.5,
+      nps = Seq(2, 8), sls = Seq(20, 200)),
+
+    // the probe point comes from the replayed grid's scalar CTEs, never
+    // a hardcoded constant — mirroring the operator's committed default
+    "sim_ivfpq_committed" -> ivfPqCommittedProbeOracle(nlist = 16, m = 8,
       codes = 256, k = 5, floor = 0.9, nps = Seq(2, 8), sls = Seq(20, 200)),
 
     // the training corpus is the hash-sampled half; encoding and scoring

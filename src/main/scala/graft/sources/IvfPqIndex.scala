@@ -259,6 +259,99 @@ final class IvfPqIndex(spark: SparkSession, dir: String,
       .toDF("phase", "nprobe", "shortlist", "recall", "chosen", "floor_cleared")
   }
 
+  /** Commit the probe operating point into the store — the missing half
+    * of the r12 maintenance loop. [[revalidateOperatingPoint]] DERIVES
+    * (nprobe, shortlist) but until now the chosen values lived in call
+    * sites as re-typed constants, the exact drift class the fit-param
+    * stamps exist to kill: a sweep that picks p=16/s=400 at an era
+    * boundary changes nothing a query reads. The point is stamped in one
+    * atomic rename with the generation it was validated against
+    * (`op.gen`), so a reader can tell a fresh point from one validated
+    * three eras ago; recall is stored in basis points (the reported
+    * 4-digit value — [[BookmarkStore]] slots are integral by design).
+    */
+  def commitOperatingPoint(nprobe: Int, shortlist: Int, recall: Double): Unit = {
+    require(nprobe >= 1 && nprobe <= nlist && shortlist >= 1,
+      s"operating point (nprobe=$nprobe, shortlist=$shortlist) out of range")
+    store.commitAll(ctx, Map(
+      "op.nprobe" -> nprobe.toLong,
+      "op.shortlist" -> shortlist.toLong,
+      "op.recall_bp" -> math.rint(recall * 10000).toLong,
+      "op.gen" -> committedGen))
+  }
+
+  /** The committed (nprobe, shortlist), if a maintenance run has stamped
+    * one — what a query-time default reads instead of constants.
+    */
+  def operatingPoint: Option[(Int, Int)] =
+    for { p <- store.get("op.nprobe", ctx); s <- store.get("op.shortlist", ctx) }
+      yield (p.toInt, s.toInt)
+
+  /** Generation the committed point was validated against — a point whose
+    * gen lags [[committedGen]] by many appends is due for revalidation.
+    */
+  def operatingPointGen: Option[Long] = store.get("op.gen", ctx)
+
+  /** Probe at the COMMITTED operating point — the query-time default that
+    * closes the loop: maintenance writes the point, queries read it, and
+    * no constant in a call site can drift from the last validated sweep.
+    * Refuses (never guesses) when no point has been committed.
+    */
+  def topK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val (np, sl) = operatingPoint.getOrElse(throw new IllegalStateException(
+      s"no committed operating point at $dir: run maintain()/" +
+        "revalidateOperatingPoint + commitOperatingPoint before probing " +
+        "with defaults, or pass (shortlist, nprobe) explicitly"))
+    topK(corpus, queries, k, sl, np)
+  }
+
+  /** MAINTENANCE POLICY — the whole era-boundary lifecycle as ONE
+    * scheduled run, composing the three primitives that r12 left as
+    * separate manual calls: [[driftReport]] decides whether the frozen
+    * structures still fit the corpus; if they don't (and `reseedDir` is
+    * given) [[reseedInto]] retrains seeds AND codebooks into a fresh
+    * lineage; [[revalidateOperatingPoint]] then re-derives the probe
+    * point on whichever index will serve, and the chosen point is
+    * COMMITTED — but only when it clears the recall floor: a failed
+    * sweep surfaces `floor_cleared=false` and leaves the previously
+    * committed point standing (never silently ship a bad point).
+    *
+    * Cost shape: the drift pass is delta-sized; ground truth for the
+    * sweep is one full-width corpus pass with the query sample broadcast;
+    * each swept setting is one code-sized probe — all era-boundary
+    * cadence, nothing lands on the per-ingest path. Returns the serving
+    * index (fresh lineage when the guard fired, `this` otherwise) and a
+    * one-row decision report; every number in the report is one the
+    * operator actually acted on.
+    */
+  def maintain(corpus: DataFrame, delta: DataFrame, queries: DataFrame,
+               k: Int, recallFloor: Double,
+               cosineFloor: Double, maxFracBelow: Double,
+               nprobes: Seq[Int], shortlists: Seq[Int],
+               reseedDir: Option[String] = None,
+               trainOn: Option[DataFrame] = None): IvfPqIndex.Maintenance = {
+    val d = driftReport(delta, cosineFloor, maxFracBelow).collect().head
+    val reseed = d.getBoolean(3) && reseedDir.isDefined
+    val serving =
+      if (reseed) reseedInto(reseedDir.get, corpus, trainOn = trainOn) else this
+    val sweep = serving
+      .revalidateOperatingPoint(corpus, queries, k, recallFloor, nprobes, shortlists)
+      .collect()
+    // the phase-2 chosen row IS the operating point (phase 1 fixes nprobe
+    // at the widest shortlist; phase 2 narrows the shortlist at that nprobe)
+    val chosen = sweep
+      .filter(r => r.getString(0) == "shortlist" && r.getBoolean(4)).head
+    val (np, sl, rec, cleared) =
+      (chosen.getInt(1), chosen.getInt(2), chosen.getDouble(3), chosen.getBoolean(5))
+    if (cleared) serving.commitOperatingPoint(np, sl, rec)
+    import spark.implicits._
+    val report = Seq((if (reseed) "reseed" else "revalidate",
+        d.getLong(0), d.getLong(1), d.getDouble(2), np, sl, rec, cleared, cleared))
+      .toDF("action", "n_vectors", "n_below", "frac_below",
+        "nprobe", "shortlist", "recall", "floor_cleared", "committed")
+    IvfPqIndex.Maintenance(serving, report)
+  }
+
   /** The (query_id, neighbor_id) candidate pairs a probe of `nprobe`
     * cells ADC-scores — the telemetry surface for the scale claim that
     * candidate volume ≈ nprobe·cellBudget per query, independent of
@@ -325,4 +418,12 @@ final class IvfPqIndex(spark: SparkSession, dir: String,
       .withColumn("rank", row_number().over(wK))
       .filter(col("rank") <= k)
   }
+}
+
+object IvfPqIndex {
+  /** Result of one [[IvfPqIndex.maintain]] run: the index that should
+    * serve queries from here on (a fresh lineage when the drift guard
+    * fired, the original otherwise) and the one-row decision report.
+    */
+  final case class Maintenance(serving: IvfPqIndex, report: DataFrame)
 }

@@ -184,6 +184,92 @@ class IvfPqIndexSpec extends SparkSuite {
     tight.foreach(r => assert(r._4 === (r._2 >= 1.0)))
   }
 
+  test("maintain commits the chosen point; the no-knobs topK reads it; it survives reopen") {
+    // r13: the loop closes — the sweep's choice must land where queries
+    // look. Before any maintenance run the no-knobs probe REFUSES (never
+    // guesses a point); after one, it probes exactly the committed
+    // (nprobe, shortlist) and a reopened store sees the same stamp.
+    val dir = TempDirs.create("ivfpq-maint")
+    val idx = new IvfPqIndex(spark, dir, nlist = 16, m = 8, codes = 256)
+    idx.bootstrap(oldVecs)
+    idx.appendBatch(delta, batchId = 0L)
+    assert(idx.operatingPoint.isEmpty)
+    intercept[IllegalStateException] { idx.topK(corpus, queries, 5) }
+    val m = idx.maintain(corpus, delta, queries, k = 5, recallFloor = 0.9,
+      cosineFloor = 0.22, maxFracBelow = 0.5,
+      nprobes = Seq(1, 4, 8, 16), shortlists = Seq(20, 200))
+    assert(m.serving eq idx, "in-distribution delta must not trigger a rebuild")
+    val r = m.report.collect().head
+    assert(r.getAs[String]("action") === "revalidate")
+    assert(r.getAs[Boolean]("committed") === r.getAs[Boolean]("floor_cleared"))
+    assert(r.getAs[Boolean]("floor_cleared"),
+      "the fixture corpus clears 0.9 at the declared sweep (recall tripwire pins this)")
+    val (np, sl) = (r.getAs[Int]("nprobe"), r.getAs[Int]("shortlist"))
+    assert(idx.operatingPoint === Some((np, sl)))
+    assert(idx.operatingPointGen === Some(idx.committedGen))
+    assert(rows(idx.topK(corpus, queries, 5)) ===
+      rows(idx.topK(corpus, queries, 5, sl, np)))
+    // the stamp is store state, not object state: a reopen sees it
+    val reopened = new IvfPqIndex(spark, dir, nlist = 16, m = 8, codes = 256)
+    assert(reopened.operatingPoint === Some((np, sl)))
+  }
+
+  test("maintain reseed branch: a shifted delta fires the guard, the fresh lineage serves and carries the commit") {
+    val old = new IvfPqIndex(spark, TempDirs.create("ivfpq-maint-rs"),
+      nlist = 16, m = 8, codes = 256)
+    old.bootstrap(oldVecs)
+    // negated embeddings: best-seed cosine flips sign, so a row stays
+    // above the floor only when some seed scored <= -floor against the
+    // ORIGINAL — rare; the majority of the delta lands below and the
+    // guard fires at maxFracBelow = 0.5
+    val shifted = delta.select(col("vec_id"),
+      transform(col("embedding"), x => (-x).cast("float")).as("embedding"))
+    val combined = oldVecs.select(col("vec_id"), col("embedding"))
+      .unionByName(shifted)
+    val m = old.maintain(combined, shifted, combined.filter(col("vec_id") < 8),
+      k = 5, recallFloor = 0.9, cosineFloor = 0.22, maxFracBelow = 0.5,
+      nprobes = Seq(1, 4, 8, 16), shortlists = Seq(20, 200),
+      reseedDir = Some(TempDirs.create("ivfpq-maint-rs-new")))
+    val r = m.report.collect().head
+    assert(r.getAs[String]("action") === "reseed")
+    assert(r.getAs[Double]("frac_below") > 0.5)
+    assert(!(m.serving eq old), "the fresh lineage must serve after a reseed")
+    // the commit lands on the SERVING lineage; the old root is untouched
+    assert(old.operatingPoint.isEmpty)
+    assert(r.getAs[Boolean]("committed") === r.getAs[Boolean]("floor_cleared"))
+    if (r.getAs[Boolean]("committed")) {
+      val (np, sl) = (r.getAs[Int]("nprobe"), r.getAs[Int]("shortlist"))
+      assert(m.serving.operatingPoint === Some((np, sl)))
+      assert(rows(m.serving.topK(combined,
+        combined.filter(col("vec_id") < 8), 5)).nonEmpty)
+    }
+  }
+
+  test("maintain never commits a point that fails the floor; the standing point survives") {
+    val idx = new IvfPqIndex(spark, TempDirs.create("ivfpq-maint-fl"),
+      nlist = 16, m = 8, codes = 256)
+    idx.bootstrap(oldVecs)
+    idx.appendBatch(delta, batchId = 0L)
+    val ok = idx.maintain(corpus, delta, queries, k = 5, recallFloor = 0.9,
+      cosineFloor = 0.22, maxFracBelow = 0.5,
+      nprobes = Seq(1, 4, 8, 16), shortlists = Seq(20, 200))
+    val standing = idx.operatingPoint
+    assert(standing.isDefined)
+    // an unclearable sweep (floor 1.0 at one starved setting) must report
+    // floor_cleared=false, commit nothing, and leave the old point intact
+    val bad = idx.maintain(corpus, delta, queries, k = 5, recallFloor = 1.0,
+      cosineFloor = 0.22, maxFracBelow = 0.5,
+      nprobes = Seq(1), shortlists = Seq(5))
+    val r = bad.report.collect().head
+    if (!r.getAs[Boolean]("floor_cleared")) {
+      assert(!r.getAs[Boolean]("committed"))
+      assert(idx.operatingPoint === standing,
+        "a failed sweep must not move the committed point")
+    } else cancel("fixture cleared recall 1.0 at (nprobe=1, shortlist=5); " +
+      "pick a narrower starved setting")
+    assert(ok.report.collect().head.getAs[Boolean]("committed"))
+  }
+
   test("reseedInto retrains seeds AND codebooks; the old root stays readable unchanged") {
     val old = new IvfPqIndex(spark, TempDirs.create("ivfpq-rs-old"),
       nlist = 16, m = 8, codes = 16)
