@@ -583,6 +583,34 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // COMPACTION — the read-amplification half of index maintenance
+    // (r13; reseed retrains, revalidate retunes, compact reorganizes).
+    // Streaming ingest commits one dir per micro-batch: after 10k
+    // batches every probe lists 10k fragment dirs whose row groups
+    // interleave all cells. compact() folds the committed view into one
+    // base dir RANGE-CLUSTERED ON THE CELL ID — parquet min/max stats
+    // then prune unprobed cells at the scan, and listing is O(1) in
+    // ingest history. The fixture takes two appendBatch generations,
+    // compacts with the superseded dirs RETIRED (so the probe provably
+    // reads only the base), and probes at the declared operating point;
+    // the corpus equals sim_ivfpq_topk's, so the oracle is the same
+    // end-to-end replay — compaction must be invisible to results.
+    "ivfpq_compact" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val idx = IndexCache.getOrBuildVersioned(s, s"ivfpq-cmp|$dir", dir) {
+        val i = new graft.sources.IvfPqIndex(
+          s, Scratch.create(s, "graft-ivfpq-cmp"), nlist = 16, m = 8, codes = 256)
+        i.bootstrap(emb.filter(col("vec_id") % 50 =!= 0))
+        i.appendBatch(emb.filter(col("vec_id") % 100 === 0), batchId = 0L)
+        i.appendBatch(emb.filter(col("vec_id") % 100 === 50), batchId = 1L)
+        i.compact(retireSuperseded = true)
+        i
+      }
+      idx.topK(emb, emb.filter(col("vec_id") < 8),
+          k = 5, shortlist = 200, nprobe = 8)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // Streaming ingest into the PERSISTED IVF-PQ composition (the
     // stream_ivf_ingest twin for the 100 TB ANN shape): bootstrap
     // freezes seeds + codebooks on the history, each arriving
@@ -718,10 +746,14 @@ object SparkEntry {
         i.append(emb.filter(col("vec_id") % 50 === 0))
         i
       }
-      val served = idx.maintain(emb, emb.filter(col("vec_id") % 50 === 0),
-        emb.filter(col("vec_id") < 8), k = 5, recallFloor = 0.9,
-        cosineFloor = 0.22, maxFracBelow = 0.5,
-        nprobes = Seq(2, 8), shortlists = Seq(20, 200)).serving
+      // era-boundary cadence: the sweep runs once per store lifetime
+      // (the committed stamp persists); every later call is probe-only —
+      // the warm cost of this query IS the production query cost
+      val served = if (idx.operatingPoint.isDefined) idx
+        else idx.maintain(emb, emb.filter(col("vec_id") % 50 === 0),
+          emb.filter(col("vec_id") < 8), k = 5, recallFloor = 0.9,
+          cosineFloor = 0.22, maxFracBelow = 0.5,
+          nprobes = Seq(2, 8), shortlists = Seq(20, 200)).serving
       served.topK(emb, emb.filter(col("vec_id") < 8), 5)
         .orderBy(col("query_id"), col("rank"))
     }),
@@ -4493,6 +4525,12 @@ object SparkEntry {
          |FROM rer WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
     "sim_ivfpq_topk" -> ivfPqOracle(nlist = 16, nprobe = 8, m = 8,
+      codes = 256, shortlist = 200, k = 5),
+
+    // compaction folds dirs, never rows: the probe over the compacted
+    // (and retired-source) store must replay identically to the
+    // fragment-dir store — same corpus, same oracle
+    "ivfpq_compact" -> ivfPqOracle(nlist = 16, nprobe = 8, m = 8,
       codes = 256, shortlist = 200, k = 5),
 
     // streamed appendBatch ≡ batch append: assignment and ADC codes are

@@ -42,6 +42,7 @@ final class IvfIndex(spark: SparkSession, dir: String,
   private val store = new BookmarkStore(dir)
   private val ctx = "ivf_index"
   private def genDir(g: Long) = s"$dir/gen-$g"
+  private def baseDir(g: Long) = s"$dir/base-$g"
   private def seedsDir = s"$dir/seeds"
   // stored cell assignments are a function of the frozen seed set;
   // reopening with a different nlist mis-probes — fail at open
@@ -202,11 +203,60 @@ final class IvfIndex(spark: SparkSession, dir: String,
     store.commitAll(ctx, Map("assign" -> (g + 1), "last_batch" -> batchId))
   }
 
-  /** Every committed assignment row (vec_id, cell). */
+  /** Generation the last [[compact]] folded through; -1 = never
+    * compacted.
+    */
+  def compactedThrough: Long = store.get("base", ctx).getOrElse(-1L)
+
+  /** Every committed assignment row (vec_id, cell): the compacted base
+    * (if one exists) plus the generations committed after it.
+    */
   def assignmentsDf: DataFrame = {
     val g = committedGen
     require(g >= 0, "the index is empty")
-    spark.read.parquet((0L to g).map(genDir): _*)
+    val base = compactedThrough
+    val dirs = (if (base >= 0) Seq(baseDir(base)) else Seq.empty) ++
+      ((base + 1) to g).map(genDir)
+    spark.read.parquet(dirs: _*)
+  }
+
+  /** COMPACTION — fold the committed per-batch generation dirs into one
+    * `base-<g>` dir range-clustered on the cell id, so the probe join's
+    * parquet scan prunes unprobed cells via row-group min/max stats and
+    * directory listing stays O(1) in ingest history. Identical commit
+    * discipline and caveats as [[IvfPqIndex.compact]]: base fully
+    * written before the `base` slot renames in (a crashed compact is
+    * invisible), values byte-identical (probes before/after hash-match),
+    * superseded dirs retired only on request — in-flight readers own
+    * the grace period.
+    */
+  def compact(retireSuperseded: Boolean = false): Unit = {
+    val g = committedGen
+    require(g >= 0, "compact before bootstrap: the index has no rows")
+    val prev = compactedThrough
+    if (g == prev) return
+    assignmentsDf
+      .repartitionByRange(col("cell"), col("vec_id"))
+      .sortWithinPartitions("cell", "vec_id")
+      .write.mode("overwrite").parquet(baseDir(g))
+    store.commit("base", ctx, g)
+    if (retireSuperseded) retire(g)
+  }
+
+  /** Delete every directory the committed `base-<g>` supersedes —
+    * listing-based, the [[IvfPqIndex.retire]] sweep.
+    */
+  private def retire(g: Long): Unit = {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(root).map(_.getPath).foreach { p =>
+      val n = p.getName
+      val gen = if (n.startsWith("gen-")) n.stripPrefix("gen-").toLongOption
+        else None
+      val base = if (n.startsWith("base-")) n.stripPrefix("base-").toLongOption
+        else None
+      if (gen.exists(_ <= g) || base.exists(_ < g)) fs.delete(p, true)
+    }
   }
 
   /** ANN top-k against the stored index: queries score the frozen seeds

@@ -35,6 +35,7 @@ final class IvfPqIndex(spark: SparkSession, dir: String,
   private val store = new BookmarkStore(dir)
   private val ctx = "ivfpq_index"
   private def genDir(g: Long) = s"$dir/gen-$g"
+  private def baseDir(g: Long) = s"$dir/base-$g"
   private def seedsDir = s"$dir/seeds"
   private def booksDir = s"$dir/books"
   // all three tunables shape the stored rows (cell ids and codes):
@@ -139,11 +140,73 @@ final class IvfPqIndex(spark: SparkSession, dir: String,
     store.commitAll(ctx, Map("encode" -> (g + 1), "last_batch" -> batchId))
   }
 
-  /** Every committed row (vec_id, cell, codes). */
+  /** Generation the last [[compact]] folded through; -1 = never
+    * compacted (readers list every generation directory).
+    */
+  def compactedThrough: Long = store.get("base", ctx).getOrElse(-1L)
+
+  /** Every committed row (vec_id, cell, codes): the compacted base (if
+    * one exists) plus the generations committed after it.
+    */
   def rowsDf: DataFrame = {
     val g = committedGen
     require(g >= 0, "the index is empty")
-    spark.read.parquet((0L to g).map(genDir): _*)
+    val base = compactedThrough
+    val dirs = (if (base >= 0) Seq(baseDir(base)) else Seq.empty) ++
+      ((base + 1) to g).map(genDir)
+    spark.read.parquet(dirs: _*)
+  }
+
+  /** COMPACTION — the read-amplification half of index maintenance
+    * ([[reseedInto]] retrains, [[revalidateOperatingPoint]] retunes,
+    * this reorganizes). Streaming ingest commits one directory per
+    * micro-batch; after 10k batches every probe lists and reads 10k
+    * fragment dirs whose row groups interleave all cells, so the
+    * cell-keyed probe join scans everything. Folding the committed view
+    * into one `base-<g>` dir RANGE-CLUSTERED ON THE CELL ID restores
+    * what the probe plan wants: min/max row-group stats prune unprobed
+    * cells at the parquet scan, and listing cost returns to O(1) in
+    * ingest history.
+    *
+    * Same commit discipline as everything else in the store: the base is
+    * fully written BEFORE the `base` slot renames in, so a crashed
+    * compact is invisible and a re-run overwrites the orphan staging
+    * dir. Values are byte-identical to the folded generations (rows are
+    * (vec_id, cell, codes) — a pure reshuffle), so probes before and
+    * after must hash-match — the oracle-gate for the declared query.
+    * Superseded dirs are retired only on request: an in-flight reader
+    * that planned its scan before the cutover may still be reading them,
+    * so the caller owns the grace period.
+    */
+  def compact(retireSuperseded: Boolean = false): Unit = {
+    val g = committedGen
+    require(g >= 0, "compact before bootstrap: the index has no rows")
+    val prev = compactedThrough
+    if (g == prev) return // already folded through the committed head
+    rowsDf
+      .repartitionByRange(col("cell"), col("vec_id"))
+      .sortWithinPartitions("cell", "vec_id")
+      .write.mode("overwrite").parquet(baseDir(g))
+    store.commit("base", ctx, g)
+    if (retireSuperseded) retire(g)
+  }
+
+  /** Delete every directory the committed `base-<g>` supersedes: all
+    * `gen-<i>` with i <= g and every older base — including dirs left by
+    * earlier compacts that did NOT retire. Listing-based so retirement
+    * is a complete sweep, not a diff against the last compact.
+    */
+  private def retire(g: Long): Unit = {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(root).map(_.getPath).foreach { p =>
+      val n = p.getName
+      val gen = if (n.startsWith("gen-")) n.stripPrefix("gen-").toLongOption
+        else None
+      val base = if (n.startsWith("base-")) n.stripPrefix("base-").toLongOption
+        else None
+      if (gen.exists(_ <= g) || base.exists(_ < g)) fs.delete(p, true)
+    }
   }
 
   /** DRIFT GUARD — [[IvfIndex.driftReport]]'s policy ported to the

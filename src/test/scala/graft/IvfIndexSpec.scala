@@ -107,6 +107,29 @@ class IvfIndexSpec extends SparkSuite {
     assert(bhj.nonEmpty, df.queryExecution.executedPlan.toString.take(3000))
   }
 
+  test("compact folds generations into a cell-clustered base; probes and later appends unchanged") {
+    val d0 = corpus.filter(col("vec_id") % 100 === 0)
+    val d50 = corpus.filter(col("vec_id") % 100 === 50)
+    val idx = new IvfIndex(spark, TempDirs.create("ivf-cmp"), nlist = 16)
+    idx.bootstrap(oldVecs)
+    idx.appendBatch(d0, batchId = 0L)
+    idx.compact()
+    assert(idx.compactedThrough === 1L && idx.committedGen === 1L)
+    idx.append(d50) // gen 2 on top of base-1
+    val ref = new IvfIndex(spark, TempDirs.create("ivf-cmp-ref"), nlist = 16)
+    ref.bootstrap(oldVecs)
+    ref.append(delta)
+    val expected = rows(ref.topK(corpus, queries, 5, nprobe = 4))
+    assert(expected.nonEmpty)
+    assert(rows(idx.topK(corpus, queries, 5, nprobe = 4)) === expected)
+    // fold the tail generation too, retiring everything superseded —
+    // the probe must answer from the base alone
+    idx.compact(retireSuperseded = true)
+    assert(idx.compactedThrough === 2L)
+    assert(rows(idx.topK(corpus, queries, 5, nprobe = 4)) === expected)
+    assert(idx.assignmentsDf.inputFiles.forall(_.contains("base-2")))
+  }
+
   test("reseedInto builds a fresh lineage; the old root is untouched and stays answerable") {
     val idx = new IvfIndex(spark, TempDirs.create("ivf-idx-rs-old"), nlist = 16)
     idx.bootstrap(oldVecs)

@@ -270,6 +270,74 @@ class IvfPqIndexSpec extends SparkSuite {
     assert(ok.report.collect().head.getAs[Boolean]("committed"))
   }
 
+  test("compact folds generations into a cell-clustered base; probes, later appends, and retirement stay invisible") {
+    // r13: the read-amplification half of maintenance. Streaming ingest
+    // leaves one dir per micro-batch; compact() folds the committed view
+    // into one base dir clustered on the cell id. Everything observable
+    // must be unchanged: probe results, row content, the ability to keep
+    // appending on top of the base — and retiring the superseded dirs
+    // must prove the probe really reads only the base.
+    val d0 = corpus.filter(col("vec_id") % 100 === 0)
+    val d50 = corpus.filter(col("vec_id") % 100 === 50)
+    val idx = new IvfPqIndex(spark, TempDirs.create("ivfpq-cmp"),
+      nlist = 16, m = 8, codes = 16)
+    idx.bootstrap(oldVecs)
+    idx.appendBatch(d0, batchId = 0L)
+    assert(idx.compactedThrough === -1L)
+    val preRows = idx.rowsDf.select(col("vec_id"), col("cell"), col("codes"))
+      .as[(Long, Long, Seq[Int])].collect().toSeq.sortBy(_._1)
+    idx.compact()
+    assert(idx.compactedThrough === 1L && idx.committedGen === 1L)
+    assert(idx.rowsDf.select(col("vec_id"), col("cell"), col("codes"))
+      .as[(Long, Long, Seq[Int])].collect().toSeq.sortBy(_._1) === preRows)
+    // appends keep working on top of the base (gen 2 over base-1)
+    idx.append(d50)
+    assert(idx.committedGen === 2L && idx.compactedThrough === 1L)
+    val ref = new IvfPqIndex(spark, TempDirs.create("ivfpq-cmp-ref"),
+      nlist = 16, m = 8, codes = 16)
+    ref.bootstrap(oldVecs)
+    ref.append(delta)
+    val expected = rows(ref.topK(corpus, queries, 5, shortlist = 20, nprobe = 4))
+    assert(rows(idx.topK(corpus, queries, 5, shortlist = 20, nprobe = 4))
+      === expected)
+    // recompact folding the post-base generation, retiring every
+    // superseded dir — the probe must now answer from the base alone
+    idx.compact(retireSuperseded = true)
+    assert(idx.compactedThrough === 2L)
+    val dirNames = new java.io.File(
+      idx.rowsDf.inputFiles.head.stripPrefix("file:")).getParentFile
+      .getParentFile.listFiles().map(_.getName).toSet
+    assert(dirNames.contains("base-2"))
+    assert(!dirNames.exists(_.startsWith("gen-")), s"superseded dirs survive: $dirNames")
+    assert(!dirNames.contains("base-1"))
+    assert(rows(idx.topK(corpus, queries, 5, shortlist = 20, nprobe = 4))
+      === expected)
+    // compacting an already-folded head is a no-op
+    idx.compact()
+    assert(idx.compactedThrough === 2L)
+  }
+
+  test("a crashed compact (base written, slot not committed) is invisible") {
+    val dir = TempDirs.create("ivfpq-cmp-crash")
+    val idx = new IvfPqIndex(spark, dir, nlist = 16, m = 8, codes = 16)
+    idx.bootstrap(oldVecs)
+    idx.append(delta)
+    val before = idx.rowsDf.select(col("vec_id"), col("cell"), col("codes"))
+      .as[(Long, Long, Seq[Int])].collect().toSeq.sortBy(_._1)
+    // simulate the crash: the staging base dir exists with garbage rows,
+    // but the `base` slot never renamed in
+    idx.rowsDf.limit(3)
+      .write.mode("overwrite").parquet(s"$dir/base-1")
+    assert(idx.compactedThrough === -1L)
+    assert(idx.rowsDf.select(col("vec_id"), col("cell"), col("codes"))
+      .as[(Long, Long, Seq[Int])].collect().toSeq.sortBy(_._1) === before)
+    // a re-run overwrites the orphan staging dir and commits atomically
+    idx.compact()
+    assert(idx.compactedThrough === 1L)
+    assert(idx.rowsDf.select(col("vec_id"), col("cell"), col("codes"))
+      .as[(Long, Long, Seq[Int])].collect().toSeq.sortBy(_._1) === before)
+  }
+
   test("reseedInto retrains seeds AND codebooks; the old root stays readable unchanged") {
     val old = new IvfPqIndex(spark, TempDirs.create("ivfpq-rs-old"),
       nlist = 16, m = 8, codes = 16)
