@@ -805,6 +805,39 @@ object ScaleRehearsal {
       }
       emit("ivfpq_probe", f, ne, ivfpqCand, ivfpqHits, tIvfPqCand + tIvfPqProbe)
 
+      // ---- compaction (r13): the read-amplification axis. A store fed
+      // by streaming ingest accumulates one dir per micro-batch; the
+      // probe's scan cost then carries a per-fragment floor (listing,
+      // footers, row groups interleaving all cells) that grows with
+      // ingest HISTORY, not corpus size — invisible to the candidate
+      // counts above. Measure the same probe against a 17-dir store
+      // (bootstrap + 16 micro-batches) and against its compacted base:
+      // candidates := parquet files scanned, verified := probe hits
+      // (must be IDENTICAL — compaction folds dirs, never rows); the
+      // fold row records files-before vs files-after and the fold cost.
+      val cmpIdx = new graft.sources.IvfPqIndex(spark,
+        TempDirs.create(s"graft-scale-ivfpqcmp$f"),
+        nlist = ivfpqNlist, m = 8, codes = 256)
+      cmpIdx.bootstrap(ivfOld)
+      (0 until 16).foreach { i =>
+        cmpIdx.appendBatch(
+          ivfDelta.filter(pmod(col("vec_id"), lit(16)) === lit(i)), i.toLong)
+      }
+      val filesFrag = cmpIdx.rowsDf.inputFiles.length.toLong
+      val (hitsFrag, tFrag) = timed {
+        cmpIdx.topK(emb, pqQueries, 5, shortlist = 200, nprobe = ivfpqNprobe).count()
+      }
+      emit("ivfpq_compact_frag17", f, ne, filesFrag, hitsFrag, tFrag)
+      val (_, tCompact) = timed { cmpIdx.compact(retireSuperseded = true) }
+      val filesBase = cmpIdx.rowsDf.inputFiles.length.toLong
+      val (hitsBase, tBase) = timed {
+        cmpIdx.topK(emb, pqQueries, 5, shortlist = 200, nprobe = ivfpqNprobe).count()
+      }
+      require(hitsBase == hitsFrag,
+        s"compaction changed probe results: $hitsFrag -> $hitsBase")
+      emit("ivfpq_compact_base", f, ne, filesBase, hitsBase, tBase)
+      emit("ivfpq_compact_fold", f, ne, filesFrag, filesBase, tCompact)
+
       // ---- ANN recall@k (r11 verdict #1) ----
       // The oracle replays declared arithmetic, so a degraded codebook
       // passes every correctness gate (the round-3 hyperplane lesson),

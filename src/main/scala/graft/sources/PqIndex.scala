@@ -42,6 +42,7 @@ final class PqIndex(spark: SparkSession, dir: String,
   private val store = new BookmarkStore(dir)
   private val ctx = "pq_index"
   private def genDir(g: Long) = s"$dir/gen-$g"
+  private def baseDir(g: Long) = s"$dir/base-$g"
   private def booksDir = s"$dir/books"
   // m/codes shape the stored code rows and the ADC tables: reopening with
   // different values makes every lookup read codebook entries that were
@@ -117,11 +118,53 @@ final class PqIndex(spark: SparkSession, dir: String,
     store.commitAll(ctx, Map("encode" -> (g + 1), "last_batch" -> batchId))
   }
 
-  /** Every committed code row (vec_id, codes). */
+  /** Generation the last [[compact]] folded through; -1 = never
+    * compacted.
+    */
+  def compactedThrough: Long = store.get("base", ctx).getOrElse(-1L)
+
+  /** Every committed code row (vec_id, codes): the compacted base (if
+    * one exists) plus the generations committed after it.
+    */
   def codesDf: DataFrame = {
     val g = committedGen
     require(g >= 0, "the index is empty")
-    spark.read.parquet((0L to g).map(genDir): _*)
+    val base = compactedThrough
+    val dirs = (if (base >= 0) Seq(baseDir(base)) else Seq.empty) ++
+      ((base + 1) to g).map(genDir)
+    spark.read.parquet(dirs: _*)
+  }
+
+  /** COMPACTION — [[IvfPqIndex.compact]]'s discipline for the flat code
+    * store. The ADC scan reads every code row by design (no coarse
+    * structure to prune on), so the win here is listing cost O(1) in
+    * ingest history and full row groups instead of per-micro-batch
+    * fragments; rows are clustered by vec_id for the shortlist re-rank
+    * join. Same crash-safety (base written before the slot renames in)
+    * and opt-in, listing-based retirement.
+    */
+  def compact(retireSuperseded: Boolean = false): Unit = {
+    val g = committedGen
+    require(g >= 0, "compact before bootstrap: the index has no rows")
+    val prev = compactedThrough
+    if (g == prev) return
+    codesDf
+      .repartitionByRange(col("vec_id"))
+      .sortWithinPartitions("vec_id")
+      .write.mode("overwrite").parquet(baseDir(g))
+    store.commit("base", ctx, g)
+    if (retireSuperseded) {
+      val root = new org.apache.hadoop.fs.Path(dir)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(root).map(_.getPath).foreach { p =>
+        val n = p.getName
+        val gen = if (n.startsWith("gen-")) n.stripPrefix("gen-").toLongOption
+          else None
+        val base = if (n.startsWith("base-")) n.stripPrefix("base-").toLongOption
+          else None
+        if (gen.exists(_ <= g) || base.exists(_ < g)) fs.delete(p, true)
+      }
+    }
   }
 
   /** ADC top-k against the stored codes: identical output to

@@ -154,4 +154,25 @@ class PqIndexSpec extends SparkSuite {
     }
     assert(bnl.nonEmpty, df.queryExecution.executedPlan.toString.take(3000))
   }
+
+  test("compact folds generations into a vec_id-clustered base; probes and later appends unchanged") {
+    val d0 = corpus.filter(col("vec_id") % 100 === 0)
+    val d50 = corpus.filter(col("vec_id") % 100 === 50)
+    val idx = new PqIndex(spark, TempDirs.create("pq-cmp"), m = 8, codes = 16)
+    idx.bootstrap(oldVecs)
+    idx.appendBatch(d0, batchId = 0L)
+    idx.compact()
+    assert(idx.compactedThrough === 1L && idx.committedGen === 1L)
+    idx.append(d50) // gen 2 on top of base-1
+    val ref = new PqIndex(spark, TempDirs.create("pq-cmp-ref"), m = 8, codes = 16)
+    ref.bootstrap(oldVecs)
+    ref.append(delta)
+    val expected = rows(ref.topK(corpus, queries, 5, shortlist = 20))
+    assert(expected.nonEmpty)
+    assert(rows(idx.topK(corpus, queries, 5, shortlist = 20)) === expected)
+    idx.compact(retireSuperseded = true)
+    assert(idx.compactedThrough === 2L)
+    assert(rows(idx.topK(corpus, queries, 5, shortlist = 20)) === expected)
+    assert(idx.codesDf.inputFiles.forall(_.contains("base-2")))
+  }
 }
