@@ -1344,6 +1344,11 @@ object SparkEntry {
         .option("checkpointLocation", ckpt)
         .start()
       q.awaitTermination()
+      // fold the per-batch dirs and RETIRE them before the read (r13):
+      // the declared result must be identical whether the reader sees
+      // fragments or the compacted base — compaction rides this query's
+      // existing oracle, no new replay needed
+      graft.streaming.StreamSink.compactParquet(s, outDir, retireSuperseded = true)
       graft.streaming.StreamSink.committedParquet(s, outDir).orderBy(col("doc_id"))
     }),
 

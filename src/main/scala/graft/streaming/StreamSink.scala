@@ -138,23 +138,68 @@ object StreamSink {
     acc
   }
 
-  /** Every COMMITTED batch of an [[exactlyOnceParquet]] sink — reads only
-    * subdirectories at or below the watermark, so a crashed batch's
-    * partial directory is never visible. Requires at least one committed
-    * batch (an unstarted sink has no schema to offer).
+  /** Every COMMITTED batch of an [[exactlyOnceParquet]] sink: the
+    * compacted base (if [[compactParquet]] has run) plus batch
+    * subdirectories committed after it, everything bounded by the
+    * watermark — so a crashed batch's partial directory is never
+    * visible, and neither is a crashed compact's orphan base. Requires
+    * at least one committed batch (an unstarted sink has no schema to
+    * offer).
     */
   def committedParquet(spark: org.apache.spark.sql.SparkSession,
                        outDir: String): DataFrame = {
     val store = new graft.sources.BookmarkStore(outDir)
     val last = store.get("last_batch", ParquetSinkCtx)
     require(last.isDefined, s"no committed batches under $outDir")
+    val base = store.get("base", ParquetSinkCtx).getOrElse(-1L)
     val path = new org.apache.hadoop.fs.Path(outDir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val rx = "batch-(\\d+)".r
-    val dirs = fs.listStatus(path).toSeq.map(_.getPath)
-      .filter(p => rx.findFirstMatchIn(p.getName)
-        .exists(_.group(1).toLong <= last.get))
+    val dirs =
+      (if (base >= 0) Seq(new org.apache.hadoop.fs.Path(outDir, s"base-$base"))
+       else Seq.empty) ++
+        fs.listStatus(path).toSeq.map(_.getPath)
+          .filter(p => rx.findFirstMatchIn(p.getName)
+            .exists(m => { val b = m.group(1).toLong; b > base && b <= last.get }))
     spark.read.parquet(dirs.map(_.toString): _*)
+  }
+
+  /** COMPACTION for the parquet ledger sink — the
+    * [[graft.sources.IvfPqIndex.compact]] discipline applied to the
+    * OUTPUT table: one directory per micro-batch is what buys
+    * exactly-once (the batch boundary IS the commit unit), but a
+    * long-lived query accumulates thousands of them and every reader
+    * pays listing + per-fragment footers forever. Fold the committed
+    * view into `base-<watermark>`; readers then touch one consolidated
+    * dir plus only the batches committed since. The base is fully
+    * written BEFORE the `base` slot renames in (a crashed compact leaves
+    * an orphan dir readers never list), redelivery semantics are
+    * untouched (the `last_batch` watermark still governs), and
+    * retirement of superseded dirs is opt-in — in-flight readers own
+    * the grace period.
+    */
+  def compactParquet(spark: org.apache.spark.sql.SparkSession,
+                     outDir: String, retireSuperseded: Boolean = false): Unit = {
+    val store = new graft.sources.BookmarkStore(outDir)
+    val last = store.get("last_batch", ParquetSinkCtx)
+    require(last.isDefined, s"no committed batches under $outDir")
+    val w = last.get
+    if (store.get("base", ParquetSinkCtx).contains(w)) return
+    committedParquet(spark, outDir)
+      .write.mode("overwrite").parquet(s"$outDir/base-$w")
+    store.commit("base", ParquetSinkCtx, w)
+    if (retireSuperseded) {
+      val root = new org.apache.hadoop.fs.Path(outDir)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val rxB = "batch-(\\d+)".r
+      val rxC = "base-(\\d+)".r
+      fs.listStatus(root).map(_.getPath).foreach { p =>
+        val superseded =
+          rxB.findFirstMatchIn(p.getName).exists(_.group(1).toLong <= w) ||
+            rxC.findFirstMatchIn(p.getName).exists(_.group(1).toLong < w)
+        if (superseded) fs.delete(p, true)
+      }
+    }
   }
 
   private val ParquetSinkCtx = "parquet_sink"

@@ -135,4 +135,55 @@ class StreamSinkSpec extends SparkSuite {
     assert(StreamSink.committedParquet(spark, out)
       .as[(Long, String)].collect().toSet === Set((1L, "a"), (3L, "c")))
   }
+
+  test("compactParquet folds committed batches; delivery, redelivery, and retirement unchanged") {
+    // r13: the read-amplification half for the OUTPUT table — one dir per
+    // micro-batch buys exactly-once, compaction keeps readers from paying
+    // per-fragment cost over the whole query lifetime
+    val out = TempDirs.create("eop-compact")
+    val ckpt = "ckpt-cmp"
+    StreamSink.exactlyOnceParquet(out, Seq((1L, "a")).toDF("doc_id", "text"), 0L, ckpt)
+    StreamSink.exactlyOnceParquet(out, Seq((2L, "b")).toDF("doc_id", "text"), 1L, ckpt)
+    val before = StreamSink.committedParquet(spark, out)
+      .as[(Long, String)].collect().toSet
+    StreamSink.compactParquet(spark, out)
+    assert(StreamSink.committedParquet(spark, out)
+      .as[(Long, String)].collect().toSet === before)
+    // redelivery of a compacted (committed) batch is STILL a no-op
+    StreamSink.exactlyOnceParquet(out, Seq((99L, "X")).toDF("doc_id", "text"), 1L, ckpt)
+    assert(StreamSink.committedParquet(spark, out)
+      .as[(Long, String)].collect().toSet === before)
+    // delivery continues on top of the base
+    StreamSink.exactlyOnceParquet(out, Seq((3L, "c")).toDF("doc_id", "text"), 2L, ckpt)
+    val withC = before + ((3L, "c"))
+    assert(StreamSink.committedParquet(spark, out)
+      .as[(Long, String)].collect().toSet === withC)
+    // recompact with retirement: the reader must answer from the base alone
+    StreamSink.compactParquet(spark, out, retireSuperseded = true)
+    val df = StreamSink.committedParquet(spark, out)
+    assert(df.as[(Long, String)].collect().toSet === withC)
+    assert(df.inputFiles.forall(_.contains("base-2")), df.inputFiles.mkString(","))
+    // already folded through the watermark: no-op
+    StreamSink.compactParquet(spark, out)
+    assert(StreamSink.committedParquet(spark, out)
+      .as[(Long, String)].collect().toSet === withC)
+  }
+
+  test("a crashed compactParquet (base written, slot not committed) is invisible") {
+    val out = TempDirs.create("eop-compact-crash")
+    val ckpt = "ckpt-cmp2"
+    StreamSink.exactlyOnceParquet(out, Seq((1L, "a")).toDF("doc_id", "text"), 0L, ckpt)
+    StreamSink.exactlyOnceParquet(out, Seq((2L, "b")).toDF("doc_id", "text"), 1L, ckpt)
+    val before = StreamSink.committedParquet(spark, out)
+      .as[(Long, String)].collect().toSet
+    // orphan base dir with garbage: the slot never renamed in
+    Seq((77L, "garbage")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$out/base-1")
+    assert(StreamSink.committedParquet(spark, out)
+      .as[(Long, String)].collect().toSet === before)
+    // the re-run overwrites the orphan and commits atomically
+    StreamSink.compactParquet(spark, out)
+    assert(StreamSink.committedParquet(spark, out)
+      .as[(Long, String)].collect().toSet === before)
+  }
 }
