@@ -275,7 +275,14 @@ final class IvfIndex(spark: SparkSession, dir: String,
         explode(slice(reverse(array_sort(array(scored(ss)(col("embedding")): _*))),
           1, nprobe)).as("p"))
       .select(col("query_id"), col("qemb"), col("p.cell").as("cell"))
-    val cand = assignmentsDf.join(broadcast(probes), Seq("cell"))
+    // explicit IN filter on the probed cells (driver metadata — the join
+    // already broadcasts the probe set): a broadcast join alone injects
+    // no row-group pruning on a non-partition column, so without this
+    // the compacted cell-clustered base is scanned in full
+    val probedCells = probes.select(col("cell")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    val cand = assignmentsDf.filter(col("cell").isInCollection(probedCells))
+      .join(broadcast(probes), Seq("cell"))
       .filter(col("query_id") =!= col("vec_id"))
       .join(corpus.select(col("vec_id"), col("embedding")), Seq("vec_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),

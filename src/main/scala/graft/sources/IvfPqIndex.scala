@@ -429,9 +429,26 @@ final class IvfPqIndex(spark: SparkSession, dir: String,
         explode(slice(reverse(array_sort(array(scored(ss)(col("embedding")): _*))),
           1, nprobe)).as("p"))
       .select(col("query_id"), col("p.cell").as("cell"))
-    rowsDf.join(broadcast(probes), Seq("cell"))
+    prunedToCells(probes).join(broadcast(probes), Seq("cell"))
       .filter(col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"))
+  }
+
+  /** The stored scan restricted to the probe set's cells as an EXPLICIT
+    * `IN` filter, not just the join key. A broadcast join on `cell`
+    * restricts rows only after the scan — Spark injects no row-group
+    * pruning from a join on a non-partition column — so without this
+    * every probe reads every row group and [[compact]]'s cell-clustered
+    * base buys nothing at the scan. The probe set is already driver
+    * metadata (the join broadcasts it), so collecting its ≤
+    * |queries|·nprobe distinct cell ids adds one metadata-sized job and
+    * turns the base's clustering into real parquet min/max row-group
+    * skipping (`PushedFilters: In(cell, …)` — spec-pinned).
+    */
+  private def prunedToCells(probes: DataFrame): DataFrame = {
+    val cells = probes.select(col("cell")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    rowsDf.filter(col("cell").isInCollection(cells))
   }
 
   /** ANN top-k: queries score the frozen seeds to pick `nprobe` cells
@@ -459,7 +476,7 @@ final class IvfPqIndex(spark: SparkSession, dir: String,
     val wS = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("qcos").desc, col("neighbor_id"))
-    val shortlisted = rowsDf
+    val shortlisted = prunedToCells(probes)
       .select(col("vec_id"), col("cell"), col("codes"),
         Similarity.pqRnorm(bks, m, codes).as("rnorm"))
       .join(broadcast(probes), Seq("cell"))

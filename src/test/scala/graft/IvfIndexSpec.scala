@@ -107,6 +107,37 @@ class IvfIndexSpec extends SparkSuite {
     assert(bhj.nonEmpty, df.queryExecution.executedPlan.toString.take(3000))
   }
 
+  test("probe pushes the probed cells into the scan as an IN filter: base clustering prunes for real") {
+    // a broadcast join on `cell` restricts rows only AFTER the scan —
+    // Spark injects no row-group pruning from a join on a non-partition
+    // column, so without the explicit IN filter the compacted
+    // cell-clustered base is read in full and compact()'s pruning story
+    // is fiction. The probe set is already driver metadata; the filter
+    // must reach the parquet scan as PushedFilters: In(cell, ...).
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val idx = new IvfIndex(spark, TempDirs.create("ivf-push"), nlist = 16)
+    idx.bootstrap(corpus)
+    idx.compact(retireSuperseded = true)
+    def collectRec[T](p: SparkPlan)(f: PartialFunction[SparkPlan, T]): Seq[T] =
+      p.collect {
+        case a: AdaptiveSparkPlanExec => collectRec(a.executedPlan)(f)
+        case n if f.isDefinedAt(n) => Seq(f(n))
+      }.flatten
+    val df = idx.topK(corpus, queries, 5, nprobe = 4)
+    df.write.format("noop").mode("overwrite").save()
+    val baseScans = collectRec(df.queryExecution.executedPlan) {
+      case s: FileSourceScanExec
+        if s.metadata.get("Location").exists(_.contains("base-")) => s
+    }
+    assert(baseScans.nonEmpty, "no scan over the compacted base found")
+    baseScans.foreach { s =>
+      val pushed = s.metadata.getOrElse("PushedFilters", "")
+      assert(pushed.contains("In(cell"),
+        s"probed cells not pushed to the base scan: PushedFilters=$pushed")
+    }
+  }
+
   test("compact folds generations into a cell-clustered base; probes and later appends unchanged") {
     val d0 = corpus.filter(col("vec_id") % 100 === 0)
     val d50 = corpus.filter(col("vec_id") % 100 === 50)

@@ -317,6 +317,32 @@ class IvfPqIndexSpec extends SparkSuite {
     assert(idx.compactedThrough === 2L)
   }
 
+  test("probe pushes the probed cells into the scan as an IN filter: base clustering prunes for real") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val idx = new IvfPqIndex(spark, TempDirs.create("ivfpq-push"),
+      nlist = 16, m = 8, codes = 16)
+    idx.bootstrap(corpus)
+    idx.compact(retireSuperseded = true)
+    def collectRec[T](p: SparkPlan)(f: PartialFunction[SparkPlan, T]): Seq[T] =
+      p.collect {
+        case a: AdaptiveSparkPlanExec => collectRec(a.executedPlan)(f)
+        case n if f.isDefinedAt(n) => Seq(f(n))
+      }.flatten
+    val df = idx.topK(corpus, queries, 5, shortlist = 20, nprobe = 4)
+    df.write.format("noop").mode("overwrite").save()
+    val baseScans = collectRec(df.queryExecution.executedPlan) {
+      case s: FileSourceScanExec
+        if s.metadata.get("Location").exists(_.contains("base-")) => s
+    }
+    assert(baseScans.nonEmpty, "no scan over the compacted base found")
+    baseScans.foreach { s =>
+      val pushed = s.metadata.getOrElse("PushedFilters", "")
+      assert(pushed.contains("In(cell"),
+        s"probed cells not pushed to the base scan: PushedFilters=$pushed")
+    }
+  }
+
   test("a crashed compact (base written, slot not committed) is invisible") {
     val dir = TempDirs.create("ivfpq-cmp-crash")
     val idx = new IvfPqIndex(spark, dir, nlist = 16, m = 8, codes = 16)
