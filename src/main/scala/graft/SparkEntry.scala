@@ -797,6 +797,35 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // The committed-operating-point discipline for the FLAT IVF store
+    // (r13): the production hybrid's vector arm probes this index, and
+    // its nprobe was a call-site constant — the same drift class the
+    // IVF-PQ loop closed. maintain() sweeps the one knob the flat store
+    // has (in-cell scoring is exact, so recall is monotone in nprobe and
+    // one ascending phase suffices), commits the smallest clearing
+    // nprobe, and the no-knobs topK reads the stamp back. Era cadence:
+    // the sweep runs once per store lifetime; warm cost is the pure
+    // committed-point probe. The oracle replays the sweep grid + choice
+    // as scalar CTEs and probes at the derived nprobe — a constant in
+    // neither the operator nor the oracle.
+    "sim_ivf_committed" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val idx = IndexCache.getOrBuildVersioned(s, s"ivf-cm|$dir", dir) {
+        val i = new graft.sources.IvfIndex(
+          s, Scratch.create(s, "graft-ivf-cm"), nlist = 16)
+        i.bootstrap(emb.filter(col("vec_id") % 50 =!= 0))
+        i.append(emb.filter(col("vec_id") % 50 === 0))
+        i
+      }
+      val served = if (idx.operatingPoint.isDefined) idx
+        else idx.maintain(emb, emb.filter(col("vec_id") % 50 === 0),
+          emb.filter(col("vec_id") < 8), k = 5, recallFloor = 0.9,
+          cosineFloor = 0.22, maxFracBelow = 0.5,
+          nprobes = Seq(1, 2, 4, 8)).serving
+      served.topK(emb, emb.filter(col("vec_id") < 8), 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // Continuous vector-index maintenance: the delta arrives as an
     // embedding STREAM; each micro-batch lands as one committed
     // generation against the frozen centroids via the exactly-once
@@ -3916,6 +3945,67 @@ object SparkEntry {
        |  FROM cand)
        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
+  /** Replays `sim_ivf_committed`: the flat-IVF sweep grid (recall@k per
+    * nprobe vs the exact scan, reported 4 digits), the smallest-clearing
+    * choice as the scalar CTE `cnp`, and the probe AT that derived
+    * nprobe — [[ivfIndexedOracle]]'s arithmetic with the probe width
+    * coming from the replayed sweep instead of a constant.
+    */
+  private def ivfCommittedProbeOracle(nlist: Int, k: Int, floor: Double,
+                                      nps: Seq[Int]): String = {
+    val maxNp = nps.max
+    val settings = nps.map(p => s"($p)").mkString(", ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |seeds AS (SELECT vec_id AS cell_id, v AS cv FROM e
+       |  WHERE vec_id % 50 != 0 ORDER BY vec_id LIMIT $nlist),
+       |scored AS (
+       |  SELECT e.vec_id, e.v, s.cell_id, ${Oracles.cosine("e.v", "s.cv", 64)} AS cs
+       |  FROM e CROSS JOIN seeds s),
+       |assign AS (
+       |  SELECT vec_id, v, cell_id FROM (
+       |    SELECT vec_id, v, cell_id,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cell_id) AS rnk
+       |    FROM scored) WHERE rnk = 1),
+       |probes AS (
+       |  SELECT vec_id AS query_id, v AS qv, cell_id, rnk AS prnk FROM (
+       |    SELECT vec_id, v, cell_id,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cell_id) AS rnk
+       |    FROM scored WHERE vec_id < 8) WHERE rnk <= $maxNp),
+       |st AS (SELECT * FROM (VALUES $settings) AS t(np)),
+       |cand AS (
+       |  SELECT st.np, p.query_id, a.vec_id AS neighbor_id,
+       |    round(${Oracles.cosine("p.qv", "a.v", 64)}, 6) AS cosine
+       |  FROM st JOIN probes p ON p.prnk <= st.np
+       |  JOIN assign a ON a.cell_id = p.cell_id AND p.query_id != a.vec_id),
+       |annk AS (
+       |  SELECT np, query_id, neighbor_id, cosine, rank FROM (
+       |    SELECT np, query_id, neighbor_id, cosine,
+       |      row_number() OVER (PARTITION BY np, query_id
+       |        ORDER BY cosine DESC, neighbor_id) AS rank
+       |    FROM cand) WHERE rank <= $k),
+       |exact AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY round(${Oracles.cosine("q.v", "c.v", 64)}, 6) DESC,
+       |          c.vec_id) AS rank
+       |    FROM e c JOIN (SELECT * FROM e WHERE vec_id < 8) q
+       |      ON q.vec_id != c.vec_id) WHERE rank <= $k),
+       |hits AS (
+       |  SELECT st.np, ex.query_id, count(a.neighbor_id) AS nhit
+       |  FROM st CROSS JOIN exact ex
+       |  LEFT JOIN annk a ON a.np = st.np
+       |    AND a.query_id = ex.query_id AND a.neighbor_id = ex.neighbor_id
+       |  GROUP BY 1, 2),
+       |grid AS (
+       |  SELECT np, round(avg(nhit / CAST($k AS DOUBLE)), 4) AS recall
+       |  FROM hits GROUP BY 1),
+       |cnp AS (SELECT coalesce((SELECT min(np) FROM grid WHERE recall >= $floor),
+       |  (SELECT max(np) FROM grid)) AS v)
+       |SELECT query_id, rank, neighbor_id, cosine
+       |FROM annk, cnp WHERE annk.np = cnp.v ORDER BY query_id, rank""".stripMargin
+  }
+
   private def minhashPairsCtesOver(src: String, threshold: Double): String = {
     val bkeys = (0 until 4).map(bi => Oracles.bandKey("sig", bi, 4)).mkString("[", ", ", "]")
     s"""sh AS (
@@ -4833,6 +4923,11 @@ object SparkEntry {
     // delta append — the assignment formula itself is unchanged, which is
     // exactly the frozen-centroid invariant the oracle pins
     "sim_ivf_indexed" -> ivfIndexedOracle,
+
+    // the flat store's probe width comes from the replayed sweep's
+    // scalar CTE, not a constant — mirroring the committed default
+    "sim_ivf_committed" -> ivfCommittedProbeOracle(nlist = 16, k = 5,
+      floor = 0.9, nps = Seq(1, 2, 4, 8)),
 
     // the streaming ingest must be indistinguishable from the batch
     // append — one oracle pins both

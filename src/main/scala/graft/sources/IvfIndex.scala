@@ -28,13 +28,16 @@ import graft.operators.Similarity
   * uncommitted `gen-(G+1)` that readers never see and the next append
   * overwrites.
   *
-  * No compaction operation exists here ON PURPOSE, where [[LshBandIndex]]
-  * needed one: the ANN probe side (queries × nprobe cells) is tiny and
-  * broadcast, so the stored assignments are consumed by a
-  * BroadcastHashJoin that never shuffles the stored side no matter how
-  * many generations it spans — there is no exchange for a bucketed layout
-  * to remove. The band index's probe, by contrast, equi-joins two
-  * data-sized sides on (band, band_key), which is why it buckets.
+  * Compaction here serves a DIFFERENT axis than [[LshBandIndex]]'s: the
+  * ANN probe side (queries × nprobe cells) is tiny and broadcast, so the
+  * stored assignments never shuffle no matter how many generations they
+  * span — there is no exchange for a bucketed layout to remove (the band
+  * index's probe equi-joins two data-sized sides, which is why it
+  * buckets). What DOES grow with ingest history is the scan itself: one
+  * dir per micro-batch whose row groups interleave all cells. [[compact]]
+  * folds the committed view into one cell-clustered base and the probe
+  * pushes its cell set into the scan as an `IN` filter, so row-group
+  * min/max stats skip unprobed cells (r13).
   */
 final class IvfIndex(spark: SparkSession, dir: String,
                      nlist: Int = 16) {
@@ -259,6 +262,102 @@ final class IvfIndex(spark: SparkSession, dir: String,
     }
   }
 
+  /** Commit the probe operating point — [[IvfPqIndex.commitOperatingPoint]]'s
+    * discipline for the flat-IVF store, whose ONLY recall knob is nprobe
+    * (in-cell scoring is exact). Stamped with the generation it was
+    * validated against; recall stored in basis points.
+    */
+  def commitOperatingPoint(nprobe: Int, recall: Double): Unit = {
+    require(nprobe >= 1 && nprobe <= nlist,
+      s"operating point nprobe=$nprobe out of range for nlist=$nlist")
+    store.commitAll(ctx, Map(
+      "op.nprobe" -> nprobe.toLong,
+      "op.recall_bp" -> math.rint(recall * 10000).toLong,
+      "op.gen" -> committedGen))
+  }
+
+  /** The committed nprobe, if a maintenance run has stamped one. */
+  def operatingPoint: Option[Int] =
+    store.get("op.nprobe", ctx).map(_.toInt)
+
+  /** Generation the committed point was validated against. */
+  def operatingPointGen: Option[Long] = store.get("op.gen", ctx)
+
+  /** Probe at the COMMITTED operating point — refuses (never guesses)
+    * when no maintenance run has committed one.
+    */
+  def topK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val np = operatingPoint.getOrElse(throw new IllegalStateException(
+      s"no committed operating point at $dir: run maintain()/" +
+        "revalidateNprobe + commitOperatingPoint before probing with " +
+        "defaults, or pass nprobe explicitly"))
+    topK(corpus, queries, k, np)
+  }
+
+  /** MAINTENANCE: re-derive nprobe against the exact scan — the
+    * [[IvfPqIndex.revalidateOperatingPoint]] sweep collapsed to the one
+    * knob the flat store has. In-cell scoring is exact, so recall is
+    * monotone in nprobe and a single ascending phase suffices: the
+    * smallest nprobe whose reported (4-digit) recall clears the floor is
+    * chosen; if none clears, the widest is marked chosen with
+    * `floor_cleared=false` — the reseed signal, never a silent pick.
+    * Ground truth costs one full-width corpus pass with the query sample
+    * broadcast (era-boundary cadence); each swept setting is one stored
+    * probe.
+    */
+  def revalidateNprobe(corpus: DataFrame, queries: DataFrame,
+                       k: Int, recallFloor: Double,
+                       nprobes: Seq[Int]): DataFrame = {
+    require(k >= 1 && recallFloor > 0.0 && recallFloor <= 1.0)
+    val np = nprobes.map(math.min(_, nlist)).distinct.sorted
+    require(np.nonEmpty, "sweep settings must be non-empty")
+    def sets(df: DataFrame): Map[Long, Set[Long]] =
+      df.select(col("query_id"), col("neighbor_id"))
+        .collect().groupBy(_.getLong(0))
+        .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    val exact = sets(graft.operators.Similarity.bruteForceTopK(corpus, queries, k))
+    require(exact.nonEmpty, "no queries to validate against")
+    val grid = np.map { p =>
+      val got = sets(topK(corpus, queries, k, p))
+      val r = exact.map { case (q, ex) =>
+        got.getOrElse(q, Set.empty[Long]).count(ex).toDouble / ex.size
+      }.sum / exact.size
+      (p, math.rint(r * 10000) / 10000)
+    }
+    val chosen = grid.find(_._2 >= recallFloor).map(_._1).getOrElse(np.last)
+    import spark.implicits._
+    grid.map { case (p, r) => (p, r, p == chosen, r >= recallFloor) }
+      .toDF("nprobe", "recall", "chosen", "floor_cleared")
+  }
+
+  /** The era-boundary lifecycle for the flat store —
+    * [[IvfPqIndex.maintain]]'s policy with the one-knob sweep: drift
+    * guard on the delta, conditional [[reseedInto]] (fresh lineage
+    * serves), nprobe sweep on the serving index, commit gated on the
+    * recall floor (a failed sweep leaves the standing point untouched).
+    */
+  def maintain(corpus: DataFrame, delta: DataFrame, queries: DataFrame,
+               k: Int, recallFloor: Double,
+               cosineFloor: Double, maxFracBelow: Double,
+               nprobes: Seq[Int],
+               reseedDir: Option[String] = None): IvfIndex.Maintenance = {
+    val d = driftReport(delta, cosineFloor, maxFracBelow).collect().head
+    val reseed = d.getBoolean(3) && reseedDir.isDefined
+    val serving = if (reseed) reseedInto(reseedDir.get, corpus) else this
+    val sweep = serving
+      .revalidateNprobe(corpus, queries, k, recallFloor, nprobes).collect()
+    val chosen = sweep.filter(_.getBoolean(2)).head
+    val (np, rec, cleared) =
+      (chosen.getInt(0), chosen.getDouble(1), chosen.getBoolean(3))
+    if (cleared) serving.commitOperatingPoint(np, rec)
+    import spark.implicits._
+    val report = Seq((if (reseed) "reseed" else "revalidate",
+        d.getLong(0), d.getLong(1), d.getDouble(2), np, rec, cleared, cleared))
+      .toDF("action", "n_vectors", "n_below", "frac_below",
+        "nprobe", "recall", "floor_cleared", "committed")
+    IvfIndex.Maintenance(serving, report)
+  }
+
   /** ANN top-k against the stored index: queries score the frozen seeds
     * (driver metadata) to pick `nprobe` cells, the stored assignment scan
     * joins the broadcast probe set on the cell id, and `corpus` supplies
@@ -293,4 +392,11 @@ final class IvfIndex(spark: SparkSession, dir: String,
       .orderBy(col("cosine").desc, col("neighbor_id"))
     cand.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
+}
+
+object IvfIndex {
+  /** Result of one [[IvfIndex.maintain]] run — the serving lineage and
+    * the one-row decision report ([[IvfPqIndex.Maintenance]]'s shape).
+    */
+  final case class Maintenance(serving: IvfIndex, report: DataFrame)
 }

@@ -161,6 +161,53 @@ class IvfIndexSpec extends SparkSuite {
     assert(idx.assignmentsDf.inputFiles.forall(_.contains("base-2")))
   }
 
+  test("maintain commits the smallest clearing nprobe; the no-knobs topK reads it; reseed carries the commit") {
+    val dir = TempDirs.create("ivf-maint")
+    val idx = new IvfIndex(spark, dir, nlist = 16)
+    idx.bootstrap(oldVecs)
+    idx.append(delta)
+    assert(idx.operatingPoint.isEmpty)
+    intercept[IllegalStateException] { idx.topK(corpus, queries, 5) }
+    val m = idx.maintain(corpus, delta, queries, k = 5, recallFloor = 0.9,
+      cosineFloor = 0.22, maxFracBelow = 0.5, nprobes = Seq(1, 2, 4, 8, 16))
+    assert(m.serving eq idx)
+    val r = m.report.collect().head
+    assert(r.getAs[String]("action") === "revalidate")
+    assert(r.getAs[Boolean]("committed") === r.getAs[Boolean]("floor_cleared"))
+    assert(r.getAs[Boolean]("floor_cleared"),
+      "nprobe=16 probes every cell: in-cell scoring is exact, recall must be 1.0")
+    val np = r.getAs[Int]("nprobe")
+    assert(idx.operatingPoint === Some(np))
+    assert(idx.operatingPointGen === Some(idx.committedGen))
+    assert(rows(idx.topK(corpus, queries, 5)) ===
+      rows(idx.topK(corpus, queries, 5, np)))
+    // smallest-clearing: the sweep must not have skipped a clearing width
+    val sweep = idx.revalidateNprobe(corpus, queries, 5, 0.9, Seq(1, 2, 4, 8, 16))
+      .select(col("nprobe"), col("recall"), col("chosen"), col("floor_cleared"))
+      .as[(Int, Double, Boolean, Boolean)].collect().toSeq.sortBy(_._1)
+    assert(sweep.count(_._3) === 1)
+    sweep.takeWhile(_._1 < np).foreach(s => assert(!s._4, s"skipped clearing row $s"))
+    sweep.foreach(s => assert(s._4 === (s._2 >= 0.9)))
+    // the stamp is store state: a reopen sees it
+    assert(new IvfIndex(spark, dir, nlist = 16).operatingPoint === Some(np))
+    // reseed branch: negated delta fires the guard; the fresh lineage
+    // serves and carries the commit, the old root keeps its own stamp
+    val shifted = delta.select(col("vec_id"),
+      transform(col("embedding"), x => (-x).cast("float")).as("embedding"))
+    val combined = oldVecs.select(col("vec_id"), col("embedding"))
+      .unionByName(shifted)
+    val m2 = idx.maintain(combined, shifted, combined.filter(col("vec_id") < 8),
+      k = 5, recallFloor = 0.9, cosineFloor = 0.22, maxFracBelow = 0.5,
+      nprobes = Seq(1, 2, 4, 8, 16),
+      reseedDir = Some(TempDirs.create("ivf-maint-rs")))
+    val r2 = m2.report.collect().head
+    assert(r2.getAs[String]("action") === "reseed")
+    assert(!(m2.serving eq idx))
+    assert(idx.operatingPoint === Some(np), "old root's stamp must not move")
+    if (r2.getAs[Boolean]("committed"))
+      assert(m2.serving.operatingPoint === Some(r2.getAs[Int]("nprobe")))
+  }
+
   test("reseedInto builds a fresh lineage; the old root is untouched and stays answerable") {
     val idx = new IvfIndex(spark, TempDirs.create("ivf-idx-rs-old"), nlist = 16)
     idx.bootstrap(oldVecs)
