@@ -283,6 +283,12 @@ final class IvfIndex(spark: SparkSession, dir: String,
   /** Generation the committed point was validated against. */
   def operatingPointGen: Option[Long] = store.get("op.gen", ctx)
 
+  /** Generations committed since the point was validated — the
+    * staleness signal a maintenance scheduler acts on
+    * ([[IvfPqIndex.operatingPointLag]]).
+    */
+  def operatingPointLag: Option[Long] = operatingPointGen.map(committedGen - _)
+
   /** Probe at the COMMITTED operating point — refuses (never guesses)
     * when no maintenance run has committed one.
     */

@@ -355,6 +355,14 @@ final class IvfPqIndex(spark: SparkSession, dir: String,
     */
   def operatingPointGen: Option[Long] = store.get("op.gen", ctx)
 
+  /** Generations committed SINCE the operating point was validated — the
+    * staleness signal a maintenance scheduler acts on: 0 means the point
+    * saw the current data; a lag past the deployment's era cadence means
+    * run [[maintain]]. None when no point was ever committed (which the
+    * no-knobs [[topK]] already refuses loudly).
+    */
+  def operatingPointLag: Option[Long] = operatingPointGen.map(committedGen - _)
+
   /** Probe at the COMMITTED operating point — the query-time default that
     * closes the loop: maintenance writes the point, queries read it, and
     * no constant in a call site can drift from the last validated sweep.

@@ -207,11 +207,15 @@ class IvfPqIndexSpec extends SparkSuite {
     val (np, sl) = (r.getAs[Int]("nprobe"), r.getAs[Int]("shortlist"))
     assert(idx.operatingPoint === Some((np, sl)))
     assert(idx.operatingPointGen === Some(idx.committedGen))
+    assert(idx.operatingPointLag === Some(0L))
     assert(rows(idx.topK(corpus, queries, 5)) ===
       rows(idx.topK(corpus, queries, 5, sl, np)))
     // the stamp is store state, not object state: a reopen sees it
     val reopened = new IvfPqIndex(spark, dir, nlist = 16, m = 8, codes = 256)
     assert(reopened.operatingPoint === Some((np, sl)))
+    // staleness is observable: an ingest after the sweep raises the lag
+    idx.appendBatch(delta.limit(1), batchId = 1L)
+    assert(idx.operatingPointLag === Some(1L))
   }
 
   test("maintain reseed branch: a shifted delta fires the guard, the fresh lineage serves and carries the commit") {
