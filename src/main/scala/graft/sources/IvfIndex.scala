@@ -348,7 +348,8 @@ final class IvfIndex(spark: SparkSession, dir: String,
                nprobes: Seq[Int],
                reseedDir: Option[String] = None): IvfIndex.Maintenance = {
     val d = driftReport(delta, cosineFloor, maxFracBelow).collect().head
-    val reseed = d.getBoolean(3) && reseedDir.isDefined
+    val fired = d.getBoolean(3)
+    val reseed = fired && reseedDir.isDefined
     val serving = if (reseed) reseedInto(reseedDir.get, corpus) else this
     val sweep = serving
       .revalidateNprobe(corpus, queries, k, recallFloor, nprobes).collect()
@@ -357,7 +358,11 @@ final class IvfIndex(spark: SparkSession, dir: String,
       (chosen.getInt(0), chosen.getDouble(1), chosen.getBoolean(3))
     if (cleared) serving.commitOperatingPoint(np, rec)
     import spark.implicits._
-    val report = Seq((if (reseed) "reseed" else "revalidate",
+    // fired guard + no reseedDir = `reseed_due`, never a silent
+    // "revalidate" ([[IvfPqIndex.maintain]]'s reporting rule)
+    val action = if (reseed) "reseed"
+      else if (fired) "reseed_due" else "revalidate"
+    val report = Seq((action,
         d.getLong(0), d.getLong(1), d.getDouble(2), np, rec, cleared, cleared))
       .toDF("action", "n_vectors", "n_below", "frac_below",
         "nprobe", "recall", "floor_cleared", "committed")

@@ -402,7 +402,8 @@ final class IvfPqIndex(spark: SparkSession, dir: String,
                reseedDir: Option[String] = None,
                trainOn: Option[DataFrame] = None): IvfPqIndex.Maintenance = {
     val d = driftReport(delta, cosineFloor, maxFracBelow).collect().head
-    val reseed = d.getBoolean(3) && reseedDir.isDefined
+    val fired = d.getBoolean(3)
+    val reseed = fired && reseedDir.isDefined
     val serving =
       if (reseed) reseedInto(reseedDir.get, corpus, trainOn = trainOn) else this
     val sweep = serving
@@ -416,7 +417,12 @@ final class IvfPqIndex(spark: SparkSession, dir: String,
       (chosen.getInt(1), chosen.getInt(2), chosen.getDouble(3), chosen.getBoolean(5))
     if (cleared) serving.commitOperatingPoint(np, sl, rec)
     import spark.implicits._
-    val report = Seq((if (reseed) "reseed" else "revalidate",
+    // a fired guard the caller gave no reseedDir for is NOT a clean
+    // revalidate — surface it as `reseed_due` so a scheduler reading the
+    // report can't mistake an ignored rebuild signal for health
+    val action = if (reseed) "reseed"
+      else if (fired) "reseed_due" else "revalidate"
+    val report = Seq((action,
         d.getLong(0), d.getLong(1), d.getDouble(2), np, sl, rec, cleared, cleared))
       .toDF("action", "n_vectors", "n_below", "frac_below",
         "nprobe", "shortlist", "recall", "floor_cleared", "committed")

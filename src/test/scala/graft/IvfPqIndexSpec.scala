@@ -247,6 +247,14 @@ class IvfPqIndexSpec extends SparkSuite {
       assert(rows(m.serving.topK(combined,
         combined.filter(col("vec_id") < 8), 5)).nonEmpty)
     }
+    // the same fired guard WITHOUT a reseedDir must say so — never a
+    // silent "revalidate" a scheduler would read as health
+    val noDir = old.maintain(combined, shifted,
+      combined.filter(col("vec_id") < 8), k = 5, recallFloor = 0.9,
+      cosineFloor = 0.22, maxFracBelow = 0.5,
+      nprobes = Seq(1, 4, 8, 16), shortlists = Seq(20, 200))
+    assert(noDir.report.collect().head.getAs[String]("action") === "reseed_due")
+    assert(noDir.serving eq old)
   }
 
   test("maintain never commits a point that fails the floor; the standing point survives") {
