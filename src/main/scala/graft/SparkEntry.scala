@@ -3717,7 +3717,9 @@ object SparkEntry {
        |  (SELECT max(np) FROM p1)) AS v),
        |p2 AS (SELECT slim, recall FROM grid, cnp WHERE np = cnp.v),
        |csl AS (SELECT coalesce((SELECT min(slim) FROM p2 WHERE recall >= $floor),
-       |  (SELECT max(slim) FROM p2)) AS v)""".stripMargin
+       |  (SELECT max(slim) FROM p2)) AS v),
+       |p1ok AS (SELECT CAST(max(CASE WHEN recall >= $floor THEN 1 ELSE 0 END)
+       |  AS INTEGER) AS ok FROM p1)""".stripMargin
   }
 
   /** Replays [[graft.sources.IvfPqIndex.revalidateOperatingPoint]] — the
@@ -3734,9 +3736,12 @@ object SparkEntry {
        |    np = cnp.v AS chosen, recall >= $floor AS floor_cleared
        |  FROM p1, cnp
        |  UNION ALL
+       |  -- the operator skips narrower-shortlist probes when phase 1
+       |  -- never cleared (they cannot clear either): only the widest
+       |  -- phase-2 row exists in that case
        |  SELECT 'shortlist', CAST(cnp.v AS INTEGER), CAST(slim AS INTEGER), recall,
        |    slim = csl.v, recall >= $floor
-       |  FROM p2, cnp, csl)
+       |  FROM p2, cnp, csl, p1ok WHERE p1ok.ok = 1 OR slim = $maxSl)
        |ORDER BY phase, nprobe, shortlist""".stripMargin
   }
 

@@ -217,49 +217,32 @@ final class IvfIndex(spark: SparkSession, dir: String,
   def assignmentsDf: DataFrame = {
     val g = committedGen
     require(g >= 0, "the index is empty")
-    val base = compactedThrough
-    val dirs = (if (base >= 0) Seq(baseDir(base)) else Seq.empty) ++
-      ((base + 1) to g).map(genDir)
-    spark.read.parquet(dirs: _*)
+    Generations.readAsOf(spark, compactedThrough, g, genDir, baseDir)
   }
 
   /** COMPACTION — fold the committed per-batch generation dirs into one
     * `base-<g>` dir range-clustered on the cell id, so the probe join's
     * parquet scan prunes unprobed cells via row-group min/max stats and
-    * directory listing stays O(1) in ingest history. Identical commit
-    * discipline and caveats as [[IvfPqIndex.compact]]: base fully
-    * written before the `base` slot renames in (a crashed compact is
-    * invisible), values byte-identical (probes before/after hash-match),
-    * superseded dirs retired only on request — in-flight readers own
-    * the grace period.
+    * directory listing stays O(1) in ingest history. Identical commit,
+    * watermark-capture, and single-writer discipline as
+    * [[IvfPqIndex.compact]]: base fully written before the `base` slot
+    * renames in (a crashed compact is invisible), the fold scans exactly
+    * the captured watermark's dirs (never the live view a concurrent
+    * ingest could advance), values byte-identical (probes before/after
+    * hash-match), superseded dirs retired only on request — in-flight
+    * readers own the grace period.
     */
   def compact(retireSuperseded: Boolean = false): Unit = {
     val g = committedGen
     require(g >= 0, "compact before bootstrap: the index has no rows")
     val prev = compactedThrough
     if (g == prev) return
-    assignmentsDf
+    Generations.readAsOf(spark, prev, g, genDir, baseDir)
       .repartitionByRange(col("cell"), col("vec_id"))
       .sortWithinPartitions("cell", "vec_id")
       .write.mode("overwrite").parquet(baseDir(g))
     store.commit("base", ctx, g)
-    if (retireSuperseded) retire(g)
-  }
-
-  /** Delete every directory the committed `base-<g>` supersedes —
-    * listing-based, the [[IvfPqIndex.retire]] sweep.
-    */
-  private def retire(g: Long): Unit = {
-    val root = new org.apache.hadoop.fs.Path(dir)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.listStatus(root).map(_.getPath).foreach { p =>
-      val n = p.getName
-      val gen = if (n.startsWith("gen-")) n.stripPrefix("gen-").toLongOption
-        else None
-      val base = if (n.startsWith("base-")) n.stripPrefix("base-").toLongOption
-        else None
-      if (gen.exists(_ <= g) || base.exists(_ < g)) fs.delete(p, true)
-    }
+    if (retireSuperseded) Generations.retireThrough(spark, dir, g)
   }
 
   /** Commit the probe operating point — [[IvfPqIndex.commitOperatingPoint]]'s
@@ -315,7 +298,9 @@ final class IvfIndex(spark: SparkSession, dir: String,
                        k: Int, recallFloor: Double,
                        nprobes: Seq[Int]): DataFrame = {
     require(k >= 1 && recallFloor > 0.0 && recallFloor <= 1.0)
-    val np = nprobes.map(math.min(_, nlist)).distinct.sorted
+    // cap at the FROZEN seed count, not nlist — bootstrap's limit(nlist)
+    // is an upper bound ([[IvfPqIndex.revalidateOperatingPoint]]'s rule)
+    val np = nprobes.map(math.min(_, seeds.size)).distinct.sorted
     require(np.nonEmpty, "sweep settings must be non-empty")
     def sets(df: DataFrame): Map[Long, Set[Long]] =
       df.select(col("query_id"), col("neighbor_id"))
@@ -348,7 +333,12 @@ final class IvfIndex(spark: SparkSession, dir: String,
                nprobes: Seq[Int],
                reseedDir: Option[String] = None): IvfIndex.Maintenance = {
     val d = driftReport(delta, cosineFloor, maxFracBelow).collect().head
-    val fired = d.getBoolean(3)
+    // empty delta → NULL drift columns; treat as "no drift signal"
+    // ([[IvfPqIndex.maintain]]'s rule), never crash the scheduled run
+    val nVec = d.getLong(0)
+    val nBelow = if (d.isNullAt(1)) 0L else d.getLong(1)
+    val frac = if (d.isNullAt(2)) 0.0 else d.getDouble(2)
+    val fired = !d.isNullAt(3) && d.getBoolean(3)
     val reseed = fired && reseedDir.isDefined
     val serving = if (reseed) reseedInto(reseedDir.get, corpus) else this
     val sweep = serving
@@ -363,7 +353,7 @@ final class IvfIndex(spark: SparkSession, dir: String,
     val action = if (reseed) "reseed"
       else if (fired) "reseed_due" else "revalidate"
     val report = Seq((action,
-        d.getLong(0), d.getLong(1), d.getDouble(2), np, rec, cleared, cleared))
+        nVec, nBelow, frac, np, rec, cleared, cleared))
       .toDF("action", "n_vectors", "n_below", "frac_below",
         "nprobe", "recall", "floor_cleared", "committed")
     IvfIndex.Maintenance(serving, report)

@@ -151,10 +151,7 @@ final class IvfPqIndex(spark: SparkSession, dir: String,
   def rowsDf: DataFrame = {
     val g = committedGen
     require(g >= 0, "the index is empty")
-    val base = compactedThrough
-    val dirs = (if (base >= 0) Seq(baseDir(base)) else Seq.empty) ++
-      ((base + 1) to g).map(genDir)
-    spark.read.parquet(dirs: _*)
+    Generations.readAsOf(spark, compactedThrough, g, genDir, baseDir)
   }
 
   /** COMPACTION — the read-amplification half of index maintenance
@@ -171,42 +168,36 @@ final class IvfPqIndex(spark: SparkSession, dir: String,
     * Same commit discipline as everything else in the store: the base is
     * fully written BEFORE the `base` slot renames in, so a crashed
     * compact is invisible and a re-run overwrites the orphan staging
-    * dir. Values are byte-identical to the folded generations (rows are
+    * dir. The fold scans exactly the dirs of the watermark it captured —
+    * NOT the live committed view, which a concurrent ingest could
+    * advance between capture and scan, folding an extra generation into
+    * the base while readers still list it separately (double-read).
+    * Values are byte-identical to the folded generations (rows are
     * (vec_id, cell, codes) — a pure reshuffle), so probes before and
     * after must hash-match — the oracle-gate for the declared query.
     * Superseded dirs are retired only on request: an in-flight reader
     * that planned its scan before the cutover may still be reading them,
     * so the caller owns the grace period.
+    *
+    * WRITER DISCIPLINE: like every [[BookmarkStore]] commit, compaction
+    * and the maintenance commits are single-writer — run them from the
+    * same process that owns the store's ingest (e.g. between
+    * micro-batches of the foreachBatch that appends), never concurrently
+    * from a second store handle: the properties-file commit is a whole-
+    * file read-modify-write, so racing writers can erase each other's
+    * slots (the lost-update hazard `Bookmarks.scala` documents).
     */
   def compact(retireSuperseded: Boolean = false): Unit = {
     val g = committedGen
     require(g >= 0, "compact before bootstrap: the index has no rows")
     val prev = compactedThrough
     if (g == prev) return // already folded through the committed head
-    rowsDf
+    Generations.readAsOf(spark, prev, g, genDir, baseDir)
       .repartitionByRange(col("cell"), col("vec_id"))
       .sortWithinPartitions("cell", "vec_id")
       .write.mode("overwrite").parquet(baseDir(g))
     store.commit("base", ctx, g)
-    if (retireSuperseded) retire(g)
-  }
-
-  /** Delete every directory the committed `base-<g>` supersedes: all
-    * `gen-<i>` with i <= g and every older base — including dirs left by
-    * earlier compacts that did NOT retire. Listing-based so retirement
-    * is a complete sweep, not a diff against the last compact.
-    */
-  private def retire(g: Long): Unit = {
-    val root = new org.apache.hadoop.fs.Path(dir)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.listStatus(root).map(_.getPath).foreach { p =>
-      val n = p.getName
-      val gen = if (n.startsWith("gen-")) n.stripPrefix("gen-").toLongOption
-        else None
-      val base = if (n.startsWith("base-")) n.stripPrefix("base-").toLongOption
-        else None
-      if (gen.exists(_ <= g) || base.exists(_ < g)) fs.delete(p, true)
-    }
+    if (retireSuperseded) Generations.retireThrough(spark, dir, g)
   }
 
   /** DRIFT GUARD — [[IvfIndex.driftReport]]'s policy ported to the
@@ -286,10 +277,13 @@ final class IvfPqIndex(spark: SparkSession, dir: String,
                                k: Int, recallFloor: Double,
                                nprobes: Seq[Int], shortlists: Seq[Int]): DataFrame = {
     require(k >= 1 && recallFloor > 0.0 && recallFloor <= 1.0)
-    // clamp to the cell count (the rehearsal's own rule): a sweep list is
-    // usually written once per deployment while nlist tracks the corpus,
-    // so settings wider than the index are folded onto its widest probe
-    val np = nprobes.map(math.min(_, nlist)).distinct.sorted
+    // clamp to the FROZEN seed count (the rehearsal's own rule): a sweep
+    // list is usually written once per deployment while nlist tracks the
+    // corpus, so settings wider than the index fold onto its widest
+    // probe. The cap is seeds.size, not nlist — bootstrap's limit(nlist)
+    // is an upper bound and a small bootstrap corpus freezes fewer, so a
+    // nlist-clamped setting would crash topK's own seed-count require
+    val np = nprobes.map(math.min(_, seeds.size)).distinct.sorted
     val sl = shortlists.distinct.sorted
     require(np.nonEmpty && sl.nonEmpty && sl.head >= k,
       "sweep settings must be non-empty with every shortlist >= k")
@@ -311,8 +305,15 @@ final class IvfPqIndex(spark: SparkSession, dir: String,
         math.rint(r * 10000) / 10000
       })
     val phase1 = np.map(p => (p, sl.last, recallAt(p, sl.last)))
+    val p1Cleared = phase1.exists(_._3 >= recallFloor)
     val chosenNp = phase1.find(_._3 >= recallFloor).map(_._1).getOrElse(np.last)
-    val phase2 = sl.map(s => (chosenNp, s, recallAt(chosenNp, s)))
+    // if no nprobe cleared at the most generous shortlist, narrower
+    // shortlists cannot clear either — skip their probes (each is a full
+    // store scan job) and emit only the already-memoized widest row,
+    // which is the chosen-with-floor_cleared=false reseed signal
+    val phase2 =
+      if (p1Cleared) sl.map(s => (chosenNp, s, recallAt(chosenNp, s)))
+      else Seq((chosenNp, sl.last, recallAt(chosenNp, sl.last)))
     val chosenSl = phase2.find(_._3 >= recallFloor).map(_._2).getOrElse(sl.last)
     import spark.implicits._
     (phase1.map { case (p, s, r) =>
@@ -402,7 +403,14 @@ final class IvfPqIndex(spark: SparkSession, dir: String,
                reseedDir: Option[String] = None,
                trainOn: Option[DataFrame] = None): IvfPqIndex.Maintenance = {
     val d = driftReport(delta, cosineFloor, maxFracBelow).collect().head
-    val fired = d.getBoolean(3)
+    // empty delta = no ingest since the last era, a normal scheduler
+    // condition: driftReport yields NULL fraction/recommendation over
+    // zero rows — treat as "no drift signal" and fall through to the
+    // revalidate path instead of crashing the maintenance run
+    val nVec = d.getLong(0)
+    val nBelow = if (d.isNullAt(1)) 0L else d.getLong(1)
+    val frac = if (d.isNullAt(2)) 0.0 else d.getDouble(2)
+    val fired = !d.isNullAt(3) && d.getBoolean(3)
     val reseed = fired && reseedDir.isDefined
     val serving =
       if (reseed) reseedInto(reseedDir.get, corpus, trainOn = trainOn) else this
@@ -423,7 +431,7 @@ final class IvfPqIndex(spark: SparkSession, dir: String,
     val action = if (reseed) "reseed"
       else if (fired) "reseed_due" else "revalidate"
     val report = Seq((action,
-        d.getLong(0), d.getLong(1), d.getDouble(2), np, sl, rec, cleared, cleared))
+        nVec, nBelow, frac, np, sl, rec, cleared, cleared))
       .toDF("action", "n_vectors", "n_below", "frac_below",
         "nprobe", "shortlist", "recall", "floor_cleared", "committed")
     IvfPqIndex.Maintenance(serving, report)
@@ -458,6 +466,13 @@ final class IvfPqIndex(spark: SparkSession, dir: String,
     * |queries|·nprobe distinct cell ids adds one metadata-sized job and
     * turns the base's clustering into real parquet min/max row-group
     * skipping (`PushedFilters: In(cell, …)` — spec-pinned).
+    *
+    * The collect re-evaluates the probe-scoring plan (queries × nlist
+    * seed cosines) once more than the join alone would — deliberate:
+    * that work is |queries|·nlist·Dim flops on the bounded query batch,
+    * orders below the store scan the filter prunes, and caching the
+    * probe frame would trade it for persist/unpersist lifecycle on
+    * every probe call.
     */
   private def prunedToCells(probes: DataFrame): DataFrame = {
     val cells = probes.select(col("cell")).distinct()

@@ -129,10 +129,7 @@ final class PqIndex(spark: SparkSession, dir: String,
   def codesDf: DataFrame = {
     val g = committedGen
     require(g >= 0, "the index is empty")
-    val base = compactedThrough
-    val dirs = (if (base >= 0) Seq(baseDir(base)) else Seq.empty) ++
-      ((base + 1) to g).map(genDir)
-    spark.read.parquet(dirs: _*)
+    Generations.readAsOf(spark, compactedThrough, g, genDir, baseDir)
   }
 
   /** COMPACTION — [[IvfPqIndex.compact]]'s discipline for the flat code
@@ -140,31 +137,22 @@ final class PqIndex(spark: SparkSession, dir: String,
     * structure to prune on), so the win here is listing cost O(1) in
     * ingest history and full row groups instead of per-micro-batch
     * fragments; rows are clustered by vec_id for the shortlist re-rank
-    * join. Same crash-safety (base written before the slot renames in)
-    * and opt-in, listing-based retirement.
+    * join. Same crash-safety (base written before the slot renames in),
+    * watermark-capture (the fold scans exactly the captured watermark's
+    * dirs, never the live view), single-writer discipline, and opt-in
+    * listing-based retirement.
     */
   def compact(retireSuperseded: Boolean = false): Unit = {
     val g = committedGen
     require(g >= 0, "compact before bootstrap: the index has no rows")
     val prev = compactedThrough
     if (g == prev) return
-    codesDf
+    Generations.readAsOf(spark, prev, g, genDir, baseDir)
       .repartitionByRange(col("vec_id"))
       .sortWithinPartitions("vec_id")
       .write.mode("overwrite").parquet(baseDir(g))
     store.commit("base", ctx, g)
-    if (retireSuperseded) {
-      val root = new org.apache.hadoop.fs.Path(dir)
-      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      fs.listStatus(root).map(_.getPath).foreach { p =>
-        val n = p.getName
-        val gen = if (n.startsWith("gen-")) n.stripPrefix("gen-").toLongOption
-          else None
-        val base = if (n.startsWith("base-")) n.stripPrefix("base-").toLongOption
-          else None
-        if (gen.exists(_ <= g) || base.exists(_ < g)) fs.delete(p, true)
-      }
-    }
+    if (retireSuperseded) Generations.retireThrough(spark, dir, g)
   }
 
   /** ADC top-k against the stored codes: identical output to

@@ -104,7 +104,11 @@ object StreamSink {
     * silently DROP it. A mismatch refuses loudly; deliver a new lineage
     * into a fresh outDir instead. Wiping a checkpoint directory in place
     * and reusing its path breaks the contract — the path no longer names
-    * one lifetime.
+    * one lifetime. Residual hole, by the grandfathering choice below: an
+    * outDir written BEFORE this guard carries no stamp, so the first
+    * new-lineage query to touch it still drops its sub-watermark batches
+    * silently and then claims the dir — migrating pre-stamp sinks to
+    * fresh outDirs is the operator's job.
     */
   def exactlyOnceParquet(outDir: String, batch: DataFrame, batchId: Long,
                          lineage: String): Unit = {
@@ -151,7 +155,18 @@ object StreamSink {
     val store = new graft.sources.BookmarkStore(outDir)
     val last = store.get("last_batch", ParquetSinkCtx)
     require(last.isDefined, s"no committed batches under $outDir")
-    val base = store.get("base", ParquetSinkCtx).getOrElse(-1L)
+    committedUpTo(spark, outDir,
+      store.get("base", ParquetSinkCtx).getOrElse(-1L), last.get)
+  }
+
+  /** The committed view bounded to CAPTURED watermarks — what
+    * [[compactParquet]] folds from: re-deriving `last_batch` at scan
+    * time would race a live query committing a batch between the fold's
+    * capture and its read, folding that batch into the base while
+    * readers still list its dir (permanent double-read).
+    */
+  private def committedUpTo(spark: org.apache.spark.sql.SparkSession,
+                            outDir: String, base: Long, w: Long): DataFrame = {
     val path = new org.apache.hadoop.fs.Path(outDir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val rx = "batch-(\\d+)".r
@@ -160,7 +175,7 @@ object StreamSink {
        else Seq.empty) ++
         fs.listStatus(path).toSeq.map(_.getPath)
           .filter(p => rx.findFirstMatchIn(p.getName)
-            .exists(m => { val b = m.group(1).toLong; b > base && b <= last.get }))
+            .exists(m => { val b = m.group(1).toLong; b > base && b <= w }))
     spark.read.parquet(dirs.map(_.toString): _*)
   }
 
@@ -173,10 +188,17 @@ object StreamSink {
     * view into `base-<watermark>`; readers then touch one consolidated
     * dir plus only the batches committed since. The base is fully
     * written BEFORE the `base` slot renames in (a crashed compact leaves
-    * an orphan dir readers never list), redelivery semantics are
-    * untouched (the `last_batch` watermark still governs), and
-    * retirement of superseded dirs is opt-in — in-flight readers own
-    * the grace period.
+    * an orphan dir readers never list), the fold scans exactly the
+    * captured `(base, watermark]` view (never the live one a running
+    * query could advance mid-fold), redelivery semantics are untouched
+    * (the `last_batch` watermark still governs), and retirement of
+    * superseded dirs is opt-in — in-flight readers own the grace period.
+    *
+    * WRITER DISCIPLINE ([[graft.sources.IvfPqIndex.compact]]'s rule):
+    * the properties-file commit is a whole-file read-modify-write, so
+    * run compaction from the delivering query's own process between
+    * micro-batches — a second concurrent writer handle can erase the
+    * sink's `last_batch`/`lineage` commit (lost update).
     */
   def compactParquet(spark: org.apache.spark.sql.SparkSession,
                      outDir: String, retireSuperseded: Boolean = false): Unit = {
@@ -184,8 +206,10 @@ object StreamSink {
     val last = store.get("last_batch", ParquetSinkCtx)
     require(last.isDefined, s"no committed batches under $outDir")
     val w = last.get
-    if (store.get("base", ParquetSinkCtx).contains(w)) return
-    committedParquet(spark, outDir)
+    val base = store.get("base", ParquetSinkCtx).getOrElse(-1L)
+    if (base == w) return
+    // fold EXACTLY the captured (base, w] view — never the live one
+    committedUpTo(spark, outDir, base, w)
       .write.mode("overwrite").parquet(s"$outDir/base-$w")
     store.commit("base", ParquetSinkCtx, w)
     if (retireSuperseded) {

@@ -168,8 +168,11 @@ class IvfIndexSpec extends SparkSuite {
     idx.append(delta)
     assert(idx.operatingPoint.isEmpty)
     intercept[IllegalStateException] { idx.topK(corpus, queries, 5) }
+    // maxFracBelow = 1.0 disables the guard for this test — it pins the
+    // clean revalidate/commit path ([[IvfPqIndexSpec]]'s rule); the
+    // fired-guard branches are pinned below
     val m = idx.maintain(corpus, delta, queries, k = 5, recallFloor = 0.9,
-      cosineFloor = 0.22, maxFracBelow = 0.5, nprobes = Seq(1, 2, 4, 8, 16))
+      cosineFloor = 0.22, maxFracBelow = 1.0, nprobes = Seq(1, 2, 4, 8, 16))
     assert(m.serving eq idx)
     val r = m.report.collect().head
     assert(r.getAs[String]("action") === "revalidate")

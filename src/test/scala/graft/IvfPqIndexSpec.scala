@@ -195,10 +195,13 @@ class IvfPqIndexSpec extends SparkSuite {
     idx.appendBatch(delta, batchId = 0L)
     assert(idx.operatingPoint.isEmpty)
     intercept[IllegalStateException] { idx.topK(corpus, queries, 5) }
+    // maxFracBelow = 1.0 disables the guard (frac can never exceed it):
+    // this test pins the clean revalidate/commit path; the fired-guard
+    // branches (reseed, reseed_due) have their own test below
     val m = idx.maintain(corpus, delta, queries, k = 5, recallFloor = 0.9,
-      cosineFloor = 0.22, maxFracBelow = 0.5,
+      cosineFloor = 0.22, maxFracBelow = 1.0,
       nprobes = Seq(1, 4, 8, 16), shortlists = Seq(20, 200))
-    assert(m.serving eq idx, "in-distribution delta must not trigger a rebuild")
+    assert(m.serving eq idx, "an unfired guard must not trigger a rebuild")
     val r = m.report.collect().head
     assert(r.getAs[String]("action") === "revalidate")
     assert(r.getAs[Boolean]("committed") === r.getAs[Boolean]("floor_cleared"))
@@ -255,6 +258,24 @@ class IvfPqIndexSpec extends SparkSuite {
       nprobes = Seq(1, 4, 8, 16), shortlists = Seq(20, 200))
     assert(noDir.report.collect().head.getAs[String]("action") === "reseed_due")
     assert(noDir.serving eq old)
+  }
+
+  test("maintain over an EMPTY delta is a clean revalidate, never a crash") {
+    // a scheduled era-boundary run with no ingest since the last era is
+    // a normal condition: driftReport yields NULL columns over zero rows
+    // and maintain must fall through to the revalidate path
+    val idx = new IvfPqIndex(spark, TempDirs.create("ivfpq-maint-empty"),
+      nlist = 16, m = 8, codes = 256)
+    idx.bootstrap(corpus)
+    val m = idx.maintain(corpus, delta.filter(lit(false)), queries,
+      k = 5, recallFloor = 0.9, cosineFloor = 0.22, maxFracBelow = 0.5,
+      nprobes = Seq(8, 16), shortlists = Seq(20, 200))
+    val r = m.report.collect().head
+    assert(r.getAs[String]("action") === "revalidate")
+    assert(r.getAs[Long]("n_vectors") === 0L)
+    assert(r.getAs[Long]("n_below") === 0L)
+    assert(r.getAs[Double]("frac_below") === 0.0)
+    assert(m.serving eq idx)
   }
 
   test("maintain never commits a point that fails the floor; the standing point survives") {
