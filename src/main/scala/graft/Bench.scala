@@ -134,6 +134,31 @@ object Bench {
       if (suspect) (None, true) else (Some(solo), false)
     }
 
+  /** The round number this run's local report should be named for —
+    * derived from the repo's own committed artifacts instead of a
+    * hard-coded constant (r13 verdict #1: the default output name was the
+    * literal "BENCH_LOCAL_r12.json", so the driver's r13 run overwrote
+    * round 12's committed artifact and broke the spec that replayed it).
+    * One authoritative rule: the CURRENT round is one past the newest
+    * round any driver/judge artifact records — the VERDICT.md header
+    * ("# VERDICT — round N", written when round N closes) and the
+    * `BENCH_rN.json` / `CORRECTNESS_rN.json` files (written by the driver
+    * for round N). Max of all signals + 1, so a stale VERDICT can never
+    * pull the name backwards onto a committed file; overshooting is
+    * harmless (a fresh name), undershooting is the clobber this fixes.
+    * Pure (inputs passed in) so a spec can replay it.
+    */
+  private[graft] def deriveRound(verdictFirstLine: Option[String],
+                                 artifactNames: Seq[String]): Option[Int] = {
+    val fromVerdict = verdictFirstLine.flatMap(l =>
+      "round\\s+(\\d+)".r.findFirstMatchIn(l).map(_.group(1).toInt))
+    val artifactRx = "^(?:BENCH|CORRECTNESS)_r0*(\\d+)\\.json$".r
+    val fromArtifacts = artifactNames.collect {
+      case artifactRx(n) => n.toInt
+    }
+    (fromVerdict.toSeq ++ fromArtifacts).maxOption.map(_ + 1)
+  }
+
   private def jstr(s: String): String =
     "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
 
@@ -186,8 +211,18 @@ object Bench {
         // extra timed runs per query after the cold one; 0 = cold-only
         // quick mode (streams then skip their median protocol too)
         "SPARK_GRAFT_WARM" -> "1",
-        // where the full per-query report lands (committed to the repo)
-        "SPARK_GRAFT_BENCH_OUT" -> "BENCH_LOCAL_r12.json",
+        // where the full per-query report lands (committed to the repo);
+        // the default derives the round from the committed artifacts so a
+        // round-N run can never clobber round-(N-1)'s file ([[deriveRound]])
+        "SPARK_GRAFT_BENCH_OUT" -> {
+          val verdictLine = scala.util.Try(
+            Files.readAllLines(Paths.get("VERDICT.md")).get(0)).toOption
+          val names = Option(new java.io.File(".").listFiles())
+            .getOrElse(Array.empty).toSeq.map(_.getName)
+          deriveRound(verdictLine, names)
+            .map(r => s"BENCH_LOCAL_r$r.json")
+            .getOrElse("BENCH_LOCAL_head.json")
+        },
         // prior round's committed full report, for the cross-round
         // regression trigger; "" = newest BENCH_LOCAL_r*.json that is not
         // the current output file

@@ -21,12 +21,22 @@ private[sources] object Generations {
 
   /** The directories a reader at watermark `g` with compacted base
     * `base` (-1 = none) must scan: the base dir plus generations
-    * strictly after it, nothing past `g`.
+    * strictly after it, nothing past `g`. `base > g` is REFUSED: a base
+    * ahead of the captured watermark can only mean the single-writer
+    * discipline was violated (a concurrent compact advanced the base
+    * between the caller's two slot reads), and serving `base-<base>`
+    * would silently return rows BEYOND the as-of watermark — a
+    * discipline violation must fail loudly, never degrade into reading
+    * future rows.
     */
   def dirs(base: Long, g: Long,
-           genDir: Long => String, baseDir: Long => String): Seq[String] =
+           genDir: Long => String, baseDir: Long => String): Seq[String] = {
+    require(base <= g,
+      s"compacted base $base is ahead of the captured watermark $g: " +
+        "single-writer discipline violated (concurrent compact?)")
     (if (base >= 0) Seq(baseDir(base)) else Seq.empty) ++
       ((base + 1) to g).map(genDir)
+  }
 
   /** Read exactly the committed view AS OF the captured watermark `g`. */
   def readAsOf(spark: SparkSession, base: Long, g: Long,

@@ -40,7 +40,7 @@ import graft.operators.Similarity
   * min/max stats skip unprobed cells (r13).
   */
 final class IvfIndex(spark: SparkSession, dir: String,
-                     nlist: Int = 16) {
+                     val nlist: Int = 16) {
 
   private val store = new BookmarkStore(dir)
   private val ctx = "ivf_index"
@@ -211,13 +211,35 @@ final class IvfIndex(spark: SparkSession, dir: String,
     */
   def compactedThrough: Long = store.get("base", ctx).getOrElse(-1L)
 
+  /** Directories a committed-view reader must list/scan right now — the
+    * read-amplification signal [[compact]] exists to reset (r13 verdict
+    * #8: compact() existed but nothing DECIDED when; the rehearsal's
+    * files-per-probe rows are this number's downstream effect). O(1)
+    * metadata arithmetic, no filesystem listing.
+    */
+  def fragmentCount: Long = {
+    val g = committedGen
+    if (g < 0) 0L else Generations.dirs(compactedThrough, g, genDir, baseDir).size.toLong
+  }
+
+  /** The compaction policy predicate: more committed fragment dirs than
+    * `maxFragments` means probes pay ingest-history listing + interleaved
+    * row groups and [[maintain]] (or any scheduler) should [[compact]].
+    */
+  def compactionDue(maxFragments: Int): Boolean =
+    maxFragments >= 1 && fragmentCount > maxFragments
+
   /** Every committed assignment row (vec_id, cell): the compacted base
     * (if one exists) plus the generations committed after it.
     */
   def assignmentsDf: DataFrame = {
+    // base read BEFORE the watermark ([[IvfPqIndex.rowsDf]]'s rule): a
+    // compact committing between the two slot reads could otherwise hand
+    // Generations a base ahead of the captured g (which it refuses)
+    val base = compactedThrough
     val g = committedGen
     require(g >= 0, "the index is empty")
-    Generations.readAsOf(spark, compactedThrough, g, genDir, baseDir)
+    Generations.readAsOf(spark, base, g, genDir, baseDir)
   }
 
   /** COMPACTION — fold the committed per-batch generation dirs into one
@@ -236,7 +258,14 @@ final class IvfIndex(spark: SparkSession, dir: String,
     val g = committedGen
     require(g >= 0, "compact before bootstrap: the index has no rows")
     val prev = compactedThrough
-    if (g == prev) return
+    if (g == prev) {
+      // the fold is a no-op, but a REQUESTED retirement sweep still runs:
+      // a prior compact without retirement (or one crashed between the
+      // base commit and its sweep) leaves superseded dirs that would
+      // otherwise leak forever despite the caller asking for the sweep
+      if (retireSuperseded) Generations.retireThrough(spark, dir, g)
+      return
+    }
     Generations.readAsOf(spark, prev, g, genDir, baseDir)
       .repartitionByRange(col("cell"), col("vec_id"))
       .sortWithinPartitions("cell", "vec_id")
@@ -326,12 +355,38 @@ final class IvfIndex(spark: SparkSession, dir: String,
     * guard on the delta, conditional [[reseedInto]] (fresh lineage
     * serves), nprobe sweep on the serving index, commit gated on the
     * recall floor (a failed sweep leaves the standing point untouched).
+    *
+    * CAPACITY (r13 verdict #2): with `cellBudget > 0` the loop can
+    * answer corpus GROWTH with capacity, not just probe width. A frozen
+    * nlist makes candidate volume per probe ∝ n/nlist — as the corpus
+    * outgrows its cells, the sweep's only way to clear the floor is
+    * nprobe→nlist, and the "validated operating point" degrades into a
+    * full coarse scan (exactly what the r13 10× rehearsal committed:
+    * nprobe=16 of nlist=16). So a sweep that clears ONLY at
+    * nprobe == nlist — or not at all — is read as a CAPACITY signal: the
+    * reseed branch is forced even when the drift guard is quiet,
+    * rebuilding at [[Similarity.Sizing.ivfNlist]](corpus count,
+    * cellBudget) — the same rule `sim_ivf_auto` oracle-checks — and the
+    * sweep re-runs on the grown lineage (`action = "grow"`). A fired
+    * capacity signal with no `reseedDir` (or a derived nlist no larger
+    * than the current one) reports `grow_due` — never silent health.
+    * Drift-fired reseeds also size their fresh lineage by the same rule,
+    * so a rebuild never re-freezes yesterday's capacity.
+    *
+    * COMPACTION (r13 verdict next-round #8): with `compactAbove > 0` the
+    * run also owns the read-amplification half — if the serving index's
+    * committed view spans more than `compactAbove` fragment dirs
+    * ([[fragmentCount]]), it is [[compact]]ed and the report says so.
+    * One scheduled call now owns the whole lifecycle: drift, capacity,
+    * probe point, layout.
     */
   def maintain(corpus: DataFrame, delta: DataFrame, queries: DataFrame,
                k: Int, recallFloor: Double,
                cosineFloor: Double, maxFracBelow: Double,
                nprobes: Seq[Int],
-               reseedDir: Option[String] = None): IvfIndex.Maintenance = {
+               reseedDir: Option[String] = None,
+               cellBudget: Int = 0,
+               compactAbove: Int = 0): IvfIndex.Maintenance = {
     val d = driftReport(delta, cosineFloor, maxFracBelow).collect().head
     // empty delta → NULL drift columns; treat as "no drift signal"
     // ([[IvfPqIndex.maintain]]'s rule), never crash the scheduled run
@@ -339,23 +394,46 @@ final class IvfIndex(spark: SparkSession, dir: String,
     val nBelow = if (d.isNullAt(1)) 0L else d.getLong(1)
     val frac = if (d.isNullAt(2)) 0.0 else d.getDouble(2)
     val fired = !d.isNullAt(3) && d.getBoolean(3)
+    // the corpus-tracking nlist (one count, era cadence); 0 = growth off
+    val derived =
+      if (cellBudget > 0) Similarity.Sizing.ivfNlist(corpus.count(), cellBudget)
+      else 0
     val reseed = fired && reseedDir.isDefined
-    val serving = if (reseed) reseedInto(reseedDir.get, corpus) else this
-    val sweep = serving
-      .revalidateNprobe(corpus, queries, k, recallFloor, nprobes).collect()
-    val chosen = sweep.filter(_.getBoolean(2)).head
-    val (np, rec, cleared) =
-      (chosen.getInt(0), chosen.getDouble(1), chosen.getBoolean(3))
+    var serving =
+      if (reseed) reseedInto(reseedDir.get, corpus, math.max(nlist, derived))
+      else this
+    def sweepOn(ix: IvfIndex): (Int, Double, Boolean) = {
+      val rows = ix.revalidateNprobe(corpus, queries, k, recallFloor, nprobes)
+        .collect()
+      val c = rows.filter(_.getBoolean(2)).head
+      (c.getInt(0), c.getDouble(1), c.getBoolean(3))
+    }
+    var (np, rec, cleared) = sweepOn(serving)
+    // capacity signal: the floor clears only at the full coarse scan
+    // (nprobe == frozen seed count) or not at all — buying recall
+    // query-side is exhausted; the answer is capacity, not probe width
+    def capacityExhausted = !cleared || np >= serving.seeds.size
+    var action = if (reseed) "reseed"
+      else if (fired) "reseed_due" else "revalidate"
+    if (!reseed && cellBudget > 0 && capacityExhausted) {
+      if (reseedDir.isDefined && derived > serving.nlist) {
+        serving = reseedInto(reseedDir.get, corpus, derived)
+        val g = sweepOn(serving)
+        np = g._1; rec = g._2; cleared = g._3
+        action = "grow"
+      } else if (derived > serving.nlist) action = "grow_due"
+    }
     if (cleared) serving.commitOperatingPoint(np, rec)
+    val compacted = compactAbove > 0 && serving.compactionDue(compactAbove)
+    if (compacted) serving.compact()
     import spark.implicits._
     // fired guard + no reseedDir = `reseed_due`, never a silent
-    // "revalidate" ([[IvfPqIndex.maintain]]'s reporting rule)
-    val action = if (reseed) "reseed"
-      else if (fired) "reseed_due" else "revalidate"
+    // "revalidate" ([[IvfPqIndex.maintain]]'s reporting rule); same for
+    // a capacity signal the caller gave no room to act on (`grow_due`)
     val report = Seq((action,
-        nVec, nBelow, frac, np, rec, cleared, cleared))
+        nVec, nBelow, frac, serving.nlist, np, rec, cleared, cleared, compacted))
       .toDF("action", "n_vectors", "n_below", "frac_below",
-        "nprobe", "recall", "floor_cleared", "committed")
+        "nlist", "nprobe", "recall", "floor_cleared", "committed", "compacted")
     IvfIndex.Maintenance(serving, report)
   }
 
@@ -370,17 +448,22 @@ final class IvfIndex(spark: SparkSession, dir: String,
   def topK(corpus: DataFrame, queries: DataFrame, k: Int, nprobe: Int): DataFrame = {
     val ss = seeds
     require(nprobe >= 1 && nprobe <= ss.size)
-    val probes = queries.select(col("vec_id").as("query_id"),
+    // ONE evaluation of the probe plan, consumed twice (r13 ADVICE, the
+    // [[IvfPqIndex.localizedProbes]] rule): the probed cells become an
+    // explicit IN filter on the stored scan (a broadcast join alone
+    // injects no row-group pruning on a non-partition column, so without
+    // it the compacted cell-clustered base is scanned in full) and the
+    // SAME collected rows feed the broadcast join — a non-deterministic
+    // queries source can never make the two consumers disagree
+    val probePlan = queries.select(col("vec_id").as("query_id"),
         col("embedding").as("qemb"),
         explode(slice(reverse(array_sort(array(scored(ss)(col("embedding")): _*))),
           1, nprobe)).as("p"))
       .select(col("query_id"), col("qemb"), col("p.cell").as("cell"))
-    // explicit IN filter on the probed cells (driver metadata — the join
-    // already broadcasts the probe set): a broadcast join alone injects
-    // no row-group pruning on a non-partition column, so without this
-    // the compacted cell-clustered base is scanned in full
-    val probedCells = probes.select(col("cell")).distinct()
-      .collect().map(_.getLong(0)).sorted
+    val probeRows = probePlan.collect()
+    val probes = spark.createDataFrame(
+      java.util.Arrays.asList(probeRows: _*), probePlan.schema)
+    val probedCells = probeRows.map(_.getAs[Long]("cell")).distinct.sorted
     val cand = assignmentsDf.filter(col("cell").isInCollection(probedCells))
       .join(broadcast(probes), Seq("cell"))
       .filter(col("query_id") =!= col("vec_id"))

@@ -30,7 +30,7 @@ import graft.operators.Similarity
   * rename: a crashed append's generation is invisible to readers.
   */
 final class IvfPqIndex(spark: SparkSession, dir: String,
-                       nlist: Int = 16, m: Int = 8, codes: Int = 16) {
+                       val nlist: Int = 16, m: Int = 8, codes: Int = 16) {
 
   private val store = new BookmarkStore(dir)
   private val ctx = "ivfpq_index"
@@ -145,13 +145,31 @@ final class IvfPqIndex(spark: SparkSession, dir: String,
     */
   def compactedThrough: Long = store.get("base", ctx).getOrElse(-1L)
 
+  /** Directories a committed-view reader must list/scan right now — the
+    * read-amplification signal [[compact]] resets ([[IvfIndex.fragmentCount]]).
+    * O(1) metadata arithmetic, no filesystem listing.
+    */
+  def fragmentCount: Long = {
+    val g = committedGen
+    if (g < 0) 0L else Generations.dirs(compactedThrough, g, genDir, baseDir).size.toLong
+  }
+
+  /** The compaction policy predicate ([[IvfIndex.compactionDue]]). */
+  def compactionDue(maxFragments: Int): Boolean =
+    maxFragments >= 1 && fragmentCount > maxFragments
+
   /** Every committed row (vec_id, cell, codes): the compacted base (if
     * one exists) plus the generations committed after it.
     */
   def rowsDf: DataFrame = {
+    // base read BEFORE the watermark: the two slots are separate reads,
+    // and a compact committing in between could otherwise hand
+    // Generations a base ahead of the captured g (which it refuses).
+    // Base-first can only yield a stale-but-safe base.
+    val base = compactedThrough
     val g = committedGen
     require(g >= 0, "the index is empty")
-    Generations.readAsOf(spark, compactedThrough, g, genDir, baseDir)
+    Generations.readAsOf(spark, base, g, genDir, baseDir)
   }
 
   /** COMPACTION — the read-amplification half of index maintenance
@@ -191,7 +209,14 @@ final class IvfPqIndex(spark: SparkSession, dir: String,
     val g = committedGen
     require(g >= 0, "compact before bootstrap: the index has no rows")
     val prev = compactedThrough
-    if (g == prev) return // already folded through the committed head
+    if (g == prev) {
+      // already folded through the committed head — but a REQUESTED
+      // retirement sweep still runs: a prior compact without retirement
+      // (or one crashed between base commit and sweep) leaves superseded
+      // dirs that would otherwise leak forever despite the caller asking
+      if (retireSuperseded) Generations.retireThrough(spark, dir, g)
+      return
+    }
     Generations.readAsOf(spark, prev, g, genDir, baseDir)
       .repartitionByRange(col("cell"), col("vec_id"))
       .sortWithinPartitions("cell", "vec_id")
@@ -396,12 +421,32 @@ final class IvfPqIndex(spark: SparkSession, dir: String,
     * one-row decision report; every number in the report is one the
     * operator actually acted on.
     */
+  /** CAPACITY (r13 verdict #2): with `cellBudget > 0` the loop answers
+    * corpus growth with capacity, not probe width. A frozen nlist makes
+    * candidate volume ∝ n/nlist; once the corpus outgrows its cells the
+    * sweep can only clear the floor at nprobe == nlist — a full coarse
+    * scan with ADC overhead, institutionalized as the "validated" point
+    * (the r13 10× rehearsal's committed nprobe=16/nlist=16). A sweep
+    * clearing ONLY at the full coarse scan — or not at all — is a
+    * CAPACITY signal: the reseed branch is forced even when the drift
+    * guard is quiet, rebuilding (seeds AND codebooks) at
+    * [[Similarity.Sizing.ivfNlist]](corpus count, cellBudget) and
+    * re-sweeping on the grown lineage (`action = "grow"`); with no
+    * `reseedDir` (or no headroom) it reports `grow_due`, never silent
+    * health. Drift-fired reseeds size their fresh lineage by the same
+    * rule. COMPACTION (r13 #8): with `compactAbove > 0` the run also
+    * compacts the serving index when its committed view spans more than
+    * `compactAbove` fragment dirs — one scheduled call owns the whole
+    * lifecycle: drift, capacity, probe point, layout.
+    */
   def maintain(corpus: DataFrame, delta: DataFrame, queries: DataFrame,
                k: Int, recallFloor: Double,
                cosineFloor: Double, maxFracBelow: Double,
                nprobes: Seq[Int], shortlists: Seq[Int],
                reseedDir: Option[String] = None,
-               trainOn: Option[DataFrame] = None): IvfPqIndex.Maintenance = {
+               trainOn: Option[DataFrame] = None,
+               cellBudget: Int = 0,
+               compactAbove: Int = 0): IvfPqIndex.Maintenance = {
     val d = driftReport(delta, cosineFloor, maxFracBelow).collect().head
     // empty delta = no ingest since the last era, a normal scheduler
     // condition: driftReport yields NULL fraction/recommendation over
@@ -411,29 +456,52 @@ final class IvfPqIndex(spark: SparkSession, dir: String,
     val nBelow = if (d.isNullAt(1)) 0L else d.getLong(1)
     val frac = if (d.isNullAt(2)) 0.0 else d.getDouble(2)
     val fired = !d.isNullAt(3) && d.getBoolean(3)
+    // the corpus-tracking nlist (one count, era cadence); 0 = growth off
+    val derived =
+      if (cellBudget > 0) Similarity.Sizing.ivfNlist(corpus.count(), cellBudget)
+      else 0
     val reseed = fired && reseedDir.isDefined
-    val serving =
-      if (reseed) reseedInto(reseedDir.get, corpus, trainOn = trainOn) else this
-    val sweep = serving
-      .revalidateOperatingPoint(corpus, queries, k, recallFloor, nprobes, shortlists)
-      .collect()
+    var serving =
+      if (reseed) reseedInto(reseedDir.get, corpus, trainOn = trainOn,
+        nlist = math.max(nlist, derived))
+      else this
     // the phase-2 chosen row IS the operating point (phase 1 fixes nprobe
     // at the widest shortlist; phase 2 narrows the shortlist at that nprobe)
-    val chosen = sweep
-      .filter(r => r.getString(0) == "shortlist" && r.getBoolean(4)).head
-    val (np, sl, rec, cleared) =
-      (chosen.getInt(1), chosen.getInt(2), chosen.getDouble(3), chosen.getBoolean(5))
+    def sweepOn(ix: IvfPqIndex): (Int, Int, Double, Boolean) = {
+      val rows = ix
+        .revalidateOperatingPoint(corpus, queries, k, recallFloor, nprobes, shortlists)
+        .collect()
+      val c = rows.filter(r => r.getString(0) == "shortlist" && r.getBoolean(4)).head
+      (c.getInt(1), c.getInt(2), c.getDouble(3), c.getBoolean(5))
+    }
+    var (np, sl, rec, cleared) = sweepOn(serving)
+    // capacity signal: the floor clears only at the full coarse scan
+    // (nprobe == frozen seed count) or not at all
+    def capacityExhausted = !cleared || np >= serving.seeds.size
+    var action = if (reseed) "reseed"
+      else if (fired) "reseed_due" else "revalidate"
+    if (!reseed && cellBudget > 0 && capacityExhausted) {
+      if (reseedDir.isDefined && derived > serving.nlist) {
+        serving = reseedInto(reseedDir.get, corpus, trainOn = trainOn,
+          nlist = derived)
+        val g = sweepOn(serving)
+        np = g._1; sl = g._2; rec = g._3; cleared = g._4
+        action = "grow"
+      } else if (derived > serving.nlist) action = "grow_due"
+    }
     if (cleared) serving.commitOperatingPoint(np, sl, rec)
+    val compacted = compactAbove > 0 && serving.compactionDue(compactAbove)
+    if (compacted) serving.compact()
     import spark.implicits._
     // a fired guard the caller gave no reseedDir for is NOT a clean
     // revalidate — surface it as `reseed_due` so a scheduler reading the
-    // report can't mistake an ignored rebuild signal for health
-    val action = if (reseed) "reseed"
-      else if (fired) "reseed_due" else "revalidate"
+    // report can't mistake an ignored rebuild signal for health; same
+    // discipline for an unactionable capacity signal (`grow_due`)
     val report = Seq((action,
-        nVec, nBelow, frac, np, sl, rec, cleared, cleared))
+        nVec, nBelow, frac, serving.nlist, np, sl, rec, cleared, cleared, compacted))
       .toDF("action", "n_vectors", "n_below", "frac_below",
-        "nprobe", "shortlist", "recall", "floor_cleared", "committed")
+        "nlist", "nprobe", "shortlist", "recall", "floor_cleared", "committed",
+        "compacted")
     IvfPqIndex.Maintenance(serving, report)
   }
 
@@ -447,37 +515,39 @@ final class IvfPqIndex(spark: SparkSession, dir: String,
   def candidates(queries: DataFrame, nprobe: Int): DataFrame = {
     val ss = seeds
     require(nprobe >= 1 && nprobe <= ss.size)
-    val probes = queries.select(col("vec_id").as("query_id"),
-        explode(slice(reverse(array_sort(array(scored(ss)(col("embedding")): _*))),
-          1, nprobe)).as("p"))
-      .select(col("query_id"), col("p.cell").as("cell"))
-    prunedToCells(probes).join(broadcast(probes), Seq("cell"))
+    val (probes, cells) = localizedProbes(
+      queries.select(col("vec_id").as("query_id"),
+          explode(slice(reverse(array_sort(array(scored(ss)(col("embedding")): _*))),
+            1, nprobe)).as("p"))
+        .select(col("query_id"), col("p.cell").as("cell")))
+    rowsDf.filter(col("cell").isInCollection(cells))
+      .join(broadcast(probes), Seq("cell"))
       .filter(col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"))
   }
 
-  /** The stored scan restricted to the probe set's cells as an EXPLICIT
-    * `IN` filter, not just the join key. A broadcast join on `cell`
-    * restricts rows only after the scan — Spark injects no row-group
-    * pruning from a join on a non-partition column — so without this
-    * every probe reads every row group and [[compact]]'s cell-clustered
-    * base buys nothing at the scan. The probe set is already driver
-    * metadata (the join broadcasts it), so collecting its ≤
-    * |queries|·nprobe distinct cell ids adds one metadata-sized job and
-    * turns the base's clustering into real parquet min/max row-group
-    * skipping (`PushedFilters: In(cell, …)` — spec-pinned).
-    *
-    * The collect re-evaluates the probe-scoring plan (queries × nlist
-    * seed cosines) once more than the join alone would — deliberate:
-    * that work is |queries|·nlist·Dim flops on the bounded query batch,
-    * orders below the store scan the filter prunes, and caching the
-    * probe frame would trade it for persist/unpersist lifecycle on
-    * every probe call.
+  /** ONE evaluation of the probe-scoring plan, consumed twice (r13
+    * ADVICE): the probed cell ids become an EXPLICIT `IN` filter on the
+    * stored scan — a broadcast join on `cell` restricts rows only after
+    * the scan, Spark injects no row-group pruning from a join on a
+    * non-partition column, so without the filter every probe reads every
+    * row group and [[compact]]'s cell-clustered base buys nothing
+    * (`PushedFilters: In(cell, …)` — spec-pinned) — and the SAME
+    * collected rows are rebuilt into a local frame for the broadcast
+    * join. Collect-once is the correctness half: re-evaluating the plan
+    * for the join while collecting it for the filter would let a
+    * non-deterministic queries source (sample/rand/limit-without-order)
+    * disagree between the two consumers and silently drop candidates.
+    * The probe set is driver metadata by design (≤ |queries|·nprobe
+    * rows — the join broadcasts it anyway), so localizing it costs one
+    * metadata-sized job.
     */
-  private def prunedToCells(probes: DataFrame): DataFrame = {
-    val cells = probes.select(col("cell")).distinct()
-      .collect().map(_.getLong(0)).sorted
-    rowsDf.filter(col("cell").isInCollection(cells))
+  private def localizedProbes(probePlan: DataFrame): (DataFrame, Array[Long]) = {
+    val rows = probePlan.collect()
+    val local = spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*), probePlan.schema)
+    val cells = rows.map(_.getAs[Long]("cell")).distinct.sorted
+    (local, cells)
   }
 
   /** ANN top-k: queries score the frozen seeds to pick `nprobe` cells
@@ -493,19 +563,20 @@ final class IvfPqIndex(spark: SparkSession, dir: String,
     val ss = seeds
     require(nprobe >= 1 && nprobe <= ss.size)
     val bks = books
-    val probes = queries.select(col("vec_id").as("query_id"),
-        l2_fast(col("embedding")).as("qnorm"),
-        Similarity.pqQtab(bks, m, codes).as("qtab"),
-        explode(slice(reverse(array_sort(array(scored(ss)(col("embedding")): _*))),
-          1, nprobe)).as("p"))
-      .select(col("query_id"), col("qnorm"), col("qtab"), col("p.cell").as("cell"))
+    val (probes, cells) = localizedProbes(
+      queries.select(col("vec_id").as("query_id"),
+          l2_fast(col("embedding")).as("qnorm"),
+          Similarity.pqQtab(bks, m, codes).as("qtab"),
+          explode(slice(reverse(array_sort(array(scored(ss)(col("embedding")): _*))),
+            1, nprobe)).as("p"))
+        .select(col("query_id"), col("qnorm"), col("qtab"), col("p.cell").as("cell")))
     val qdot = Similarity.pqQdot(m, codes, col("qtab"), col("codes"))
     val denom = col("qnorm") * col("rnorm")
     val qcos = when(denom === 0.0, lit(0.0)).otherwise(qdot / denom)
     val wS = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("qcos").desc, col("neighbor_id"))
-    val shortlisted = prunedToCells(probes)
+    val shortlisted = rowsDf.filter(col("cell").isInCollection(cells))
       .select(col("vec_id"), col("cell"), col("codes"),
         Similarity.pqRnorm(bks, m, codes).as("rnorm"))
       .join(broadcast(probes), Seq("cell"))

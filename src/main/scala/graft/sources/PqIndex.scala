@@ -127,9 +127,13 @@ final class PqIndex(spark: SparkSession, dir: String,
     * one exists) plus the generations committed after it.
     */
   def codesDf: DataFrame = {
+    // base read BEFORE the watermark ([[IvfPqIndex.rowsDf]]'s rule): a
+    // compact committing between the two slot reads could otherwise hand
+    // Generations a base ahead of the captured g (which it refuses)
+    val base = compactedThrough
     val g = committedGen
     require(g >= 0, "the index is empty")
-    Generations.readAsOf(spark, compactedThrough, g, genDir, baseDir)
+    Generations.readAsOf(spark, base, g, genDir, baseDir)
   }
 
   /** COMPACTION — [[IvfPqIndex.compact]]'s discipline for the flat code
@@ -146,7 +150,12 @@ final class PqIndex(spark: SparkSession, dir: String,
     val g = committedGen
     require(g >= 0, "compact before bootstrap: the index has no rows")
     val prev = compactedThrough
-    if (g == prev) return
+    if (g == prev) {
+      // honor a requested retirement sweep even when the fold is a no-op
+      // (a prior no-retire compact's superseded dirs would leak forever)
+      if (retireSuperseded) Generations.retireThrough(spark, dir, g)
+      return
+    }
     Generations.readAsOf(spark, prev, g, genDir, baseDir)
       .repartitionByRange(col("vec_id"))
       .sortWithinPartitions("vec_id")

@@ -153,10 +153,15 @@ object StreamSink {
   def committedParquet(spark: org.apache.spark.sql.SparkSession,
                        outDir: String): DataFrame = {
     val store = new graft.sources.BookmarkStore(outDir)
+    // read order matters (r13 ADVICE): `base` BEFORE `last_batch`. The two
+    // gets are separate file reads; a concurrent compact committing
+    // between them could otherwise surface base > watermark (rows beyond
+    // the captured view). Any committed base is <= some already-committed
+    // last_batch, so base-first can only yield a stale-but-safe base.
+    val base = store.get("base", ParquetSinkCtx).getOrElse(-1L)
     val last = store.get("last_batch", ParquetSinkCtx)
     require(last.isDefined, s"no committed batches under $outDir")
-    committedUpTo(spark, outDir,
-      store.get("base", ParquetSinkCtx).getOrElse(-1L), last.get)
+    committedUpTo(spark, outDir, base, last.get)
   }
 
   /** The committed view bounded to CAPTURED watermarks — what
@@ -169,13 +174,14 @@ object StreamSink {
                             outDir: String, base: Long, w: Long): DataFrame = {
     val path = new org.apache.hadoop.fs.Path(outDir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val rx = "batch-(\\d+)".r
     val dirs =
       (if (base >= 0) Seq(new org.apache.hadoop.fs.Path(outDir, s"base-$base"))
        else Seq.empty) ++
         fs.listStatus(path).toSeq.map(_.getPath)
-          .filter(p => rx.findFirstMatchIn(p.getName)
-            .exists(m => { val b = m.group(1).toLong; b > base && b <= w }))
+          // FULL-NAME parse ([[graft.sources.Generations.retireThrough]]'s
+          // rule): an unanchored findFirstMatchIn would read a stray
+          // `batch-3-bak` or `rebatch-7` dir as committed data
+          .filter(p => batchIdOf(p.getName).exists(b => b > base && b <= w))
     spark.read.parquet(dirs.map(_.toString): _*)
   }
 
@@ -207,22 +213,40 @@ object StreamSink {
     require(last.isDefined, s"no committed batches under $outDir")
     val w = last.get
     val base = store.get("base", ParquetSinkCtx).getOrElse(-1L)
-    if (base == w) return
+    if (base == w) {
+      // fold is a no-op but a REQUESTED retirement sweep still runs — a
+      // prior no-retire compact's superseded dirs must not leak forever
+      if (retireSuperseded) retireParquetThrough(spark, outDir, w)
+      return
+    }
     // fold EXACTLY the captured (base, w] view — never the live one
     committedUpTo(spark, outDir, base, w)
       .write.mode("overwrite").parquet(s"$outDir/base-$w")
     store.commit("base", ParquetSinkCtx, w)
-    if (retireSuperseded) {
-      val root = new org.apache.hadoop.fs.Path(outDir)
-      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val rxB = "batch-(\\d+)".r
-      val rxC = "base-(\\d+)".r
-      fs.listStatus(root).map(_.getPath).foreach { p =>
-        val superseded =
-          rxB.findFirstMatchIn(p.getName).exists(_.group(1).toLong <= w) ||
-            rxC.findFirstMatchIn(p.getName).exists(_.group(1).toLong < w)
-        if (superseded) fs.delete(p, true)
-      }
+    if (retireSuperseded) retireParquetThrough(spark, outDir, w)
+  }
+
+  /** Full-name directory-id parse — anchored, never a substring match: an
+    * unanchored regex made the retire sweep DELETE any dir whose name
+    * merely contained `batch-<n>` (a `batch-3-bak` backup, a `rebatch-7`
+    * sibling) and the reader treat it as committed data.
+    */
+  private def batchIdOf(name: String): Option[Long] =
+    if (name.startsWith("batch-")) name.stripPrefix("batch-").toLongOption
+    else None
+
+  private def baseIdOf(name: String): Option[Long] =
+    if (name.startsWith("base-")) name.stripPrefix("base-").toLongOption
+    else None
+
+  private def retireParquetThrough(spark: org.apache.spark.sql.SparkSession,
+                                   outDir: String, w: Long): Unit = {
+    val root = new org.apache.hadoop.fs.Path(outDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(root).map(_.getPath).foreach { p =>
+      val superseded = batchIdOf(p.getName).exists(_ <= w) ||
+        baseIdOf(p.getName).exists(_ < w)
+      if (superseded) fs.delete(p, true)
     }
   }
 

@@ -24,10 +24,12 @@ class GenerationsSpec extends AnyFunSuite {
     assert(Generations.dirs(3L, 3L, gen, base) === Seq("base-3"))
   }
 
-  test("base AHEAD of a captured watermark (concurrent compact advanced it): base alone, never a negative range") {
-    // a reader that captured g before a concurrent compact stamped a
-    // newer base must not list phantom generations or duplicate rows —
-    // it reads the (newer) base only: monotonic, duplicate-free
-    assert(Generations.dirs(5L, 3L, gen, base) === Seq("base-5"))
+  test("base AHEAD of a captured watermark is REFUSED, never silently read") {
+    // r13 ADVICE: the old contract served the (newer) base alone, which
+    // quietly returns rows BEYOND the captured as-of watermark. A base
+    // ahead of g can only mean the single-writer discipline was violated
+    // (a concurrent compact advanced the base between the caller's two
+    // slot reads) — that must fail loudly, not degrade into future rows.
+    intercept[IllegalArgumentException] { Generations.dirs(5L, 3L, gen, base) }
   }
 }

@@ -211,6 +211,90 @@ class IvfIndexSpec extends SparkSuite {
       assert(m2.serving.operatingPoint === Some(r2.getAs[Int]("nprobe")))
   }
 
+  test("maintain capacity branch: a sweep clearing only at the full coarse scan grows nlist and commits a pruned point") {
+    // r13 verdict #2: the loop could only widen the probe, so a corpus
+    // that outgrew its cells got nprobe == nlist — a full coarse scan —
+    // committed as its "validated" point. A 2-cell index over the whole
+    // corpus is exactly that shape: nprobe=1 misses the floor, nprobe=2
+    // IS the full scan. maintain must read it as a CAPACITY signal (the
+    // drift guard is structurally quiet at maxFracBelow = 1.0), rebuild
+    // at the corpus-tracking Sizing.ivfNlist, and re-commit a point that
+    // actually prunes.
+    val idx = new IvfIndex(spark, TempDirs.create("ivf-grow-sm"), nlist = 2)
+    idx.bootstrap(oldVecs)
+    idx.append(delta)
+    val m = idx.maintain(corpus, delta, queries, k = 5, recallFloor = 0.9,
+      cosineFloor = 0.22, maxFracBelow = 1.0, nprobes = Seq(1, 2, 4, 8, 16),
+      reseedDir = Some(TempDirs.create("ivf-grow-new")), cellBudget = 64)
+    val r = m.report.collect().head
+    assert(r.getAs[String]("action") === "grow")
+    val derived = Similarity.Sizing.ivfNlist(corpus.count(), 64)
+    assert(derived > 2)
+    assert(r.getAs[Int]("nlist") === derived)
+    assert(m.serving.nlist === derived)
+    assert(!(m.serving eq idx), "the grown lineage must serve")
+    // the whole point: the post-grow committed point prunes again
+    assert(r.getAs[Int]("nprobe") < derived,
+      s"post-grow sweep still committed a full coarse scan: $r")
+    assert(r.getAs[Boolean]("floor_cleared") && r.getAs[Boolean]("committed"))
+    assert(m.serving.operatingPoint === Some(r.getAs[Int]("nprobe")))
+    assert(idx.operatingPoint.isEmpty, "the old root must be untouched")
+    assert(rows(m.serving.topK(corpus, queries, 5)).nonEmpty)
+    // the same capacity signal with no reseedDir must say so — never a
+    // silent "revalidate" a scheduler would read as health
+    val due = idx.maintain(corpus, delta, queries, k = 5, recallFloor = 0.9,
+      cosineFloor = 0.22, maxFracBelow = 1.0, nprobes = Seq(1, 2, 4, 8, 16),
+      cellBudget = 64)
+    assert(due.report.collect().head.getAs[String]("action") === "grow_due")
+    assert(due.serving eq idx)
+    // legacy semantics: growth disabled at cellBudget = 0
+    val legacy = idx.maintain(corpus, delta, queries, k = 5, recallFloor = 0.9,
+      cosineFloor = 0.22, maxFracBelow = 1.0, nprobes = Seq(1, 2, 4, 8, 16))
+    assert(legacy.report.collect().head.getAs[String]("action") === "revalidate")
+  }
+
+  test("fragmentCount/compactionDue drive maintain's compaction; the fold is invisible to probes") {
+    val d0 = corpus.filter(col("vec_id") % 100 === 0)
+    val d50 = corpus.filter(col("vec_id") % 100 === 50)
+    val idx = new IvfIndex(spark, TempDirs.create("ivf-cpol"), nlist = 16)
+    idx.bootstrap(oldVecs)
+    idx.appendBatch(d0, batchId = 0L)
+    idx.appendBatch(d50, batchId = 1L)
+    assert(idx.fragmentCount === 3L)
+    assert(idx.compactionDue(2) && !idx.compactionDue(3))
+    val before = rows(idx.topK(corpus, queries, 5, nprobe = 4))
+    val m = idx.maintain(corpus, delta, queries, k = 5, recallFloor = 0.9,
+      cosineFloor = 0.22, maxFracBelow = 1.0, nprobes = Seq(4, 16),
+      compactAbove = 2)
+    assert(m.report.collect().head.getAs[Boolean]("compacted"))
+    assert(idx.fragmentCount === 1L)
+    assert(idx.compactedThrough === idx.committedGen)
+    assert(rows(idx.topK(corpus, queries, 5, nprobe = 4)) === before,
+      "maintenance compaction must be invisible to probe results")
+    // below threshold now: a second run reports no compaction
+    val m2 = idx.maintain(corpus, delta, queries, k = 5, recallFloor = 0.9,
+      cosineFloor = 0.22, maxFracBelow = 1.0, nprobes = Seq(4, 16),
+      compactAbove = 2)
+    assert(!m2.report.collect().head.getAs[Boolean]("compacted"))
+  }
+
+  test("compact(retireSuperseded) honors the sweep even when the fold is a no-op") {
+    // r13 ADVICE: the early return on g == compactedThrough silently
+    // skipped a REQUESTED retirement — a prior no-retire compact's
+    // superseded dirs leaked forever
+    val root = TempDirs.create("ivf-retire")
+    val idx = new IvfIndex(spark, root, nlist = 16)
+    idx.bootstrap(oldVecs)
+    idx.append(delta)
+    idx.compact() // fold without retiring: gen-0/gen-1 stay on disk
+    def names = new java.io.File(root).listFiles().map(_.getName).toSet
+    assert(names.exists(_.startsWith("gen-")))
+    idx.compact(retireSuperseded = true) // no-op fold, real sweep
+    assert(!names.exists(_.startsWith("gen-")),
+      s"superseded generations leaked: $names")
+    assert(idx.assignmentsDf.inputFiles.forall(_.contains("base-1")))
+  }
+
   test("reseedInto builds a fresh lineage; the old root is untouched and stays answerable") {
     val idx = new IvfIndex(spark, TempDirs.create("ivf-idx-rs-old"), nlist = 16)
     idx.bootstrap(oldVecs)

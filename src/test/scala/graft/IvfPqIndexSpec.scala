@@ -303,6 +303,43 @@ class IvfPqIndexSpec extends SparkSuite {
     assert(ok.report.collect().head.getAs[Boolean]("committed"))
   }
 
+  test("maintain capacity branch: the composition grows nlist (seeds AND codebooks retrained) and commits a pruned point") {
+    // the r13 10x rehearsal failure shape: a sweep whose only clearing
+    // setting is nprobe == nlist. The 2-cell composition reproduces it at
+    // suite scale; maintain must grow to Sizing.ivfNlist and the
+    // post-grow point must prune (nprobe < nlist). Floor 0.85 leaves
+    // headroom for ADC quantization noise on the shortlist boundary —
+    // the claim pinned here is the capacity DECISION, not a recall SLA
+    // (the recall tripwires pin that at the declared operating point).
+    val idx = new graft.sources.IvfPqIndex(
+      spark, TempDirs.create("ivfpq-grow"), nlist = 2, m = 8, codes = 16)
+    idx.bootstrap(oldVecs)
+    idx.append(delta)
+    val m = idx.maintain(corpus, delta, queries, k = 5, recallFloor = 0.85,
+      cosineFloor = 0.22, maxFracBelow = 1.0,
+      nprobes = Seq(1, 2, 4, 8, 16), shortlists = Seq(200),
+      reseedDir = Some(TempDirs.create("ivfpq-grow-new")), cellBudget = 64)
+    val r = m.report.collect().head
+    assert(r.getAs[String]("action") === "grow")
+    val derived = graft.operators.Similarity.Sizing.ivfNlist(corpus.count(), 64)
+    assert(derived > 2 && r.getAs[Int]("nlist") === derived)
+    assert(m.serving.nlist === derived)
+    assert(!(m.serving eq idx))
+    assert(r.getAs[Int]("nprobe") < derived,
+      s"post-grow sweep still committed a full coarse scan: $r")
+    if (r.getAs[Boolean]("committed")) {
+      assert(m.serving.operatingPoint ===
+        Some((r.getAs[Int]("nprobe"), r.getAs[Int]("shortlist"))))
+      assert(rows(m.serving.topK(corpus, queries, 5)).nonEmpty)
+    }
+    assert(idx.operatingPoint.isEmpty, "the old root must be untouched")
+    // unactionable capacity signal is surfaced, never silent
+    val due = idx.maintain(corpus, delta, queries, k = 5, recallFloor = 0.85,
+      cosineFloor = 0.22, maxFracBelow = 1.0,
+      nprobes = Seq(1, 2, 4, 8, 16), shortlists = Seq(200), cellBudget = 64)
+    assert(due.report.collect().head.getAs[String]("action") === "grow_due")
+  }
+
   test("compact folds generations into a cell-clustered base; probes, later appends, and retirement stay invisible") {
     // r13: the read-amplification half of maintenance. Streaming ingest
     // leaves one dir per micro-batch; compact() folds the committed view
