@@ -911,6 +911,38 @@ object ScaleRehearsal {
       emitRecall(s"ivfpq_revalidate_chosen_p${revalSl.getInt(1)}_s${revalSl.getInt(2)}",
         recallK, ne, revalSl.getDouble(3), tReval)
 
+      // ---- CAPACITY-ADAPTIVE maintain (r13 verdict #2 — the failing
+      // case to flip was the 10x era committing the sweep's widest
+      // setting as its "validated" point). A store whose nlist was
+      // frozen at bootstrap (here: the undersized 2-cell worst case a
+      // naive deployment carries into growth) can only answer corpus
+      // growth with probe width; maintain(cellBudget>0) must read a
+      // sweep that clears ONLY at the full coarse scan as a CAPACITY
+      // signal, rebuild at Sizing.ivfNlist(n), and re-commit a point
+      // with nprobe < nlist — a real pruned probe at every era.
+      // candidates := grown nlist, verified := chosen nprobe; the
+      // recall row names action/nprobe/nlist so the claim is in the row.
+      val growIdx = new graft.sources.IvfPqIndex(spark,
+        TempDirs.create(s"graft-scale-grow$f"), nlist = 2, m = 8, codes = 256)
+      growIdx.bootstrap(ivfOld)
+      growIdx.append(ivfDelta)
+      val (growM, tGrow) = timed {
+        growIdx.maintain(emb, ivfDelta, pqQueries, k = recallK,
+          recallFloor = 0.9, cosineFloor = 0.22, maxFracBelow = 1.0,
+          nprobes = Seq(1, 4, 8, 16), shortlists = Seq(20, 100, 200, 400),
+          reseedDir = Some(TempDirs.create(s"graft-scale-grown$f")),
+          cellBudget = 256)
+      }
+      val gr = growM.report.collect().head
+      val (gAction, gNlist, gNp, gRecall) = (gr.getAs[String]("action"),
+        gr.getAs[Int]("nlist"), gr.getAs[Int]("nprobe"), gr.getAs[Double]("recall"))
+      require(gAction == "grow" && gNp < gNlist,
+        s"capacity maintain failed to grow past the frozen 2-cell store " +
+          s"or committed a non-pruning point: action=$gAction np=$gNp nlist=$gNlist")
+      emit("ivfpq_maintain_grow", f, ne, gNlist.toLong, gNp.toLong, tGrow)
+      emitRecall(s"ivfpq_maintain_${gAction}_p${gNp}_nl$gNlist",
+        recallK, ne, gRecall, tGrow)
+
       // ---- IVF-PQ reseed recovery on a SHIFTED delta (r11 verdict #5)
       // A genuinely drifted family: rotation by Dim/2 (outside the
       // replica set's 0..factor-1 rotations), so shifted vectors are

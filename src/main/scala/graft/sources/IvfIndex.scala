@@ -301,6 +301,26 @@ final class IvfIndex(spark: SparkSession, dir: String,
     */
   def operatingPointLag: Option[Long] = operatingPointGen.map(committedGen - _)
 
+  /** FRESHNESS-GATED probe — the [[operatingPointLag]] CONSUMER (r13
+    * verdict next-round #4: the staleness signal existed but nothing
+    * acted on it). A committed point is a claim about the data it was
+    * validated against; once more than `maxLag` generations land after
+    * the stamp, that claim is stale and serving on it is exactly the
+    * silent-degradation class the maintenance loop exists to kill — so
+    * a production consumer (the e2e pipeline's semantic stage) REFUSES
+    * and names the remedy instead of probing. `maxLag = 0` demands a
+    * point validated against the current committed view.
+    */
+  def topKFresh(corpus: DataFrame, queries: DataFrame, k: Int,
+                maxLag: Long): DataFrame = {
+    val lag = operatingPointLag.getOrElse(throw new IllegalStateException(
+      s"no committed operating point at $dir: run maintain() before serving"))
+    if (lag > maxLag) throw new IllegalStateException(
+      s"operating point at $dir is stale: validated $lag generations ago " +
+        s"(max $maxLag) - run maintain() at the era boundary before serving")
+    topK(corpus, queries, k)
+  }
+
   /** Probe at the COMMITTED operating point — refuses (never guesses)
     * when no maintenance run has committed one.
     */

@@ -389,6 +389,20 @@ final class IvfPqIndex(spark: SparkSession, dir: String,
     */
   def operatingPointLag: Option[Long] = operatingPointGen.map(committedGen - _)
 
+  /** FRESHNESS-GATED probe — [[IvfIndex.topKFresh]]'s discipline for the
+    * composition: refuse to serve a point validated more than `maxLag`
+    * generations ago, naming the remedy (run [[maintain]]).
+    */
+  def topKFresh(corpus: DataFrame, queries: DataFrame, k: Int,
+                maxLag: Long): DataFrame = {
+    val lag = operatingPointLag.getOrElse(throw new IllegalStateException(
+      s"no committed operating point at $dir: run maintain() before serving"))
+    if (lag > maxLag) throw new IllegalStateException(
+      s"operating point at $dir is stale: validated $lag generations ago " +
+        s"(max $maxLag) - run maintain() at the era boundary before serving")
+    topK(corpus, queries, k)
+  }
+
   /** Probe at the COMMITTED operating point — the query-time default that
     * closes the loop: maintenance writes the point, queries read it, and
     * no constant in a call site can drift from the last validated sweep.

@@ -295,6 +295,22 @@ class IvfIndexSpec extends SparkSuite {
     assert(idx.assignmentsDf.inputFiles.forall(_.contains("base-1")))
   }
 
+  test("topKFresh refuses a stale or missing operating point and names the remedy") {
+    // the operatingPointLag CONSUMER (r13 verdict #4): a point validated
+    // before generations the probe would read is refused, never served
+    val idx = new IvfIndex(spark, TempDirs.create("ivf-fresh"), nlist = 16)
+    idx.bootstrap(oldVecs)
+    intercept[IllegalStateException] { idx.topKFresh(corpus, queries, 5, maxLag = 0L) }
+    idx.maintain(oldVecs, oldVecs.limit(0), queries, k = 5, recallFloor = 0.9,
+      cosineFloor = 0.22, maxFracBelow = 1.0, nprobes = Seq(1, 2, 4, 8, 16))
+    assert(rows(idx.topKFresh(oldVecs, queries, 5, maxLag = 0L)).nonEmpty)
+    idx.append(delta) // one generation past the stamp
+    assert(idx.operatingPointLag === Some(1L))
+    intercept[IllegalStateException] { idx.topKFresh(corpus, queries, 5, maxLag = 0L) }
+    // an explicit staleness budget serves at the stamped point
+    assert(rows(idx.topKFresh(corpus, queries, 5, maxLag = 1L)).nonEmpty)
+  }
+
   test("reseedInto builds a fresh lineage; the old root is untouched and stays answerable") {
     val idx = new IvfIndex(spark, TempDirs.create("ivf-idx-rs-old"), nlist = 16)
     idx.bootstrap(oldVecs)
