@@ -123,6 +123,18 @@ final class PqIndex(spark: SparkSession, dir: String,
     */
   def compactedThrough: Long = store.get("base", ctx).getOrElse(-1L)
 
+  /** Directories a committed-view reader must list/scan right now
+    * ([[IvfIndex.fragmentCount]]) — O(1) metadata arithmetic.
+    */
+  def fragmentCount: Long = {
+    val g = committedGen
+    if (g < 0) 0L else Generations.dirs(compactedThrough, g, genDir, baseDir).size.toLong
+  }
+
+  /** The compaction policy predicate ([[IvfIndex.compactionDue]]). */
+  def compactionDue(maxFragments: Int): Boolean =
+    maxFragments >= 1 && fragmentCount > maxFragments
+
   /** Every committed code row (vec_id, codes): the compacted base (if
     * one exists) plus the generations committed after it.
     */

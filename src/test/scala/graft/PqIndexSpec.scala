@@ -161,8 +161,11 @@ class PqIndexSpec extends SparkSuite {
     val idx = new PqIndex(spark, TempDirs.create("pq-cmp"), m = 8, codes = 16)
     idx.bootstrap(oldVecs)
     idx.appendBatch(d0, batchId = 0L)
+    assert(idx.fragmentCount === 2L)
+    assert(idx.compactionDue(1) && !idx.compactionDue(2))
     idx.compact()
     assert(idx.compactedThrough === 1L && idx.committedGen === 1L)
+    assert(idx.fragmentCount === 1L && !idx.compactionDue(1))
     idx.append(d50) // gen 2 on top of base-1
     val ref = new PqIndex(spark, TempDirs.create("pq-cmp-ref"), m = 8, codes = 16)
     ref.bootstrap(oldVecs)
