@@ -722,6 +722,11 @@ object SparkEntry {
     // ivf_maintain_grow) and COMPACTION (compactAbove=1 — the fixture's
     // committed view spans 2 fragment dirs (bootstrap + append), so the
     // run folds it into a cell-clustered base and reports compacted).
+    // Maintenance is STATEFUL by design: a second execution in the same
+    // session finds the store already folded and reports
+    // compacted=false — the oracle gate (Verify) runs each query once
+    // per JVM, and bench warm runs time the already-maintained store,
+    // which is the production era-boundary shape.
     "ivfpq_maintain" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val idx = IndexCache.getOrBuildVersioned(s, s"ivfpq-idx|$dir", dir) {
@@ -3932,9 +3937,12 @@ object SparkEntry {
        |-- the corpus-tracking nlist (Sizing.ivfNlist replayed from the
        |-- corpus count: clamp(n / cellBudget, 2, 4096)) and the CAPACITY
        |-- signal (the sweep cleared only at the full coarse scan, or not
-       |-- at all). At the fixture corpus sizes the derived nlist stays
-       |-- below the constructed one, so the decision replayed here is
-       |-- "keep"; the grow-exercising fixture is ivf_maintain_grow.
+       |-- at all). Replay envelope: the grow ARM's nprobe/shortlist/recall
+       |-- columns replay the pre-grow grid, so this oracle is exact only
+       |-- while the decision lands on "keep" — guaranteed for any corpus
+       |-- under 16*256 = 4096 vectors (derived <= 16); past that a taken
+       |-- grow arm would hash-MISMATCH loudly (the safe direction), and
+       |-- the full grow replay lives in ivf_maintain_grow.
        |nlg AS (SELECT CAST(greatest(2, least(4096, count(*) // $cellBudget))
        |  AS INTEGER) AS v FROM e),
        |cap AS (SELECT (p1ok.ok = 0 OR cnp.v >= $nlist) AS x FROM p1ok, cnp)

@@ -218,8 +218,13 @@ final class IvfIndex(spark: SparkSession, dir: String,
     * metadata arithmetic, no filesystem listing.
     */
   def fragmentCount: Long = {
+    // base read BEFORE the watermark (the [[assignmentsDf]] rule): a
+    // concurrent compact between the two slot reads could otherwise hand
+    // Generations a base ahead of the captured g, which it refuses —
+    // turning a pure metadata read into a spurious crash
+    val base = compactedThrough
     val g = committedGen
-    if (g < 0) 0L else Generations.dirs(compactedThrough, g, genDir, baseDir).size.toLong
+    if (g < 0) 0L else Generations.dirs(base, g, genDir, baseDir).size.toLong
   }
 
   /** The compaction policy predicate: more committed fragment dirs than
@@ -441,7 +446,12 @@ final class IvfIndex(spark: SparkSession, dir: String,
         val g = sweepOn(serving)
         np = g._1; rec = g._2; cleared = g._3
         action = "grow"
-      } else if (derived > serving.nlist) action = "grow_due"
+      } else if (derived > serving.nlist && !fired) action = "grow_due"
+      // a fired drift guard outranks the capacity signal in the single
+      // action column: `reseed_due` already demands the rebuild that
+      // would also fix capacity (reseeds size by `derived` when
+      // cellBudget > 0) — overwriting it with `grow_due` would hide the
+      // drift signal a scheduler must act on
     }
     if (cleared) serving.commitOperatingPoint(np, rec)
     val compacted = compactAbove > 0 && serving.compactionDue(compactAbove)

@@ -150,8 +150,12 @@ final class IvfPqIndex(spark: SparkSession, dir: String,
     * O(1) metadata arithmetic, no filesystem listing.
     */
   def fragmentCount: Long = {
+    // base read BEFORE the watermark (the [[rowsDf]] rule): a concurrent
+    // compact between the two slot reads must degrade to a stale-but-safe
+    // base, never a refused base-ahead-of-watermark crash
+    val base = compactedThrough
     val g = committedGen
-    if (g < 0) 0L else Generations.dirs(compactedThrough, g, genDir, baseDir).size.toLong
+    if (g < 0) 0L else Generations.dirs(base, g, genDir, baseDir).size.toLong
   }
 
   /** The compaction policy predicate ([[IvfIndex.compactionDue]]). */
@@ -501,7 +505,10 @@ final class IvfPqIndex(spark: SparkSession, dir: String,
         val g = sweepOn(serving)
         np = g._1; sl = g._2; rec = g._3; cleared = g._4
         action = "grow"
-      } else if (derived > serving.nlist) action = "grow_due"
+      } else if (derived > serving.nlist && !fired) action = "grow_due"
+      // a fired drift guard outranks the capacity signal in the single
+      // action column ([[IvfIndex.maintain]]'s rule): `reseed_due`
+      // already demands the rebuild that would also fix capacity
     }
     if (cleared) serving.commitOperatingPoint(np, sl, rec)
     val compacted = compactAbove > 0 && serving.compactionDue(compactAbove)

@@ -127,8 +127,12 @@ final class PqIndex(spark: SparkSession, dir: String,
     * ([[IvfIndex.fragmentCount]]) — O(1) metadata arithmetic.
     */
   def fragmentCount: Long = {
+    // base read BEFORE the watermark (the [[codesDf]] rule): a concurrent
+    // compact between the two slot reads must degrade to a stale-but-safe
+    // base, never a refused base-ahead-of-watermark crash
+    val base = compactedThrough
     val g = committedGen
-    if (g < 0) 0L else Generations.dirs(compactedThrough, g, genDir, baseDir).size.toLong
+    if (g < 0) 0L else Generations.dirs(base, g, genDir, baseDir).size.toLong
   }
 
   /** The compaction policy predicate ([[IvfIndex.compactionDue]]). */

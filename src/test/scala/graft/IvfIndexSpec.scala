@@ -251,6 +251,15 @@ class IvfIndexSpec extends SparkSuite {
     val legacy = idx.maintain(corpus, delta, queries, k = 5, recallFloor = 0.9,
       cosineFloor = 0.22, maxFracBelow = 1.0, nprobes = Seq(1, 2, 4, 8, 16))
     assert(legacy.report.collect().head.getAs[String]("action") === "revalidate")
+    // a FIRED drift guard is never masked by the capacity signal: when
+    // both fire with no reseedDir, the action stays reseed_due — the
+    // drift rebuild it demands also fixes capacity (reseeds size by the
+    // derived nlist), while grow_due would hide the drift signal
+    val both = idx.maintain(corpus, delta, queries, k = 5, recallFloor = 0.9,
+      cosineFloor = 0.22, maxFracBelow = 0.5, nprobes = Seq(1, 2, 4, 8, 16),
+      cellBudget = 64)
+    assert(both.report.collect().head.getAs[String]("action") === "reseed_due",
+      "the drift signal must outrank the capacity signal")
   }
 
   test("fragmentCount/compactionDue drive maintain's compaction; the fold is invisible to probes") {
