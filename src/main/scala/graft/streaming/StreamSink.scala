@@ -209,10 +209,14 @@ object StreamSink {
   def compactParquet(spark: org.apache.spark.sql.SparkSession,
                      outDir: String, retireSuperseded: Boolean = false): Unit = {
     val store = new graft.sources.BookmarkStore(outDir)
+    // base read BEFORE the watermark — the uniform reader rule (the
+    // index stores' fragmentCount/compact order): base-first can only
+    // yield a stale-but-safe base, never one ahead of the captured
+    // watermark that committedUpTo would mis-handle
+    val base = store.get("base", ParquetSinkCtx).getOrElse(-1L)
     val last = store.get("last_batch", ParquetSinkCtx)
     require(last.isDefined, s"no committed batches under $outDir")
     val w = last.get
-    val base = store.get("base", ParquetSinkCtx).getOrElse(-1L)
     if (base == w) {
       // fold is a no-op but a REQUESTED retirement sweep still runs — a
       // prior no-retire compact's superseded dirs must not leak forever

@@ -42,12 +42,22 @@ class BenchTriggerSpec extends AnyFunSuite {
       priorWarm = Some(5.5), priorCold = Some(8.9), calibRatio = 1.0))
   }
 
-  test("cost weighting: cheap query needs 3x, expensive 2x") {
-    // prior warm 0.5 s (cheap): 2.2x miss stays quiet, 3.5x fires
+  test("cost weighting: sub-second fires at 1.5x, mid-range needs 3x, expensive 2x") {
+    // prior warm 0.5 s (SUB-SECOND, r14 verdict #3): 1.3x stays quiet...
     assert(!Bench.shouldReadjudicate(false, false, false,
-      cold = 2.0, warmStat = 1.1, Some(0.5), Some(1.8), 1.0))
+      cold = 2.0, warmStat = 0.65, Some(0.5), Some(1.8), 1.0))
+    // ...but 2.2x now fires — the json_extract class (0.39 -> 0.84 =
+    // 2.12x) that escaped the old 3x factor + 0.3 s floor
     assert(Bench.shouldReadjudicate(false, false, false,
-      cold = 3.0, warmStat = 1.8, Some(0.5), Some(2.8), 1.0))
+      cold = 2.0, warmStat = 1.1, Some(0.5), Some(1.8), 1.0))
+    // a 60 ms wobble under the 0.15 s jitter floor never fires
+    assert(!Bench.shouldReadjudicate(false, false, false,
+      cold = 0.3, warmStat = 0.14, Some(0.08), Some(0.28), 1.0))
+    // prior warm 1.2 s (mid-range): 2.2x stays quiet, 3.5x fires
+    assert(!Bench.shouldReadjudicate(false, false, false,
+      cold = 4.0, warmStat = 2.64, Some(1.2), Some(3.8), 1.0))
+    assert(Bench.shouldReadjudicate(false, false, false,
+      cold = 6.0, warmStat = 4.2, Some(1.2), Some(5.8), 1.0))
     // prior warm 3 s (expensive): 2.2x fires
     assert(Bench.shouldReadjudicate(false, false, false,
       cold = 8.0, warmStat = 6.6, Some(3.0), Some(7.5), 1.0))

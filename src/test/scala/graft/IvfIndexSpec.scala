@@ -247,6 +247,16 @@ class IvfIndexSpec extends SparkSuite {
       cellBudget = 64)
     assert(due.report.collect().head.getAs[String]("action") === "grow_due")
     assert(due.serving eq idx)
+    // capacity fired with NO headroom (r14 ADVICE): at a huge budget the
+    // derived nlist collapses to the current one — growing cannot help
+    // even with a reseedDir, and the report must say so distinctly
+    val spent = idx.maintain(corpus, delta, queries, k = 5, recallFloor = 0.9,
+      cosineFloor = 0.22, maxFracBelow = 1.0, nprobes = Seq(1, 2, 4, 8, 16),
+      reseedDir = Some(TempDirs.create("ivf-grow-noroom")),
+      cellBudget = 1000000)
+    val spentR = spent.report.collect().head
+    assert(spentR.getAs[String]("action") === "capacity_exhausted")
+    assert(spent.serving eq idx, "no rebuild without headroom")
     // legacy semantics: growth disabled at cellBudget = 0
     val legacy = idx.maintain(corpus, delta, queries, k = 5, recallFloor = 0.9,
       cosineFloor = 0.22, maxFracBelow = 1.0, nprobes = Seq(1, 2, 4, 8, 16))
@@ -260,6 +270,39 @@ class IvfIndexSpec extends SparkSuite {
       cellBudget = 64)
     assert(both.report.collect().head.getAs[String]("action") === "reseed_due",
       "the drift signal must outrank the capacity signal")
+  }
+
+  test("distributed probe path: large batches match the broadcast path and never collect full-width probe rows") {
+    // r14 verdict #1: topK collected |queries|*nprobe rows INCLUDING
+    // query embeddings to the driver — metadata-sized for 8-query
+    // fixtures, a driver OOM at production batch sizes. Above the
+    // broadcast limit the only driver-side collect is the distinct cell
+    // id set (O(nlist)); the probe frame stays a cached executor-side
+    // relation joined on the cell key.
+    val idx = new IvfIndex(spark, TempDirs.create("ivf-dist"), nlist = 16)
+    idx.bootstrap(oldVecs)
+    idx.append(delta)
+    // a replicated batch in a disjoint query-id space (no self-exclusion)
+    val batch = corpus.crossJoin(spark.range(0, 5).select(col("id").as("rep")))
+      .select((lit(1000000L) + col("vec_id") * 5 + col("rep")).as("vec_id"),
+        col("embedding"))
+    val viaBroadcast = rows(idx.topK(corpus, batch, 5, nprobe = 4,
+      probeBroadcastLimit = Int.MaxValue))
+    val distributed = idx.topK(corpus, batch, 5, nprobe = 4,
+      probeBroadcastLimit = 1)
+    assert(rows(distributed) === viaBroadcast,
+      "the two probe modes must be result-identical")
+    assert(viaBroadcast.nonEmpty)
+    val plan = distributed.queryExecution.executedPlan.toString
+    // the probe frame is the cached one-evaluation relation, not a
+    // driver-collected LocalRelation...
+    assert(plan.contains("InMemoryTableScan"),
+      s"distributed probe must join the cached probe frame, got:\n$plan")
+    assert(!plan.contains("LocalTableScan"),
+      "no driver-collected probe rows above the broadcast limit")
+    // ...and the stored scan keeps its row-group pruning pushdown
+    assert(plan.contains("In(cell"),
+      s"cell IN pushdown must survive the distributed mode, got:\n$plan")
   }
 
   test("fragmentCount/compactionDue drive maintain's compaction; the fold is invisible to probes") {

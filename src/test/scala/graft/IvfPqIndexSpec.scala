@@ -50,6 +50,34 @@ class IvfPqIndexSpec extends SparkSuite {
     }
   }
 
+  test("distributed probe path: large batches match the broadcast path without a full-width collect") {
+    // the composition's probe rows carry m*codes ADC tables (~16 KB
+    // each) — the heaviest driver payload in the engine before r15's
+    // threshold gate (r14 verdict #1/ADVICE). Above the limit the probe
+    // frame stays executor-side and the re-rank's query join drops its
+    // broadcast hint; results must be identical either way.
+    val idx = new IvfPqIndex(spark, TempDirs.create("ivfpq-dist"),
+      nlist = 16, m = 8, codes = 16)
+    idx.bootstrap(oldVecs)
+    idx.append(delta)
+    val batch = corpus.crossJoin(spark.range(0, 3).select(col("id").as("rep")))
+      .select((lit(1000000L) + col("vec_id") * 3 + col("rep")).as("vec_id"),
+        col("embedding"))
+    val viaBroadcast = rows(idx.topK(corpus, batch, 5, shortlist = 50,
+      nprobe = 4, probeBroadcastLimit = Int.MaxValue))
+    val distributed = idx.topK(corpus, batch, 5, shortlist = 50,
+      nprobe = 4, probeBroadcastLimit = 1)
+    assert(rows(distributed) === viaBroadcast)
+    assert(viaBroadcast.nonEmpty)
+    val plan = distributed.queryExecution.executedPlan.toString
+    assert(plan.contains("InMemoryTableScan"),
+      "distributed probe must join the cached probe frame")
+    assert(!plan.contains("LocalTableScan"),
+      "no driver-collected probe rows above the broadcast limit")
+    assert(plan.contains("In(cell"),
+      "cell IN pushdown must survive the distributed mode")
+  }
+
   test("append assigns+encodes only the delta; frozen state keeps old rows byte-stable") {
     val idx = new IvfPqIndex(spark, TempDirs.create("ivfpq-spec3"),
       nlist = 16, m = 8, codes = 16)
@@ -338,6 +366,17 @@ class IvfPqIndexSpec extends SparkSuite {
       cosineFloor = 0.22, maxFracBelow = 1.0,
       nprobes = Seq(1, 2, 4, 8, 16), shortlists = Seq(200), cellBudget = 64)
     assert(due.report.collect().head.getAs[String]("action") === "grow_due")
+    // capacity fired with NO headroom (r14 ADVICE): at a huge budget the
+    // derived nlist collapses to the current one — growing cannot help
+    // even with a reseedDir, and the report must say so distinctly
+    val spent = idx.maintain(corpus, delta, queries, k = 5, recallFloor = 0.85,
+      cosineFloor = 0.22, maxFracBelow = 1.0,
+      nprobes = Seq(1, 2, 4, 8, 16), shortlists = Seq(200),
+      reseedDir = Some(TempDirs.create("ivfpq-grow-noroom")),
+      cellBudget = 1000000)
+    val spentR = spent.report.collect().head
+    assert(spentR.getAs[String]("action") === "capacity_exhausted")
+    assert(spent.serving eq idx, "no rebuild without headroom")
   }
 
   test("compact folds generations into a cell-clustered base; probes, later appends, and retirement stay invisible") {
