@@ -23,6 +23,69 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("q1_agg")(spark, "/root/testdata/sf0.001")
 
+  /** The era-drift IVF fixture shared by `index_staleness_gate` and
+    * `fleet_report`'s stale row: bootstrap on the history slice, maintain
+    * (validates + stamps the operating point at generation 0), then one
+    * more ingest lands — the point is now one generation stale and both
+    * consumers must surface it.
+    */
+  private def staleIvfStore(s: SparkSession, dir: String): graft.sources.IvfIndex = {
+    val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val hist = emb.filter(col("vec_id") % 50 =!= 0)
+    IndexCache.getOrBuildVersioned(s, s"stale-ivf|$dir", dir) {
+      val i = new graft.sources.IvfIndex(
+        s, Scratch.create(s, "graft-stale-ivf"), nlist = 16)
+      i.bootstrap(hist)
+      // era boundary: validate + stamp against the bootstrap view
+      i.maintain(hist, hist.limit(0), emb.filter(col("vec_id") < 8),
+        k = 5, recallFloor = 0.9, cosineFloor = 0.22, maxFracBelow = 1.0,
+        nprobes = Seq(1, 2, 4, 8, 16))
+      // one ingest past the stamp: the staleness the gates surface
+      i.append(emb.filter(col("vec_id") % 50 === 0))
+      i
+    }
+  }
+
+  /** `fleet_report`'s HEALTHY row: the same bootstrap + maintain as
+    * [[staleIvfStore]] but with no ingest after the stamp — the point is
+    * validated against the current committed view (lag 0), one fragment.
+    */
+  private def freshIvfStore(s: SparkSession, dir: String): graft.sources.IvfIndex = {
+    val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val hist = emb.filter(col("vec_id") % 50 =!= 0)
+    IndexCache.getOrBuildVersioned(s, s"fleet-ivf-fresh|$dir", dir) {
+      val i = new graft.sources.IvfIndex(
+        s, Scratch.create(s, "graft-fleet-ivf"), nlist = 16)
+      i.bootstrap(hist)
+      i.maintain(hist, hist.limit(0), emb.filter(col("vec_id") < 8),
+        k = 5, recallFloor = 0.9, cosineFloor = 0.22, maxFracBelow = 1.0,
+        nprobes = Seq(1, 2, 4, 8, 16))
+      i
+    }
+  }
+
+  /** `fleet_report`'s FRAGMENTED row: an inverted index that committed
+    * one generation per distinct `source` family of the documents sample
+    * (bootstrap on the first source, one append per remaining one) and
+    * never compacted — so its fragment count is a DATA-DERIVED number
+    * the oracle re-computes from count(DISTINCT source), not a constant.
+    * The source list is driver metadata (tens of values).
+    */
+  private def fleetInvStore(s: SparkSession, dir: String): graft.sources.InvertedIndex =
+    IndexCache.getOrBuildVersioned(s, s"fleet-inv|$dir", dir) {
+      val docs = Tables.documents(s, dir).filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id"), col("text"), col("source"))
+      val sources = docs.select(col("source")).distinct()
+        .collect().map(_.getString(0)).sorted
+      val i = new graft.sources.InvertedIndex(
+        s, Scratch.create(s, "graft-fleet-inv"))
+      i.bootstrap(docs.filter(col("source") === sources.head)
+        .select(col("doc_id"), col("text")))
+      sources.tail.foreach(src => i.append(
+        docs.filter(col("source") === src).select(col("doc_id"), col("text"))))
+      i
+    }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // S7 hash aggregation, TPC-H Q1 flavor: partial+final HashAggregate.
@@ -1340,24 +1403,39 @@ object SparkEntry {
     // ledger history (stamp at gen 0, watermark at gen 1) — the gate's
     // whole row is decision replay, not reporting.
     "index_staleness_gate" -> ((s, dir) => {
-      val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
-      val hist = emb.filter(col("vec_id") % 50 =!= 0)
-      val idx = IndexCache.getOrBuildVersioned(s, s"stale-ivf|$dir", dir) {
-        val i = new graft.sources.IvfIndex(
-          s, Scratch.create(s, "graft-stale-ivf"), nlist = 16)
-        i.bootstrap(hist)
-        // era boundary: validate + stamp against the bootstrap view
-        i.maintain(hist, hist.limit(0), emb.filter(col("vec_id") < 8),
-          k = 5, recallFloor = 0.9, cosineFloor = 0.22, maxFracBelow = 1.0,
-          nprobes = Seq(1, 2, 4, 8, 16))
-        // one ingest past the stamp: the staleness the gate surfaces
-        i.append(emb.filter(col("vec_id") % 50 === 0))
-        i
-      }
+      val idx = staleIvfStore(s, dir)
       import s.implicits._
       Seq((idx.operatingPoint.get, idx.operatingPointGen.get, idx.committedGen,
           idx.operatingPointLag.get, idx.operatingPointLag.exists(_ > 0L)))
         .toDF("nprobe", "op_gen", "committed_gen", "lag", "maintenance_due")
+    }),
+
+    // FLEET MAINTENANCE REPORT (r15, r14 verdict next-round #5): one row
+    // per persisted store of a deployment manifest, each row pure O(1)
+    // ledger metadata — committed watermark, compaction base, fragment
+    // count, operating-point stamp and its lag — plus the three decision
+    // flags a scheduler acts on (point_stale / compaction_due /
+    // maintenance_due). Zero Spark jobs per store: the walk is
+    // properties-file reads, so it can run every scheduler tick over
+    // hundreds of stores; the data-sized health work (drift guards,
+    // recall sweeps) stays in each store's own maintain(), which this
+    // report decides WHERE to spend. The fixture covers the three states:
+    // a HEALTHY flat-IVF store (maintained at its committed head — lag 0,
+    // one fragment), the STALE store index_staleness_gate reads (shared
+    // builder: point stamped at gen 0, one ingest after), and a
+    // FRAGMENTED inverted index that committed one generation per
+    // distinct source family and never compacted. The oracle re-derives
+    // the committed nprobe of both IVF rows from the replayed sweep
+    // grid, every lag from the declared ledger history, and the text
+    // store's fragment count from count(DISTINCT source) — data, not a
+    // constant.
+    "fleet_report" -> ((s, dir) => {
+      graft.operators.Fleet.report(s,
+        Seq(("sem-ivf-fresh", freshIvfStore(s, dir)),
+            ("sem-ivf-stale", staleIvfStore(s, dir)),
+            ("text-postings", fleetInvStore(s, dir))),
+        maxLag = 0L, maxFragments = 1)
+        .orderBy(col("store"))
     }),
 
     // Token-budgeted training shards via the two-level prefix sum —
@@ -4279,6 +4357,67 @@ object SparkEntry {
        |  FROM cand)
        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
+  /** The stale-IVF fixture's sweep replay — seeds from the bootstrap
+    * history, flat-IVF recall grid over nprobes {1,2,4,8,16} at k=5 vs
+    * the exact scan, smallest-clearing choice at floor 0.9 as the scalar
+    * CTE `gcnp(npv)` — shared by the `index_staleness_gate` and
+    * `fleet_report` oracles (both fixtures stamp the identical sweep on
+    * the identical history corpus, so one grid serves every committed-
+    * nprobe column).
+    */
+  private lazy val ivfStaleGridCtes: String =
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |hist AS (SELECT vec_id, v FROM e WHERE vec_id % 50 != 0),
+       |seeds AS (SELECT vec_id AS cell_id, v AS cv FROM hist
+       |  ORDER BY vec_id LIMIT 16),
+       |scored AS (
+       |  SELECT h.vec_id, h.v, s.cell_id, ${Oracles.cosine("h.v", "s.cv", 64)} AS cs
+       |  FROM hist h CROSS JOIN seeds s),
+       |assign AS (
+       |  SELECT vec_id, v, cell_id FROM (
+       |    SELECT vec_id, v, cell_id,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cell_id) AS rnk
+       |    FROM scored) WHERE rnk = 1),
+       |gq AS (SELECT vec_id, v FROM e WHERE vec_id < 8),
+       |gqs AS (
+       |  SELECT q.vec_id, q.v, s.cell_id, ${Oracles.cosine("q.v", "s.cv", 64)} AS cs
+       |  FROM gq q CROSS JOIN seeds s),
+       |gprobes AS (
+       |  SELECT vec_id AS query_id, v AS qv, cell_id, rnk AS prnk FROM (
+       |    SELECT vec_id, v, cell_id,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cell_id) AS rnk
+       |    FROM gqs) WHERE rnk <= 16),
+       |gst AS (SELECT * FROM (VALUES (1), (2), (4), (8), (16)) AS t(np)),
+       |gcand AS (
+       |  SELECT gst.np, p.query_id, a.vec_id AS neighbor_id,
+       |    round(${Oracles.cosine("p.qv", "a.v", 64)}, 6) AS cosine
+       |  FROM gst JOIN gprobes p ON p.prnk <= gst.np
+       |  JOIN assign a ON a.cell_id = p.cell_id AND p.query_id != a.vec_id),
+       |gannk AS (
+       |  SELECT np, query_id, neighbor_id FROM (
+       |    SELECT np, query_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY np, query_id
+       |        ORDER BY cosine DESC, neighbor_id) AS rank
+       |    FROM gcand) WHERE rank <= 5),
+       |gexact AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY round(${Oracles.cosine("q.v", "c.v", 64)}, 6) DESC,
+       |          c.vec_id) AS rank
+       |    FROM hist c JOIN gq q ON q.vec_id != c.vec_id) WHERE rank <= 5),
+       |ghits AS (
+       |  SELECT gst.np, ex.query_id, count(a.neighbor_id) AS nhit
+       |  FROM gst CROSS JOIN gexact ex
+       |  LEFT JOIN gannk a ON a.np = gst.np
+       |    AND a.query_id = ex.query_id AND a.neighbor_id = ex.neighbor_id
+       |  GROUP BY 1, 2),
+       |ggrid AS (
+       |  SELECT np, round(avg(nhit / CAST(5 AS DOUBLE)), 4) AS recall
+       |  FROM ghits GROUP BY 1),
+       |gcnp AS (SELECT coalesce((SELECT min(np) FROM ggrid WHERE recall >= 0.9),
+       |  (SELECT max(np) FROM ggrid)) AS npv)""".stripMargin
+
   /** Replays `sim_ivf_batch`: [[ivfIndexedOracle]]'s persisted-IVF probe
     * arithmetic computed ONCE per base corpus vector, then expanded to
     * the replicated query-id space. Replicas of the same embedding MUST
@@ -5730,61 +5869,47 @@ object SparkEntry {
     // stamp records op.gen = 0, the later append advances the watermark
     // to gen 1, so lag = 1 - 0 and the gate fires
     "index_staleness_gate" ->
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         |hist AS (SELECT vec_id, v FROM e WHERE vec_id % 50 != 0),
-         |seeds AS (SELECT vec_id AS cell_id, v AS cv FROM hist
-         |  ORDER BY vec_id LIMIT 16),
-         |scored AS (
-         |  SELECT h.vec_id, h.v, s.cell_id, ${Oracles.cosine("h.v", "s.cv", 64)} AS cs
-         |  FROM hist h CROSS JOIN seeds s),
-         |assign AS (
-         |  SELECT vec_id, v, cell_id FROM (
-         |    SELECT vec_id, v, cell_id,
-         |      row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cell_id) AS rnk
-         |    FROM scored) WHERE rnk = 1),
-         |gq AS (SELECT vec_id, v FROM e WHERE vec_id < 8),
-         |gqs AS (
-         |  SELECT q.vec_id, q.v, s.cell_id, ${Oracles.cosine("q.v", "s.cv", 64)} AS cs
-         |  FROM gq q CROSS JOIN seeds s),
-         |gprobes AS (
-         |  SELECT vec_id AS query_id, v AS qv, cell_id, rnk AS prnk FROM (
-         |    SELECT vec_id, v, cell_id,
-         |      row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cell_id) AS rnk
-         |    FROM gqs) WHERE rnk <= 16),
-         |gst AS (SELECT * FROM (VALUES (1), (2), (4), (8), (16)) AS t(np)),
-         |gcand AS (
-         |  SELECT gst.np, p.query_id, a.vec_id AS neighbor_id,
-         |    round(${Oracles.cosine("p.qv", "a.v", 64)}, 6) AS cosine
-         |  FROM gst JOIN gprobes p ON p.prnk <= gst.np
-         |  JOIN assign a ON a.cell_id = p.cell_id AND p.query_id != a.vec_id),
-         |gannk AS (
-         |  SELECT np, query_id, neighbor_id FROM (
-         |    SELECT np, query_id, neighbor_id,
-         |      row_number() OVER (PARTITION BY np, query_id
-         |        ORDER BY cosine DESC, neighbor_id) AS rank
-         |    FROM gcand) WHERE rank <= 5),
-         |gexact AS (
-         |  SELECT query_id, neighbor_id FROM (
-         |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-         |      row_number() OVER (PARTITION BY q.vec_id
-         |        ORDER BY round(${Oracles.cosine("q.v", "c.v", 64)}, 6) DESC,
-         |          c.vec_id) AS rank
-         |    FROM hist c JOIN gq q ON q.vec_id != c.vec_id) WHERE rank <= 5),
-         |ghits AS (
-         |  SELECT gst.np, ex.query_id, count(a.neighbor_id) AS nhit
-         |  FROM gst CROSS JOIN gexact ex
-         |  LEFT JOIN gannk a ON a.np = gst.np
-         |    AND a.query_id = ex.query_id AND a.neighbor_id = ex.neighbor_id
-         |  GROUP BY 1, 2),
-         |ggrid AS (
-         |  SELECT np, round(avg(nhit / CAST(5 AS DOUBLE)), 4) AS recall
-         |  FROM ghits GROUP BY 1),
-         |gcnp AS (SELECT coalesce((SELECT min(np) FROM ggrid WHERE recall >= 0.9),
-         |  (SELECT max(np) FROM ggrid)) AS npv)
+      s"""WITH $ivfStaleGridCtes
          |SELECT CAST(gcnp.npv AS INTEGER) AS nprobe,
          |  CAST(0 AS BIGINT) AS op_gen, CAST(1 AS BIGINT) AS committed_gen,
          |  CAST(1 - 0 AS BIGINT) AS lag, (1 - 0) > 0 AS maintenance_due
          |FROM gcnp""".stripMargin,
+
+    // the fleet walk's replay: the two IVF rows' committed nprobe comes
+    // from the SAME replayed sweep grid the staleness gate uses (both
+    // stores stamp the identical sweep on the history corpus); the lag /
+    // gen columns replay each store's declared ledger history (fresh:
+    // stamp at gen 0, watermark 0; stale: stamp at gen 0, watermark 1);
+    // and the text store's fragment count is re-derived from the DATA —
+    // one committed generation per distinct source family of the sample,
+    // so fragments = count(DISTINCT source) and the compaction decision
+    // compares that count against the declared maxFragments = 1
+    "fleet_report" ->
+      s"""WITH $ivfStaleGridCtes,
+         |src AS (SELECT CAST(count(DISTINCT source) AS BIGINT) AS nsrc
+         |  FROM documents WHERE doc_id % 10 = 0)
+         |SELECT * FROM (
+         |  SELECT 'sem-ivf-fresh' AS store, 'ivf' AS kind,
+         |    CAST(0 AS BIGINT) AS committed_gen,
+         |    CAST(-1 AS BIGINT) AS compacted_through,
+         |    CAST(1 AS BIGINT) AS fragments, CAST(0 AS BIGINT) AS op_gen,
+         |    CAST(0 AS BIGINT) AS lag, CAST(gcnp.npv AS INTEGER) AS nprobe,
+         |    0 > 0 AS point_stale, 1 > 1 AS compaction_due,
+         |    (0 > 0) OR (1 > 1) AS maintenance_due
+         |  FROM gcnp
+         |  UNION ALL
+         |  SELECT 'sem-ivf-stale', 'ivf', CAST(1 AS BIGINT),
+         |    CAST(-1 AS BIGINT), CAST(2 AS BIGINT), CAST(0 AS BIGINT),
+         |    CAST(1 - 0 AS BIGINT), CAST(gcnp.npv AS INTEGER),
+         |    (1 - 0) > 0, 2 > 1, ((1 - 0) > 0) OR (2 > 1)
+         |  FROM gcnp
+         |  UNION ALL
+         |  SELECT 'text-postings', 'inverted', src.nsrc - 1,
+         |    CAST(-1 AS BIGINT), src.nsrc, CAST(NULL AS BIGINT),
+         |    CAST(NULL AS BIGINT), CAST(NULL AS INTEGER),
+         |    false, src.nsrc > 1, src.nsrc > 1
+         |  FROM src)
+         |ORDER BY store""".stripMargin,
 
     "token_shards" ->
       s"""WITH d AS (

@@ -32,7 +32,16 @@ import org.apache.spark.sql.types.{ArrayType, IntegerType, LongType, StringType,
   * Lucene layout) and decoded only at the read boundary — see the codec
   * notes on `encodePositions`/`decodePositions`.
   */
-final class InvertedIndex(spark: SparkSession, dir: String) {
+final class InvertedIndex(spark: SparkSession, dir: String)
+    extends MaintainedStore {
+
+  // MaintainedStore — the O(1) ledger surface the fleet walk reads; the
+  // text index has no probe operating point (query cost is posting-
+  // length-shaped, not a recall knob), so it can never be point-stale
+  def kind: String = "inverted"
+  def pointSemantics: Boolean = false
+  def pointGen: Option[Long] = None
+  def pointProbe: Option[Int] = None
 
   private val store = new BookmarkStore(dir)
   private val ctx = "inverted_index"
@@ -43,6 +52,22 @@ final class InvertedIndex(spark: SparkSession, dir: String) {
 
   /** Highest generation folded into the bucketed compaction; -1 = none. */
   def compactedThrough: Long = store.get("compacted", ctx).getOrElse(-1L)
+
+  /** Directories a committed-view reader must list/scan right now — the
+    * bucketed compaction (if one exists) plus the generations committed
+    * after it ([[IvfIndex.fragmentCount]]'s signal for the text index).
+    * O(1) metadata arithmetic; base slot read BEFORE the watermark, the
+    * uniform reader rule.
+    */
+  def fragmentCount: Long = {
+    val base = compactedThrough
+    val g = committedGen
+    if (g < 0) 0L else if (base < 0) g + 1 else (g - base) + 1
+  }
+
+  /** The compaction policy predicate ([[IvfIndex.compactionDue]]). */
+  def compactionDue(maxFragments: Int): Boolean =
+    maxFragments >= 1 && fragmentCount > maxFragments
 
   // bucket count keyed BY GENERATION (see LshBandIndex.compactedBuckets:
   // a crashed later compact() must not re-pair old files with a new count)

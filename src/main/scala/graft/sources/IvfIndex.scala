@@ -40,7 +40,13 @@ import graft.operators.Similarity
   * min/max stats skip unprobed cells (r13).
   */
 final class IvfIndex(spark: SparkSession, dir: String,
-                     val nlist: Int = 16) {
+                     val nlist: Int = 16) extends MaintainedStore {
+
+  // MaintainedStore — the O(1) ledger surface the fleet walk reads
+  def kind: String = "ivf"
+  def pointSemantics: Boolean = true
+  def pointGen: Option[Long] = operatingPointGen
+  def pointProbe: Option[Int] = operatingPoint
 
   private val store = new BookmarkStore(dir)
   private val ctx = "ivf_index"

@@ -30,7 +30,14 @@ import graft.operators.Similarity
   * rename: a crashed append's generation is invisible to readers.
   */
 final class IvfPqIndex(spark: SparkSession, dir: String,
-                       val nlist: Int = 16, m: Int = 8, codes: Int = 16) {
+                       val nlist: Int = 16, m: Int = 8, codes: Int = 16)
+    extends MaintainedStore {
+
+  // MaintainedStore — the O(1) ledger surface the fleet walk reads
+  def kind: String = "ivfpq"
+  def pointSemantics: Boolean = true
+  def pointGen: Option[Long] = operatingPointGen
+  def pointProbe: Option[Int] = operatingPoint.map(_._1)
 
   private val store = new BookmarkStore(dir)
   private val ctx = "ivfpq_index"

@@ -37,7 +37,16 @@ import graft.operators.Dedup
   * discipline of [[Bucketing]] applied to index maintenance.
   */
 final class LshBandIndex(spark: SparkSession, dir: String,
-                         n: Int = 3, k: Int = 16, bands: Int = 4) {
+                         n: Int = 3, k: Int = 16, bands: Int = 4)
+    extends MaintainedStore {
+
+  // MaintainedStore — the O(1) ledger surface the fleet walk reads; the
+  // band index has no probe operating point (its recall is the fixed
+  // (n, k, bands) banding family stamped at open), so never point-stale
+  def kind: String = "lsh"
+  def pointSemantics: Boolean = false
+  def pointGen: Option[Long] = None
+  def pointProbe: Option[Int] = None
 
   private val store = new BookmarkStore(dir)
   private val ctx = "lsh_band_index"
@@ -53,6 +62,22 @@ final class LshBandIndex(spark: SparkSession, dir: String,
 
   /** Highest generation folded into the bucketed compaction; -1 = none. */
   def compactedThrough: Long = store.get("compacted", ctx).getOrElse(-1L)
+
+  /** Directories a committed-view reader must list/scan right now — the
+    * bucketed compaction (if one exists) plus the generations committed
+    * after it ([[IvfIndex.fragmentCount]]'s signal for the band index).
+    * O(1) metadata arithmetic; base slot read BEFORE the watermark, the
+    * uniform reader rule.
+    */
+  def fragmentCount: Long = {
+    val base = compactedThrough
+    val g = committedGen
+    if (g < 0) 0L else if (base < 0) g + 1 else (g - base) + 1
+  }
+
+  /** The compaction policy predicate ([[IvfIndex.compactionDue]]). */
+  def compactionDue(maxFragments: Int): Boolean =
+    maxFragments >= 1 && fragmentCount > maxFragments
 
   // bucket count is keyed BY GENERATION: a crashed later compact() must
   // not leave a bucket count that pairs with an older compaction's files —

@@ -37,7 +37,15 @@ import graft.operators.Similarity
   * stored side, however many generations it spans.
   */
 final class PqIndex(spark: SparkSession, dir: String,
-                    m: Int = 8, codes: Int = 16) {
+                    m: Int = 8, codes: Int = 16) extends MaintainedStore {
+
+  // MaintainedStore — the O(1) ledger surface the fleet walk reads; the
+  // flat code store's only query knob (shortlist) is per-call, so no
+  // committed operating point to go stale
+  def kind: String = "pq"
+  def pointSemantics: Boolean = false
+  def pointGen: Option[Long] = None
+  def pointProbe: Option[Int] = None
 
   private val store = new BookmarkStore(dir)
   private val ctx = "pq_index"
