@@ -805,6 +805,60 @@ object ScaleRehearsal {
       }
       emit("ivfpq_probe", f, ne, ivfpqCand, ivfpqHits, tIvfPqCand + tIvfPqProbe)
 
+      // ---- distributed batch probe (sim_ivf_batch, r15 — r14 verdict
+      // #1): production retrieval batches are 10^4-10^6 queries, and
+      // above IndexProbes.BroadcastRowLimit the driver holds only the
+      // O(nlist) distinct cell ids — the probe frame (query embeddings
+      // included) stays executor-side and candidate generation is a
+      // cell-key shuffle join. Two claims measured against ONE
+      // auto-sized store (nlist tracks the corpus, the same
+      // Sizing.ivfNlist rule as ivfpq_probe): probe cost LINEAR in
+      // |queries| (a 4x batch against the same store — compare the x1
+      // and x4 rows' sec within a factor) and per-query cost FLAT
+      // across the 1x/10x corpus (candidates/query ≈ nprobe·cellBudget
+      // regardless of n — compare sec/|queries| across factors). Batch
+      // ids live in a disjoint space (no self-exclusion), so every
+      // query must return exactly k hits — require()d; the probe-row
+      // count (|queries|·nprobe >= 8,000 at the smallest setting)
+      // exceeds the 4,096 broadcast limit at EVERY setting, so all
+      // four rows exercise the distributed path.
+      val batchIdx = new graft.sources.IvfIndex(spark,
+        TempDirs.create(s"graft-scale-ivfbatch$f"), nlist = ivfpqNlist)
+      batchIdx.bootstrap(emb)
+      val batchNprobe = math.min(4, ivfpqNlist)
+      Seq(1, 4).foreach { reps =>
+        val batchQueries = (0 until reps).map { r =>
+          emb.select(
+            (lit(1000000000000000L) + col("vec_id") * reps + lit(r.toLong))
+              .as("vec_id"),
+            col("embedding"))
+        }.reduce(_ unionAll _)
+        val nq = ne * reps
+        val (batchHits, tBatch) = timed {
+          batchIdx.topK(emb, batchQueries, 5, nprobe = batchNprobe).count()
+        }
+        require(batchHits == nq * 5,
+          s"batch probe must serve every query: $batchHits of ${nq * 5}")
+        emit(s"ivf_batch_probe_x$reps", f, ne, nq, batchHits, tBatch)
+      }
+      // the COMPOSITION's batch probe through the same threshold
+      // machinery: each probe row carries its m×codes ADC table — the
+      // heaviest executor-side payload in the engine and the exact
+      // driver-OOM hazard the r14 ADVICE named — so a corpus-sized batch
+      // (|queries| = n, probe rows = n·nprobe >> the broadcast limit at
+      // both factors) exercises the cached-frame shuffle join end to
+      // end: ADC scoring, shortlist window, distributed exact re-rank.
+      val pqBatch = emb.select(
+        (lit(1000000000000000L) + col("vec_id")).as("vec_id"),
+        col("embedding"))
+      val (pqBatchHits, tPqBatch) = timed {
+        ivfpqIdx.topK(emb, pqBatch, 5, shortlist = 200,
+          nprobe = ivfpqNprobe).count()
+      }
+      require(pqBatchHits == ne * 5,
+        s"ivfpq batch probe must serve every query: $pqBatchHits of ${ne * 5}")
+      emit("ivfpq_batch_probe_x1", f, ne, ne, pqBatchHits, tPqBatch)
+
       // ---- compaction (r13): the read-amplification axis. A store fed
       // by streaming ingest accumulates one dir per micro-batch; the
       // probe's scan cost then carries a per-fragment floor (listing,

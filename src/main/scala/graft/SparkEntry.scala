@@ -935,7 +935,13 @@ object SparkEntry {
         i.append(emb.filter(col("vec_id") % 50 === 0))
         i
       }
-      val queries = emb.crossJoin(s.range(0, 21).select(col("id").as("rep")))
+      // replication via explode(sequence), not a cross join: the batch
+      // construction itself stays a narrow map stage (no
+      // nested-loop/cartesian anywhere — the global QueryPlanSpec sweep
+      // holds for this query too)
+      val queries = emb
+        .select(col("vec_id"), col("embedding"),
+          explode(sequence(lit(0L), lit(20L))).as("rep"))
         .select((lit(1000000L) + col("vec_id") * 21 + col("rep")).as("vec_id"),
           col("embedding"))
       idx.topK(emb, queries, 5, nprobe = 4)

@@ -379,6 +379,35 @@ class IvfPqIndexSpec extends SparkSuite {
     assert(spent.serving eq idx, "no rebuild without headroom")
   }
 
+  test("maintain(compactAbove) folds the fragments once; a repeat reports the fold as a no-op") {
+    // r14 verdict #7's replay assertion: maintain() is stateful — the
+    // era run folds and says so; a SECOND run on the same store finds
+    // the layout already folded and must report compacted=false (the
+    // declared ivfpq_maintain query sidesteps order-dependence by
+    // rebuilding its store per execution — this pins the operator rule)
+    val d0 = corpus.filter(col("vec_id") % 100 === 0)
+    val d50 = corpus.filter(col("vec_id") % 100 === 50)
+    val idx = new IvfPqIndex(spark, TempDirs.create("ivfpq-cpol"),
+      nlist = 16, m = 8, codes = 16)
+    idx.bootstrap(oldVecs)
+    idx.appendBatch(d0, batchId = 0L)
+    idx.appendBatch(d50, batchId = 1L)
+    assert(idx.fragmentCount === 3L)
+    val before = rows(idx.topK(corpus, queries, 5, shortlist = 50, nprobe = 4))
+    val m = idx.maintain(corpus, delta, queries, k = 5, recallFloor = 0.85,
+      cosineFloor = 0.22, maxFracBelow = 1.0,
+      nprobes = Seq(4, 16), shortlists = Seq(200), compactAbove = 2)
+    assert(m.report.collect().head.getAs[Boolean]("compacted"))
+    assert(idx.fragmentCount === 1L && idx.compactedThrough === idx.committedGen)
+    assert(rows(idx.topK(corpus, queries, 5, shortlist = 50, nprobe = 4)) === before,
+      "maintenance compaction must be invisible to probe results")
+    val m2 = idx.maintain(corpus, delta, queries, k = 5, recallFloor = 0.85,
+      cosineFloor = 0.22, maxFracBelow = 1.0,
+      nprobes = Seq(4, 16), shortlists = Seq(200), compactAbove = 2)
+    assert(!m2.report.collect().head.getAs[Boolean]("compacted"),
+      "a second maintain on the same store must report the fold as a no-op")
+  }
+
   test("compact folds generations into a cell-clustered base; probes, later appends, and retirement stay invisible") {
     // r13: the read-amplification half of maintenance. Streaming ingest
     // leaves one dir per micro-batch; compact() folds the committed view
