@@ -577,12 +577,19 @@ final class IvfPqIndex(spark: SparkSession, dir: String,
     * row-group pruning, `PushedFilters: In(cell, …)` spec-pinned, and
     * the candidate join): batches up to `probeBroadcastLimit` probe rows
     * collect + broadcast exactly as before; larger batches keep the
-    * probe frame — each row carrying its m×codes ADC table, the
-    * heaviest payload in the engine (~16 KB/row) — executor-side,
-    * joining distributed on the cell id, and the exact re-rank's query
-    * join drops its broadcast hint too. The driver never holds more
-    * than O(nlist) cell ids (r14 verdict #1 / ADVICE: the previous
-    * full-plan collect was a driver OOM at production batch sizes).
+    * probe frame executor-side and SPLIT it at the join: the cell-key
+    * join moves only narrow (query_id, cell) rows, and the per-QUERY
+    * ADC payload (qnorm + the m×codes table, ~16 KB — the heaviest row
+    * in the engine) attaches after candidate generation, on the
+    * query_id partitioning the shortlist window needs anyway (no extra
+    * exchange). Carrying the table THROUGH the cell join is the
+    * measured failure mode: the join sorts |queries|·nprobe·16 KB for
+    * a candidate problem thousands of times smaller — the 10×
+    * rehearsal's 20k-query batch OOM'd a 2.6 GB sort before this
+    * split. The exact re-rank's query join drops its broadcast hint in
+    * the same mode. The driver never holds more than O(nlist) cell ids
+    * (r14 verdict #1 / ADVICE: the previous full-plan collect was a
+    * driver OOM at production batch sizes).
     */
   def topK(corpus: DataFrame, queries: DataFrame, k: Int, shortlist: Int,
            nprobe: Int,
@@ -605,12 +612,33 @@ final class IvfPqIndex(spark: SparkSession, dir: String,
     val wS = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("qcos").desc, col("neighbor_id"))
-    val shortlisted = rowsDf.filter(col("cell").isInCollection(cells))
+    val stored = rowsDf.filter(col("cell").isInCollection(cells))
       .select(col("vec_id"), col("cell"), col("codes"),
         Similarity.pqRnorm(bks, m, codes).as("rnorm"))
-      .join(if (bcast) broadcast(probes) else probes, Seq("cell"))
-      .filter(col("query_id") =!= col("vec_id"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"), qcos.as("qcos"))
+    val scoredCands =
+      if (bcast)
+        stored.join(broadcast(probes), Seq("cell"))
+          .filter(col("query_id") =!= col("vec_id"))
+          .select(col("query_id"), col("vec_id").as("neighbor_id"),
+            qcos.as("qcos"))
+      else
+        // DISTRIBUTED shape (r15, measured at the 10x rehearsal): the
+        // cell join must NOT carry the m×codes ADC table — at 16 KB per
+        // probe row the join's sort spills/OOMs long before the data is
+        // big (the 20k-query rehearsal batch sorts 2.6 GB of qtab rows
+        // for a 5 MB candidate problem). Instead the cell join moves
+        // only (query_id, cell) — narrow rows — and the per-QUERY
+        // payload (qnorm + qtab, one row per query, identical across a
+        // query's probe rows by construction) attaches afterwards on
+        // the query_id partitioning the shortlist window needs anyway,
+        // so the attach join adds no exchange beyond the window's own.
+        stored.join(probes.select(col("query_id"), col("cell")), Seq("cell"))
+          .filter(col("query_id") =!= col("vec_id"))
+          .join(probes.select(col("query_id"), col("qnorm"), col("qtab"))
+            .dropDuplicates("query_id"), Seq("query_id"))
+          .select(col("query_id"), col("vec_id").as("neighbor_id"),
+            qcos.as("qcos"))
+    val shortlisted = scoredCands
       .withColumn("srank", row_number().over(wS))
       .filter(col("srank") <= shortlist)
       .select("query_id", "neighbor_id")
