@@ -848,6 +848,13 @@ object ScaleRehearsal {
       // (|queries| = n, probe rows = n·nprobe >> the broadcast limit at
       // both factors) exercises the cached-frame shuffle join end to
       // end: ADC scoring, shortlist window, distributed exact re-rank.
+      // SINGLE-JVM SIZING: at the 10× era the cached probe frame is
+      // n·nprobe·16 KB (~2.6 GB) and its columnar cache builders buffer
+      // up to 10k rows per batch per task — memory a cluster spreads
+      // across executors lands in ONE local JVM here, so this family
+      // needs SPARK_DRIVER_MEM >= 16g (the default 8 g heap OOMs in the
+      // cache build, measured; the engine-side fix — the narrow cell
+      // join that keeps the table out of the join sort — is already in).
       val pqBatch = emb.select(
         (lit(1000000000000000L) + col("vec_id")).as("vec_id"),
         col("embedding"))
