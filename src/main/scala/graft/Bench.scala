@@ -172,8 +172,19 @@ object Bench {
     (fromVerdict.toSeq ++ fromArtifacts).maxOption.map(_ + 1)
   }
 
+  // escapes control characters too (Verify's rule): a leak description
+  // carries an RDD name, which for a cached DataFrame is a multi-line
+  // PLAN string — raw newlines in it corrupted a committed bench file
   private def jstr(s: String): String =
-    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
 
   private def jnum(d: Double): String = {
     val r = math.rint(d * 1000) / 1000 // 1 ms resolution keeps lines compact

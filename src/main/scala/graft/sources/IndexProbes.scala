@@ -1,7 +1,6 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.storage.StorageLevel
 
 /** The probe-plan materialization policy shared by [[IvfIndex]] and
   * [[IvfPqIndex]] — the r14 verdict's last driver-shaped hot-path
@@ -55,7 +54,12 @@ private[sources] object IndexProbes {
     */
   def localize(spark: SparkSession, probePlan: DataFrame,
                limit: Int = BroadcastRowLimit): (DataFrame, Array[Long], Boolean) = {
-    val cached = probePlan.persist(StorageLevel.MEMORY_AND_DISK)
+    // pinned through the session residue registry, not a raw persist:
+    // the distributed mode's cached frame outlives this call (the
+    // returned plan reads it), and an untracked persist is exactly the
+    // leak class the bench's post-run drain exists to catch — pin makes
+    // the engine's own drain release it at end of query
+    val cached = graft.Residue.pin(probePlan)
     val n = cached.count()
     if (n <= limit) {
       val rows = cached.collect()

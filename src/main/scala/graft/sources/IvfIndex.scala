@@ -526,9 +526,28 @@ final class IvfIndex(spark: SparkSession, dir: String,
       .select(col("query_id"), col("qemb"), col("p.cell").as("cell"))
     val (probes, probedCells, bcast) =
       IndexProbes.localize(spark, probePlan, probeBroadcastLimit)
-    val cand = assignmentsDf.filter(col("cell").isInCollection(probedCells))
-      .join(if (bcast) broadcast(probes) else probes, Seq("cell"))
-      .filter(col("query_id") =!= col("vec_id"))
+    val candIds =
+      if (bcast)
+        assignmentsDf.filter(col("cell").isInCollection(probedCells))
+          .join(broadcast(probes), Seq("cell"))
+          .filter(col("query_id") =!= col("vec_id"))
+      else
+        // DISTRIBUTED shape ([[IvfPqIndex.topK]]'s rule, measured): the
+        // cell join moves only narrow (query_id, cell) rows — carrying
+        // the full query embedding through it puts |candidates|·Dim
+        // floats into the join's sort (at 8 GB heap the 42k-query
+        // declared batch spilled that sort to a 30 s query). The
+        // per-query embedding attaches AFTER candidate generation via a
+        // shuffle-HASH join on query_id (hash-build over the
+        // |queries|-sized payload; the candidate side streams unsorted),
+        // which also lands the rows on the query_id partitioning the
+        // rank window needs — no further exchange.
+        assignmentsDf.filter(col("cell").isInCollection(probedCells))
+          .join(probes.select(col("query_id"), col("cell")), Seq("cell"))
+          .filter(col("query_id") =!= col("vec_id"))
+          .join(probes.select(col("query_id"), col("qemb"))
+            .dropDuplicates("query_id").hint("shuffle_hash"), Seq("query_id"))
+    val cand = candIds
       .join(corpus.select(col("vec_id"), col("embedding")), Seq("vec_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         round(graft.functions.GraftFunctions.cosineSimilarity(

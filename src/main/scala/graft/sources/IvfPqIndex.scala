@@ -634,8 +634,12 @@ final class IvfPqIndex(spark: SparkSession, dir: String,
         // so the attach join adds no exchange beyond the window's own.
         stored.join(probes.select(col("query_id"), col("cell")), Seq("cell"))
           .filter(col("query_id") =!= col("vec_id"))
+          // shuffle-HASH attach ([[IvfIndex.topK]]'s rule): hash-build
+          // over the |queries|-sized ADC payload, stream the candidate
+          // side unsorted — a sort-merge here would sort every
+          // candidate row just to pick up its query's table
           .join(probes.select(col("query_id"), col("qnorm"), col("qtab"))
-            .dropDuplicates("query_id"), Seq("query_id"))
+            .dropDuplicates("query_id").hint("shuffle_hash"), Seq("query_id"))
           .select(col("query_id"), col("vec_id").as("neighbor_id"),
             qcos.as("qcos"))
     val shortlisted = scoredCands
