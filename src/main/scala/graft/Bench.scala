@@ -58,20 +58,23 @@ import org.apache.spark.sql.SparkSession
   * stays in `value` (cross-round comparability); `value_adjudicated` —
   * the total with accepted solo medians folded in — is the HEADLINE the
   * driver handshake should read (r10 verdict #3: the raw total overstated
-  * by 83 s of refuted noise). The cross-round trigger is cost-weighted:
-  * queries whose prior warm is >= 2 s (calibration-normalized) trigger at
-  * 2x, mid-range ones at 3x, and SUB-SECOND rows at 1.5x with a 0.15 s
-  * jitter floor (r14 verdict #3: seven 1.5-2.1x sub-second regressions
-  * sailed under both the 3x factor and the 0.3 s absolute floor and had
-  * to be adjudicated by prose — for cheap rows the ratio is the signal).
+  * by 83 s of refuted noise). The cross-round trigger is cost-weighted
+  * and MONOTONE in prior cost (r15 ADVICE: the old 3x mid-tier made
+  * [1,2) s rows the blind spot): queries whose prior warm is >= 1 s
+  * (calibration-normalized) trigger at 2x with a 0.3 s floor, and
+  * SUB-SECOND rows at 1.5x with a 0.15 s jitter floor (r14 verdict #3:
+  * seven 1.5-2.1x sub-second regressions sailed under both the 3x factor
+  * and the 0.3 s absolute floor and had to be adjudicated by prose — for
+  * cheap rows the ratio is the signal).
   */
 object Bench {
 
   /** Self-adjudication trigger predicate — pure and static so a spec can
     * replay committed bench files against it. Three triggers:
     * (A) in-suite warm>cold inversion; (B) cross-round WARM regression,
-    * cost-weighted (2x for prior warm >= 2 s normalized, 3x mid-range,
-    * 1.5x + 0.15 s floor for sub-second rows — r14 verdict #3);
+    * cost-weighted and monotone (2x for prior warm >= 1 s normalized,
+    * 1.5x + 0.15 s floor for sub-second rows — r14 verdict #3 /
+    * r15 ADVICE);
     * (C) cross-round COLD regression, same cost weighting (r11 verdict #4:
     * corpus_clean_incr's 172 s cold — 20x its r10 cold — sailed past both
     * warm-keyed triggers because nothing looked at cold-vs-prior-cold).
@@ -88,15 +91,18 @@ object Bench {
       def regressed(now: Double, prior: Option[Double]): Boolean =
         prior.exists { p =>
           val pn = p * calibRatio
-          // cost-weighted tiers. The sub-second tier is r14 verdict #3:
-          // seven byte-unchanged rows regressed 1.5-2.1x (json_extract
-          // 0.39 -> 0.84) and escaped both 3x triggers AND the 0.3 s
-          // absolute floor — for rows under ~1 s the ratio IS the
-          // signal, so they trigger at 1.5x with only a jitter floor
-          // (0.15 s) to keep 50 ms wobble from re-running the suite.
+          // cost-weighted tiers, MONOTONE in prior cost (r15 ADVICE: the
+          // old three-tier ladder made [1,2) s the LEAST sensitive tier
+          // at 3x — a 1.9 s -> 5.5 s regression stayed quiet while a
+          // 0.9 s -> 1.4 s one fired). The sub-second tier is r14
+          // verdict #3: seven byte-unchanged rows regressed 1.5-2.1x
+          // (json_extract 0.39 -> 0.84) and escaped both the 3x factor
+          // AND the 0.3 s absolute floor — for rows under ~1 s the ratio
+          // IS the signal, so they trigger at 1.5x with only a jitter
+          // floor (0.15 s) to keep 50 ms wobble from re-running the
+          // suite; everything at or above 1 s triggers at 2x.
           val (factor, floor) =
-            if (pn >= 2.0) (2.0, 0.3)
-            else if (pn >= 1.0) (3.0, 0.3)
+            if (pn >= 1.0) (2.0, 0.3)
             else (1.5, 0.15)
           !p.isNaN && p > 0 && now > factor * pn && now - pn > floor
         }

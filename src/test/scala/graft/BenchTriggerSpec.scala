@@ -42,7 +42,7 @@ class BenchTriggerSpec extends AnyFunSuite {
       priorWarm = Some(5.5), priorCold = Some(8.9), calibRatio = 1.0))
   }
 
-  test("cost weighting: sub-second fires at 1.5x, mid-range needs 3x, expensive 2x") {
+  test("cost weighting: sub-second fires at 1.5x, >= 1 s fires at 2x (monotone)") {
     // prior warm 0.5 s (SUB-SECOND, r14 verdict #3): 1.3x stays quiet...
     assert(!Bench.shouldReadjudicate(false, false, false,
       cold = 2.0, warmStat = 0.65, Some(0.5), Some(1.8), 1.0))
@@ -53,11 +53,17 @@ class BenchTriggerSpec extends AnyFunSuite {
     // a 60 ms wobble under the 0.15 s jitter floor never fires
     assert(!Bench.shouldReadjudicate(false, false, false,
       cold = 0.3, warmStat = 0.14, Some(0.08), Some(0.28), 1.0))
-    // prior warm 1.2 s (mid-range): 2.2x stays quiet, 3.5x fires
+    // prior warm 1.2 s: 1.8x stays quiet, 2.2x fires — the r15 ADVICE
+    // blind spot (the old ladder gave [1,2) s priors a 3x factor, the
+    // LEAST sensitive tier: a 1.9 s -> 5.5 s regression stayed quiet
+    // while a 0.9 s -> 1.4 s one fired; tiers are now monotone in cost)
     assert(!Bench.shouldReadjudicate(false, false, false,
-      cold = 4.0, warmStat = 2.64, Some(1.2), Some(3.8), 1.0))
+      cold = 4.0, warmStat = 2.16, Some(1.2), Some(3.8), 1.0))
     assert(Bench.shouldReadjudicate(false, false, false,
-      cold = 6.0, warmStat = 4.2, Some(1.2), Some(5.8), 1.0))
+      cold = 4.0, warmStat = 2.64, Some(1.2), Some(3.8), 1.0))
+    // the ADVICE's own example: 1.9 s -> 5.5 s (2.9x) must fire now
+    assert(Bench.shouldReadjudicate(false, false, false,
+      cold = 6.0, warmStat = 5.5, Some(1.9), Some(5.8), 1.0))
     // prior warm 3 s (expensive): 2.2x fires
     assert(Bench.shouldReadjudicate(false, false, false,
       cold = 8.0, warmStat = 6.6, Some(3.0), Some(7.5), 1.0))
