@@ -6,7 +6,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * [[IvfPqIndex]] — the r14 verdict's last driver-shaped hot-path
   * assumption, closed.
   *
-  * Every cell probe has two consumers that MUST agree on one evaluation
+  * Every cell probe has two consumers that should agree on one evaluation
   * of the probe plan (r13 ADVICE): the probed cell ids become an explicit
   * `IN` filter on the stored scan (row-group min/max pruning — a join
   * alone injects none on a non-partition column), and the probe rows
@@ -19,49 +19,87 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * The policy here keeps both properties without the driver funnel:
   * the probe plan is persisted (ONE evaluation, materialized
-  * executor-side — both consumers read the same cached partitions, so a
-  * non-deterministic queries source still cannot make them disagree),
-  * counted, and then
+  * executor-side), counted, and then
   *
-  *  - at or under `limit` rows: collected into a local frame exactly as
-  *    before (the cache is dropped immediately) — the join side stays an
-  *    explicit `broadcast()`, byte-identical plans to r14;
-  *  - over `limit`: ONLY the distinct cell ids are collected — O(nlist)
-  *    driver metadata no matter how many queries probe (cells are
-  *    bounded by the index's capacity, [[graft.operators.Similarity.Sizing.ivfNlist]]
+  *  - at or under the broadcast threshold: collected into a local frame
+  *    exactly as before (the cache is dropped immediately) — the join
+  *    side stays an explicit `broadcast()`, byte-identical plans to r14;
+  *  - over the threshold: ONLY the distinct cell ids are collected —
+  *    O(nlist) driver metadata no matter how many queries probe (cells
+  *    are bounded by the index's capacity, [[graft.operators.Similarity.Sizing.ivfNlist]]
   *    caps at 4096) — and the cached probe frame itself is returned for
   *    a distributed cell-key join: candidate generation shuffles on the
   *    cell id instead of broadcasting query payloads, and the exact
   *    re-rank joins distributed too. The cached frame stays pinned for
-  *    the returned plan's lifetime and is released by Spark's context
-  *    cleaner when the plan is dropped.
+  *    the returned plan's lifetime; release is via [[graft.Residue]] —
+  *    the pin queue holds a strong reference until `Residue.drain`, which
+  *    the engine's own mains run after every query. A library caller who
+  *    embeds these plans in a long-lived session owns the same contract:
+  *    call `Residue.drain(spark)` between logical queries, or cached
+  *    probe frames accumulate for the session's life.
+  *
+  * Consistency note (r15 ADVICE): the one-evaluation guarantee is
+  * BEST-EFFORT under block loss. On a cluster, a lost executor recomputes
+  * evicted cached partitions from lineage — if the queries source is
+  * non-deterministic (a fresh sample, a re-read of a mutating table), the
+  * recomputed probe rows can disagree with the already-collected cell
+  * IN-list, and candidates whose recomputed cell falls outside the frozen
+  * set are silently dropped. Callers whose query batches come from a
+  * non-deterministic source should snapshot them first (write + re-read,
+  * or `localCheckpoint`-class truncation) before probing; for the
+  * engine's declared queries every batch derives deterministically from
+  * committed parquet, so replays within the frozen IN set are exact.
   *
   * Cost note: the count that decides the mode is one metadata-sized job
   * over the (already persisting) probe plan — the same job the old
   * collect paid, minus the row transfer.
   */
-private[sources] object IndexProbes {
+private[graft] object IndexProbes {
 
-  /** Probe plans up to this many rows broadcast (the r14 behavior);
-    * larger plans take the distributed cell-key join. 4096 rows keeps
-    * the broadcast side well under a megabyte even with IVF-PQ's ADC
-    * tables on board.
+  /** Probe plans up to this many rows are ELIGIBLE to broadcast (the r14
+    * behavior); larger plans take the distributed cell-key join. The row
+    * cap alone is not a size guarantee — probe-row payloads span ~0.5 KB
+    * (a flat-IVF query embedding) to ~16 KB (an IVF-PQ m×codes ADC table
+    * at codes=256), two orders of magnitude — so the effective threshold
+    * is the MIN of this row cap and the byte budget below (r15 ADVICE:
+    * the old comment claimed 4096 rows stayed "well under a megabyte",
+    * which the ADC case exceeds ~64-fold).
     */
   val BroadcastRowLimit = 4096
 
+  /** Byte budget for the broadcast tier, applied when the caller supplies
+    * a per-row payload estimate: the driver collect and the broadcast
+    * stay bounded regardless of how wide a probe row is. 32 MB — large
+    * enough that flat-IVF keeps the full 4096-row tier (~0.5 KB rows),
+    * small enough that a 16 KB-row ADC batch caps near 2k rows instead
+    * of funnelling ~64 MB through the driver.
+    */
+  val BroadcastByteBudget: Long = 32L * 1024 * 1024
+
   /** One materialized evaluation of `probePlan`, split by size:
     * (probe frame to join, distinct probed cell ids, broadcastable?).
+    * `limit` is the row cap (callers pass extremes to force a mode in
+    * specs); `rowBytes > 0` additionally caps the broadcast tier at
+    * [[BroadcastByteBudget]] / rowBytes — the payload-aware threshold,
+    * estimated by the caller from its own probe-row schema (the caller
+    * knows m, codes, and the vector width; a generic schema walk does
+    * not see array lengths).
     */
   def localize(spark: SparkSession, probePlan: DataFrame,
-               limit: Int = BroadcastRowLimit): (DataFrame, Array[Long], Boolean) = {
+               limit: Int = BroadcastRowLimit,
+               rowBytes: Long = 0L): (DataFrame, Array[Long], Boolean) = {
+    val effLimit =
+      if (rowBytes > 0)
+        math.min(limit.toLong, math.max(1L, BroadcastByteBudget / rowBytes))
+      else limit.toLong
     // pinned through the session residue registry, not a raw persist:
     // the distributed mode's cached frame outlives this call (the
     // returned plan reads it), and an untracked persist is exactly the
-    // leak class the bench's post-run drain exists to catch — pin makes
-    // the engine's own drain release it at end of query
+    // leak class the bench's post-run drain exists to catch — the pin
+    // makes the engine's own end-of-query drain release it
     val cached = graft.Residue.pin(probePlan)
     val n = cached.count()
-    if (n <= limit) {
+    if (n <= effLimit) {
       val rows = cached.collect()
       cached.unpersist(blocking = false)
       val local = spark.createDataFrame(

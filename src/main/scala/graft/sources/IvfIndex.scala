@@ -517,15 +517,22 @@ final class IvfIndex(spark: SparkSession, dir: String,
     // stored scan (a join alone injects no row-group pruning on a
     // non-partition column, so without it the compacted cell-clustered
     // base is scanned in full) and the SAME materialized rows feed the
-    // candidate join — a non-deterministic queries source can never make
-    // the two consumers disagree
+    // candidate join — so both consumers read one evaluation even when
+    // the queries source is non-deterministic. Best-effort under block
+    // loss: see [[IndexProbes]]'s consistency note (a lost executor
+    // recomputes cached partitions from lineage)
     val probePlan = queries.select(col("vec_id").as("query_id"),
         col("embedding").as("qemb"),
         explode(slice(reverse(array_sort(array(scored(ss)(col("embedding")): _*))),
           1, nprobe)).as("p"))
       .select(col("query_id"), col("qemb"), col("p.cell").as("cell"))
+    // payload-aware broadcast tier (r15 ADVICE): the row cap alone says
+    // nothing about bytes — a flat-IVF probe row is the query embedding
+    // (4 B/float) plus ids, so the estimate keeps the full row tier here
+    // while the IVF-PQ composition's 16 KB ADC rows cap far lower
     val (probes, probedCells, bcast) =
-      IndexProbes.localize(spark, probePlan, probeBroadcastLimit)
+      IndexProbes.localize(spark, probePlan, probeBroadcastLimit,
+        rowBytes = 4L * ss.head._2.size + 48)
     val candIds =
       if (bcast)
         assignmentsDf.filter(col("cell").isInCollection(probedCells))

@@ -558,7 +558,8 @@ final class IvfPqIndex(spark: SparkSession, dir: String,
       queries.select(col("vec_id").as("query_id"),
           explode(slice(reverse(array_sort(array(scored(ss)(col("embedding")): _*))),
             1, nprobe)).as("p"))
-        .select(col("query_id"), col("p.cell").as("cell")))
+        .select(col("query_id"), col("p.cell").as("cell")),
+      rowBytes = 32L) // narrow (query_id, cell) rows — the row cap binds
     rowsDf.filter(col("cell").isInCollection(cells))
       .join(if (bcast) broadcast(probes) else probes, Seq("cell"))
       .filter(col("query_id") =!= col("vec_id"))
@@ -575,21 +576,27 @@ final class IvfPqIndex(spark: SparkSession, dir: String,
     * The probe plan materializes ONCE through [[IndexProbes.localize]]
     * (one evaluation, two consumers — the scan's `IN` pushdown for
     * row-group pruning, `PushedFilters: In(cell, …)` spec-pinned, and
-    * the candidate join): batches up to `probeBroadcastLimit` probe rows
-    * collect + broadcast exactly as before; larger batches keep the
-    * probe frame executor-side and SPLIT it at the join: the cell-key
-    * join moves only narrow (query_id, cell) rows, and the per-QUERY
-    * ADC payload (qnorm + the m×codes table, ~16 KB — the heaviest row
-    * in the engine) attaches after candidate generation, on the
-    * query_id partitioning the shortlist window needs anyway (no extra
-    * exchange). Carrying the table THROUGH the cell join is the
-    * measured failure mode: the join sorts |queries|·nprobe·16 KB for
-    * a candidate problem thousands of times smaller — the 10×
-    * rehearsal's 20k-query batch OOM'd a 2.6 GB sort before this
-    * split. The exact re-rank's query join drops its broadcast hint in
-    * the same mode. The driver never holds more than O(nlist) cell ids
-    * (r14 verdict #1 / ADVICE: the previous full-plan collect was a
-    * driver OOM at production batch sizes).
+    * the candidate join), and it carries the query EMBEDDING, never the
+    * m×codes ADC table — the table (~16 KB at codes=256, the heaviest
+    * per-query payload in the engine) is a pure function of (embedding,
+    * codebooks) and is computed once per query at the LAST moment, so
+    * nothing table-width is ever persisted or shuffled. Batches up to
+    * the payload-aware broadcast threshold collect embedding-width rows
+    * and compute tables inside the broadcast build; larger batches keep
+    * the probe frame executor-side and SPLIT it at the join: the
+    * cell-key join moves only narrow (query_id, cell) rows, and the
+    * per-QUERY payload attaches after candidate generation — dedup on
+    * embedding-width rows, table computed streaming into the
+    * shuffle-hash build — on the query_id partitioning the shortlist
+    * window needs anyway (no extra exchange). Carrying the table
+    * through the persist/dedup/join path is the measured failure mode,
+    * twice: the 10× rehearsal's 20k-query batch OOM'd a 2.6 GB join
+    * sort (r15), and the 42k-query declared batch OOM'd the 2.7 GB
+    * persisted+shuffled table frame (r16). The exact re-rank's query
+    * join drops its broadcast hint in the same mode. The driver never
+    * holds more than O(nlist) cell ids (r14 verdict #1 / ADVICE: the
+    * previous full-plan collect was a driver OOM at production batch
+    * sizes).
     */
   def topK(corpus: DataFrame, queries: DataFrame, k: Int, shortlist: Int,
            nprobe: Int,
@@ -598,14 +605,32 @@ final class IvfPqIndex(spark: SparkSession, dir: String,
     val ss = seeds
     require(nprobe >= 1 && nprobe <= ss.size)
     val bks = books
+    // The probe frame carries the QUERY EMBEDDING, never the m×codes ADC
+    // table (r16, the r15-ADVICE hazard measured for real: at codes=256
+    // the table is ~16 KB/row, so a 42k-query batch materialized 2.7 GB
+    // of tables in the persisted frame and again through the
+    // dedup/attach shuffles — OOM at 8 g heap. The table is a pure
+    // per-QUERY function of (embedding, codebooks), so it is computed
+    // ONCE per query at the last moment: on the deduplicated attach
+    // side in distributed mode, on the ≤threshold local frame in
+    // broadcast mode — everything that moves or persists is
+    // embedding-width).
     val (probes, cells, bcast) = IndexProbes.localize(spark,
       queries.select(col("vec_id").as("query_id"),
           l2_fast(col("embedding")).as("qnorm"),
-          Similarity.pqQtab(bks, m, codes).as("qtab"),
+          col("embedding").as("qemb"),
           explode(slice(reverse(array_sort(array(scored(ss)(col("embedding")): _*))),
             1, nprobe)).as("p"))
-        .select(col("query_id"), col("qnorm"), col("qtab"), col("p.cell").as("cell")),
-      probeBroadcastLimit)
+        .select(col("query_id"), col("qnorm"), col("qemb"), col("p.cell").as("cell")),
+      probeBroadcastLimit,
+      // payload-aware broadcast tier (r15 ADVICE): the broadcast
+      // RELATION materializes the per-query ADC table (computed below
+      // from the collected embeddings), so the byte estimate is the
+      // table width — a row-cap-only threshold would hand the driver
+      // ~64 MB of materialized tables at codes=256; the byte budget
+      // caps the tier near 2k rows instead
+      rowBytes = 8L * m * codes + 64)
+    val qtabOf = Similarity.pqQtab(bks, m, codes, col("qemb"))
     val qdot = Similarity.pqQdot(m, codes, col("qtab"), col("codes"))
     val denom = col("qnorm") * col("rnorm")
     val qcos = when(denom === 0.0, lit(0.0)).otherwise(qdot / denom)
@@ -617,29 +642,36 @@ final class IvfPqIndex(spark: SparkSession, dir: String,
         Similarity.pqRnorm(bks, m, codes).as("rnorm"))
     val scoredCands =
       if (bcast)
-        stored.join(broadcast(probes), Seq("cell"))
+        // the ≤threshold local frame computes each query's table once,
+        // inside the broadcast build — the driver collect moved only
+        // embedding-width rows
+        stored.join(broadcast(probes.withColumn("qtab", qtabOf)), Seq("cell"))
           .filter(col("query_id") =!= col("vec_id"))
           .select(col("query_id"), col("vec_id").as("neighbor_id"),
             qcos.as("qcos"))
       else
         // DISTRIBUTED shape (r15, measured at the 10x rehearsal): the
-        // cell join must NOT carry the m×codes ADC table — at 16 KB per
+        // cell join must NOT carry wide per-query payload — at 16 KB per
         // probe row the join's sort spills/OOMs long before the data is
         // big (the 20k-query rehearsal batch sorts 2.6 GB of qtab rows
-        // for a 5 MB candidate problem). Instead the cell join moves
-        // only (query_id, cell) — narrow rows — and the per-QUERY
-        // payload (qnorm + qtab, one row per query, identical across a
-        // query's probe rows by construction) attaches afterwards on
-        // the query_id partitioning the shortlist window needs anyway,
-        // so the attach join adds no exchange beyond the window's own.
+        // for a 5 MB candidate problem). The cell join moves only
+        // (query_id, cell) — narrow rows — and the per-QUERY payload
+        // attaches afterwards on the query_id partitioning the
+        // shortlist window needs anyway, so the attach join adds no
+        // exchange beyond the window's own. The ADC table materializes
+        // ONLY here: dedup runs on embedding-width rows, the table is
+        // computed once per deduplicated query streaming into the
+        // shuffle-HASH build (r16: computing it upstream put 16 KB rows
+        // through the persist + dedup shuffle — 2.7 GB and an OOM at
+        // the 42k-query declared batch; a sort-merge attach would
+        // additionally sort every candidate row just to pick up its
+        // query's table).
         stored.join(probes.select(col("query_id"), col("cell")), Seq("cell"))
           .filter(col("query_id") =!= col("vec_id"))
-          // shuffle-HASH attach ([[IvfIndex.topK]]'s rule): hash-build
-          // over the |queries|-sized ADC payload, stream the candidate
-          // side unsorted — a sort-merge here would sort every
-          // candidate row just to pick up its query's table
-          .join(probes.select(col("query_id"), col("qnorm"), col("qtab"))
-            .dropDuplicates("query_id").hint("shuffle_hash"), Seq("query_id"))
+          .join(probes.select(col("query_id"), col("qnorm"), col("qemb"))
+            .dropDuplicates("query_id")
+            .select(col("query_id"), col("qnorm"), qtabOf.as("qtab"))
+            .hint("shuffle_hash"), Seq("query_id"))
           .select(col("query_id"), col("vec_id").as("neighbor_id"),
             qcos.as("qcos"))
     val shortlisted = scoredCands

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.sources.{IvfPqIndex, PqIndex}
+import graft.sources.{IndexProbes, IvfIndex, IvfPqIndex, PqIndex}
 
 /** The IVF-PQ composition must degrade to flat PQ when every cell is
   * probed, keep frozen-state purity across appends, and only ever score
@@ -76,6 +76,44 @@ class IvfPqIndexSpec extends SparkSuite {
       "no driver-collected probe rows above the broadcast limit")
     assert(plan.contains("In(cell"),
       "cell IN pushdown must survive the distributed mode")
+  }
+
+  test("payload-aware broadcast tier: wide ADC rows cap below the row limit, narrow flat-IVF rows keep it") {
+    // r15 ADVICE: BroadcastRowLimit is a row cutoff but the hazard is
+    // bytes — at codes=256 each probe row carries a ~16 KB ADC table, so
+    // 4096 rows would funnel ~64 MB through the driver collect +
+    // broadcast. The effective tier is min(row cap, byte budget / row
+    // bytes): the SAME probe-row count that broadcasts on the flat-IVF
+    // store (0.5 KB rows) must take the distributed path on the
+    // codes=256 composition (~2k-row byte cap).
+    val wideRows = 8L * 8 * 256 + 64
+    assert(IndexProbes.BroadcastByteBudget / wideRows < 4096,
+      "fixture sanity: the wide-row byte cap must undercut the row cap")
+    val pq = new IvfPqIndex(spark, TempDirs.create("ivfpq-bytes"),
+      nlist = 16, m = 8, codes = 256)
+    pq.bootstrap(oldVecs)
+    pq.append(delta)
+    val flat = new IvfIndex(spark, TempDirs.create("ivf-bytes"), nlist = 16)
+    flat.bootstrap(oldVecs)
+    flat.append(delta)
+    // 2x-replicated batch: |queries| * nprobe = 4000 probe rows — under
+    // the 4096 row cap (so the OLD threshold would broadcast the 64 MB)
+    // but over the wide-row byte cap
+    val batch = corpus.crossJoin(spark.range(0, 2).select(col("id").as("rep")))
+      .select((lit(1000000L) + col("vec_id") * 2 + col("rep")).as("vec_id"),
+        col("embedding"))
+    assert(batch.count() * 4 < 4096 &&
+      batch.count() * 4 > IndexProbes.BroadcastByteBudget / wideRows)
+    val widePlan = pq.topK(corpus, batch, 5, shortlist = 50, nprobe = 4)
+      .queryExecution.executedPlan.toString
+    assert(widePlan.contains("InMemoryTableScan") &&
+      !widePlan.contains("LocalTableScan"),
+      s"wide ADC probe rows must take the distributed path, got:\n$widePlan")
+    val narrowPlan = flat.topK(corpus, batch, 5, nprobe = 4)
+      .queryExecution.executedPlan.toString
+    assert(narrowPlan.contains("LocalTableScan") &&
+      !narrowPlan.contains("InMemoryTableScan"),
+      s"narrow flat-IVF probe rows at the same count must still broadcast, got:\n$narrowPlan")
   }
 
   test("append assigns+encodes only the delta; frozen state keeps old rows byte-stable") {
