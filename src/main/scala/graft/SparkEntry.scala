@@ -23,18 +23,54 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("q1_agg")(spark, "/root/testdata/sf0.001")
 
+  /** CROSS-SESSION persisted fixture root (r15 verdict #6): the fleet
+    * queries read PRE-EXISTING read-only stores — production's cost
+    * shape, where an index is built once EVER and every later session
+    * only opens it — so a fresh session's cold run measures the ledger
+    * walk, not a one-time fixture build (r15 measured `fleet_report`
+    * cold at 11-37 s of pure fixture construction vs a 0.35 s warm
+    * walk). Keyed by the table dir's content fingerprint
+    * ([[IndexCache.dataVersion]]), so mutated testdata can never serve a
+    * stale fixture; committed by a `_FIXTURE_DONE` marker written only
+    * after the whole build — a crashed partial build has no marker and
+    * is wiped and rebuilt, never reopened (the stores' own ledgers are
+    * crash-safe per commit, but a fixture is a multi-commit SCRIPT whose
+    * intermediate states are not the declared fixture). Lives under the
+    * repo's gitignored `target/`; within a session the resolved path is
+    * additionally memoized through [[IndexCache]] so repeated calls skip
+    * even the marker stat. ONLY read-only fixtures may use this — a
+    * store a query mutates must stay query-private in a fresh scratch
+    * root per execution (the r15 `ivfpq_maintain` lesson).
+    */
+  private def persistentFixtureDir(s: SparkSession, name: String,
+                                   dataDir: String)(build: String => Unit): String =
+    IndexCache.getOrBuild(s, s"fleetfix|$name|$dataDir") {
+      val root = new java.io.File(
+        s"target/graft-fixtures/$name-${IndexCache.dataVersion(s, dataDir)}")
+      val done = new java.io.File(root, "_FIXTURE_DONE")
+      if (!done.exists()) {
+        val p = new org.apache.hadoop.fs.Path(root.getAbsolutePath)
+        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (root.exists()) fs.delete(p, true) // wipe a crashed partial build
+        fs.mkdirs(p)
+        build(root.getAbsolutePath)
+        done.createNewFile()
+      }
+      root.getAbsolutePath
+    }
+
   /** The era-drift IVF fixture shared by `index_staleness_gate` and
     * `fleet_report`'s stale row: bootstrap on the history slice, maintain
     * (validates + stamps the operating point at generation 0), then one
     * more ingest lands — the point is now one generation stale and both
-    * consumers must surface it.
+    * consumers must surface it. Read-only after the build, so it
+    * persists across sessions ([[persistentFixtureDir]]).
     */
   private def staleIvfStore(s: SparkSession, dir: String): graft.sources.IvfIndex = {
     val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
     val hist = emb.filter(col("vec_id") % 50 =!= 0)
-    IndexCache.getOrBuildVersioned(s, s"stale-ivf|$dir", dir) {
-      val i = new graft.sources.IvfIndex(
-        s, Scratch.create(s, "graft-stale-ivf"), nlist = 16)
+    val root = persistentFixtureDir(s, "stale-ivf", dir) { p =>
+      val i = new graft.sources.IvfIndex(s, p, nlist = 16)
       i.bootstrap(hist)
       // era boundary: validate + stamp against the bootstrap view
       i.maintain(hist, hist.limit(0), emb.filter(col("vec_id") < 8),
@@ -42,26 +78,28 @@ object SparkEntry {
         nprobes = Seq(1, 2, 4, 8, 16))
       // one ingest past the stamp: the staleness the gates surface
       i.append(emb.filter(col("vec_id") % 50 === 0))
-      i
     }
+    new graft.sources.IvfIndex(s, root, nlist = 16)
   }
 
-  /** `fleet_report`'s HEALTHY row: the same bootstrap + maintain as
-    * [[staleIvfStore]] but with no ingest after the stamp — the point is
-    * validated against the current committed view (lag 0), one fragment.
+  /** `fleet_report`'s HEALTHY row (and `fleet_maintain`'s skipped one):
+    * the same bootstrap + maintain as [[staleIvfStore]] but with no
+    * ingest after the stamp — the point is validated against the current
+    * committed view (lag 0), one fragment. Never mutated (the fleet loop
+    * only acts on DUE stores, and this one never is), so it persists
+    * across sessions too.
     */
   private def freshIvfStore(s: SparkSession, dir: String): graft.sources.IvfIndex = {
     val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
     val hist = emb.filter(col("vec_id") % 50 =!= 0)
-    IndexCache.getOrBuildVersioned(s, s"fleet-ivf-fresh|$dir", dir) {
-      val i = new graft.sources.IvfIndex(
-        s, Scratch.create(s, "graft-fleet-ivf"), nlist = 16)
+    val root = persistentFixtureDir(s, "fleet-ivf-fresh", dir) { p =>
+      val i = new graft.sources.IvfIndex(s, p, nlist = 16)
       i.bootstrap(hist)
       i.maintain(hist, hist.limit(0), emb.filter(col("vec_id") < 8),
         k = 5, recallFloor = 0.9, cosineFloor = 0.22, maxFracBelow = 1.0,
         nprobes = Seq(1, 2, 4, 8, 16))
-      i
     }
+    new graft.sources.IvfIndex(s, root, nlist = 16)
   }
 
   /** `fleet_report`'s FRAGMENTED row: an inverted index that committed
@@ -69,22 +107,34 @@ object SparkEntry {
     * (bootstrap on the first source, one append per remaining one) and
     * never compacted — so its fragment count is a DATA-DERIVED number
     * the oracle re-computes from count(DISTINCT source), not a constant.
-    * The source list is driver metadata (tens of values).
+    * The source list is driver metadata (tens of values). Read-only
+    * after the build (`fleet_maintain` compacts a query-PRIVATE copy,
+    * never this one), so it persists across sessions.
     */
-  private def fleetInvStore(s: SparkSession, dir: String): graft.sources.InvertedIndex =
-    IndexCache.getOrBuildVersioned(s, s"fleet-inv|$dir", dir) {
-      val docs = Tables.documents(s, dir).filter(col("doc_id") % 10 === 0)
-        .select(col("doc_id"), col("text"), col("source"))
-      val sources = docs.select(col("source")).distinct()
-        .collect().map(_.getString(0)).sorted
-      val i = new graft.sources.InvertedIndex(
-        s, Scratch.create(s, "graft-fleet-inv"))
-      i.bootstrap(docs.filter(col("source") === sources.head)
-        .select(col("doc_id"), col("text")))
-      sources.tail.foreach(src => i.append(
-        docs.filter(col("source") === src).select(col("doc_id"), col("text"))))
-      i
+  private def fleetInvStore(s: SparkSession, dir: String): graft.sources.InvertedIndex = {
+    val root = persistentFixtureDir(s, "fleet-inv", dir) { p =>
+      val i = new graft.sources.InvertedIndex(s, p)
+      fleetInvBuild(s, dir, i)
     }
+    new graft.sources.InvertedIndex(s, root)
+  }
+
+  /** The fragmented-inverted-index build script, shared between the
+    * persisted read-only fixture and `fleet_maintain`'s query-private
+    * acted-on copy: bootstrap on the first source family, one committed
+    * generation per remaining one, never compacted.
+    */
+  private def fleetInvBuild(s: SparkSession, dir: String,
+                            i: graft.sources.InvertedIndex): Unit = {
+    val docs = Tables.documents(s, dir).filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id"), col("text"), col("source"))
+    val sources = docs.select(col("source")).distinct()
+      .collect().map(_.getString(0)).sorted
+    i.bootstrap(docs.filter(col("source") === sources.head)
+      .select(col("doc_id"), col("text")))
+    sources.tail.foreach(src => i.append(
+      docs.filter(col("source") === src).select(col("doc_id"), col("text"))))
+  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -948,6 +998,42 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // BATCH-SCALE ANN PROBE, IVF-PQ COMPOSITION (r16, r15 verdict #2):
+    // sim_ivf_batch's twin through the store whose probe rows carry the
+    // heaviest payload in the engine — the m×codes ADC lookup table
+    // (~16 KB/row at codes=256), the case that actually OOM'd the first
+    // distributed cut (a 2.6 GB sort at the 10x rehearsal) and that the
+    // payload-aware broadcast threshold now caps at ~2k rows instead of
+    // 4096. Same 21x-replica construction into a disjoint query-id
+    // space (10,500 queries -> 42,000 probe rows at the verify SF, far
+    // above both thresholds): the cell join moves narrow (query_id,
+    // cell) rows, the per-query ADC table attaches post-candidates via
+    // the shuffle-hash join on the shortlist window's own partitioning,
+    // and the driver only ever sees O(nlist) distinct cell ids
+    // (spec-pinned in IvfPqIndexSpec). The oracle replays the per-base
+    // train/assign/encode/ADC/shortlist/re-rank arithmetic ONCE and
+    // expands — any per-replica divergence in the distributed ADC path
+    // is a hash mismatch.
+    "sim_ivfpq_batch" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val idx = IndexCache.getOrBuildVersioned(s, s"ivfpq-batch|$dir", dir) {
+        val i = new graft.sources.IvfPqIndex(
+          s, Scratch.create(s, "graft-ivfpq-batch"), nlist = 16, m = 8, codes = 256)
+        i.bootstrap(emb.filter(col("vec_id") % 50 =!= 0))
+        i.append(emb.filter(col("vec_id") % 50 === 0))
+        i
+      }
+      // replication via explode(sequence), never a cross join (the
+      // global QueryPlanSpec no-cartesian sweep covers this query too)
+      val queries = emb
+        .select(col("vec_id"), col("embedding"),
+          explode(sequence(lit(0L), lit(20L))).as("rep"))
+        .select((lit(1000000L) + col("vec_id") * 21 + col("rep")).as("vec_id"),
+          col("embedding"))
+      idx.topK(emb, queries, 5, shortlist = 50, nprobe = 4)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // CAPACITY-ADAPTIVE MAINTENANCE (r14, closing r13 verdict #2): a
     // frozen nlist makes candidate volume ∝ n/nlist, so once the corpus
     // outgrows its cells the sweep's only clearing setting is
@@ -1440,6 +1526,66 @@ object SparkEntry {
         Seq(("sem-ivf-fresh", freshIvfStore(s, dir)),
             ("sem-ivf-stale", staleIvfStore(s, dir)),
             ("text-postings", fleetInvStore(s, dir))),
+        maxLag = 0L, maxFragments = 1)
+        .orderBy(col("store"))
+    }),
+
+    // FLEET LOOP CLOSED (r16, r15 verdict #3): `fleet_report` decides
+    // WHERE maintenance is due; this query CONSUMES the decision —
+    // Fleet.maintainAll walks the same O(1) ledger signals, runs each
+    // DUE store's own maintenance composition (the flat-IVF store's
+    // maintain() with sweep + compaction; the text store's compact()),
+    // skips healthy stores, and emits one before/after row per store.
+    // The fixture has one skipped store (the shared healthy IVF — never
+    // acted on, so sharing the persisted fixture is safe) and two acted
+    // stores, which are query-PRIVATE (their actions mutate the ledger;
+    // a shared fixture would make the row depend on execution order —
+    // the r15 ivfpq_maintain lesson): a stale+fragmented IVF whose
+    // maintain revalidates on the grown corpus, commits the swept point,
+    // and compacts (lag 1→0, fragments 2→1, nprobe = the replayed
+    // full-corpus grid choice), and a per-source-fragmented inverted
+    // index whose compact folds nsrc generations to one. The oracle
+    // replays every number: both sweep grids (the healthy store's
+    // standing stamp AND the stale store's post-action choice), the
+    // cleared/committed decision branch, the ledger-history lags, and
+    // the data-derived fragment counts — a constant in neither side.
+    "fleet_maintain" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      val hist = emb.filter(col("vec_id") % 50 =!= 0)
+      val delta = emb.filter(col("vec_id") % 50 === 0)
+      val queries = emb.filter(col("vec_id") < 8)
+      val stale = new graft.sources.IvfIndex(
+        s, Scratch.create(s, "graft-fleet-mt-ivf"), nlist = 16)
+      stale.bootstrap(hist)
+      // cheap gen-0 stamp: the one-setting full-coarse-scan sweep
+      // (nprobe == nlist reads every cell → recall 1.0 clears any
+      // floor). Its VALUE never reaches the output — only its
+      // GENERATION does (lag_before = 1 after the append below) — so
+      // the declared sweep is the post-action one, which the oracle
+      // replays; the stamp value appears in the oracle only as the
+      // not-cleared fallback branch (max of the same declared list)
+      stale.maintain(hist, hist.limit(0), queries, k = 5, recallFloor = 0.9,
+        cosineFloor = 0.22, maxFracBelow = 1.0, nprobes = Seq(16))
+      stale.append(delta)
+      val inv = new graft.sources.InvertedIndex(
+        s, Scratch.create(s, "graft-fleet-mt-inv"))
+      fleetInvBuild(s, dir, inv)
+      val fresh = freshIvfStore(s, dir)
+      graft.operators.Fleet.maintainAll(s,
+        Seq(
+          graft.operators.Fleet.Entry("sem-ivf-fresh", fresh, () =>
+            // never invoked (the store is healthy: lag 0, one fragment)
+            // and idempotent even if it were — the identical sweep
+            // re-commits the identical stamp at the identical generation
+            fresh.maintain(hist, hist.limit(0), queries, k = 5,
+              recallFloor = 0.9, cosineFloor = 0.22, maxFracBelow = 1.0,
+              nprobes = Seq(1, 2, 4, 8, 16), compactAbove = 1).serving),
+          graft.operators.Fleet.Entry("sem-ivf-stale", stale, () =>
+            stale.maintain(emb, delta, queries, k = 5, recallFloor = 0.9,
+              cosineFloor = 0.22, maxFracBelow = 1.0,
+              nprobes = Seq(1, 2, 4, 8, 16), compactAbove = 1).serving),
+          graft.operators.Fleet.Entry("text-postings", inv, () => {
+            inv.compact(); inv })),
         maxLag = 0L, maxFragments = 1)
         .orderBy(col("store"))
     }),
@@ -4465,6 +4611,68 @@ object SparkEntry {
        |FROM based b CROSS JOIN reps t WHERE b.rank <= 5
        |ORDER BY query_id, rank""".stripMargin
 
+  /** Replays `sim_ivfpq_batch`: [[ivfPqOracle]]'s persisted-composition
+    * arithmetic — coarse seeds + PQ codebooks trained on the bootstrap
+    * slice, whole corpus assigned and encoded, probed cells' members
+    * ADC-scored, shortlisted, exact-re-ranked — computed ONCE per base
+    * corpus vector, then expanded to the replicated query-id space
+    * ([[ivfBatchOracle]]'s construction). No self-exclusion on either
+    * side: query ids live at 1,000,000 + base·21 + rep, disjoint from
+    * every corpus vec_id, so the operator's query_id != vec_id filter is
+    * a no-op by construction and the base vector may rank itself.
+    */
+  private def ivfPqBatchOracle(nlist: Int, nprobe: Int, m: Int, codes: Int,
+                               shortlist: Int, k: Int): String = {
+    val adcSum = pqAdcSum(m, "p.qv")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |et AS (SELECT vec_id, v FROM e WHERE vec_id % 50 != 0),
+       |${pqTrainEncodeCtes(m, codes)},
+       |${pqEncjCte(m)},
+       |seeds AS (SELECT vec_id AS cell_id, v AS cv FROM e
+       |  WHERE vec_id % 50 != 0 ORDER BY vec_id LIMIT $nlist),
+       |cscored AS (
+       |  SELECT e.vec_id, e.v, s.cell_id, ${Oracles.cosine("e.v", "s.cv", 64)} AS cs
+       |  FROM e CROSS JOIN seeds s),
+       |assign AS (
+       |  SELECT vec_id, cell_id FROM (
+       |    SELECT vec_id, cell_id,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cell_id) AS rnk
+       |    FROM cscored) WHERE rnk = 1),
+       |probes AS (
+       |  SELECT vec_id AS qbase, v AS qv, ${Oracles.l2("v", 64)} AS qnorm,
+       |    cell_id FROM (
+       |    SELECT vec_id, v, cell_id,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cell_id) AS rnk
+       |    FROM cscored) WHERE rnk <= $nprobe),
+       |sc AS (
+       |  SELECT p.qbase, r.vec_id AS neighbor_id,
+       |    CASE WHEN p.qnorm * r.rnorm = 0 THEN 0.0
+       |         ELSE $adcSum / (p.qnorm * r.rnorm) END AS qcos
+       |  FROM assign a
+       |  JOIN probes p ON a.cell_id = p.cell_id
+       |  JOIN encj r ON r.vec_id = a.vec_id),
+       |sl AS (
+       |  SELECT qbase, neighbor_id FROM (
+       |    SELECT qbase, neighbor_id,
+       |      row_number() OVER (PARTITION BY qbase
+       |        ORDER BY qcos DESC, neighbor_id) AS srank
+       |    FROM sc) WHERE srank <= $shortlist),
+       |based AS (
+       |  SELECT qbase, neighbor_id, cosine,
+       |    row_number() OVER (PARTITION BY qbase
+       |      ORDER BY cosine DESC, neighbor_id) AS rank
+       |  FROM (
+       |    SELECT sl.qbase, sl.neighbor_id,
+       |      round(${Oracles.cosine("qe.v", "ne.v", 64)}, 6) AS cosine
+       |    FROM sl JOIN e ne ON ne.vec_id = sl.neighbor_id
+       |    JOIN e qe ON qe.vec_id = sl.qbase)),
+       |reps AS (SELECT unnest(range(0, 21)) AS r)
+       |SELECT 1000000 + b.qbase * 21 + t.r AS query_id, b.rank, b.neighbor_id,
+       |  b.cosine
+       |FROM based b CROSS JOIN reps t WHERE b.rank <= $k
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   /** Replays `sim_ivf_committed`: the flat-IVF sweep grid (recall@k per
     * nprobe vs the exact scan, reported 4 digits), the smallest-clearing
     * choice as the scalar CTE `cnp`, and the probe AT that derived
@@ -5601,6 +5809,12 @@ object SparkEntry {
     // distributed probe path must be row-identical to the broadcast one
     "sim_ivf_batch" -> ivfBatchOracle,
 
+    // the IVF-PQ twin (r15 verdict #2): per-base ADC arithmetic replayed
+    // once and expanded — the distributed probe's narrow-cell-join +
+    // shuffle-hash ADC attach must be row-identical to the broadcast path
+    "sim_ivfpq_batch" -> ivfPqBatchOracle(nlist = 16, nprobe = 4, m = 8,
+      codes = 256, shortlist = 50, k = 5),
+
     // the flat store's probe width comes from the replayed sweep's
     // scalar CTE, not a constant — mirroring the committed default
     "sim_ivf_committed" -> ivfCommittedProbeOracle(nlist = 16, k = 5,
@@ -5914,6 +6128,89 @@ object SparkEntry {
          |    CAST(-1 AS BIGINT), src.nsrc, CAST(NULL AS BIGINT),
          |    CAST(NULL AS BIGINT), CAST(NULL AS INTEGER),
          |    false, src.nsrc > 1, src.nsrc > 1
+         |  FROM src)
+         |ORDER BY store""".stripMargin,
+
+    // the closed fleet loop's replay: the skipped healthy row carries
+    // its STANDING stamp (the same history-corpus grid gcnp the
+    // fleet_report oracle derives); the acted IVF row replays the
+    // POST-ACTION sweep — the full-corpus grid f* below, the identical
+    // arithmetic the sim_ivf_committed oracle uses — including the
+    // cleared/committed decision branch (an uncleared sweep leaves the
+    // gen-0 stamp standing, lag stays 1, and due_after must stay true:
+    // never silent health), with the gen-0 stamp's fallback value being
+    // the max of the same declared sweep list, not a free constant; the
+    // text row's fragment fold is re-derived from count(DISTINCT source)
+    "fleet_maintain" ->
+      s"""WITH $ivfStaleGridCtes,
+         |fscored AS (
+         |  SELECT e.vec_id, e.v, s.cell_id, ${Oracles.cosine("e.v", "s.cv", 64)} AS cs
+         |  FROM e CROSS JOIN seeds s),
+         |fassign AS (
+         |  SELECT vec_id, v, cell_id FROM (
+         |    SELECT vec_id, v, cell_id,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cell_id) AS rnk
+         |    FROM fscored) WHERE rnk = 1),
+         |fprobes AS (
+         |  SELECT vec_id AS query_id, v AS qv, cell_id, rnk AS prnk FROM (
+         |    SELECT vec_id, v, cell_id,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cell_id) AS rnk
+         |    FROM fscored WHERE vec_id < 8) WHERE rnk <= 16),
+         |fst AS (SELECT * FROM (VALUES (1), (2), (4), (8), (16)) AS t(np)),
+         |fcand AS (
+         |  SELECT fst.np, p.query_id, a.vec_id AS neighbor_id,
+         |    round(${Oracles.cosine("p.qv", "a.v", 64)}, 6) AS cosine
+         |  FROM fst JOIN fprobes p ON p.prnk <= fst.np
+         |  JOIN fassign a ON a.cell_id = p.cell_id AND p.query_id != a.vec_id),
+         |fannk AS (
+         |  SELECT np, query_id, neighbor_id FROM (
+         |    SELECT np, query_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY np, query_id
+         |        ORDER BY cosine DESC, neighbor_id) AS rank
+         |    FROM fcand) WHERE rank <= 5),
+         |fexact AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY round(${Oracles.cosine("q.v", "c.v", 64)}, 6) DESC,
+         |          c.vec_id) AS rank
+         |    FROM e c JOIN (SELECT * FROM e WHERE vec_id < 8) q
+         |      ON q.vec_id != c.vec_id) WHERE rank <= 5),
+         |fhits AS (
+         |  SELECT fst.np, ex.query_id, count(a.neighbor_id) AS nhit
+         |  FROM fst CROSS JOIN fexact ex
+         |  LEFT JOIN fannk a ON a.np = fst.np
+         |    AND a.query_id = ex.query_id AND a.neighbor_id = ex.neighbor_id
+         |  GROUP BY 1, 2),
+         |fgrid AS (
+         |  SELECT np, round(avg(nhit / CAST(5 AS DOUBLE)), 4) AS recall
+         |  FROM fhits GROUP BY 1),
+         |fcl AS (SELECT EXISTS(SELECT 1 FROM fgrid WHERE recall >= 0.9) AS ok),
+         |fcnp AS (SELECT coalesce((SELECT min(np) FROM fgrid WHERE recall >= 0.9),
+         |  (SELECT max(np) FROM fgrid)) AS fnp),
+         |src AS (SELECT CAST(count(DISTINCT source) AS BIGINT) AS nsrc
+         |  FROM documents WHERE doc_id % 10 = 0)
+         |SELECT * FROM (
+         |  SELECT 'sem-ivf-fresh' AS store, 'ivf' AS kind,
+         |    false AS maintenance_due,
+         |    CAST(0 AS BIGINT) AS lag_before, CAST(0 AS BIGINT) AS lag_after,
+         |    CAST(1 AS BIGINT) AS fragments_before,
+         |    CAST(1 AS BIGINT) AS fragments_after,
+         |    CAST(gcnp.npv AS INTEGER) AS nprobe, false AS due_after
+         |  FROM gcnp
+         |  UNION ALL
+         |  SELECT 'sem-ivf-stale', 'ivf', true,
+         |    CAST(1 AS BIGINT),
+         |    CASE WHEN fcl.ok THEN CAST(0 AS BIGINT) ELSE CAST(1 AS BIGINT) END,
+         |    CAST(2 AS BIGINT), CAST(1 AS BIGINT),
+         |    CAST(CASE WHEN fcl.ok THEN fcnp.fnp
+         |         ELSE (SELECT max(np) FROM fst) END AS INTEGER),
+         |    NOT fcl.ok
+         |  FROM fcl, fcnp
+         |  UNION ALL
+         |  SELECT 'text-postings', 'inverted', true,
+         |    CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+         |    src.nsrc, CAST(1 AS BIGINT), CAST(NULL AS INTEGER), false
          |  FROM src)
          |ORDER BY store""".stripMargin,
 

@@ -25,11 +25,43 @@ import graft.sources.MaintainedStore
   *     store with NO committed point (never maintained: the no-knobs
   *     probe path refuses to serve it at all).
   *
-  * What this deliberately does NOT do: run drift guards or recall sweeps
-  * — those are data-sized and belong to each store's own `maintain()` at
-  * era cadence. The fleet walk decides WHERE to spend that work.
+  * What the report deliberately does NOT do: run drift guards or recall
+  * sweeps — those are data-sized and belong to each store's own
+  * `maintain()` at era cadence. The fleet walk decides WHERE to spend
+  * that work; [[maintainAll]] then closes the loop by spending it.
   */
 object Fleet {
+
+  /** One consistent-enough ledger read of a live store, in the
+    * stale-but-safe direction (r15 ADVICE): the point/base/fragment
+    * slots are read BEFORE the watermark — the uniform reader rule
+    * `compact()`/`StreamSink` already enforce — so a maintain or append
+    * committing between the per-store slot reads can only make the row
+    * look STALER than it is (an extra maintenance run on a just-healed
+    * store), never healthier (a stale store reported healthy, which the
+    * old watermark-first order allowed). Lag additionally clamps at 0:
+    * a point committed against a generation the watermark read hasn't
+    * caught up to is "fresh", not negative.
+    */
+  private final case class Signals(kind: String, committedGen: Long,
+      compactedThrough: Long, fragments: Long, opGen: Option[Long],
+      lag: Option[Long], nprobe: Option[Int], stale: Boolean,
+      compactionDue: Boolean, due: Boolean)
+
+  private def signals(st: MaintainedStore, maxLag: Long,
+                      maxFragments: Int): Signals = {
+    val opGen = st.pointGen
+    val probe = st.pointProbe
+    val compacted = st.compactedThrough
+    val frags = st.fragmentCount
+    val g = st.committedGen // watermark LAST
+    val lag = opGen.map(o => math.max(0L, g - o))
+    val stale = lag.exists(_ > maxLag)
+    val neverMaintained = st.pointSemantics && opGen.isEmpty
+    val compactionDue = frags > maxFragments
+    Signals(st.kind, g, compacted, frags, opGen, lag, probe,
+      stale, compactionDue, stale || compactionDue || neverMaintained)
+  }
 
   /** One report row per (name, store) manifest entry. */
   def report(spark: SparkSession, stores: Seq[(String, MaintainedStore)],
@@ -37,18 +69,55 @@ object Fleet {
     require(maxLag >= 0 && maxFragments >= 1)
     import spark.implicits._
     stores.map { case (name, st) =>
-      val g = st.committedGen
-      val opGen = st.pointGen
-      val lag = opGen.map(g - _)
-      val frags = st.fragmentCount
-      val stale = lag.exists(_ > maxLag)
-      val neverMaintained = st.pointSemantics && opGen.isEmpty
-      val compactionDue = frags > maxFragments
-      (name, st.kind, g, st.compactedThrough, frags,
-        opGen, lag, st.pointProbe,
-        stale, compactionDue, stale || compactionDue || neverMaintained)
+      val s = signals(st, maxLag, maxFragments)
+      (name, s.kind, s.committedGen, s.compactedThrough, s.fragments,
+        s.opGen, s.lag, s.nprobe, s.stale, s.compactionDue, s.due)
     }.toDF("store", "kind", "committed_gen", "compacted_through",
       "fragments", "op_gen", "lag", "nprobe",
       "point_stale", "compaction_due", "maintenance_due")
+  }
+
+  /** One manifest entry for [[maintainAll]]: the store's ledger surface
+    * plus its own maintenance action. The action is caller-supplied
+    * because the families' maintain compositions differ (flat IVF sweeps
+    * nprobes; IVF-PQ sweeps a two-phase (nprobe, shortlist) grid; the
+    * text index only compacts) — what the fleet loop owns is the
+    * DECISION and the before/after evidence, not each family's arms. The
+    * action returns the store that should serve from here on (a fresh
+    * lineage when the store's drift/capacity guard forced a reseed —
+    * [[graft.sources.IvfIndex.Maintenance]]'s handoff), and the after
+    * columns read THAT store's ledger.
+    */
+  final case class Entry(name: String, store: MaintainedStore,
+                         act: () => MaintainedStore)
+
+  /** CLOSES THE FLEET LOOP (r15 verdict #3): consume [[report]]'s
+    * decision — for every entry whose ledger says maintenance is due,
+    * run the entry's action; emit one before/after row per store either
+    * way. Skipped stores re-read their ledger too, so the output is the
+    * complete post-tick fleet state: `due_after` still true on an acted
+    * store is a failed remedy a scheduler must see, never silent health
+    * (the per-store `maintain()` reporting rule, lifted to the fleet).
+    *
+    * Scale shape: the decision per store stays the O(1) properties-file
+    * read of [[report]]; only DUE stores pay their data-sized
+    * maintenance, which is exactly the point of deciding first — a
+    * hundred-store fleet with three due stores runs three sweeps, not a
+    * hundred.
+    */
+  def maintainAll(spark: SparkSession, entries: Seq[Entry],
+                  maxLag: Long, maxFragments: Int): DataFrame = {
+    require(maxLag >= 0 && maxFragments >= 1)
+    import spark.implicits._
+    entries.map { e =>
+      val before = signals(e.store, maxLag, maxFragments)
+      val serving = if (before.due) e.act() else e.store
+      val after = signals(serving, maxLag, maxFragments)
+      (e.name, before.kind, before.due,
+        before.lag, after.lag, before.fragments, after.fragments,
+        after.nprobe, after.due)
+    }.toDF("store", "kind", "maintenance_due",
+      "lag_before", "lag_after", "fragments_before", "fragments_after",
+      "nprobe", "due_after")
   }
 }

@@ -75,6 +75,70 @@ class FleetSpec extends SparkSuite {
       !after.getAs[Boolean]("maintenance_due"))
   }
 
+  test("maintainAll acts on due stores only; a failed remedy stays visible as due_after") {
+    // skipped store: healthy (lag 0, one fragment) — its action must
+    // never run, which the throwing thunk proves
+    val ok = new IvfIndex(spark, TempDirs.create("fleet-mt-ok"), nlist = 16)
+    ok.bootstrap(hist)
+    ok.maintain(hist, hist.limit(0), queries, k = 5, recallFloor = 0.9,
+      cosineFloor = 0.22, maxFracBelow = 1.0, nprobes = Seq(16))
+    // acted store 1: stale + fragmented; the remedy revalidates on the
+    // grown corpus, commits, and compacts in one maintain() call
+    val st = new IvfIndex(spark, TempDirs.create("fleet-mt-stale"), nlist = 16)
+    st.bootstrap(hist)
+    st.maintain(hist, hist.limit(0), queries, k = 5, recallFloor = 0.9,
+      cosineFloor = 0.22, maxFracBelow = 1.0, nprobes = Seq(16))
+    st.append(delta)
+    // acted store 2: fragmented text index, remedy = compact
+    val docs = Tables.documents(spark, sf).filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id"), col("text"))
+    val inv = new InvertedIndex(spark, TempDirs.create("fleet-mt-inv"))
+    inv.bootstrap(docs.filter(col("doc_id") < 250))
+    inv.append(docs.filter(col("doc_id") >= 250))
+    // acted store 3: due, but the remedy is a NO-OP — due_after must
+    // stay true (a failed remedy is never reported as health)
+    val bad = new InvertedIndex(spark, TempDirs.create("fleet-mt-bad"))
+    bad.bootstrap(docs.filter(col("doc_id") < 250))
+    bad.append(docs.filter(col("doc_id") >= 250))
+
+    val by = Fleet.maintainAll(spark,
+        Seq(
+          Fleet.Entry("ok", ok, () =>
+            fail("healthy store must not be acted on")),
+          Fleet.Entry("stale", st, () =>
+            st.maintain(corpus, delta, queries, k = 5, recallFloor = 0.9,
+              cosineFloor = 0.22, maxFracBelow = 1.0,
+              nprobes = Seq(1, 2, 4, 8, 16), compactAbove = 1).serving),
+          Fleet.Entry("inv", inv, () => { inv.compact(); inv }),
+          Fleet.Entry("bad", bad, () => bad)),
+        maxLag = 0L, maxFragments = 1)
+      .collect().map(r => r.getAs[String]("store") -> r).toMap
+
+    val o = by("ok")
+    assert(!o.getAs[Boolean]("maintenance_due") && !o.getAs[Boolean]("due_after"))
+    assert(o.getAs[Long]("lag_before") === 0L && o.getAs[Long]("lag_after") === 0L)
+    assert(o.getAs[Int]("nprobe") === ok.operatingPoint.get)
+
+    val s = by("stale")
+    assert(s.getAs[Boolean]("maintenance_due") && !s.getAs[Boolean]("due_after"))
+    assert(s.getAs[Long]("lag_before") === 1L && s.getAs[Long]("lag_after") === 0L)
+    assert(s.getAs[Long]("fragments_before") === 2L &&
+      s.getAs[Long]("fragments_after") === 1L)
+    assert(s.getAs[Int]("nprobe") === st.operatingPoint.get)
+
+    val i = by("inv")
+    assert(i.getAs[Boolean]("maintenance_due") && !i.getAs[Boolean]("due_after"))
+    assert(i.getAs[Long]("fragments_before") === 2L &&
+      i.getAs[Long]("fragments_after") === 1L)
+    assert(i.isNullAt(i.fieldIndex("lag_before")) &&
+      i.isNullAt(i.fieldIndex("nprobe")))
+
+    val b = by("bad")
+    assert(b.getAs[Boolean]("maintenance_due") && b.getAs[Boolean]("due_after"),
+      "a due store whose action changed nothing must still read as due")
+    assert(b.getAs[Long]("fragments_after") === 2L)
+  }
+
   test("inverted/lsh fragment arithmetic matches the generational layout") {
     val docs = Tables.documents(spark, sf).filter(col("doc_id") % 10 === 0)
       .select(col("doc_id"), col("text"))
