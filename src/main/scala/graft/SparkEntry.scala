@@ -1962,6 +1962,53 @@ object SparkEntry {
       graft.operators.HybridSearch.rrf2(textArm, vecArm, k = 20)
     }),
 
+    // BATCH-SCALE HYBRID (r16, r15 verdict #7): the production hybrid's
+    // remaining single-query assumptions removed — a 5x-replicated
+    // multi-thousand-query batch (2,500 at the verify SF, 10,000 at
+    // bench SF) runs BOTH arms and the fusion batch-shaped. The vector
+    // arm rides the persisted flat-IVF batch store through the
+    // distributed probe (10k+ probe rows >> the broadcast threshold:
+    // the driver sees only O(nlist) cell ids); the lexical arm is the
+    // new per-query BM25 (5k+ (query_id, term) rows >> its broadcast
+    // tier: the query frame is never collected, the distinct TERM set
+    // alone reaches the driver for the posting scan's IN pushdown, and
+    // the term join is SALTED — term keys are low-cardinality, so the
+    // unsalted join concentrated the whole batch on two partitions);
+    // the fusion is a per-query (query_id, doc_id) join + window —
+    // nothing global-sorts and nothing funnels the driver at any batch
+    // size. Every replica carries its base's OWN embedding (the vector
+    // lists differ per base) while the keyword query is the declared
+    // two-term one for every replica, so the oracle replays the text
+    // arm once, the vector arm once per base, fuses per base, and
+    // expands — any per-replica divergence in either batch arm is a
+    // hash mismatch. Replication is 5x (not sim_ivf_batch's 21x): the
+    // high-df fixture terms make text-arm work = |queries| × df, and
+    // 5x already puts every frame above every threshold at every SF.
+    "hybrid_batch_rrf" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val idx = IndexCache.getOrBuildVersioned(s, s"ivf-batch|$dir", dir) {
+        val i = new graft.sources.IvfIndex(
+          s, Scratch.create(s, "graft-ivf-batch"), nlist = 16)
+        i.bootstrap(emb.filter(col("vec_id") % 50 =!= 0))
+        i.append(emb.filter(col("vec_id") % 50 === 0))
+        i
+      }
+      val queries = emb
+        .select(col("vec_id"), col("embedding"),
+          explode(sequence(lit(0L), lit(4L))).as("rep"))
+        .select((lit(1000000L) + col("vec_id") * 5 + col("rep")).as("vec_id"),
+          col("embedding"))
+      val vecArm = idx.topK(emb, queries, 30, nprobe = 4)
+        .select(col("query_id"), col("neighbor_id").as("doc_id"),
+          col("rank").as("r_vec"))
+      val qt = queries.select(col("vec_id").as("query_id"))
+        .withColumn("term", explode(array(lit("dup"), lit("vector"))))
+      val textArm = graft.operators.HybridSearch.rankArmBatch(
+        fullInvIndex(s, dir).bm25Batch(qt, 30), col("score"), "r_text")
+      graft.operators.HybridSearch.rrf2Batch(textArm, vecArm, k = 20)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // Windowed co-occurrence + PMI (skip-gram statistics for embedding
     // training): pair generation is MAP-ONLY — each doc's token list
     // zip_with its own g-shifted self per gap, never a positions
@@ -6753,6 +6800,84 @@ object SparkEntry {
          |  FROM tarm t FULL OUTER JOIN varm v ON t.doc_id = v.doc_id)
          |SELECT doc_id, r_text, r_vec, rrf FROM f
          |ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin,
+
+    // the BATCH hybrid's replay (r15 verdict #7): the text arm once
+    // (every replica declares the same two-term keyword query — same
+    // integer-micro-unit BM25 CTEs as text_bm25/hybrid_search_rrf), the
+    // vector arm once per BASE vector (the persisted ivf-batch store's
+    // probe arithmetic, rank <= 30, NO self-exclusion — query ids live
+    // in the disjoint replicated space), the rank-only fusion per base
+    // with the engine's fixed text+vector addition order, then the 21x
+    // expansion to the replicated query-id space. Any per-replica
+    // divergence in either batch arm or the fusion is a hash mismatch.
+    "hybrid_batch_rrf" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, ${Oracles.tokens("lower(text)")} AS tk FROM documents),
+         |meta AS (
+         |  SELECT count(*) AS n, CAST(sum(length(tk)) AS DOUBLE) / count(*) AS avgdl
+         |  FROM tok),
+         |toks AS (
+         |  SELECT doc_id, length(tk) AS doc_len, unnest(tk) AS term FROM tok),
+         |tf AS (
+         |  SELECT doc_id, term, count(*) AS tf, any_value(doc_len) AS doc_len
+         |  FROM toks WHERE term IN ('dup', 'vector') GROUP BY 1, 2),
+         |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |tscored AS (
+         |  SELECT tf.doc_id,
+         |    sum(CAST(floor(ln(1.0 + (meta.n - dfreq.df + 0.5) / (dfreq.df + 0.5)) *
+         |        ((tf.tf * 2.2) /
+         |         (tf.tf + 1.2 * (0.25 + 0.75 * (tf.doc_len / meta.avgdl)))) *
+         |        1000000.0 + 0.5) AS BIGINT)) AS su
+         |  FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN meta
+         |  GROUP BY 1),
+         |ttop AS (SELECT doc_id, su FROM tscored ORDER BY su DESC, doc_id LIMIT 30),
+         |tarm AS (
+         |  SELECT doc_id, CAST(row_number() OVER (
+         |    ORDER BY round(su / 1000000.0, 4) DESC, doc_id) AS INT) AS r_text
+         |  FROM ttop),
+         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |vseeds AS (SELECT vec_id AS cell_id, v AS cv FROM e
+         |  WHERE vec_id % 50 != 0 ORDER BY vec_id LIMIT 16),
+         |vscored AS (
+         |  SELECT e.vec_id, e.v, s.cell_id, ${Oracles.cosine("e.v", "s.cv", 64)} AS cs
+         |  FROM e CROSS JOIN vseeds s),
+         |vassign AS (
+         |  SELECT vec_id, v, cell_id FROM (
+         |    SELECT vec_id, v, cell_id,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cell_id) AS rnk
+         |    FROM vscored) WHERE rnk = 1),
+         |vprobes AS (
+         |  SELECT vec_id AS qbase, v AS qv, cell_id FROM (
+         |    SELECT vec_id, v, cell_id,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cell_id) AS rnk
+         |    FROM vscored) WHERE rnk <= 4),
+         |varm AS (
+         |  SELECT qbase, neighbor_id AS doc_id, r_vec FROM (
+         |    SELECT p.qbase, a.vec_id AS neighbor_id,
+         |      CAST(row_number() OVER (PARTITION BY p.qbase
+         |        ORDER BY round(${Oracles.cosine("p.qv", "a.v", 64)}, 6) DESC,
+         |          a.vec_id) AS INT) AS r_vec
+         |    FROM vassign a JOIN vprobes p ON a.cell_id = p.cell_id)
+         |  WHERE r_vec <= 30),
+         |bases AS (SELECT DISTINCT vec_id AS qbase FROM e),
+         |texp AS (SELECT b.qbase, t.doc_id, t.r_text FROM bases b CROSS JOIN tarm t),
+         |f AS (
+         |  SELECT coalesce(tx.qbase, v.qbase) AS qbase,
+         |    coalesce(tx.doc_id, v.doc_id) AS doc_id, tx.r_text, v.r_vec,
+         |    round(coalesce(CAST(1.0 AS DOUBLE) / (60 + tx.r_text), 0.0) +
+         |          coalesce(CAST(1.0 AS DOUBLE) / (60 + v.r_vec), 0.0), 6) AS rrf
+         |  FROM texp tx FULL OUTER JOIN varm v
+         |    ON tx.qbase = v.qbase AND tx.doc_id = v.doc_id),
+         |rk AS (
+         |  SELECT qbase, doc_id, r_text, r_vec, rrf,
+         |    CAST(row_number() OVER (PARTITION BY qbase
+         |      ORDER BY rrf DESC, doc_id) AS INT) AS rank
+         |  FROM f),
+         |reps AS (SELECT unnest(range(0, 5)) AS r)
+         |SELECT 1000000 + rk.qbase * 5 + t.r AS query_id, rk.doc_id,
+         |  rk.r_text, rk.r_vec, rk.rrf, rk.rank
+         |FROM rk CROSS JOIN reps t WHERE rk.rank <= 20
+         |ORDER BY query_id, rank""".stripMargin,
 
     // the IVF-PQ hybrid: same BM25-arm replay, vector arm = the full
     // IVF-PQ composition for query 0 (train slice vec_id % 50 != 0,

@@ -432,6 +432,92 @@ final class InvertedIndex(spark: SparkSession, dir: String)
       .select(col("doc_id"), round(col("su") / lit(1e6), 4).as("score"))
   }
 
+  /** BATCH BM25 (r15 verdict #7): one ranked top-`k` per query of a
+    * (query_id, term) frame — the lexical arm of a batch-scale hybrid
+    * retriever, where the single-query [[bm25]]'s driver-resident term
+    * list and global ORDER BY/LIMIT stop working at 10⁴–10⁶ queries.
+    *
+    * Same scoring discipline as [[bm25]]: per-(term, doc) contributions
+    * floored to integer micro-units BEFORE the per-(query, doc) sum, so
+    * the long addition is order-independent and the score is bit-exact
+    * at any term count; document frequency is the corpus-global df per
+    * term (query-independent), and the per-query cut is by (raw su desc,
+    * doc_id) — the batch twin of the single query's ORDER BY + LIMIT,
+    * expressed as a query_id-partitioned window (never a global sort).
+    *
+    * Driver policy ([[IndexProbes]]' shape, term-flavored): the DISTINCT
+    * TERM SET is vocabulary-bounded metadata — the cell-id analogue — so
+    * it is collected for the posting scan's `IN` pushdown when at most
+    * `termPushdownLimit` distinct terms appear (collected through a
+    * LIMIT, so an unbounded vocabulary can never flood the driver;
+    * above the limit the scan stays unpruned and the term join alone
+    * restricts). Query ROWS are never collected: batches up to
+    * `broadcastLimit` rows broadcast the (query_id, term) frame (the
+    * posting side streams — zero shuffle before the aggregation);
+    * larger batches take a SALTED shuffle-hash term join: term keys are
+    * low-cardinality by construction (a batch's distinct terms number
+    * in the hundreds while its query rows number 10⁴–10⁶), so an
+    * unsalted term join concentrates the entire batch on |terms|
+    * partitions — measured: a 42k-query two-term batch put ~168M scored
+    * pairs through TWO tasks, 223 s and 1.9 GB page allocations. The
+    * query side salts on hash(query_id) and the posting side replicates
+    * each (term, doc) contribution across the `saltBuckets` via
+    * explode — posting replication is corpus-term-sized (cheap), join
+    * output is unchanged, and the work spreads across terms×buckets
+    * partitions. After the join ONE exchange on query_id serves both
+    * the per-(query, doc) sum (clustering on a prefix of the group key
+    * is sufficient) and the per-query top-k window.
+    */
+  def bm25Batch(queryTerms: DataFrame, k: Int,
+                broadcastLimit: Int = 4096,
+                termPushdownLimit: Int = 1024,
+                saltBuckets: Int = 32): DataFrame = {
+    require(k >= 1 && saltBuckets >= 1)
+    val (nDocs, totalLen) = corpusStats
+    val avgdl = totalLen.toDouble / nDocs.toDouble
+    // one evaluation, two consumers (the term IN-list and the join) —
+    // pinned through Residue so the engine's end-of-query drain owns it
+    val qt = graft.Residue.pin(
+      queryTerms.select(col("query_id"), col("term")))
+    val nQt = qt.count()
+    val terms = qt.select(col("term")).distinct()
+      .limit(termPushdownLimit + 1).collect().map(_.getString(0)).toSeq
+    val p0 = postingsDf.select(col("term"), col("doc_id"), col("tf"),
+      col("doc_len"))
+    val p = if (terms.size <= termPushdownLimit)
+      p0.filter(col("term").isin(terms: _*)) else p0
+    val dfreq = p.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val idf = log(lit(1.0) +
+      (lit(nDocs) - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val norm = col("tf") +
+      lit(1.2) * (lit(0.25) + lit(0.75) * (col("doc_len") / lit(avgdl)))
+    val contrib = p.join(broadcast(dfreq), Seq("term"))
+      .select(col("term"), col("doc_id"),
+        floor(idf * ((col("tf") * lit(2.2)) / norm) * lit(1e6) + lit(0.5))
+          .cast("long").as("s_u"))
+    val joined =
+      if (nQt <= broadcastLimit) contrib.join(broadcast(qt), Seq("term"))
+      else contrib
+        .withColumn("salt",
+          explode(sequence(lit(0), lit(saltBuckets - 1))))
+        .join(qt.withColumn("salt",
+            pmod(hash(col("query_id")), lit(saltBuckets)))
+          .hint("shuffle_hash"), Seq("term", "salt"))
+        .drop("salt")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("su").desc, col("doc_id"))
+    joined
+      // ONE exchange: query_id partitioning satisfies the (query_id,
+      // doc_id) aggregation's clustering AND the window's
+      .repartition(col("query_id"))
+      .groupBy(col("query_id"), col("doc_id")).agg(sum(col("s_u")).as("su"))
+      .withColumn("tr", row_number().over(w))
+      .filter(col("tr") <= k)
+      .select(col("query_id"), col("doc_id"),
+        round(col("su") / lit(1e6), 4).as("score"))
+  }
+
   /** Prefix (autocomplete / wildcard `pre*`) term browse: matching terms
     * with posting length and tf mass. The `StartsWith` predicate pushes
     * into the parquet scan, and because the compaction is SORTED BY term a

@@ -33,6 +33,66 @@ class HybridSearchSpec extends SparkSuite {
     assert(got.find(_._1 == 5L).get._2.isEmpty) // absent text arm
   }
 
+  test("rrf2Batch: a batch of one query fuses exactly like rrf2") {
+    val text = Seq((1L, 1), (2L, 2)).toDF("doc_id", "r_text")
+    val vec = Seq((2L, 1), (5L, 2)).toDF("doc_id", "r_vec")
+    val single = HybridSearch.rrf2(text, vec, k = 10)
+      .select(col("doc_id"), col("r_text"), col("r_vec"), col("rrf"))
+      .as[(Long, Option[Int], Option[Int], Double)].collect().toSeq
+    val batch = HybridSearch.rrf2Batch(
+        text.withColumn("query_id", lit(42L)),
+        vec.withColumn("query_id", lit(42L)), k = 10)
+      .orderBy(col("rank"))
+      .select(col("doc_id"), col("r_text"), col("r_vec"), col("rrf"))
+      .as[(Long, Option[Int], Option[Int], Double)].collect().toSeq
+    assert(batch === single)
+  }
+
+  test("batch text arm: bm25Batch per-query lists equal the single-query bm25, in both join tiers") {
+    val docs = Tables.documents(spark, sf).filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id"), col("text"))
+    val inv = new graft.sources.InvertedIndex(
+      spark, TempDirs.create("hybrid-bm25b"))
+    inv.bootstrap(docs)
+    val expect = inv.bm25(Seq("dup", "vector"), 10)
+      .as[(Long, Double)].collect().toSeq.sortBy(t => (-t._2, t._1))
+    // a distributed query frame (spark.range, not a local Seq): the
+    // plan assertion below distinguishes the engine collecting rows
+    // (LocalTableScan) from the fixture being local to begin with
+    val qt = spark.range(1, 3).select((col("id") * 100).as("query_id"))
+      .withColumn("term", explode(array(lit("dup"), lit("vector"))))
+    // broadcast tier (4 rows <= limit) and the distributed shuffle-hash
+    // tier (limit forced to 1) must both reproduce the single-query
+    // list for every query in the batch
+    for (limit <- Seq(4096, 1)) {
+      val got = inv.bm25Batch(qt, 10, broadcastLimit = limit)
+        .as[(Long, Long, Double)].collect().toSeq
+      for (q <- Seq(100L, 200L))
+        assert(got.filter(_._1 == q).map(t => (t._2, t._3))
+          .sortBy(t => (-t._2, t._1)) === expect, s"tier limit=$limit query=$q")
+      // the query frame is never driver-collected in either tier: the
+      // one-evaluation pinned frame appears as an InMemoryTableScan,
+      // never as a collected LocalTableScan relation
+      val plan = inv.bm25Batch(qt, 10, broadcastLimit = limit)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("LocalTableScan"),
+        s"no driver-collected query rows (tier limit=$limit):\n$plan")
+    }
+  }
+
+  test("the declared batch query never funnels the driver: no collected relation in the full plan") {
+    // r15 verdict #7's done-criterion: both arms AND the fusion of a
+    // 10k-probe-row / 5k-term-row batch stay executor-side — the only
+    // driver-held state is the O(nlist) cell IN-list and the distinct
+    // term set, neither of which appears as a LocalTableScan
+    val plan = SparkEntry.queries("hybrid_batch_rrf")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("LocalTableScan"),
+      s"batch hybrid must not collect any frame to the driver:\n$plan")
+    assert(plan.contains("In(cell"),
+      "the vector arm's cell IN pushdown must survive the batch path")
+  }
+
   test("the declared query returns k fused rows led by both-arm docs") {
     val out = SparkEntry.queries("hybrid_search_rrf")(spark, sf)
       .as[(Long, Option[Int], Option[Int], Double)].collect().toSeq
