@@ -842,19 +842,17 @@ object ScaleRehearsal {
         emit(s"ivf_batch_probe_x$reps", f, ne, nq, batchHits, tBatch)
       }
       // the COMPOSITION's batch probe through the same threshold
-      // machinery: each probe row carries its m×codes ADC table — the
-      // heaviest executor-side payload in the engine and the exact
+      // machinery: each query carries an m×codes ADC table — the
+      // heaviest per-query payload in the engine and the exact
       // driver-OOM hazard the r14 ADVICE named — so a corpus-sized batch
       // (|queries| = n, probe rows = n·nprobe >> the broadcast limit at
       // both factors) exercises the cached-frame shuffle join end to
       // end: ADC scoring, shortlist window, distributed exact re-rank.
-      // SINGLE-JVM SIZING: at the 10× era the cached probe frame is
-      // n·nprobe·16 KB (~2.6 GB) and its columnar cache builders buffer
-      // up to 10k rows per batch per task — memory a cluster spreads
-      // across executors lands in ONE local JVM here, so this family
-      // needs SPARK_DRIVER_MEM >= 16g (the default 8 g heap OOMs in the
-      // cache build, measured; the engine-side fix — the narrow cell
-      // join that keeps the table out of the join sort — is already in).
+      // r16: the probe frame now carries EMBEDDINGS (n·nprobe·~600 B);
+      // the 16 KB tables are computed once per query streaming into the
+      // shuffle-hash attach build and never persisted or shuffled — the
+      // r15-era 16g single-JVM sizing note (a 2.6 GB cached table frame
+      // at 10×) no longer applies; the default 8 g heap fits.
       val pqBatch = emb.select(
         (lit(1000000000000000L) + col("vec_id")).as("vec_id"),
         col("embedding"))
@@ -1152,6 +1150,46 @@ object ScaleRehearsal {
         graft.operators.HybridSearch.rrf2(tArm, vArm, k = 20).count()
       }
       emit("hybrid_rrf_ivfpq", f, nd, ivfpqArmCand, nFusedPq, tHybridPq)
+
+      // ---- BATCH hybrid (hybrid_batch_rrf, r16 — r15 verdict #7):
+      // both arms and the fusion batch-shaped for |queries| = n·reps.
+      // The vector arm rides the auto-sized store's distributed probe
+      // (probe rows >> the broadcast limit at every setting); the text
+      // arm is the per-query BM25 with the SALTED term join — term keys
+      // are low-cardinality, so the unsalted join measured 223 s on two
+      // tasks for the 10k-query declared batch. Two claims: cost LINEAR
+      // in |queries| (x1 vs x4 at factor 1), and per-query cost ~FLAT
+      // across the 1x/10x corpus — the text arm's work is posting-
+      // length-bound, not corpus-bound (the probed terms live only in
+      // the unshifted replica, so their postings do NOT grow with the
+      // corpus and the pruned scan never reads the rest), and the
+      // vector arm's candidates/query track nprobe·cellBudget. Every
+      // query must fuse exactly k rows — require()d. The x4 batch runs
+      // at factor 1 only (the x-scaling claim needs one factor; at 10x
+      // the x1 row already measures 10x the queries).
+      val hybridReps = if (f == 1) Seq(1, 4) else Seq(1)
+      hybridReps.foreach { reps =>
+        val nq = ne * reps
+        val hq = (0 until reps).map { r =>
+          emb.select(
+            (lit(2000000000000000L) + col("vec_id") * reps + lit(r.toLong))
+              .as("vec_id"),
+            col("embedding"))
+        }.reduce(_ unionAll _)
+        val (nFusedBatch, tHybridBatch) = timed {
+          val qt = hq.select(col("vec_id").as("query_id"))
+            .withColumn("term", explode(array(lit("dup"), lit("vector"))))
+          val tArm = graft.operators.HybridSearch.rankArmBatch(
+            invIdx.bm25Batch(qt, 30), col("score"), "r_text")
+          val vArm = batchIdx.topK(emb, hq, 30, nprobe = batchNprobe)
+            .select(col("query_id"), col("neighbor_id").as("doc_id"),
+              col("rank").as("r_vec"))
+          graft.operators.HybridSearch.rrf2Batch(tArm, vArm, k = 20).count()
+        }
+        require(nFusedBatch == nq * 20,
+          s"batch hybrid must fuse k rows per query: $nFusedBatch of ${nq * 20}")
+        emit(s"hybrid_batch_x$reps", f, nq, 60L * nq, nFusedBatch, tHybridBatch)
+      }
 
       // one factor's materializations must not contaminate the next
       // factor's timings — same per-run hygiene as Bench
