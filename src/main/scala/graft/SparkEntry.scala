@@ -42,8 +42,8 @@ object SparkEntry {
     * store a query mutates must stay query-private in a fresh scratch
     * root per execution (the r15 `ivfpq_maintain` lesson).
     */
-  private def persistentFixtureDir(s: SparkSession, name: String,
-                                   dataDir: String)(build: String => Unit): String =
+  private[graft] def persistentFixtureDir(s: SparkSession, name: String,
+                                          dataDir: String)(build: String => Unit): String =
     IndexCache.getOrBuild(s, s"fleetfix|$name|$dataDir") {
       val root = new java.io.File(
         s"target/graft-fixtures/$name-${IndexCache.dataVersion(s, dataDir)}")

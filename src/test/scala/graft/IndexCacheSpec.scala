@@ -86,4 +86,58 @@ class IndexCacheSpec extends SparkSuite {
     assert(second == first)
     assert(first.nonEmpty) // delta near-dups doc 1
   }
+
+  test("persistent fixtures: marker commits the build, a crashed partial is wiped, a committed root is reopened") {
+    // the cross-session fixture root (r15 verdict #6): fleet_report's
+    // read-only stores survive session restarts under target/, but ONLY
+    // a _FIXTURE_DONE-marked root may be reopened — a build that crashed
+    // after some ledger commits is a multi-commit SCRIPT's intermediate
+    // state, not the declared fixture, and must be wiped and rebuilt
+    val uid = java.util.UUID.randomUUID().toString.take(8)
+    val ver = IndexCache.dataVersion(spark, sf)
+    def root(name: String) = new java.io.File(s"target/graft-fixtures/$name-$ver")
+    try {
+      // fresh build: marker written only after the builder completes
+      var builds = 0
+      val a = SparkEntry.persistentFixtureDir(spark, s"spec-fix-a-$uid", sf) {
+        p => builds += 1; java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(p, "payload"), "v1")
+      }
+      assert(builds === 1 && new java.io.File(a, "_FIXTURE_DONE").exists())
+      // same session: the resolved path is memoized — no second build
+      SparkEntry.persistentFixtureDir(spark, s"spec-fix-a-$uid", sf)(_ =>
+        builds += 1)
+      assert(builds === 1)
+
+      // crashed partial (dir exists, NO marker, stale sentinel): the
+      // builder must run and the sentinel must be gone afterwards
+      val b = root(s"spec-fix-b-$uid")
+      b.mkdirs()
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(b.getPath, "stale"), "junk")
+      val bp = SparkEntry.persistentFixtureDir(spark, s"spec-fix-b-$uid", sf) {
+        p => java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(p, "payload"), "v1")
+      }
+      assert(!new java.io.File(bp, "stale").exists(),
+        "a marker-less partial build must be wiped, never reopened")
+      assert(new java.io.File(bp, "payload").exists())
+
+      // committed root (marker present): reopened as-is, builder not run
+      val c = root(s"spec-fix-c-$uid")
+      c.mkdirs()
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(c.getPath, "payload"), "committed")
+      new java.io.File(c, "_FIXTURE_DONE").createNewFile()
+      val cp = SparkEntry.persistentFixtureDir(spark, s"spec-fix-c-$uid", sf)(
+        _ => fail("a committed fixture root must be reopened, not rebuilt"))
+      assert(java.nio.file.Files.readString(
+        java.nio.file.Paths.get(cp, "payload")) === "committed")
+    } finally Seq("a", "b", "c").foreach { n =>
+      val d = root(s"spec-fix-$n-$uid")
+      if (d.exists()) {
+        d.listFiles().foreach(_.delete()); d.delete()
+      }
+    }
+  }
 }
