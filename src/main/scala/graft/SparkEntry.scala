@@ -1977,9 +1977,11 @@ object SparkEntry {
     // the fusion is a per-query (query_id, doc_id) join + window —
     // nothing global-sorts and nothing funnels the driver at any batch
     // size. Every replica carries its base's OWN embedding (the vector
-    // lists differ per base) while the keyword query is the declared
-    // two-term one for every replica, so the oracle replays the text
-    // arm once, the vector arm once per base, fuses per base, and
+    // lists differ per base) AND its base's own keyword query — even
+    // bases ask (dup, vector), odd bases (dup, stream) — so the
+    // (query_id, term) join is semantically load-bearing, not a
+    // replicated constant. The oracle replays each text variant once,
+    // the vector arm once per base, fuses per base by parity, and
     // expands — any per-replica divergence in either batch arm is a
     // hash mismatch. Replication is 5x (not sim_ivf_batch's 21x): the
     // high-df fixture terms make text-arm work = |queries| × df, and
@@ -2001,8 +2003,14 @@ object SparkEntry {
       val vecArm = idx.topK(emb, queries, 30, nprobe = 4)
         .select(col("query_id"), col("neighbor_id").as("doc_id"),
           col("rank").as("r_vec"))
+      // per-base term sets: base = (query_id - 1e6) / 5, replicas of one
+      // base share their base's query (the expansion identity the oracle
+      // relies on), different bases genuinely differ
       val qt = queries.select(col("vec_id").as("query_id"))
-        .withColumn("term", explode(array(lit("dup"), lit("vector"))))
+        .withColumn("term", explode(
+          when(pmod(floor((col("query_id") - 1000000L) / 5), lit(2)) === 0,
+            array(lit("dup"), lit("vector")))
+          .otherwise(array(lit("dup"), lit("stream")))))
       val textArm = graft.operators.HybridSearch.rankArmBatch(
         fullInvIndex(s, dir).bm25Batch(qt, 30), col("score"), "r_text")
       graft.operators.HybridSearch.rrf2Batch(textArm, vecArm, k = 20)
@@ -6801,14 +6809,15 @@ object SparkEntry {
          |SELECT doc_id, r_text, r_vec, rrf FROM f
          |ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin,
 
-    // the BATCH hybrid's replay (r15 verdict #7): the text arm once
-    // (every replica declares the same two-term keyword query — same
-    // integer-micro-unit BM25 CTEs as text_bm25/hybrid_search_rrf), the
-    // vector arm once per BASE vector (the persisted ivf-batch store's
-    // probe arithmetic, rank <= 30, NO self-exclusion — query ids live
-    // in the disjoint replicated space), the rank-only fusion per base
-    // with the engine's fixed text+vector addition order, then the 21x
-    // expansion to the replicated query-id space. Any per-replica
+    // the BATCH hybrid's replay (r15 verdict #7): each text-arm VARIANT
+    // once — even bases declare (dup, vector), odd bases (dup, stream),
+    // same integer-micro-unit BM25 CTEs as text_bm25/hybrid_search_rrf,
+    // duplicated per term set — the vector arm once per BASE vector
+    // (the persisted ivf-batch store's probe arithmetic, rank <= 30, NO
+    // self-exclusion — query ids live in the disjoint replicated
+    // space), the rank-only fusion per base joined to its parity's text
+    // list with the engine's fixed text+vector addition order, then the
+    // 5x expansion to the replicated query-id space. Any per-replica
     // divergence in either batch arm or the fusion is a hash mismatch.
     "hybrid_batch_rrf" ->
       s"""WITH tok AS (
@@ -6835,6 +6844,23 @@ object SparkEntry {
          |  SELECT doc_id, CAST(row_number() OVER (
          |    ORDER BY round(su / 1000000.0, 4) DESC, doc_id) AS INT) AS r_text
          |  FROM ttop),
+         |tfB AS (
+         |  SELECT doc_id, term, count(*) AS tf, any_value(doc_len) AS doc_len
+         |  FROM toks WHERE term IN ('dup', 'stream') GROUP BY 1, 2),
+         |dfreqB AS (SELECT term, count(*) AS df FROM tfB GROUP BY 1),
+         |tscoredB AS (
+         |  SELECT tfB.doc_id,
+         |    sum(CAST(floor(ln(1.0 + (meta.n - dfreqB.df + 0.5) / (dfreqB.df + 0.5)) *
+         |        ((tfB.tf * 2.2) /
+         |         (tfB.tf + 1.2 * (0.25 + 0.75 * (tfB.doc_len / meta.avgdl)))) *
+         |        1000000.0 + 0.5) AS BIGINT)) AS su
+         |  FROM tfB JOIN dfreqB ON tfB.term = dfreqB.term CROSS JOIN meta
+         |  GROUP BY 1),
+         |ttopB AS (SELECT doc_id, su FROM tscoredB ORDER BY su DESC, doc_id LIMIT 30),
+         |tarmB AS (
+         |  SELECT doc_id, CAST(row_number() OVER (
+         |    ORDER BY round(su / 1000000.0, 4) DESC, doc_id) AS INT) AS r_text
+         |  FROM ttopB),
          |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          |vseeds AS (SELECT vec_id AS cell_id, v AS cv FROM e
          |  WHERE vec_id % 50 != 0 ORDER BY vec_id LIMIT 16),
@@ -6860,7 +6886,12 @@ object SparkEntry {
          |    FROM vassign a JOIN vprobes p ON a.cell_id = p.cell_id)
          |  WHERE r_vec <= 30),
          |bases AS (SELECT DISTINCT vec_id AS qbase FROM e),
-         |texp AS (SELECT b.qbase, t.doc_id, t.r_text FROM bases b CROSS JOIN tarm t),
+         |texp AS (
+         |  SELECT b.qbase, t.doc_id, t.r_text
+         |  FROM bases b JOIN tarm t ON b.qbase % 2 = 0
+         |  UNION ALL
+         |  SELECT b.qbase, t.doc_id, t.r_text
+         |  FROM bases b JOIN tarmB t ON b.qbase % 2 = 1),
          |f AS (
          |  SELECT coalesce(tx.qbase, v.qbase) AS qbase,
          |    coalesce(tx.doc_id, v.doc_id) AS doc_id, tx.r_text, v.r_vec,

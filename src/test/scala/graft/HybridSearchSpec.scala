@@ -78,6 +78,18 @@ class HybridSearchSpec extends SparkSuite {
       assert(!plan.contains("LocalTableScan"),
         s"no driver-collected query rows (tier limit=$limit):\n$plan")
     }
+    // the vocabulary-overflow degradation (termPushdownLimit exceeded):
+    // the distinct-term collect is bounded by a LIMIT, the posting scan
+    // loses its IN pushdown, and the term join alone must still restrict
+    // to the same per-query lists
+    val noPush = inv.bm25Batch(qt, 10, termPushdownLimit = 1)
+      .as[(Long, Long, Double)].collect().toSeq
+    for (q <- Seq(100L, 200L))
+      assert(noPush.filter(_._1 == q).map(t => (t._2, t._3))
+        .sortBy(t => (-t._2, t._1)) === expect, "no-pushdown tier")
+    assert(!inv.bm25Batch(qt, 10, termPushdownLimit = 1)
+      .queryExecution.executedPlan.toString.contains("In(term"),
+      "above the term limit the scan must carry no IN list")
   }
 
   test("the declared batch query never funnels the driver: no collected relation in the full plan") {
