@@ -70,14 +70,20 @@ import org.apache.spark.sql.SparkSession
 object Bench {
 
   /** Self-adjudication trigger predicate — pure and static so a spec can
-    * replay committed bench files against it. Three triggers:
+    * replay committed bench files against it. Four triggers:
     * (A) in-suite warm>cold inversion; (B) cross-round WARM regression,
     * cost-weighted and monotone (2x for prior warm >= 1 s normalized,
     * 1.5x + 0.15 s floor for sub-second rows — r14 verdict #3 /
     * r15 ADVICE);
     * (C) cross-round COLD regression, same cost weighting (r11 verdict #4:
     * corpus_clean_incr's 172 s cold — 20x its r10 cold — sailed past both
-    * warm-keyed triggers because nothing looked at cold-vs-prior-cold).
+    * warm-keyed triggers because nothing looked at cold-vs-prior-cold);
+    * (D) a NEW query — present in this run, absent from a non-empty prior
+    * file — readjudicates unconditionally once if it costs over the 0.3 s
+    * jitter floor (r16: sim_ivfpq_batch's first committed in-suite warm
+    * was 22.9 s against a 12.7 s solo median, and no prior-keyed trigger
+    * COULD fire on a row with no prior — the first committed number of
+    * any query deserves one solo block).
     * Streams stay excluded: their median-of-3+ protocol absorbs the
     * state-store setup noise that would otherwise fire (A) every round.
     */
@@ -85,8 +91,9 @@ object Bench {
       isStream: Boolean, hasErr: Boolean, noWarm: Boolean,
       cold: Double, warmStat: Double,
       priorWarm: Option[Double], priorCold: Option[Double],
-      calibRatio: Double): Boolean = {
+      calibRatio: Double, newQuery: Boolean = false): Boolean = {
     if (isStream || hasErr || noWarm) false
+    else if (newQuery && warmStat > 0.3) true
     else {
       def regressed(now: Double, prior: Option[Double]): Boolean =
         prior.exists { p =>
@@ -394,7 +401,8 @@ object Bench {
     val perQuery = results.filter { r =>
       val p = priorMap.get(r.name)
       shouldReadjudicate(r.isStream, r.err.isDefined, r.warm.isEmpty,
-        r.cold.sec, r.warmStat, p.map(_._1), p.map(_._2), calibRatio)
+        r.cold.sec, r.warmStat, p.map(_._1), p.map(_._2), calibRatio,
+        newQuery = priorMap.nonEmpty && !priorMap.contains(r.name))
     }
     // Group-level stream trigger (r12 verdict #4): the class median of
     // calib-normalized warm ratios vs the prior round decides whether the

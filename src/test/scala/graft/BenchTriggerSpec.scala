@@ -76,6 +76,20 @@ class BenchTriggerSpec extends AnyFunSuite {
       cold = 1.0, warmStat = 1.2, None, None, 1.0))
   }
 
+  test("a new query (no prior row) readjudicates once; trivial new rows and streams do not") {
+    // the r16 case: sim_ivfpq_batch's first committed in-suite warm was
+    // 22.9 s against a 12.7 s solo median, and no prior-keyed trigger
+    // could fire on a row with no prior — new queries get one solo block
+    assert(Bench.shouldReadjudicate(false, false, false,
+      cold = 17.3, warmStat = 22.9, None, None, 1.0, newQuery = true))
+    // under the jitter floor a new row is not worth a solo block
+    assert(!Bench.shouldReadjudicate(false, false, false,
+      cold = 0.4, warmStat = 0.2, None, None, 1.0, newQuery = true))
+    // a new STREAM stays with the class protocol
+    assert(!Bench.shouldReadjudicate(true, false, false,
+      cold = 5.0, warmStat = 4.0, None, None, 1.0, newQuery = true))
+  }
+
   test("streams and errored rows are excluded") {
     assert(!Bench.shouldReadjudicate(true, false, false,
       cold = 172.0, warmStat = 16.0, Some(15.0), Some(8.0), 1.0))
