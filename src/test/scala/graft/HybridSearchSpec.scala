@@ -82,10 +82,10 @@ class HybridSearchSpec extends SparkSuite {
     // the distinct-term collect is bounded by a LIMIT, the posting scan
     // loses its IN pushdown, and the term join alone must still restrict
     // to the same per-query lists
-    val noPush = inv.bm25Batch(qt, 10, termPushdownLimit = 1)
+    val unpruned = inv.bm25Batch(qt, 10, termPushdownLimit = 1)
       .as[(Long, Long, Double)].collect().toSeq
     for (q <- Seq(100L, 200L))
-      assert(noPush.filter(_._1 == q).map(t => (t._2, t._3))
+      assert(unpruned.filter(_._1 == q).map(t => (t._2, t._3))
         .sortBy(t => (-t._2, t._1)) === expect, "no-pushdown tier")
     assert(!inv.bm25Batch(qt, 10, termPushdownLimit = 1)
       .queryExecution.executedPlan.toString.contains("In(term"),
