@@ -39,7 +39,10 @@ object StageProfile {
       override def onStageCompleted(ev: SparkListenerStageCompleted): Unit = {
         val i = ev.stageInfo
         val dur = for { s <- i.submissionTime; c <- i.completionTime } yield c - s
-        rows.add((iteration, i.name, dur.getOrElse(-1L)))
+        // task count in the label: a dominant stage that runs on ONE task
+        // while the session has 32 cores is a parallelism defect the
+        // wall-clock alone cannot distinguish from an expensive stage
+        rows.add((iteration, s"[tasks=${i.numTasks}] ${i.name}", dur.getOrElse(-1L)))
       }
     })
 

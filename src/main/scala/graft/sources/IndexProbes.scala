@@ -50,9 +50,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * engine's declared queries every batch derives deterministically from
   * committed parquet, so replays within the frozen IN set are exact.
   *
-  * Cost note: the count that decides the mode is one metadata-sized job
-  * over the (already persisting) probe plan — the same job the old
-  * collect paid, minus the row transfer.
+  * Cost note: mode decision and broadcast-tier row transfer are ONE
+  * metadata-sized action (a collect through LIMIT threshold+1 over the
+  * pinned plan): the frame is broadcast-eligible iff the limit never
+  * bites, in which case the collected rows ARE the local frame; an
+  * over-threshold plan pays at most a few incremental take jobs before
+  * the distributed path takes over, all against the same single cached
+  * evaluation.
   */
 private[graft] object IndexProbes {
 
@@ -98,9 +102,19 @@ private[graft] object IndexProbes {
     // leak class the bench's post-run drain exists to catch — the pin
     // makes the engine's own end-of-query drain release it
     val cached = graft.Residue.pin(probePlan)
-    val n = cached.count()
-    if (n <= effLimit) {
-      val rows = cached.collect()
+    // ONE metadata action decides the mode AND, in the broadcast tier,
+    // already moves the rows (r17): the old count()-then-collect() paid
+    // two scheduler round-trips per probe, and the engine probes
+    // broadcast-tier stores dozens of times per maintenance sweep. A
+    // collect through LIMIT effLimit+1 returns the complete frame when
+    // it is broadcast-eligible (the limit never bites) and otherwise
+    // proves over-threshold with at most a few incremental take jobs
+    // against the pinned frame — still one evaluation per partition,
+    // since every consumer reads the same cache.
+    val probeCap = math.min(effLimit, Int.MaxValue - 2L).toInt
+    val head = cached.limit(probeCap + 1).collect()
+    if (head.length <= probeCap) {
+      val rows = head
       cached.unpersist(blocking = false)
       val local = spark.createDataFrame(
         java.util.Arrays.asList(rows: _*), probePlan.schema)
@@ -110,7 +124,29 @@ private[graft] object IndexProbes {
       // the ONLY collect above the threshold: distinct cell ids, O(nlist)
       val cells = cached.select("cell").distinct()
         .collect().map(_.getLong(0)).sorted
-      (cached, cells, false)
+      // SPREAD the frame before anything consumes it (r17, measured): a
+      // batch's probe plan typically derives from ONE narrow scan split
+      // (10^4 queries explode out of a few-hundred-row parquet file), so
+      // the cached frame materializes as ONE partition — and candidate
+      // generation inherits that partitioning through the broadcast cell
+      // join (the tiny stored side broadcasts, so the join's output
+      // partitioning IS the probe side's). The declared 42k-query batch
+      // produced and shuffle-wrote its ~21M candidate rows on a single
+      // task: one ~30 s single-threaded stage on a 32-core session
+      // (StageProfile: [tasks=1] max 31-35 s vs [tasks=32] sums ~4 s).
+      // Hash-partitioning on query_id at defaultParallelism fixes both
+      // ends at once: candidate generation fans out across the session's
+      // cores, and because query_id is exactly the distribution the
+      // downstream attach join / dedup / shortlist window require, the
+      // post-candidate exchange of the (much larger) candidate frame
+      // disappears — the only shuffled rows are the |queries|·nprobe
+      // probe rows themselves. The partition count is explicit (AQE
+      // would otherwise coalesce a 21 MB frame to one partition, which
+      // is the defect being fixed) and derives from the session, never
+      // a constant tuned to this box.
+      val spread = cached.repartition(
+        spark.sparkContext.defaultParallelism, cached("query_id"))
+      (spread, cells, false)
     }
   }
 }

@@ -87,9 +87,16 @@ class HybridSearchSpec extends SparkSuite {
     for (q <- Seq(100L, 200L))
       assert(unpruned.filter(_._1 == q).map(t => (t._2, t._3))
         .sortBy(t => (-t._2, t._1)) === expect, "no-pushdown tier")
-    assert(!inv.bm25Batch(qt, 10, termPushdownLimit = 1)
-      .queryExecution.executedPlan.toString.contains("In(term"),
+    val overflowPlan = inv.bm25Batch(qt, 10, termPushdownLimit = 1)
+      .queryExecution.executedPlan.toString
+    assert(!overflowPlan.contains("In(term"),
       "above the term limit the scan must carry no IN list")
+    // r16 verdict #1: the overflow tier must prune the postings
+    // EXECUTOR-SIDE — a left-semi join against the batch's distinct
+    // terms — so the df aggregate and the salted replication stay
+    // query-term-sized instead of vocabulary/corpus-sized
+    assert(overflowPlan.contains("LeftSemi"),
+      s"overflow tier must semi-join-prune the posting scan:\n$overflowPlan")
   }
 
   test("the declared batch query never funnels the driver: no collected relation in the full plan") {
