@@ -109,9 +109,60 @@ object Fleet {
                   maxLag: Long, maxFragments: Int): DataFrame = {
     require(maxLag >= 0 && maxFragments >= 1)
     import spark.implicits._
-    entries.map { e =>
-      val before = signals(e.store, maxLag, maxFragments)
-      val serving = if (before.due) e.act() else e.store
+    // Decision pass first: every entry's BEFORE row is an O(1) ledger
+    // read taken before ANY action runs — for independent stores (the
+    // manifest contract: one entry per store root) this reads the same
+    // ledger state the old interleaved walk saw, in the same
+    // stale-but-safe direction.
+    val befores = entries.map(e => signals(e.store, maxLag, maxFragments))
+    // Due actions OVERLAP (r16 verdict #4): each store's maintenance is
+    // a chain of small Spark jobs (drift pass, ground-truth scan, one
+    // probe per swept setting) whose stage tails leave most of the
+    // session idle — running them serially on the driver thread
+    // serialized exactly the shape the engine's own FAIR fan-out (S11)
+    // exists for. Each due store gets its own driver thread pinned to
+    // its own FAIR pool (pool = store name under "fleet-", thread-local
+    // property, reset in finally — the ParallelReports discipline), so
+    // one store's stragglers back-fill with the next store's stages.
+    // Failures propagate after cancelling the siblings' in-flight jobs.
+    val due = entries.zipWithIndex.zip(befores).collect {
+      case ((e, i), b) if b.due => (i, e)
+    }
+    val served: Map[Int, MaintainedStore] =
+      if (due.isEmpty) Map.empty
+      else {
+        val executor =
+          java.util.concurrent.Executors.newFixedThreadPool(due.size)
+        implicit val ec: scala.concurrent.ExecutionContext =
+          scala.concurrent.ExecutionContext.fromExecutor(executor)
+        val sc = spark.sparkContext
+        val groupId = "graft-fleet-" + java.util.UUID.randomUUID()
+        try {
+          val futures = due.map { case (i, e) =>
+            scala.concurrent.Future {
+              sc.setLocalProperty("spark.scheduler.pool", s"fleet-${e.name}")
+              sc.setJobGroup(groupId, s"fleet maintain ${e.name}",
+                interruptOnCancel = true)
+              try i -> e.act()
+              finally {
+                sc.clearJobGroup()
+                sc.setLocalProperty("spark.scheduler.pool", null)
+              }
+            }
+          }
+          try scala.concurrent.Await.result(
+            scala.concurrent.Future.sequence(futures),
+            scala.concurrent.duration.Duration.Inf).toMap
+          catch {
+            case t: Throwable =>
+              sc.cancelJobGroup(groupId)
+              executor.shutdownNow()
+              throw t
+          }
+        } finally executor.shutdown()
+      }
+    entries.zipWithIndex.zip(befores).map { case ((e, i), before) =>
+      val serving = served.getOrElse(i, e.store)
       val after = signals(serving, maxLag, maxFragments)
       (e.name, before.kind, before.due,
         before.lag, after.lag, before.fragments, after.fragments,

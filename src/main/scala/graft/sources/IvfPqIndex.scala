@@ -65,13 +65,21 @@ final class IvfPqIndex(spark: SparkSession, dir: String,
     Seq("nlist", "m", "codes")
       .flatMap(k => store.get(s"param.$k", ctx).map(k -> _)).toMap
 
-  private def seeds: Seq[(Long, Seq[Float])] = spark.read.parquet(seedsDir)
+  // Both frozen structures are MEMOIZED per index handle (r17): seeds and
+  // codebooks never change for a committed dir (retraining is a rebuild
+  // into a fresh root — [[reseedInto]]), so one driver read each serves
+  // every probe; the old per-call re-read paid two scheduler round-trips
+  // per structure on EVERY topK/driftReport/sweep call, and a maintenance
+  // sweep makes half a dozen of those. `lazy` keeps pre-bootstrap reads
+  // failing (and not cached), so the first post-bootstrap read is served
+  // from the committed parquet.
+  private lazy val seeds: Seq[(Long, Seq[Float])] = spark.read.parquet(seedsDir)
     .select(col("cell_id"), col("embedding"))
     .collect().toSeq
     .map(r => (r.getLong(0), r.getSeq[Float](1)))
     .sortBy(_._1)
 
-  private def books: Map[(Int, Int), Seq[Float]] = spark.read.parquet(booksDir)
+  private lazy val books: Map[(Int, Int), Seq[Float]] = spark.read.parquet(booksDir)
     .select(col("sub"), col("code"), col("w"))
     .collect().toSeq
     .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Float](2))
@@ -332,7 +340,12 @@ final class IvfPqIndex(spark: SparkSession, dir: String,
         .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
     val exact = sets(Similarity.bruteForceTopK(corpus, queries, k))
     require(exact.nonEmpty, "no queries to validate against")
-    val memo = scala.collection.mutable.Map[(Int, Int), Double]()
+    // thread-safe memo: phase settings probe CONCURRENTLY (r17,
+    // [[SweepFanout]]) — each is an independent metadata-collect probe of
+    // the frozen index, so the serial loop only serialized idle stage
+    // tails; the memo still guarantees one evaluation per setting and
+    // phase-2 still reuses phase-1's widest-shortlist row
+    val memo = scala.collection.concurrent.TrieMap[(Int, Int), Double]()
     // decisions are made on the REPORTED (4-digit) recall, so the emitted
     // rows fully determine the choice — replayable by an external oracle
     def recallAt(nprobe: Int, shortlist: Int): Double =
@@ -343,6 +356,7 @@ final class IvfPqIndex(spark: SparkSession, dir: String,
         }.sum / exact.size
         math.rint(r * 10000) / 10000
       })
+    SweepFanout.foreach(np)(p => { recallAt(p, sl.last); () })
     val phase1 = np.map(p => (p, sl.last, recallAt(p, sl.last)))
     val p1Cleared = phase1.exists(_._3 >= recallFloor)
     val chosenNp = phase1.find(_._3 >= recallFloor).map(_._1).getOrElse(np.last)
@@ -350,6 +364,9 @@ final class IvfPqIndex(spark: SparkSession, dir: String,
     // shortlists cannot clear either — skip their probes (each is a full
     // store scan job) and emit only the already-memoized widest row,
     // which is the chosen-with-floor_cleared=false reseed signal
+    if (p1Cleared)
+      SweepFanout.foreach(sl.filterNot(s => memo.contains((chosenNp, s))))(
+        s => { recallAt(chosenNp, s); () })
     val phase2 =
       if (p1Cleared) sl.map(s => (chosenNp, s, recallAt(chosenNp, s)))
       else Seq((chosenNp, sl.last, recallAt(chosenNp, sl.last)))

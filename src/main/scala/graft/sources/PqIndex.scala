@@ -67,9 +67,14 @@ final class PqIndex(spark: SparkSession, dir: String,
     Seq("m", "codes").flatMap(k => store.get(s"param.$k", ctx).map(k -> _)).toMap
 
   /** The frozen codebooks, collected as O(m·codes·Dim/m) driver
-    * metadata — the seed-table read, never data-sized.
+    * metadata — the seed-table read, never data-sized. MEMOIZED per
+    * index handle (r17, the [[IvfPqIndex]] rule): codebooks are frozen
+    * at bootstrap (retraining is a rebuild into a fresh dir), so one
+    * driver read serves every later probe instead of two scheduler
+    * round-trips per call; `lazy` keeps pre-bootstrap reads failing
+    * un-cached.
     */
-  private def books: Map[(Int, Int), Seq[Float]] = spark.read.parquet(booksDir)
+  private lazy val books: Map[(Int, Int), Seq[Float]] = spark.read.parquet(booksDir)
     .select(col("sub"), col("code"), col("w"))
     .collect().toSeq
     .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Float](2))
