@@ -39,5 +39,13 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 16g default (r17): the bench's own post-drain heap telemetry shows
+  // the 207-query suite peaking at 6.7 GB live of the old 8 GB ceiling
+  // (pagerank 6.8g, hybrid_batch_rrf 6.4g), and heavy rows ran 1.5-2x
+  // their solo medians in-suite from GC pressure alone (sim_ivfpq_batch
+  // 22.9 s in-suite vs 12.7 s solo, r16; same class again this round).
+  // The sandbox has 128 GiB; a 32-core local session doing 20M-row
+  // window sorts deserves more than 8. Still env-overridable — the
+  // scale-rehearsal mains pin their own value via SPARK_DRIVER_MEM.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )

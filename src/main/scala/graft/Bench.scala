@@ -84,15 +84,37 @@ object Bench {
     * was 22.9 s against a 12.7 s solo median, and no prior-keyed trigger
     * COULD fire on a row with no prior — the first committed number of
     * any query deserves one solo block).
-    * Streams stay excluded: their median-of-3+ protocol absorbs the
-    * state-store setup noise that would otherwise fire (A) every round.
+    * Streams have their own tier (r16 verdict #2): the inversion trigger
+    * (A) stays off — their median-of-3+ protocol absorbs the state-store
+    * setup noise that would fire it every round — but the cross-round
+    * WARM compare (B) applies with the same monotone factors, because
+    * that protocol is blind to genuine round-over-round regressions (the
+    * r16 driver window read stream_pattern at 5.8x its prior and no
+    * trigger COULD examine it).
     */
   private[graft] def shouldReadjudicate(
       isStream: Boolean, hasErr: Boolean, noWarm: Boolean,
       cold: Double, warmStat: Double,
       priorWarm: Option[Double], priorCold: Option[Double],
       calibRatio: Double, newQuery: Boolean = false): Boolean = {
-    if (isStream || hasErr || noWarm) false
+    if (hasErr || noWarm) false
+    else if (isStream) {
+      // STREAM tier (r16 verdict #2): streams were excluded from every
+      // per-query trigger, so a genuine cross-round stream regression
+      // (the driver window's stream_pattern at 5.8x its prior) could
+      // never be examined by machinery. Their median-of-3+ protocol
+      // absorbs IN-SUITE state-store setup noise, so the inversion
+      // trigger stays off — but the CROSS-ROUND compare of committed
+      // medians uses the same monotone cost-weighted factors as batch
+      // rows, re-adjudicating via one solo median-of-3 block. Cold stays
+      // untriggered for streams (cold includes one-time checkpoint-dir
+      // setup, the noise class the median protocol exists to absorb).
+      priorWarm.exists { p =>
+        val pn = p * calibRatio
+        val (factor, floor) = if (pn >= 1.0) (2.0, 0.3) else (1.5, 0.15)
+        !p.isNaN && p > 0 && warmStat > factor * pn && warmStat - pn > floor
+      }
+    }
     else if (newQuery && warmStat > 0.3) true
     else {
       def regressed(now: Double, prior: Option[Double]): Boolean =
@@ -214,7 +236,8 @@ object Bench {
     * class of leak, so now every run names its leaker immediately.
     */
   private final case class Run(sec: Double, err: Option[String],
-                               leaks: Seq[String], heapMb: Long, storageMb: Long)
+                               leaks: Seq[String], heapMb: Long, storageMb: Long,
+                               gcSec: Double, spillMb: Long)
 
   /** Per-query aggregate over cold + warm runs. */
   private final case class QueryResult(name: String, cold: Run, warm: Seq[Run],
@@ -315,7 +338,29 @@ object Bench {
     }
     val calibSec = calibrate()
 
+    // Memory-pressure telemetry (r16 verdict #3): per-run task-summed GC
+    // time and spill bytes, from the task-end listener. Two same-tree r16
+    // windows disagreed 15-70% on heavy rows and the CPU-only calibration
+    // kernel cannot tell bandwidth/GC load from plan drift — the gc/spill
+    // series lets a reader (and the memory_pressure flag on solo blocks)
+    // adjudicate that class from the file instead of burning a solo
+    // re-run. Listener-bus delivery is async, so a run's tail events can
+    // attribute to the next run — this is telemetry, never a timing input.
+    val gcAcc = new java.util.concurrent.atomic.AtomicLong()    // ms
+    val spillAcc = new java.util.concurrent.atomic.AtomicLong() // bytes
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = e.taskMetrics
+        if (m != null) {
+          gcAcc.addAndGet(m.jvmGCTime)
+          spillAcc.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
+        }
+      }
+    })
+
     def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Run = {
+      val gc0 = gcAcc.get(); val spill0 = spillAcc.get()
       val t0 = System.nanoTime()
       val err =
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); None }
@@ -335,7 +380,8 @@ object Bench {
       // cross-round warm>cold inversion can be adjudicated from the file
       // (pressure climbing query-over-query) instead of by re-running.
       val (heapMb, storageMb) = Residue.pressure(spark)
-      Run(sec, err, leaks, heapMb, storageMb)
+      Run(sec, err, leaks, heapMb, storageMb,
+        (gcAcc.get() - gc0) / 1000.0, (spillAcc.get() - spill0) >> 20)
     }
 
     val results: Seq[QueryResult] = SparkEntry.queries.toSeq
@@ -416,8 +462,11 @@ object Bench {
           .map(p => r.warmStat / (p * calibRatio))
       }
     val streamGroup = streamGroupRegressed(streamRatios)
-    val toReadjudicate = perQuery ++
-      (if (streamGroup) results.filter(r => r.isStream && r.err.isEmpty) else Nil)
+    // distinct: a stream row can now fire BOTH its per-query cross-round
+    // trigger (r16 verdict #2) and the group tier — one solo block each
+    val toReadjudicate = (perQuery ++
+      (if (streamGroup) results.filter(r => r.isStream && r.err.isEmpty) else Nil))
+      .distinctBy(_.name)
     // Calib is re-measured BEFORE the solo phase and AFTER every block
     // (r12 verdict #3): the r12 driver's corpus_clean_incr solo block
     // landed entirely inside a bad host window, and with calib only
@@ -467,6 +516,17 @@ object Bench {
         Some("\"cold\":" + jnum(r.cold.sec)),
         Some("\"warm\":" + jnum(r.warmStat)),
         Some("\"runs\":" + r.warm.map(w => jnum(w.sec)).mkString("[", ",", "]")),
+        // memory-pressure telemetry (r16 verdict #3): per-run task-summed
+        // GC seconds (cold first, then the warm runs, parallel to `runs`)
+        // and spilled MB when any run spilled — the signal that separates
+        // "the host was under memory pressure" from "the plan drifted"
+        // without a solo re-run
+        Some("\"gc_cold\":" + jnum(r.cold.gcSec) +
+          ",\"gc_runs\":" + r.warm.map(w => jnum(w.gcSec)).mkString("[", ",", "]")),
+        {
+          val spill = r.cold.spillMb + r.warm.map(_.spillMb).sum
+          if (spill > 0) Some("\"spill_mb\":" + spill) else None
+        },
         r.err.map(e => "\"err\":" + jstr(e) + ",\"failed_runs\":" + r.failedRuns),
         if (r.leaks.nonEmpty)
           Some("\"leaks\":" + r.leaks.map(jstr).mkString("[", ",", "]"))
@@ -492,6 +552,21 @@ object Bench {
             // auditable (and auto-flagged) from the block alone
             ",\"calib_sec\":" + jnum(cb) +
             ",\"calib_sec_after\":" + jnum(ca) +
+            // solo-block GC series, parallel to runs (r16 verdict #3)
+            ",\"gc_runs\":" + w.map(x =>
+              if (x.err.isEmpty) jnum(x.gcSec) else "null").mkString("[", ",", "]") +
+            // memory_pressure: the in-suite number exceeded the solo one
+            // and MOST of that delta is GC time the solo block did not
+            // pay — the loaded-window class (sim_ivf_batch 38.5 s
+            // in-suite vs 6.9 s solo, r16) named from the file itself
+            (if (ok.nonEmpty && {
+              val soloMed = medianOf(ok)
+              val soloGc = medianOf(w.filter(_.err.isEmpty).map(_.gcSec))
+              val bestWarm = (r.warm.filter(_.err.isEmpty) :+ r.cold)
+                .minBy(_.sec)
+              r.warmStat > soloMed &&
+                (bestWarm.gcSec - soloGc) > 0.5 * (r.warmStat - soloMed)
+            }) ",\"memory_pressure\":true" else "") +
             // suspect: the solo median is WORSE than in-suite beyond the
             // measured drift — flagged and NOT folded into
             // value_adjudicated (the in-suite number stands)

@@ -42,19 +42,63 @@ object SparkEntry {
     * store a query mutates must stay query-private in a fresh scratch
     * root per execution (the r15 `ivfpq_maintain` lesson).
     */
+  /** Version token of the fixture BUILD RECIPE itself — bump whenever any
+    * persistent fixture's build script changes (the %50 history split,
+    * the sweep grids, the per-source append loop). Folded into the
+    * on-disk root name next to the data fingerprint (r16 ADVICE): a
+    * recipe change must re-key the fixture, or the new code silently
+    * reopens the previous commit's on-disk build and engine output
+    * diverges from the updated oracle until target/ is wiped by hand —
+    * StoreParams only catches constructor-param drift like nlist.
+    */
+  private[graft] val FixtureRecipeVersion = 1
+
   private[graft] def persistentFixtureDir(s: SparkSession, name: String,
                                           dataDir: String)(build: String => Unit): String =
-    IndexCache.getOrBuild(s, s"fleetfix|$name|$dataDir") {
+    // memoized through the VERSIONED lookup (r16 ADVICE): the key
+    // re-fingerprints dataDir on every call, so a mid-session testdata
+    // mutation recomputes the fingerprint and rebuilds instead of
+    // serving the path memoized against the old contents
+    IndexCache.getOrBuildVersioned(s,
+      s"fleetfix|$name|v$FixtureRecipeVersion|$dataDir", dataDir) {
       val root = new java.io.File(
-        s"target/graft-fixtures/$name-${IndexCache.dataVersion(s, dataDir)}")
+        s"target/graft-fixtures/$name-v$FixtureRecipeVersion-" +
+          IndexCache.dataVersion(s, dataDir))
       val done = new java.io.File(root, "_FIXTURE_DONE")
       if (!done.exists()) {
         val p = new org.apache.hadoop.fs.Path(root.getAbsolutePath)
         val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
         if (root.exists()) fs.delete(p, true) // wipe a crashed partial build
-        fs.mkdirs(p)
-        build(root.getAbsolutePath)
-        done.createNewFile()
+        // cross-process exclusion (r16 ADVICE): two concurrent JVMs that
+        // both see a missing marker each build a COMPLETE copy in a
+        // process-unique staging root, and exactly one atomic rename
+        // commits — the loser discards its staging dir and reopens the
+        // winner's build; no interleaved partial state can ever carry a
+        // marker. The marker is written (checked: Files.createFile
+        // throws on failure — r16 ADVICE, a silently-missing marker made
+        // two sessions disagree about whether the fixture exists) BEFORE
+        // the rename, so a root without one is always a crashed legacy
+        // build, never a committed one.
+        val staging = new java.io.File(root.getParentFile,
+          s"${root.getName}.build-${java.util.UUID.randomUUID()}")
+        val sp = new org.apache.hadoop.fs.Path(staging.getAbsolutePath)
+        fs.mkdirs(sp)
+        try {
+          build(staging.getAbsolutePath)
+          java.nio.file.Files.createFile(staging.toPath.resolve("_FIXTURE_DONE"))
+          try java.nio.file.Files.move(staging.toPath, root.toPath,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          catch {
+            // a racing process committed first: its complete build serves,
+            // ours is discarded
+            case _: java.nio.file.FileAlreadyExistsException |
+                _: java.nio.file.DirectoryNotEmptyException |
+                _: java.nio.file.AccessDeniedException =>
+              fs.delete(sp, true)
+          }
+        } catch {
+          case t: Throwable => fs.delete(sp, true); throw t
+        }
       }
       root.getAbsolutePath
     }

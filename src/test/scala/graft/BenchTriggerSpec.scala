@@ -90,11 +90,32 @@ class BenchTriggerSpec extends AnyFunSuite {
       cold = 5.0, warmStat = 4.0, None, None, 1.0, newQuery = true))
   }
 
-  test("streams and errored rows are excluded") {
+  test("streams without a cross-round warm regression, and errored rows, stay quiet") {
+    // a stream whose warm median sits at its prior (16 vs 15) never fires,
+    // whatever its cold does — stream cold carries checkpoint-dir setup
     assert(!Bench.shouldReadjudicate(true, false, false,
       cold = 172.0, warmStat = 16.0, Some(15.0), Some(8.0), 1.0))
     assert(!Bench.shouldReadjudicate(false, true, false,
       cold = 172.0, warmStat = 16.0, Some(15.0), Some(8.0), 1.0))
+  }
+
+  test("stream tier (r16 verdict #2): cross-round warm regression fires, inversion alone does not") {
+    // the r16 driver-window case: stream_pattern's committed median read
+    // 4.86 s against a 0.84 s prior (5.8x) and NO trigger could examine
+    // it — the per-query stream tier must fire on exactly that row
+    assert(Bench.shouldReadjudicate(true, false, false,
+      cold = 5.2, warmStat = 4.86, Some(0.84), Some(1.9), 1.0))
+    // in-suite warm>cold inversion alone stays quiet for streams: the
+    // state-store setup noise the median-of-3+ protocol absorbs would
+    // fire it every round
+    assert(!Bench.shouldReadjudicate(true, false, false,
+      cold = 1.0, warmStat = 2.0, Some(1.8), Some(1.1), 1.0))
+    // sub-second streams use the same monotone sub-second tier
+    assert(Bench.shouldReadjudicate(true, false, false,
+      cold = 1.2, warmStat = 0.9, Some(0.4), Some(1.0), 1.0))
+    // and the calib normalization applies unchanged
+    assert(!Bench.shouldReadjudicate(true, false, false,
+      cold = 10.0, warmStat = 9.7, Some(5.0), Some(9.0), 2.0))
   }
 
   test("calib normalization: a uniformly 2x-slower box does not fire") {

@@ -139,6 +139,44 @@ class FleetSpec extends SparkSuite {
     assert(b.getAs[Long]("fragments_after") === 2L)
   }
 
+  test("maintainAll overlaps due stores' actions on per-pool driver threads (r16 verdict #4)") {
+    // two fragmented text stores, both due; each action rendezvouses on a
+    // barrier BEFORE doing its compact — if maintainAll still ran actions
+    // serially the barrier would time out, so passing proves the sweeps
+    // genuinely overlap. Each action also records the FAIR pool its
+    // driver thread was pinned to.
+    val docs = Tables.documents(spark, sf).filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id"), col("text"))
+    def fragged(tag: String): InvertedIndex = {
+      val i = new InvertedIndex(spark, TempDirs.create(s"fleet-par-$tag"))
+      i.bootstrap(docs.filter(col("doc_id") < 250))
+      i.append(docs.filter(col("doc_id") >= 250))
+      i
+    }
+    val x = fragged("x"); val y = fragged("y")
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    val pools = new java.util.concurrent.ConcurrentHashMap[String, String]()
+    def act(name: String, st: InvertedIndex): () => InvertedIndex = () => {
+      pools.put(name,
+        String.valueOf(spark.sparkContext.getLocalProperty("spark.scheduler.pool")))
+      barrier.await(30, java.util.concurrent.TimeUnit.SECONDS)
+      st.compact(); st
+    }
+    val rows = Fleet.maintainAll(spark,
+        Seq(Fleet.Entry("x", x, act("x", x)), Fleet.Entry("y", y, act("y", y))),
+        maxLag = 0L, maxFragments = 1)
+      .collect().map(r => r.getAs[String]("store") -> r).toMap
+    // same before/after evidence as the serial walk
+    for (n <- Seq("x", "y")) {
+      assert(rows(n).getAs[Boolean]("maintenance_due"))
+      assert(rows(n).getAs[Long]("fragments_before") === 2L &&
+        rows(n).getAs[Long]("fragments_after") === 1L)
+      assert(!rows(n).getAs[Boolean]("due_after"))
+    }
+    // per-pool pinning: each action saw its own store-named FAIR pool
+    assert(pools.get("x") === "fleet-x" && pools.get("y") === "fleet-y")
+  }
+
   test("inverted/lsh fragment arithmetic matches the generational layout") {
     val docs = Tables.documents(spark, sf).filter(col("doc_id") % 10 === 0)
       .select(col("doc_id"), col("text"))

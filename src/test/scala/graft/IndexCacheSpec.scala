@@ -95,7 +95,11 @@ class IndexCacheSpec extends SparkSuite {
     // state, not the declared fixture, and must be wiped and rebuilt
     val uid = java.util.UUID.randomUUID().toString.take(8)
     val ver = IndexCache.dataVersion(spark, sf)
-    def root(name: String) = new java.io.File(s"target/graft-fixtures/$name-$ver")
+    // roots carry the build-RECIPE version next to the data fingerprint
+    // (r16 ADVICE): a recipe change must re-key the on-disk fixture, or
+    // the new code silently reopens the previous commit's build
+    def root(name: String) = new java.io.File(
+      s"target/graft-fixtures/$name-v${SparkEntry.FixtureRecipeVersion}-$ver")
     try {
       // fresh build: marker written only after the builder completes
       var builds = 0
@@ -133,6 +137,16 @@ class IndexCacheSpec extends SparkSuite {
         _ => fail("a committed fixture root must be reopened, not rebuilt"))
       assert(java.nio.file.Files.readString(
         java.nio.file.Paths.get(cp, "payload")) === "committed")
+
+      // staging commit (r16 ADVICE): the build runs in a process-unique
+      // staging dir that atomically renames into the final root, so no
+      // concurrent observer can ever see a marked-but-partial root; no
+      // staging residue survives a successful commit
+      val stray = Option(root(s"spec-fix-a-$uid").getParentFile.listFiles())
+        .getOrElse(Array.empty)
+        .filter(_.getName.startsWith(s"spec-fix-a-$uid"))
+        .filter(_.getName.contains(".build-"))
+      assert(stray.isEmpty, s"staging residue: ${stray.mkString(",")}")
     } finally Seq("a", "b", "c").foreach { n =>
       val d = root(s"spec-fix-$n-$uid")
       if (d.exists()) {
