@@ -131,8 +131,14 @@ object Fleet {
     val served: Map[Int, MaintainedStore] =
       if (due.isEmpty) Map.empty
       else {
-        val executor =
-          java.util.concurrent.Executors.newFixedThreadPool(due.size)
+        // pool capped at the session's parallelism (r17 verdict #4): a
+        // fleet-scale walk with hundreds of due stores must not spawn one
+        // driver thread + one concurrent job group per store — more
+        // in-flight jobs than cores only adds scheduler contention, the
+        // overlap benefit saturates at the core count. Excess due stores
+        // queue on the bounded pool and still overlap in waves.
+        val executor = java.util.concurrent.Executors.newFixedThreadPool(
+          math.min(due.size, spark.sparkContext.defaultParallelism).max(1))
         implicit val ec: scala.concurrent.ExecutionContext =
           scala.concurrent.ExecutionContext.fromExecutor(executor)
         val sc = spark.sparkContext

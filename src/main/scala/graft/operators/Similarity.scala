@@ -711,6 +711,26 @@ object Similarity {
       element_at(qtab, lit(s * codes) + element_at(codesCol, s + 1) + 1))
       .reduce(_ + _)
 
+  /** dot(q, x̂) computed DIRECTLY from the query embedding and the stored
+    * codes — bit-identical to `pqQdot(m, codes, pqQtab(...), codesCol)`
+    * by construction (same per-subspace left-fold dots, same left-assoc
+    * outer sum; spec-pinned), with no m×codes table materialized. The
+    * distributed batch probe's kernel: the per-query payload that rides
+    * the candidate attach join stays embedding-width (~0.3 KB) instead
+    * of qtab-width (~16 KB at codes=256) — r17 verdict next-round #1.
+    */
+  private[graft] def pqAdcDot(books: Map[(Int, Int), Seq[Float]],
+                              m: Int, codes: Int,
+                              emb: Column, codesCol: Column): Column = {
+    val subDim = Dim / m
+    val (flat, present, _) = flatBooks(books, m, codes, subDim)
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.functions.PqAdcDot(
+        org.apache.spark.sql.graftbridge.Bridge.expression(emb),
+        org.apache.spark.sql.graftbridge.Bridge.expression(codesCol),
+        flat, present, m, codes, subDim))
+  }
+
   def pqAdcTopK(encoded: DataFrame, corpus: DataFrame, queries: DataFrame,
                 books: Map[(Int, Int), Seq[Float]], m: Int, codes: Int,
                 k: Int, shortlist: Int): DataFrame = {

@@ -603,17 +603,21 @@ final class IvfPqIndex(spark: SparkSession, dir: String,
     * the probe frame executor-side and SPLIT it at the join: the
     * cell-key join moves only narrow (query_id, cell) rows, and the
     * per-QUERY payload attaches after candidate generation — dedup on
-    * embedding-width rows, table computed streaming into the
-    * shuffle-hash build — on the query_id partitioning the shortlist
+    * embedding-width rows, the build side embedding-width too, scoring
+    * by the DIRECT ADC kernel dot(q_s, w[s, code_s]) with no table
+    * materialized anywhere (r17 verdict #1; bit-identical to the qtab
+    * fold, spec-pinned) — on the query_id partitioning the shortlist
     * window needs anyway (no extra exchange). Carrying the table
     * through the persist/dedup/join path is the measured failure mode,
     * twice: the 10× rehearsal's 20k-query batch OOM'd a 2.6 GB join
     * sort (r15), and the 42k-query declared batch OOM'd the 2.7 GB
-    * persisted+shuffled table frame (r16). The exact re-rank's query
-    * join drops its broadcast hint in the same mode. The driver never
-    * holds more than O(nlist) cell ids (r14 verdict #1 / ADVICE: the
-    * previous full-plan collect was a driver OOM at production batch
-    * sizes).
+    * persisted+shuffled table frame (r16); computing it streaming into
+    * the shuffle-hash build (r16's fix) still allocated ~0.7 GB of
+    * tables per 42k-query run — the suite's measured GC driver (r17).
+    * The exact re-rank's query join drops its broadcast hint in the
+    * same mode. The driver never holds more than O(nlist) cell ids
+    * (r14 verdict #1 / ADVICE: the previous full-plan collect was a
+    * driver OOM at production batch sizes).
     */
   def topK(corpus: DataFrame, queries: DataFrame, k: Int, shortlist: Int,
            nprobe: Int,
@@ -666,7 +670,7 @@ final class IvfPqIndex(spark: SparkSession, dir: String,
           .filter(col("query_id") =!= col("vec_id"))
           .select(col("query_id"), col("vec_id").as("neighbor_id"),
             qcos.as("qcos"))
-      else
+      else {
         // DISTRIBUTED shape (r15, measured at the 10x rehearsal): the
         // cell join must NOT carry wide per-query payload — at 16 KB per
         // probe row the join's sort spills/OOMs long before the data is
@@ -675,22 +679,33 @@ final class IvfPqIndex(spark: SparkSession, dir: String,
         // (query_id, cell) — narrow rows — and the per-QUERY payload
         // attaches afterwards on the query_id partitioning the
         // shortlist window needs anyway, so the attach join adds no
-        // exchange beyond the window's own. The ADC table materializes
-        // ONLY here: dedup runs on embedding-width rows, the table is
-        // computed once per deduplicated query streaming into the
-        // shuffle-HASH build (r16: computing it upstream put 16 KB rows
-        // through the persist + dedup shuffle — 2.7 GB and an OOM at
-        // the 42k-query declared batch; a sort-merge attach would
-        // additionally sort every candidate row just to pick up its
-        // query's table).
+        // exchange beyond the window's own. In this tier NO ADC table
+        // materializes AT ALL (r17 verdict next-round #1): the attach
+        // build side carries only (query_id, qnorm, qemb) — embedding
+        // width, ~50x narrower than the m×codes table — and scoring is
+        // the direct kernel dot(q_s, w[s, code_s]), bit-identical to
+        // the qtab fold by construction (PqAdcDot; spec-pinned). The
+        // r16 shape computed the table once per deduplicated query
+        // streaming into the shuffle-HASH build, which kept it out of
+        // the persist/dedup shuffles but still allocated ~16 KB per
+        // query row in the build relation — ~0.7 GB per declared
+        // 42k-row batch, the measured driver of the suite's GC
+        // inflation on the batch rows. The direct kernel spends
+        // m·subDim fused multiply-adds per candidate pair instead of m
+        // array lookups — codegen-pipelined arithmetic traded for the
+        // table's allocation + GC, a win at any batch size.
+        val qdotDirect = Similarity.pqAdcDot(bks, m, codes,
+          col("qemb"), col("codes"))
+        val qcosDirect = when(denom === 0.0, lit(0.0))
+          .otherwise(qdotDirect / denom)
         stored.join(probes.select(col("query_id"), col("cell")), Seq("cell"))
           .filter(col("query_id") =!= col("vec_id"))
           .join(probes.select(col("query_id"), col("qnorm"), col("qemb"))
             .dropDuplicates("query_id")
-            .select(col("query_id"), col("qnorm"), qtabOf.as("qtab"))
             .hint("shuffle_hash"), Seq("query_id"))
           .select(col("query_id"), col("vec_id").as("neighbor_id"),
-            qcos.as("qcos"))
+            qcosDirect.as("qcos"))
+      }
     val shortlisted = scoredCands
       .withColumn("srank", row_number().over(wS))
       .filter(col("srank") <= shortlist)

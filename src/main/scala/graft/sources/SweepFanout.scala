@@ -17,13 +17,19 @@ package graft.sources
   * setting fails the maintenance run loudly, exactly as the serial loop
   * did.
   */
-private[sources] object SweepFanout {
+private[graft] object SweepFanout {
 
   def foreach[A](items: Seq[A])(run: A => Unit): Unit =
     if (items.sizeIs <= 1) items.foreach(run)
     else {
+      // pool capped at the session's parallelism (r17 verdict #4): a
+      // sweep grid wider than the core count gains nothing from more
+      // in-flight jobs than cores — excess settings queue and overlap in
+      // waves. `active` is the session the settings' jobs run on.
+      val cap = math.min(items.size,
+        org.apache.spark.sql.SparkSession.active.sparkContext.defaultParallelism)
       val executor =
-        java.util.concurrent.Executors.newFixedThreadPool(items.size)
+        java.util.concurrent.Executors.newFixedThreadPool(cap.max(1))
       implicit val ec: scala.concurrent.ExecutionContext =
         scala.concurrent.ExecutionContext.fromExecutor(executor)
       try scala.concurrent.Await.result(

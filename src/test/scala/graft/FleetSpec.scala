@@ -177,6 +177,36 @@ class FleetSpec extends SparkSuite {
     assert(pools.get("x") === "fleet-x" && pools.get("y") === "fleet-y")
   }
 
+  test("maintainAll and SweepFanout cap their fan-out pools at the session's parallelism (r17 verdict #4)") {
+    val par = spark.sparkContext.defaultParallelism
+    val docs = Tables.documents(spark, sf).filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id"), col("text"))
+    val store = new InvertedIndex(spark, TempDirs.create("fleet-cap"))
+    store.bootstrap(docs.filter(col("doc_id") < 250))
+    store.append(docs.filter(col("doc_id") >= 250)) // fragmented: due
+    val inflight = new java.util.concurrent.atomic.AtomicInteger()
+    val maxSeen = new java.util.concurrent.atomic.AtomicInteger()
+    def act(): InvertedIndex = {
+      val n = inflight.incrementAndGet()
+      maxSeen.updateAndGet(m => math.max(m, n))
+      Thread.sleep(150)
+      inflight.decrementAndGet()
+      store
+    }
+    // more due entries than cores: the pool must bound concurrency at the
+    // session's parallelism (excess actions queue and run in waves), never
+    // one unbounded thread + job group per due store
+    val entries = (1 to par + 2).map(i => Fleet.Entry(s"s$i", store, () => act()))
+    Fleet.maintainAll(spark, entries, maxLag = 0L, maxFragments = 1)
+    assert(maxSeen.get >= 1 && maxSeen.get <= par,
+      s"fleet fan-out ran ${maxSeen.get} actions concurrently on a $par-core session")
+    // the sweep fan-out follows the same cap discipline
+    inflight.set(0); maxSeen.set(0)
+    graft.sources.SweepFanout.foreach(1 to par + 2)(_ => { act(); () })
+    assert(maxSeen.get >= 1 && maxSeen.get <= par,
+      s"sweep fan-out ran ${maxSeen.get} settings concurrently on a $par-core session")
+  }
+
   test("inverted/lsh fragment arithmetic matches the generational layout") {
     val docs = Tables.documents(spark, sf).filter(col("doc_id") % 10 === 0)
       .select(col("doc_id"), col("text"))

@@ -76,6 +76,13 @@ class IvfPqIndexSpec extends SparkSuite {
       "no driver-collected probe rows above the broadcast limit")
     assert(plan.contains("In(cell"),
       "cell IN pushdown must survive the distributed mode")
+    // r17 verdict #1: the distributed tier must never materialize the
+    // m×codes ADC table — the attach build side stays embedding-width
+    // and scoring is the direct kernel
+    assert(plan.contains("pq_adc_dot"),
+      "distributed scoring must use the direct ADC kernel")
+    assert(!plan.contains("pq_qtab"),
+      "no per-query ADC table may materialize in the distributed tier")
   }
 
   test("payload-aware broadcast tier: wide ADC rows cap below the row limit, narrow flat-IVF rows keep it") {
