@@ -509,6 +509,28 @@ object Bench {
     }.sum
     val totalCold = results.map(_.cold.sec).sum
     val failures = results.filter(_.err.isDefined)
+    // memory-pressure attribution (r17 verdict #6): a row whose in-suite
+    // number exceeds its solo median with MOST of the delta being GC time
+    // the solo block did not pay — computed once, used by both the
+    // per-row flag and the summary's mem_pressure_rows list, so the
+    // loaded-window class (parallel_reports 20.7 s in-suite vs 4.6 s
+    // solo) is named in the LAST line the driver tails, not only in the
+    // full per-query file
+    val memPressure: Set[String] = results.flatMap { r =>
+      readjudicated.get(r.name).flatMap { case (_, w, _, _) =>
+        val ok = w.filter(_.err.isEmpty)
+        if (ok.isEmpty) None
+        else {
+          val soloMed = medianOf(ok.map(_.sec))
+          val soloGc = medianOf(ok.map(_.gcSec))
+          val bestWarm = (r.warm.filter(_.err.isEmpty) :+ r.cold).minBy(_.sec)
+          if (r.warmStat > soloMed &&
+              (bestWarm.gcSec - soloGc) > 0.5 * (r.warmStat - soloMed))
+            Some(r.name)
+          else None
+        }
+      }
+    }.toSet
 
     // ---- full per-query report: one committed file + one stdout line ----
     val queriesJson = results.map { r =>
@@ -559,14 +581,8 @@ object Bench {
             // and MOST of that delta is GC time the solo block did not
             // pay — the loaded-window class (sim_ivf_batch 38.5 s
             // in-suite vs 6.9 s solo, r16) named from the file itself
-            (if (ok.nonEmpty && {
-              val soloMed = medianOf(ok)
-              val soloGc = medianOf(w.filter(_.err.isEmpty).map(_.gcSec))
-              val bestWarm = (r.warm.filter(_.err.isEmpty) :+ r.cold)
-                .minBy(_.sec)
-              r.warmStat > soloMed &&
-                (bestWarm.gcSec - soloGc) > 0.5 * (r.warmStat - soloMed)
-            }) ",\"memory_pressure\":true" else "") +
+            (if (memPressure.contains(r.name))
+              ",\"memory_pressure\":true" else "") +
             // suspect: the solo median is WORSE than in-suite beyond the
             // measured drift — flagged and NOT folded into
             // value_adjudicated (the in-suite number stands)
@@ -610,6 +626,20 @@ object Bench {
     val byName = results.map(r => r.name -> r).toMap
     val headJson = headline.flatMap(n => byName.get(n))
       .map(r => jstr(r.name) + ":" + jnum(r.warmStat)).mkString("{", ",", "}")
+    // ADDITIVE summary fields (r17 verdict #6): the raw `queries` map is
+    // untouched (the driver's per-query compare stays valid cross-round);
+    // `queries_adjudicated` carries the accepted solo medians for any
+    // headline row that re-adjudicated, and `mem_pressure_rows` names
+    // every row whose in-suite reading the GC series attributes to
+    // memory pressure — so a loaded-window blowup is named in the
+    // summary line itself instead of by judge archaeology in the full
+    // per-query file.
+    val headAdjJson = headline.flatMap(n => byName.get(n))
+      .flatMap(r => folded.get(r.name).flatMap(_._1)
+        .map(v => jstr(r.name) + ":" + jnum(v)))
+      .mkString("{", ",", "}")
+    val memPressureJson = memPressure.toSeq.sorted.map(jstr)
+      .mkString("[", ",", "]")
     val errJson = failures.take(5)
       .map(r => jstr(r.name) + ":" + jstr(r.err.get)).mkString("{", ",", "}")
     val summaryJson =
@@ -622,7 +652,9 @@ object Bench {
       s""""n_suspect":${folded.count(_._2._2)},""" +
       s""""stream_group_readjudicated":$streamGroup,""" +
       s""""calib_sec":${jnum(calibSec)},""" +
-      s""""queries":$headJson,"sf":${jstr(sfDir)},""" +
+      s""""queries":$headJson,""" +
+      s""""queries_adjudicated":$headAdjJson,""" +
+      s""""mem_pressure_rows":$memPressureJson,"sf":${jstr(sfDir)},""" +
       s""""bench_file":${jstr(benchOut)},""" +
       s""""written_at_epoch_ms":${System.currentTimeMillis()},""" +
       """"note":"value=raw in-suite best-warm total (median-of-3+ for stream_*); value_adjudicated folds the solo MEDIAN for re-run rows (suspect re-runs flagged, not folded) and is the headline; READER CONTRACT: check written_at_epoch_ms >= your run start before trusting this file - a crashed run leaves the prior summary intact but visibly old; full per-query warm/cold/err in bench_file"}"""
