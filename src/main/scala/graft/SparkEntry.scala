@@ -462,8 +462,19 @@ object SparkEntry {
 
     // MinHash(16) banded into 4 LSH buckets -> candidates -> exact Jaccard.
     "dedup_minhash_lsh" -> ((s, dir) =>
+      // scale-adaptive input spread (r18, guide §2.5): the single-row-group
+      // corpus file scans as ONE real task, so the shingle+minhash kernel —
+      // the engine's most expensive per-row map work — ran single-threaded
+      // until the band exchange (~0.9 s of a ~2.3 s query on 32 cores;
+      // warm median 2.23 -> 0.84 s spread). Applied at THIS call site, not
+      // inside the operator: the fixpoint consumers of the same pairs
+      // (dedup_clusters/keep_best/kfold/leakage) are stage-count-bound and
+      // MEASURABLY regress under the extra exchange (clusters ~2.8 ->
+      // ~3.4 s), and the incremental variant is delta-sized — the spread
+      // pays only where the kernel dominates the wall.
       Dedup.minhashLshPairs(
-        Tables.documents(s, dir).filter(col("doc_id") % 10 === 0),
+        Tables.spread(Tables.documents(s, dir).filter(col("doc_id") % 10 === 0),
+          col("doc_id")),
         n = 3, k = 16, bands = 4, threshold = 0.6)
         .orderBy(col("id_a"), col("id_b"))),
 

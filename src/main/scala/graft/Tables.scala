@@ -73,6 +73,35 @@ object Tables {
   def documents(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "embeddings")
 
+  /** SCALE-ADAPTIVE INPUT SPREAD (r18; guide §2.5 "input skew: one huge
+    * unsplittable file — repartition immediately after the read"). The
+    * committed testdata ships ONE parquet row group per table, so a scan
+    * yields one REAL task regardless of session cores (byte-range splits
+    * beyond the row group come up empty), and every CPU-heavy map kernel
+    * above it — shingle/minhash signatures, the star denorm projection —
+    * runs single-threaded until its first exchange (measured:
+    * dedup_minhash_lsh spent ~0.9 s/run of a ~2.3 s query in one-task
+    * kernel stages on a 32-core session; parallel_reports materialized
+    * its shared cache through one real task for ~1.8 s of a ~3.8 s
+    * query).
+    *
+    * Hash-repartitions on `key` ONLY when the plan's scan parallelism is
+    * below the session's: a production-scale input already split into
+    * >= cores partitions is returned untouched, so this never adds a
+    * data-sized shuffle where the scan parallelizes by itself — the
+    * guard is plan-derived (split count), never a row count or a box
+    * constant. HASH placement on a stable key, not round-robin:
+    * deterministic under task retries (guide §2.5's SPARK-38388 note)
+    * and free of round-robin's local sort-before-repartition, which
+    * would itself run inside the one hot task this helper exists to
+    * relieve.
+    */
+  def spread(df: DataFrame, key: Column): DataFrame = {
+    val spark = df.sparkSession
+    val par = spark.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < par) df.repartition(par, key) else df
+  }
+
   /** Epoch-second event time from `events.ts` — the ONE place the engine
     * derives seconds from the driver's timestamp encoding, so a driver-side
     * schema change is a one-line fix here instead of a sweep of call sites

@@ -41,7 +41,14 @@ object StarPipeline {
     * pipeline.
     */
   def denormalizedFrom(rawFact: DataFrame, supplier: DataFrame, part: DataFrame): DataFrame = {
-    val fact = renamed(rawFact)
+    // scale-adaptive spread (r18, guide §2.5): a single-row-group fact
+    // file scans as ONE real task, so the rename/join/project kernel —
+    // and the shared cache parallel_reports materializes from it — ran
+    // single-threaded (measured ~1.8 s of parallel_reports' ~3.8 s).
+    // Tables.spread is a no-op whenever the scan already splits >= cores,
+    // so a production-scale fact is never shuffled here; the broadcast
+    // joins above keep the zero-fact-shuffle property either way.
+    val fact = renamed(Tables.spread(rawFact, col("l_orderkey")))
       .withColumn("paid_amount", col("l_extendedprice"))
       .withColumn("register_date", to_date(col("l_shipdate")))
     fact
