@@ -455,6 +455,9 @@ object SparkEntry {
     // 3-gram space saturates on this corpus (80% of pairs over the gate
     // — measured), 5-grams discriminate (3%).
     "dedup_containment" -> ((s, dir) =>
+      // NOT spread (r18): A/B measured flat (3.0 -> 3.1 s) with HIGHER
+      // task-summed GC — the gram join's heavy work already runs
+      // post-exchange, so the extra text shuffle only allocates
       Dedup.containmentPairs(
         Tables.documents(s, dir).filter(col("doc_id") % 10 === 0),
         n = 5, threshold = 0.5, maxDf = 40)
@@ -3716,8 +3719,13 @@ object SparkEntry {
       val bloom = IndexCache.getOrBuildVersioned(s, s"decontam-bloom|$dir", dir) {
         Dedup.gramBloom(docs.filter(col("doc_id") % 50 === 0), n = 6)
       }
+      // train-side input spread at the call site (r18, the
+      // dedup_minhash_lsh rule): the 6-gram explode + bloom probe is the
+      // query's dominant stage and otherwise runs on the scan's one real
+      // task; pipeline_e2e_incr's delta-sized decontamination stage is
+      // deliberately NOT spread (the corpus_clean_incr lesson)
       Dedup.crossOverlapPairsBloomWith(
-          docs.filter(col("doc_id") % 50 =!= 0),
+          Tables.spread(docs.filter(col("doc_id") % 50 =!= 0), col("doc_id")),
           docs.filter(col("doc_id") % 50 === 0), n = 6, minShared = 3L,
           bloom = bloom)
         .orderBy(col("train_id"), col("bench_id"))
