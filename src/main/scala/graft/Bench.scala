@@ -403,7 +403,18 @@ object Bench {
         // queries (outside any timed region) keeps the cleaner drained,
         // so late queries are timed against the same heap the early ones
         // saw instead of against the suite's accumulated debris.
-        if (i % 15 == 14) { System.gc(); Thread.sleep(150) }
+        // r18: the fixed cadence still let the heavy batch rows leave
+        // multi-GB garbage for their successors (sim_ivfpq_batch read
+        // 33 s in-suite with 89 s task-summed GC while its own solo
+        // block read 13.9/4.0 s) — the drain now ALSO fires whenever
+        // used heap crosses 60% of max, so a heavy row's successor is
+        // timed against a collected heap, not the predecessor's garbage.
+        // Still outside every timed region; timing semantics unchanged.
+        val rt = Runtime.getRuntime
+        if (i % 15 == 14 ||
+            rt.totalMemory() - rt.freeMemory() > (rt.maxMemory() * 0.6).toLong) {
+          System.gc(); Thread.sleep(150)
+        }
         QueryResult(name, cold, warm, graft.streaming.Streaming.lastStateRows)
       }
 
